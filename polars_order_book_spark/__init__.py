@@ -1,0 +1,44 @@
+"""polars_order_book_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of ChristopherRussell/polars-order-book.
+
+The reference (surveyed in /root/repo/SURVEY.md) is a Polars expression plugin
+computing, per input event row, the top-N price levels of a limit order book.
+This package re-expresses that operator family Spark-first:
+
+* ``operators.order_book``            — exact stateful fold (grouped pandas UDF)
+* ``operators.order_book_relational`` — pure DataFrame/window formulation
+  (Catalyst-optimizable; doubles as a differential oracle)
+* ``functions.conversion``            — exchange-message → event-stream helpers
+  (side→is_bid, float price scaling) mirroring README.md:131-162 of the reference
+* ``operators.dedup / similarity / text / multimodal`` — large-scale
+  training-data pipeline operators (beyond the reference's surface)
+* ``streaming.book_stream``           — Structured Streaming continuous book
+
+Reference citations in docstrings use ``ref:`` meaning /root/reference/.
+"""
+
+from polars_order_book_spark.operators.order_book import (
+    top_n_levels_from_price_updates,
+    top_n_levels_from_price_mutations,
+    top_n_levels_from_price_mutations_with_modify,
+    OrderBookError,
+    snapshot_columns,
+)
+from polars_order_book_spark.operators.order_book_relational import (
+    top_n_levels_relational,
+    modify_to_mutations,
+)
+from polars_order_book_spark.session import get_spark
+
+__all__ = [
+    "top_n_levels_from_price_updates",
+    "top_n_levels_from_price_mutations",
+    "top_n_levels_from_price_mutations_with_modify",
+    "top_n_levels_relational",
+    "modify_to_mutations",
+    "OrderBookError",
+    "snapshot_columns",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,366 @@
+"""Top-N order-book level snapshots — exact stateful fold (strategy A).
+
+Re-expresses the reference's operator family
+(ref: polars_order_book/polars_order_book/__init__.py:22-210,
+ref: polars_order_book/src/calculate_bbo.rs:62-113) as a grouped-map pandas
+UDF: ``df.groupBy(book_keys).applyInPandas(fold, schema)``.
+
+Semantics contract (SURVEY.md §2.1-2.5, FIXTURES.md):
+
+* For every input event row, emit the current top-N price levels (price +
+  aggregate qty) per side AFTER applying that event. Output row *i* depends on
+  all rows 1..*i* of its book — a prefix-scan, so Spark needs an explicit
+  ordering column ``seq`` (the reference relies on implicit row order,
+  ref: README.md:182 — the one real semantic delta).
+* Three event formats:
+  - price updates   (set-level;  qty=0 deletes, ref: update.rs:101-105)
+  - price mutations (signed delta; >0 add, <0 delete, 0 no-op,
+    ref: update.rs:113-123)
+  - mutations with modify (atomic order move, 9-way decision table,
+    ref: update.rs:132-162)
+* Error contract (ref: update.rs:8-16, book_side.rs:91-112, errors.rs:8-19):
+  null is_bid/price/qty → error; delete on missing level → "Level not found";
+  delete more than available → "Qty exceeds available"; n ∉ 1..=20 →
+  "Unsupported number of levels".
+
+Scale notes (100 TB design): parallelism = number of books, exactly the
+reference's own scaling story (ref: README.md:184-197). One book is inherently
+sequential state; Spark shuffles by the book keys, each group folds in one
+Arrow-batched Python task with numpy-buffered output (mirroring the
+preallocated builders at ref: polars_order_book/src/output.rs:47-54). For
+book-free relational execution see ``order_book_relational``.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, insort
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+MAX_LEVELS = 20  # reference guardrail, ref: calculate_bbo.rs:120-123
+_BOOK_COL = "__book__"
+
+# Ship this module inside the UDF closure (pickle-by-value) so executors don't
+# need the package on their PYTHONPATH — the Spark analog of the reference
+# shipping a compiled cdylib to the host engine (ref: _utils.py:55-84).
+def _register_self_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_register_self_by_value()
+
+
+class OrderBookError(ValueError):
+    """Mirrors the reference's ComputeError (ref: errors.rs:8-19)."""
+
+
+def snapshot_columns(n: int) -> list[str]:
+    """Interleaved per level i: bid_price_i, bid_qty_i, ask_price_i, ask_qty_i
+    (ref: calculate_bbo.rs:31-58)."""
+    cols: list[str] = []
+    for i in range(1, n + 1):
+        cols += [f"bid_price_{i}", f"bid_qty_{i}", f"ask_price_{i}", f"ask_qty_{i}"]
+    return cols
+
+
+def _check_n(n: int) -> None:
+    if not (1 <= n <= MAX_LEVELS):
+        raise OrderBookError(f"Unsupported number of levels: {n}")
+
+
+# ---------------------------------------------------------------------------
+# Book state: dict price->qty per side + ascending sorted price list (bisect).
+# The reference keeps a HashMap + incrementally-maintained top-N array
+# (ref: book_side_tracked.rs:14-18, top_n_levels.rs:69-138); a C-backed sorted
+# list gives the same O(log L) lookup with O(L) memmove inserts — fast in
+# practice and far simpler. Top-N emit is an O(n) slice either way.
+# ---------------------------------------------------------------------------
+
+
+class _Side:
+    __slots__ = ("levels", "prices")
+
+    def __init__(self) -> None:
+        self.levels: dict[int, int] = {}
+        self.prices: list[int] = []  # ascending
+
+    def add(self, price: int, qty: int) -> None:
+        # ref: book_side.rs:55-70 (create-or-increment)
+        cur = self.levels.get(price)
+        if cur is None:
+            self.levels[price] = qty
+            insort(self.prices, price)
+        else:
+            self.levels[price] = cur + qty
+
+    def delete(self, price: int, qty: int) -> None:
+        # ref: book_side.rs:91-112; negative qty passes the check and adds,
+        # mirroring the Rust signed arithmetic (used by qty-only modify).
+        cur = self.levels.get(price)
+        if cur is None:
+            raise OrderBookError(f"Level not found: price={price}")
+        if qty > cur:
+            raise OrderBookError(
+                f"Qty exceeds available: delete {qty} from level {price} holding {cur}"
+            )
+        if qty == cur:
+            del self.levels[price]
+            del self.prices[bisect_left(self.prices, price)]
+        else:
+            self.levels[price] = cur - qty
+
+    def set_level(self, price: int, qty: int) -> None:
+        # ref: order_book.rs:58-72; qty=0 on missing level silently ignored
+        # (ref: book_side_tracked_basic.rs:139-145)
+        cur = self.levels.get(price)
+        if qty == 0:
+            if cur is not None:
+                del self.levels[price]
+                del self.prices[bisect_left(self.prices, price)]
+        elif cur is None:
+            self.levels[price] = qty
+            insort(self.prices, price)
+        else:
+            self.levels[price] = qty
+
+
+def _fold_arrays(
+    variant: str,
+    n: int,
+    seq: np.ndarray,
+    is_bid: Sequence,
+    price: Sequence,
+    qty: Sequence,
+    prev_price: Sequence | None,
+    prev_qty: Sequence | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential fold over one book; returns (values, missing_mask) shaped
+    (4n, m). Port of the event loop at ref: calculate_bbo.rs:96-110."""
+    m = len(price)
+    out = np.zeros((4 * n, m), dtype=np.int64)
+    mask = np.ones((4 * n, m), dtype=bool)  # True = null (missing level)
+    bids, asks = _Side(), _Side()
+
+    for r in range(m):
+        b = is_bid[r]
+        p = price[r]
+        q = qty[r]
+        if b is None or p is None or q is None:
+            raise OrderBookError(
+                f"null is_bid/price/qty at seq={seq[r]} (ref: update.rs:8-16)"
+            )
+        side = bids if b else asks
+        if variant == "updates":
+            side.set_level(p, q)
+        elif variant == "mutations":
+            if q > 0:
+                side.add(p, q)
+            elif q < 0:
+                side.delete(p, -q)
+            # q == 0: no-op (ref: update.rs:120)
+        else:  # modify — 9-way decision table, ref: update.rs:132-162
+            pp = prev_price[r]  # type: ignore[index]
+            pq = prev_qty[r]  # type: ignore[index]
+            if pp is None and pq is None:
+                if q > 0:
+                    side.add(p, q)
+                elif q < 0:
+                    side.delete(p, -q)
+            elif pp is not None and pq is None:
+                raise OrderBookError(
+                    f"prev_price without prev_qty at seq={seq[r]} (ref: update.rs:159)"
+                )
+            elif q < 0:
+                raise OrderBookError(
+                    f"negative qty with non-null prev at seq={seq[r]} (ref: update.rs:158)"
+                )
+            elif pp is not None:  # full modify: move prev_qty@prev_price -> qty@price
+                if q == 0:
+                    side.delete(pp, pq)  # ref: update.rs:155-157
+                else:
+                    side.delete(pp, pq)  # ref: order_book.rs:44-55
+                    side.add(p, q)
+            else:  # prev_qty only
+                if q == 0:
+                    side.delete(p, pq)  # ref: update.rs:152-154
+                else:
+                    side.delete(p, pq - q)  # qty-only modify, ref: update.rs:148-150
+
+        # emit snapshot (ref: calculate_bbo.rs:70-85, output.rs:62-120)
+        bp, bl = bids.prices, bids.levels
+        ap, al = asks.prices, asks.levels
+        nb, na = len(bp), len(ap)
+        for i in range(n):
+            base = 4 * i
+            if i < nb:
+                px = bp[nb - 1 - i]  # best bid = greatest price
+                out[base, r] = px
+                out[base + 1, r] = bl[px]
+                mask[base, r] = False
+                mask[base + 1, r] = False
+            if i < na:
+                px = ap[i]  # best ask = least price
+                out[base + 2, r] = px
+                out[base + 3, r] = al[px]
+                mask[base + 2, r] = False
+                mask[base + 3, r] = False
+    return out, mask
+
+
+def _as_list(s: pd.Series) -> list:
+    """Column -> python list with None for nulls (fast path for the row loop)."""
+    if s.dtype == object:
+        return [None if v is None or v is pd.NA else v for v in s.tolist()]
+    arr = s.to_numpy()
+    if arr.dtype.kind == "f":
+        return [None if np.isnan(v) else int(v) for v in arr.tolist()]
+    isna = s.isna()
+    if isna.any():
+        return [None if m else v for v, m in zip(s.tolist(), isna.tolist())]
+    return s.tolist()
+
+
+def _apply_fold(
+    df: DataFrame,
+    variant: str,
+    price: str,
+    qty: str,
+    is_bid: str,
+    seq: str,
+    by: Sequence[str] | None,
+    n: int,
+    prev_price: str | None = None,
+    prev_qty: str | None = None,
+    output_struct: str | None = None,
+) -> DataFrame:
+    _check_n(n)
+    snap_cols = snapshot_columns(n)
+
+    drop_book = False
+    if not by:
+        df = df.withColumn(_BOOK_COL, F.lit(0))
+        by = [_BOOK_COL]
+        drop_book = True
+
+    out_fields = [f for f in df.schema.fields if f.name != _BOOK_COL]
+    schema = StructType(out_fields + [StructField(c, LongType(), True) for c in snap_cols])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq, kind="mergesort", ignore_index=True)
+        out, mask = _fold_arrays(
+            variant,
+            n,
+            pdf[seq].to_numpy(),
+            _as_list(pdf[is_bid]),
+            _as_list(pdf[price]),
+            _as_list(pdf[qty]),
+            _as_list(pdf[prev_price]) if prev_price else None,
+            _as_list(pdf[prev_qty]) if prev_qty else None,
+        )
+        res = pdf.drop(columns=[_BOOK_COL], errors="ignore")
+        for j, c in enumerate(snap_cols):
+            res[c] = pd.arrays.IntegerArray(out[j], mask[j])
+        return res
+
+    result = df.groupBy(*by).applyInPandas(fold, schema=schema)
+    if drop_book:
+        by = None
+    if output_struct:
+        keep = [f.name for f in out_fields]
+        result = result.select(*keep, F.struct(*snap_cols).alias(output_struct))
+    return result
+
+
+def top_n_levels_from_price_updates(
+    df: DataFrame,
+    price: str = "price",
+    qty: str = "qty",
+    is_bid: str = "is_bid",
+    *,
+    seq: str = "seq",
+    by: Sequence[str] | None = None,
+    n: int = 1,
+    output_struct: str | None = None,
+) -> DataFrame:
+    """Fold snapshot-set events: qty replaces the level, qty=0 deletes it.
+
+    Parity: ref: polars_order_book/polars_order_book/__init__.py:157-210 and
+    ref: polars_order_book/src/calculate_bbo.rs:127-170. Returns ``df`` plus
+    4·n long columns ``bid_price_i/bid_qty_i/ask_price_i/ask_qty_i`` (or one
+    struct column when ``output_struct`` is set — the Polars shape, which users
+    there immediately ``unnest``; flattened is the Spark idiom).
+
+    ``seq`` orders events within a book; ``by`` names the book key columns
+    (e.g. ``["product_id", "reset_count"]``, ref: README.md:184-216).
+    """
+    return _apply_fold(df, "updates", price, qty, is_bid, seq, by, n,
+                       output_struct=output_struct)
+
+
+def top_n_levels_from_price_mutations(
+    df: DataFrame,
+    price: str = "price",
+    qty: str = "qty",
+    is_bid: str = "is_bid",
+    *,
+    seq: str = "seq",
+    by: Sequence[str] | None = None,
+    n: int = 1,
+    output_struct: str | None = None,
+) -> DataFrame:
+    """Fold signed-delta events: qty>0 adds, qty<0 deletes, 0 no-op.
+
+    Parity: ref: __init__.py:101-154, ref: calculate_bbo.rs:172-215,
+    ref: update.rs:113-123. Errors on delete-from-missing-level and over-delete
+    exactly like the reference (ref: book_side.rs:91-112).
+    """
+    return _apply_fold(df, "mutations", price, qty, is_bid, seq, by, n,
+                       output_struct=output_struct)
+
+
+def top_n_levels_from_price_mutations_with_modify(
+    df: DataFrame,
+    price: str = "price",
+    qty: str = "qty",
+    is_bid: str = "is_bid",
+    prev_price: str | None = None,
+    prev_qty: str | None = None,
+    *,
+    seq: str = "seq",
+    by: Sequence[str] | None = None,
+    n: int = 1,
+    output_struct: str | None = None,
+) -> DataFrame:
+    """Mutations plus atomic order moves (delete prev_qty@prev_price then add
+    qty@price in one event).
+
+    Parity: ref: __init__.py:22-98, ref: calculate_bbo.rs:217-268, decision
+    table ref: update.rs:132-162. Passing exactly one of ``prev_price`` /
+    ``prev_qty`` raises ValueError before execution (ref: __init__.py:84-90).
+    """
+    if (prev_price is None) != (prev_qty is None):
+        raise ValueError(
+            "prev_price and prev_qty must be passed together or not at all "
+            "(ref: __init__.py:84-90)"
+        )
+    if prev_price is None:
+        return _apply_fold(df, "mutations", price, qty, is_bid, seq, by, n,
+                           output_struct=output_struct)
+    return _apply_fold(df, "modify", price, qty, is_bid, seq, by, n,
+                       prev_price=prev_price, prev_qty=prev_qty,
+                       output_struct=output_struct)

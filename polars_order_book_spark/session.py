@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the driver's local[32] harness but every setting is the one we would
+ship on a 1000-executor cluster: AQE on (runtime re-plan + skew-join splitting),
+Arrow transfer for the pandas-UDF fold path, shuffle partitions sized to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "polars-order-book-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing of small shuffle partitions + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width ~ cores locally; a real cluster would use 2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # Arrow both ways: toPandas and pandas UDFs (the fold path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Parquet scans: 128 MiB splits keep task count sane at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Driver testdata parquet uses TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and normalize in sources.tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,46 @@
+"""Table loaders for the driver's testdata layout (TESTDATA.md).
+
+Parquet in, DataFrame out — scans stay declarative so Catalyst pushes filters
+and prunes columns into the file source (verify with .explain: PushedFilters /
+ReadSchema). At 100 TB these would be partitioned/bucketed tables; the loader
+keys off a directory so the same code targets any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# The driver's parquet stores these as TIMESTAMP(NANOS), which Spark's reader
+# only accepts as long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+# session.py). DuckDB reads the same files at microsecond precision, so we
+# truncate nanos -> micros to agree with the oracle exactly.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries mirror the
+    DuckDB oracle's pre-registered views."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

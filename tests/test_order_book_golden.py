@@ -1,0 +1,218 @@
+"""Golden tests ported from the reference's authoritative test layer
+(ref: polars_order_book/tests/test_calculate_bbo.py, README.md examples),
+via FIXTURES.md §3. Inputs and expected frames are engine-agnostic."""
+
+import pytest
+
+from pyspark.sql.types import (
+    BooleanType, LongType, StructField, StructType,
+)
+
+from polars_order_book_spark import (
+    top_n_levels_from_price_updates,
+    top_n_levels_from_price_mutations,
+    top_n_levels_from_price_mutations_with_modify,
+)
+
+SCHEMA3 = StructType([
+    StructField("seq", LongType()),
+    StructField("is_bid", BooleanType()),
+    StructField("price", LongType()),
+    StructField("qty", LongType()),
+])
+SCHEMA5 = StructType(SCHEMA3.fields + [
+    StructField("prev_price", LongType()),
+    StructField("prev_qty", LongType()),
+])
+
+
+def snap(df, cols, seq="seq"):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        out[d[seq]] = tuple(d[c] for c in cols)
+    return [out[k] for k in sorted(out)]
+
+
+def test_updates_golden_readme1(spark):
+    """FIXTURES 3.1 (ref: README.md:20-50), n=2."""
+    rows = [(1, True, 1, 100), (2, True, 2, 200), (3, False, 4, 400),
+            (4, False, 5, 500), (5, True, 2, 250), (6, True, 2, 0)]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    out = top_n_levels_from_price_updates(df, n=2)
+    got = snap(out, ["bid_price_1", "bid_price_2", "bid_qty_1", "bid_qty_2",
+                     "ask_price_1", "ask_price_2", "ask_qty_1", "ask_qty_2"])
+    assert got[-1] == (1, None, 100, None, 4, 5, 400, 500)
+    # row 5: level 2 set to 250 -> best bid (2, 250)
+    assert got[4][:4] == (2, 1, 250, 100)
+
+
+def test_mutations_golden_readme2(spark):
+    """FIXTURES 3.2 (ref: README.md:55-83), n=2."""
+    rows = [(1, True, 1, 100), (2, True, 2, 200), (3, False, 4, 400),
+            (4, False, 5, 500), (5, True, 2, 50), (6, True, 2, -250)]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    out = top_n_levels_from_price_mutations(df, n=2)
+    got = snap(out, ["bid_price_1", "bid_qty_1", "bid_price_2", "bid_qty_2"])
+    assert got[4] == (2, 250, 1, 100)   # add 50 onto level 2
+    assert got[5] == (1, 100, None, None)  # level 2 fully deleted
+
+
+def test_modify_golden_readme3(spark):
+    """FIXTURES 3.3 (ref: README.md:88-120): ladder walk, one level per side."""
+    rows = [
+        (1, True, 1, 10, None, None), (2, False, 6, 60, None, None),
+        (3, True, 2, 10, 1, 10), (4, False, 5, 60, 6, 60),
+        (5, True, 3, 10, 2, 10), (6, False, 4, 60, 5, 60),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=1)
+    got = snap(out, ["bid_price_1", "ask_price_1", "bid_qty_1", "ask_qty_1"])
+    assert [g[0] for g in got] == [1, 1, 2, 2, 3, 3]
+    assert [g[1] for g in got] == [None, 6, 6, 5, 5, 4]
+    assert all(g[2] == 10 for g in got)
+
+
+CYCLE_PRICES = [1, 2, 3, 6, 5, 4, 3, 1, 2, 5, 4, 6]
+CYCLE_IS_BID = [True] * 3 + [False] * 3 + [True] * 3 + [False] * 3
+CYCLE_UPD_QTY = [1, 2, 3, 6, 5, 4, 0, 0, 0, 0, 0, 0]
+CYCLE_MUT_QTY = [1, 2, 3, 6, 5, 4, -3, -1, -2, -5, -4, -6]
+CYCLE_EXP_BID = [1, 2, 3, 3, 3, 3, 2, 2, None, None, None, None]
+CYCLE_EXP_ASK = [None, None, None, 6, 5, 4, 4, 4, 4, 4, 6, None]
+
+
+@pytest.mark.parametrize("n_levels", [1, 2, 4])
+@pytest.mark.parametrize("reps", [1, 10, 100])
+def test_cyclic_12_event_suite(spark, n_levels, reps):
+    """FIXTURES 3.4 (ref: test_calculate_bbo.py:12-127): the 12-event cycle
+    returns the book to empty, so tiling xN leaves expectations unchanged.
+    Covers both the n=1 basic path and the top-N path, updates AND mutations."""
+    m = 12 * reps
+    rows_u, rows_m = [], []
+    for r in range(m):
+        i = r % 12
+        rows_u.append((r, CYCLE_IS_BID[i], CYCLE_PRICES[i], CYCLE_UPD_QTY[i]))
+        rows_m.append((r, CYCLE_IS_BID[i], CYCLE_PRICES[i], CYCLE_MUT_QTY[i]))
+    exp_bid = CYCLE_EXP_BID * reps
+    exp_ask = CYCLE_EXP_ASK * reps
+
+    for maker, rows in [(top_n_levels_from_price_updates, rows_u),
+                        (top_n_levels_from_price_mutations, rows_m)]:
+        df = spark.createDataFrame(rows, SCHEMA3)
+        out = maker(df, n=n_levels)
+        got = snap(out, ["bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1"])
+        assert [g[0] for g in got] == exp_bid
+        assert [g[2] for g in got] == exp_ask
+        # qtys equal prices in this fixture
+        assert [g[1] for g in got] == exp_bid
+        assert [g[3] for g in got] == exp_ask
+
+
+@pytest.mark.parametrize("n_levels", [1, 2, 4])
+@pytest.mark.parametrize("reps", [1, 10])
+def test_cyclic_modify_suite(spark, n_levels, reps):
+    """FIXTURES 3.5 (ref: test_calculate_bbo.py:130-191)."""
+    rows = [(-2, True, 1, 1, None, None), (-1, False, 6, 6, None, None)]
+    cyc = [(True, 2, 2, 1, 1), (True, 3, 3, 2, 2), (True, 1, 1, 3, 3),
+           (False, 5, 5, 6, 6), (False, 4, 4, 5, 5), (False, 6, 6, 4, 4)]
+    s = 1
+    for _ in range(reps):
+        for b, p, q, pp, pq in cyc:
+            rows.append((s, b, p, q, pp, pq))
+            s += 1
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=n_levels)
+    got = snap(out, ["bid_price_1", "ask_price_1"])
+    exp_bid = [1, 1] + [2, 3, 1, 1, 1, 1] * reps
+    exp_ask = [None, 6] + [6, 6, 6, 5, 4, 6] * reps
+    assert [g[0] for g in got] == exp_bid
+    assert [g[1] for g in got] == exp_ask
+
+
+def test_modify_all_null_prev_degenerates_to_mutations(spark):
+    """ref: test_calculate_bbo.py:194-259."""
+    rows_m = [(r, CYCLE_IS_BID[r], CYCLE_PRICES[r], CYCLE_MUT_QTY[r], None, None)
+              for r in range(12)]
+    df = spark.createDataFrame(rows_m, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=2)
+    got = snap(out, ["bid_price_1", "ask_price_1"])
+    assert [g[0] for g in got] == CYCLE_EXP_BID
+    assert [g[1] for g in got] == CYCLE_EXP_ASK
+
+
+def test_multi_order_per_level_modify(spark):
+    """FIXTURES 3.6 (ref: test_calculate_bbo.py:262-320): two orders per level,
+    partial-level deletes via modify, single side."""
+    rows = [
+        (1, True, 10, 5, None, None),   # order A at 10
+        (2, True, 10, 7, None, None),   # order B at 10 (level=12)
+        (3, True, 20, 5, 10, 5),        # move A 10->20
+        (4, True, 20, 7, 10, 7),        # move B 10->20 (level 10 gone)
+        (5, True, 10, 5, 20, 5),        # move A back
+    ]
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=2)
+    got = snap(out, ["bid_price_1", "bid_qty_1", "bid_price_2", "bid_qty_2"])
+    assert got[0] == (10, 5, None, None)
+    assert got[1] == (10, 12, None, None)
+    assert got[2] == (20, 5, 10, 7)
+    assert got[3] == (20, 12, None, None)
+    assert got[4] == (20, 7, 10, 5)
+
+
+def test_qty_only_modify(spark):
+    """prev_qty without prev_price: delete (prev_qty - qty) at price
+    (ref: update.rs:148-150); qty=0 deletes prev_qty at price (:152-154)."""
+    rows = [
+        (1, True, 10, 9, None, None),
+        (2, True, 10, 4, None, 9),   # shrink 9 -> 4
+        (3, True, 10, 0, None, 4),   # delete remaining 4
+    ]
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=1)
+    got = snap(out, ["bid_price_1", "bid_qty_1"])
+    assert got == [(10, 9), (10, 4), (None, None)]
+
+
+def test_group_by_books(spark):
+    """FIXTURES 3.8: cycle tiled across product_id x reset_count with
+    interleaved rows; expectations = per-group golden (ref: README.md:184-216)."""
+    schema = StructType([
+        StructField("product_id", LongType()),
+        StructField("reset_count", LongType()),
+    ] + SCHEMA3.fields)
+    rows = []
+    s = 0
+    for i in range(12):
+        for prod in (1, 2, 3):
+            for rc in (0, 1):
+                rows.append((prod, rc, s, CYCLE_IS_BID[i], CYCLE_PRICES[i],
+                             CYCLE_MUT_QTY[i]))
+                s += 1
+    df = spark.createDataFrame(rows, schema)
+    out = top_n_levels_from_price_mutations(df, by=["product_id", "reset_count"], n=2)
+    res = {}
+    for r in out.collect():
+        d = r.asDict()
+        res.setdefault((d["product_id"], d["reset_count"]), []).append(
+            (d["seq"], d["bid_price_1"], d["ask_price_1"]))
+    assert len(res) == 6
+    for grp, vals in res.items():
+        vals.sort()
+        assert [v[1] for v in vals] == CYCLE_EXP_BID
+        assert [v[2] for v in vals] == CYCLE_EXP_ASK
+
+
+def test_output_struct_mode(spark):
+    """output_struct returns the Polars shape (struct to unnest)."""
+    df = spark.createDataFrame([(1, True, 5, 50)], SCHEMA3)
+    out = top_n_levels_from_price_updates(df, n=1, output_struct="bbo")
+    assert "bbo" in out.columns
+    flat = out.select("seq", "bbo.*")
+    r = flat.collect()[0]
+    assert (r["bid_price_1"], r["bid_qty_1"]) == (5, 50)

@@ -1,0 +1,115 @@
+"""Differential tests: strategy A (pandas fold) vs strategy B (relational),
+mirroring the reference's own Simple-vs-Tracked differential pattern
+(ref: order_book/tests/book_side_tests.rs)."""
+
+import random
+
+import pytest
+
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from polars_order_book_spark import (
+    modify_to_mutations,
+    top_n_levels_from_price_mutations,
+    top_n_levels_from_price_updates,
+    top_n_levels_relational,
+    snapshot_columns,
+)
+
+SCHEMA3 = StructType([
+    StructField("seq", LongType()),
+    StructField("is_bid", BooleanType()),
+    StructField("price", LongType()),
+    StructField("qty", LongType()),
+])
+SCHEMA5 = StructType(SCHEMA3.fields + [
+    StructField("prev_price", LongType()),
+    StructField("prev_qty", LongType()),
+])
+
+
+def by_seq(df, cols):
+    return {r["seq"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def gen_updates(rng, m, n_prices=12):
+    rows = []
+    for s in range(m):
+        rows.append((s, rng.random() < 0.5, rng.randrange(1, n_prices + 1),
+                     rng.randrange(0, 8)))
+    return rows
+
+
+def gen_mutations(rng, m, n_prices=10):
+    """Valid random mutation stream: track the book, delete only what exists."""
+    book = {}
+    rows = []
+    for s in range(m):
+        b = rng.random() < 0.5
+        live = [(bb, p) for (bb, p), q in book.items() if bb == b and q > 0]
+        if live and rng.random() < 0.45:
+            bb, p = rng.choice(live)
+            q = -rng.randrange(1, book[(bb, p)] + 1)
+        else:
+            p = rng.randrange(1, n_prices + 1)
+            q = rng.randrange(1, 9)
+        book[(b, p)] = book.get((b, p), 0) + q
+        rows.append((s, b, p, q))
+    return rows
+
+
+@pytest.mark.parametrize("n", [1, 3])
+@pytest.mark.parametrize("seed", [7, 42])
+def test_differential_mutations(spark, n, seed):
+    rows = gen_mutations(random.Random(seed), 300)
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(n)
+    a = by_seq(top_n_levels_from_price_mutations(df, n=n), cols)
+    b = by_seq(top_n_levels_relational(df, n=n, variant="mutations"), cols)
+    assert a == b
+
+
+@pytest.mark.parametrize("n", [1, 3])
+@pytest.mark.parametrize("seed", [7, 42])
+def test_differential_updates(spark, n, seed):
+    rows = gen_updates(random.Random(seed), 300)
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(n)
+    a = by_seq(top_n_levels_from_price_updates(df, n=n), cols)
+    b = by_seq(top_n_levels_relational(df, n=n, variant="updates"), cols)
+    assert a == b
+
+
+def test_differential_mutations_grouped(spark):
+    rng = random.Random(3)
+    schema = StructType([StructField("book", LongType())] + SCHEMA3.fields)
+    rows = []
+    for book in range(4):
+        for r in gen_mutations(rng, 120):
+            rows.append((book, *r))
+    df = spark.createDataFrame(rows, schema)
+    cols = snapshot_columns(2)
+    a = {(r["book"], r["seq"]): tuple(r[c] for c in cols)
+         for r in top_n_levels_from_price_mutations(df, by=["book"], n=2).collect()}
+    b = {(r["book"], r["seq"]): tuple(r[c] for c in cols)
+         for r in top_n_levels_relational(df, by=["book"], n=2, variant="mutations").collect()}
+    assert a == b
+
+
+def test_modify_to_mutations_explode(spark):
+    """Ladder-walk modify stream -> exploded deltas -> relational == fold."""
+    rows = [
+        (1, True, 1, 10, None, None), (2, False, 6, 60, None, None),
+        (3, True, 2, 10, 1, 10), (4, False, 5, 60, 6, 60),
+        (5, True, 3, 10, 2, 10), (6, False, 4, 60, 5, 60),
+    ]
+    from polars_order_book_spark import top_n_levels_from_price_mutations_with_modify
+
+    df = spark.createDataFrame(rows, SCHEMA5)
+    cols = snapshot_columns(1)
+    a = by_seq(
+        top_n_levels_from_price_mutations_with_modify(
+            df, prev_price="prev_price", prev_qty="prev_qty", n=1), cols)
+    deltas = modify_to_mutations(df)
+    b = by_seq(top_n_levels_relational(deltas, n=1, variant="mutations"), cols)
+    assert a == b
