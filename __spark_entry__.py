@@ -1,38 +1,410 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship order-book query at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
+north-star pipeline operators; each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (column names and types
+aligned for the driver's order-insensitive value-hash compare).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_order_book_spark import (
+    modify_to_mutations,
+    top_n_levels_from_price_mutations,
+    top_n_levels_from_price_mutations_with_modify,
+    top_n_levels_from_price_updates,
+    top_n_levels_relational,
+    snapshot_columns,
+)
+from polars_order_book_spark.operators import dedup, multimodal, similarity, text
+from polars_order_book_spark.plans import book_streams as bs
+from polars_order_book_spark.plans import queries as hq
+from polars_order_book_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Top-3 order-book levels folded over the sf0.001 event stream."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = bs.updates_stream(ev)
+    out = top_n_levels_from_price_updates(stream, n=3)
+    return out.select("seq", *snapshot_columns(3))
 
+
+# ---------------------------------------------------------------------------
+# order-book queries (core reference surface)
+# ---------------------------------------------------------------------------
+
+def _ob_updates(n):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.updates_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_updates(stream, n=n)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+def _ob_mutations(n):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations(stream, n=n)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+def _ob_modify(n):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.modify_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations_with_modify(
+            stream, prev_price="prev_price", prev_qty="prev_qty", n=n
+        )
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+def _ob_relational(n, variant):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        stream = bs.mutations_stream(ev) if variant == "mutations" else bs.updates_stream(ev)
+        out = top_n_levels_relational(stream, n=n, variant=variant)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+def _ob_modify_relational(n):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.modify_stream(load_table(spark, sf_dir, "events"))
+        deltas = modify_to_mutations(stream)
+        out = top_n_levels_relational(deltas, n=n, variant="mutations")
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    """DuckDB mirror of the full MinHash+LSH pipeline."""
+    h = "CAST(concat('0x', substr(md5(concat(sh, ':', CAST(s AS VARCHAR))), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS sh
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 3 AND i <= len(t) - 3
+),
+sig AS (
+    SELECT doc_id, s, min({h}) AS mh
+    FROM sh, range(0, 16) seeds(s)
+    GROUP BY doc_id, s
+),
+bands AS (
+    SELECT doc_id, CAST(s // 4 AS INT) AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_hash
+    FROM sig GROUP BY doc_id, CAST(s // 4 AS INT)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN dsh a ON a.doc_id = p.doc_a
+    JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs)
+
+
+SIMHASH_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, b,
+           (CAST(concat('0x', substr(md5(tok), CAST(b // 4 AS INT) + 1, 1)) AS INT)
+            // CAST(pow(2, b % 4) AS INT)) % 2 AS bit
+    FROM tok, range(0, 32) r(b)
+),
+votes AS (
+    SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS vote
+    FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.4, block_col="lang")
+
+
+JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, lang, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS sh
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 3 AND i <= len(t) - 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
+"""
+
+
+def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_bruteforce(emb, queries, k=10)
+
+
+ANN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+sim AS (
+    SELECT q.query_id, v.neighbor_id,
+           list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+    FROM v CROSS JOIN q
+    WHERE v.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sim
+)
+WHERE rank <= 10
+"""
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_LIST_SQL = "['" + "', '".join(text.EN_STOPWORDS) + "']"
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+           length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                              {_STOP_LIST_SQL})) AS n_stopwords
+    FROM documents
+)
+SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio
+FROM base
+"""
+
+
+def _text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_LANG_SQL = f"""
+SELECT doc_id,
+       CAST(hits AS BIGINT) AS stopword_hits,
+       CASE WHEN hits >= 3 THEN 'en' WHEN hits >= 1 THEN 'en_maybe' ELSE 'und' END AS lang_pred
+FROM (
+    SELECT doc_id,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                              {_STOP_LIST_SQL})) AS hits
+    FROM documents
+)
+"""
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+TEXT_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_ish
+FROM documents
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(docs)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       64 + octet_length(encode(text)) % 512 AS fake_width,
+       64 + (octet_length(encode(text)) * 7) % 512 AS fake_height,
+       CAST(3 AS BIGINT) AS fake_channels
+FROM documents
+"""
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_stub(docs)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS frame_no, CAST(i * 64 AS BIGINT) AS byte_offset
+FROM documents, range(0, 4096) r(i)
+WHERE i <= (octet_length(encode(text)) - 1) // 64
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core order-book operator family (fold strategy A)
+        "ob_updates_top1": _ob_updates(1),
+        "ob_updates_top3": _ob_updates(3),
+        "ob_mutations_top2": _ob_mutations(2),
+        "ob_modify_top2": _ob_modify(2),
+        # relational strategy B (independent execution path, same oracle)
+        "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
+        "ob_relational_updates_top3": _ob_relational(3, "updates"),
+        "ob_relational_modify_top2": _ob_modify_relational(2),
+        # host-engine query surface (SURVEY §2.3)
+        "q1_pricing_summary": hq.q1_pricing_summary,
+        "q3_top_revenue_orders": hq.q3_top_revenue_orders,
+        "q5_nation_revenue": hq.q5_nation_revenue,
+        "topk_orders_per_customer": hq.topk_orders_per_customer,
+        "customers_without_orders": hq.customers_without_orders,
+        "part_categorize": hq.part_categorize,
+        "events_hourly": hq.events_hourly,
+        "events_user_running_total": hq.events_user_running_total,
+        # pipeline operators
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram_jaccard": _dedup_jaccard,
+        "ann_cosine_topk": _ann_bruteforce,
+        "text_quality": _text_quality,
+        "text_lang_id": _text_lang,
+        "text_fingerprint": _text_fingerprint,
+        "text_token_counts": _text_tokens,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ob_updates_top1": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 1, "updates"),
+        "ob_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
+        "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
+        "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
+        "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
+        "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
+        "ob_relational_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
+        "q1_pricing_summary": hq.Q1_SQL,
+        "q3_top_revenue_orders": hq.Q3_SQL,
+        "q5_nation_revenue": hq.Q5_SQL,
+        "topk_orders_per_customer": hq.TOPK_ORDERS_SQL,
+        "customers_without_orders": hq.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "part_categorize": hq.PART_CATEGORIZE_SQL,
+        "events_hourly": hq.EVENTS_HOURLY_SQL,
+        "events_user_running_total": hq.EVENTS_RUNNING_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": SIMHASH_SQL,
+        "dedup_ngram_jaccard": JACCARD_SQL,
+        "ann_cosine_topk": ANN_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "text_lang_id": TEXT_LANG_SQL,
+        "text_fingerprint": TEXT_FINGERPRINT_SQL,
+        "text_token_counts": TEXT_TOKENS_SQL,
+        "multimodal_features": MULTIMODAL_SQL,
+        "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    }

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star pipeline operators (BASELINE.json) designed Spark-first for 100 TB:
+
+* exact dedup        — one hash-aggregate shuffle on md5(text); map-side
+                       partial agg makes it bandwidth-bound, not skew-bound.
+* MinHash + LSH      — shingle → 60-bit hashes → per-seed min (partial agg) →
+                       band buckets → self-join INSIDE buckets only. The
+                       candidate join is the classic LSH trick: |pairs| shrinks
+                       from O(N²) to the bucket-collision count, and the band
+                       join key is a single md5 string — shuffle-friendly and
+                       AQE-skew-splittable.
+* SimHash            — 32-bit signature via per-bit majority vote; near-dup
+                       candidates = equal signatures (or banded halves).
+* n-gram Jaccard     — verification metric for candidate pairs.
+
+Everything is built-in expressions (explode/groupBy/window) — no Python UDFs —
+and every step has an exact DuckDB mirror for the oracle (portable md5-derived
+hashes from functions.hashing; engine-native hashes are not cross-engine
+stable so they are avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.functions.hashing import hash64
+from polars_order_book_spark.operators.text import tokens
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_ROWS = 4
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts; returns (content_hash, keep_id, n_copies) with
+    keep_id = min id per group (deterministic survivor)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """Token k-shingles per document: (id, shingle) exploded, duplicates kept.
+    1-based element_at matches DuckDB list indexing in the oracle."""
+    toks = tokens(F.col(text_col))
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of hash64(shingle:seed).
+    The explode-by-seed × groupBy-min shape gets map-side partial aggregation,
+    so the shuffle carries one row per (doc, seed), not per shingle."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    h = hash64(F.concat_ws(":", F.col("shingle"), F.col("seed")))
+    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("minhash"))
+
+
+def lsh_band_buckets(sig: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_hash): md5 over the band's ordered minhashes."""
+    banded = sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    arr = F.sort_array(F.collect_list(F.struct("seed", "minhash")))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.transform(arr, lambda x: x["minhash"].cast("string")))
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket. The self-join is
+    keyed on (band, band_hash) — only colliding docs meet."""
+    a = buckets.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
+    b = buckets.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard per candidate pair; keeps pairs ≥ threshold.
+    Set sizes are tiny per doc, so both joins shuffle on doc ids only."""
+    distinct_sh = sh.distinct()
+    sizes = distinct_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        pairs.join(distinct_sh.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .join(
+            distinct_sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
+            on="doc_b",
+        )
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify."""
+    sh = shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    buckets = lsh_band_buckets(sig, band_rows)
+    pairs = lsh_candidate_pairs(buckets)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: majority vote over token-hash bits, weights = token
+    multiplicity. Bit b of hash64(token) is extracted with nibble arithmetic
+    (no shift operators — keeps the DuckDB oracle expression identical)."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tb = tok.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    # nibble (b // 4) of md5, little-endian within nibble via (v div 2^(b%4)) % 2
+    nib = F.conv(
+        F.substring(F.md5(F.col("tok")), (F.col("b") / 4).cast("int") + 1, 1), 16, 10
+    ).cast("int")
+    divisor = F.pow(F.lit(2.0), (F.col("b") % 4).cast("double")).cast("int")
+    bit = F.floor(nib / divisor).cast("int") % 2
+    votes = tb.groupBy("doc_id", "b").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("vote")
+    )
+    weight = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, weight).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = DEFAULT_SHINGLE_K,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within blocks (blocking bounds the quadratic).
+    With block_col=None every doc pairs with every doc — small inputs only."""
+    sh = shingles(df, text_col, id_col, k).distinct()
+    if block_col is not None:
+        blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__blk"))
+        sh = sh.join(blocks, on="doc_id")
+        a = sh.select(F.col("__blk"), F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("__blk"), F.col("doc_id").alias("doc_b"),
+                      F.col("shingle").alias("shingle_b"))
+        joined = a.join(b, on="__blk").where(
+            (F.col("doc_a") < F.col("doc_b")) & (F.col("shingle") == F.col("shingle_b"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+        joined = a.join(b, a["shingle"] == b["shingle_b"]).where(F.col("doc_a") < F.col("doc_b"))
+    inter = joined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), on="doc_b")
+        .withColumn("jaccard", F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

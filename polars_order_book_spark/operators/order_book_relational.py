@@ -96,6 +96,11 @@ def top_n_levels_relational(
     )
 
     deltas = df.select(*keys, seq, is_bid, price, qty)
+    if variant == "mutations":
+        # Collapse multiple deltas hitting the same (seq, side, price) — e.g.
+        # a same-price modify exploded into delete+add — so the grid join
+        # stays 1:1 and the rank never sees a duplicated level.
+        deltas = deltas.groupBy(*keys, seq, is_bid, price).agg(F.sum(qty).alias(qty))
     g = grid.join(deltas, on=[*keys, seq, is_bid, price], how="left")
 
     w = (

@@ -1,0 +1,81 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §2.4 — the north-star extension set):
+tokenization, token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Every expression is a JVM-side built-in (whole-stage codegen,
+no Python in the hot path) and has an exact DuckDB-SQL mirror for the
+correctness oracle.
+
+Scale: all per-row map operations — embarrassingly parallel, no shuffle; the
+only shuffles appear in downstream aggregations, which Catalyst handles with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list shared with the SQL oracle.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish proxy: word pieces + punctuation as separate tokens, the classic
+    GPT-2 pre-tokenizer shape (letters run | digits run | single punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = F.array_distinct(tokens(text))
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct = F.length(F.regexp_replace(F.lower(t), r"[a-z0-9\s]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        stopword_count(t).cast("long").alias("n_stopwords"),
+        (stopword_count(t).cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free heuristic language ID: distinct-stopword hits → 'en' tier.
+    A real model would be a broadcast n-gram table; the heuristic keeps the
+    operator oracle-checkable."""
+    hits = stopword_count(F.col(text_col))
+    pred = (
+        F.when(hits >= 3, F.lit("en"))
+        .when(hits >= 1, F.lit("en_maybe"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(F.col(id_col), hits.cast("long").alias("stopword_hits"), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization-invariant document fingerprint: md5 over the token stream
+    (collapses case/whitespace variance)."""
+    fp = F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

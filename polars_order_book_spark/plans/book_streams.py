@@ -1,0 +1,171 @@
+"""Deterministic order-book event streams derived from the driver's ``events``
+table, mirrored 1:1 by SQL fragments for the DuckDB oracle.
+
+The driver's testdata has no native order-book table, so correctness checking
+derives one deterministically: the SAME arithmetic runs in Spark (DataFrame
+API) and in the oracle SQL, so any result divergence is the operator's fault,
+never the data's. Semantics of each shape follow FIXTURES.md §1.
+
+Validity by construction:
+* updates  — set-level events are always valid regardless of history.
+* mutations — strictly positive deltas (adds only); deletes are covered by the
+  golden pytest suite where validity needs curated sequences.
+* modify   — each user maintains exactly one resting order of qty 1 and every
+  event moves it (prev = lag(price) over the user's history), so the deleted
+  level always holds the deleted qty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PRICES = 20
+
+
+def updates_stream(events: DataFrame) -> DataFrame:
+    """Snapshot-set events: qty 0..6 (0 = delete level)."""
+    return events.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        (F.col("user_id") % N_PRICES + 1).alias("price"),
+        (F.floor("value").cast("long") % 7).alias("qty"),
+    )
+
+
+UPDATES_STREAM_SQL = """
+    SELECT event_id AS seq,
+           user_id % 2 = 0 AS is_bid,
+           user_id % 20 + 1 AS price,
+           CAST(floor(value) AS BIGINT) % 7 AS qty
+    FROM events
+"""
+
+
+def mutations_stream(events: DataFrame) -> DataFrame:
+    """Signed-delta events, adds only (1..5)."""
+    return events.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        (F.col("user_id") % N_PRICES + 1).alias("price"),
+        (F.floor("value").cast("long") % 5 + 1).alias("qty"),
+    )
+
+
+MUTATIONS_STREAM_SQL = """
+    SELECT event_id AS seq,
+           user_id % 2 = 0 AS is_bid,
+           user_id % 20 + 1 AS price,
+           CAST(floor(value) AS BIGINT) % 5 + 1 AS qty
+    FROM events
+"""
+
+
+def modify_stream(events: DataFrame) -> DataFrame:
+    """Order-move events: user u's order (qty 1) walks the price ladder; the
+    previous location comes from lag() over the user's own event history."""
+    w = Window.partitionBy("user_id").orderBy("seq")
+    base = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id"),
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        ((F.col("user_id") + F.col("event_id")) % N_PRICES + 1).alias("price"),
+        F.lit(1).cast("long").alias("qty"),
+    )
+    return base.select(
+        "seq",
+        "is_bid",
+        "price",
+        "qty",
+        F.lag("price").over(w).alias("prev_price"),
+        F.when(F.lag("price").over(w).isNotNull(), F.lit(1).cast("long")).alias("prev_qty"),
+    )
+
+
+MODIFY_STREAM_SQL = """
+    SELECT seq, is_bid, price, qty,
+           lag(price) OVER w AS prev_price,
+           CASE WHEN lag(price) OVER w IS NOT NULL THEN CAST(1 AS BIGINT) END AS prev_qty
+    FROM (
+        SELECT event_id AS seq,
+               user_id,
+               user_id % 2 = 0 AS is_bid,
+               (user_id + event_id) % 20 + 1 AS price,
+               CAST(1 AS BIGINT) AS qty
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+"""
+
+
+def oracle_book_sql(stream_sql: str, n: int, variant: str) -> str:
+    """DuckDB SQL computing top-N snapshots for a derived stream — the
+    relational (strategy B) formulation: running aggregate per (side, price)
+    on an events × touched-levels grid, side-aware rank, pivot to 4·n cols.
+
+    ``variant``: 'mutations' (running SUM) or 'updates' (running LAST ignore
+    nulls). Output: seq + bid_price_i/bid_qty_i/ask_price_i/ask_qty_i.
+    """
+    if variant == "mutations":
+        running = "sum(coalesce(d.qty, 0)) OVER (PARTITION BY g.is_bid, g.price ORDER BY g.seq)"
+    elif variant == "updates":
+        running = "last_value(d.qty IGNORE NULLS) OVER (PARTITION BY g.is_bid, g.price ORDER BY g.seq)"
+    else:
+        raise ValueError(variant)
+    pivots = []
+    for i in range(1, n + 1):
+        pivots.append(
+            f"max(CASE WHEN rn = {i} AND is_bid THEN price END) AS bid_price_{i},\n"
+            f"           max(CASE WHEN rn = {i} AND is_bid THEN level_qty END) AS bid_qty_{i},\n"
+            f"           max(CASE WHEN rn = {i} AND NOT is_bid THEN price END) AS ask_price_{i},\n"
+            f"           max(CASE WHEN rn = {i} AND NOT is_bid THEN level_qty END) AS ask_qty_{i}"
+        )
+    pivot_sql = ",\n           ".join(pivots)
+    if variant == "mutations":
+        # Collapse multi-delta events on one level (same-price modify) so the
+        # grid join stays 1:1 — mirrors order_book_relational.
+        stream_cte = ("raw AS ({}),\n"
+                      "stream AS (SELECT seq, is_bid, price, sum(qty) AS qty "
+                      "FROM raw GROUP BY seq, is_bid, price)").format(stream_sql)
+    else:
+        stream_cte = f"stream AS ({stream_sql})"
+    return f"""
+WITH {stream_cte},
+seqs AS (SELECT DISTINCT seq FROM stream),
+levels AS (SELECT DISTINCT is_bid, price FROM stream),
+grid AS (SELECT s.seq, l.is_bid, l.price FROM seqs s CROSS JOIN levels l),
+filled AS (
+    SELECT g.seq, g.is_bid, g.price,
+           {running} AS level_qty
+    FROM grid g
+    LEFT JOIN stream d ON d.seq = g.seq AND d.is_bid = g.is_bid AND d.price = g.price
+),
+booked AS (
+    SELECT seq, is_bid, price, level_qty,
+           row_number() OVER (
+               PARTITION BY seq, is_bid
+               ORDER BY CASE WHEN is_bid THEN -price ELSE price END
+           ) AS rn
+    FROM filled
+    WHERE level_qty > 0
+),
+snaps AS (
+    SELECT seq,
+           {pivot_sql}
+    FROM booked
+    GROUP BY seq
+)
+SELECT s.seq, {", ".join(c for i in range(1, n + 1) for c in (f"bid_price_{i}", f"bid_qty_{i}", f"ask_price_{i}", f"ask_qty_{i}"))}
+FROM seqs s LEFT JOIN snaps USING (seq)
+"""
+
+
+MODIFY_DELTAS_SQL = f"""
+    SELECT seq, is_bid, d_price AS price, d_qty AS qty
+    FROM (
+        SELECT seq, is_bid, price AS d_price, qty AS d_qty FROM ({MODIFY_STREAM_SQL})
+        UNION ALL
+        SELECT seq, is_bid, prev_price AS d_price, -prev_qty AS d_qty
+        FROM ({MODIFY_STREAM_SQL}) WHERE prev_price IS NOT NULL
+    )
+"""

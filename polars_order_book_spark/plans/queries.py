@@ -1,0 +1,264 @@
+"""Host-engine query surface (SURVEY.md §2.3): projection, filter, boolean
+expressions, when/otherwise, isin, arithmetic+round+cast, group-by
+aggregation, inner/anti joins, window ranking, sort/limit — each as a
+(spark_fn, oracle_sql) pair over the driver's tables.
+
+Cross-engine determinism rules used throughout:
+* Money/measure sums: cast DOUBLE → DECIMAL first (exact summation, immune to
+  Spark's nondeterministic partial-agg order), cast the final sum back to
+  DOUBLE. Averages = decimal-sum ÷ count, both already exact doubles.
+* Timestamps are exported as epoch seconds (BIGINT) — no format ambiguity.
+* Every limit/top-k has a total deterministic ORDER BY.
+
+Scale notes: all aggregations are partial-aggregated map-side by Catalyst;
+the dimension sides of every join here (region/nation/customer at TPC-H
+shape) are broadcast — verified via .explain in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.sources.tables import load_table
+
+
+def _dec(col, p=10, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+# --- Q1: pricing summary (TPC-H Q1 shape) ---------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one_minus = _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    one_plus = _dec(F.lit(1.0) + F.col("l_tax"), 4, 2)
+    ext = _dec(F.col("l_extendedprice"))
+    qty = _dec(F.col("l_quantity"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-10-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * one_minus).cast("double").alias("sum_disc_price"),
+            F.sum((ext * one_minus) * one_plus).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ext).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum((CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-10-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping-priority style join + top-k ------------------------------
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+# --- Q5: region revenue rollup (join chain across all dims) ----------------
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    dims = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- Window ranking: top orders per customer -------------------------------
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice AS totalprice, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+# --- Anti join: customers without orders -----------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no large order (predicate keeps it selective
+    so the check is non-degenerate on the synthetic data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+"""
+
+
+# --- Scalar-function surface: when/isin/round/cast over part ---------------
+
+def part_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.when(F.col("p_size") >= 40, F.lit("XL"))
+        .when(F.col("p_size") >= 20, F.lit("L"))
+        .otherwise(F.lit("S"))
+        .alias("size_class"),
+        F.col("p_brand").isin("Brand#1", "Brand#3").alias("is_focus_brand"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_ticks"),
+        F.upper(F.col("p_type")).alias("type_upper"),
+    )
+
+
+PART_CATEGORIZE_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size >= 40 THEN 'XL' WHEN p_size >= 20 THEN 'L' ELSE 'S' END AS size_class,
+       p_brand IN ('Brand#1', 'Brand#3') AS is_focus_brand,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_ticks,
+       upper(p_type) AS type_upper
+FROM part
+"""
+
+
+# --- Events: hourly windowed aggregation -----------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- Events: per-user running cumulative (ordered analytic window) ---------
+
+def events_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec(F.col("value"))).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_events"),
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) AS running_value,
+       count(*) OVER w AS running_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
