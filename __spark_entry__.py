@@ -113,26 +113,39 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    """DuckDB mirror of the full MinHash+LSH pipeline."""
-    h = "CAST(concat('0x', substr(md5(concat(sh, ':', CAST(s AS VARCHAR))), 1, 15)) AS BIGINT)"
+    """DuckDB mirror of the full MinHash+LSH pipeline (wide affine-permutation
+    formulation, matching operators.dedup.minhash_signatures)."""
+    p = dedup.MINHASH_PRIME
+    hbase = "(CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {})".format(p)
+    mins = ",\n           ".join(
+        f"min(({2 * s + 1} * hb + {10007 * s + 1}) % {p}) AS mh_{s}" for s in range(16)
+    )
+    band_rows = []
+    for b in range(4):
+        cols = ", ".join(f"CAST(mh_{b * 4 + j} AS VARCHAR)" for j in range(4))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    bands_union = "\n    UNION ALL\n    ".join(band_rows)
     return f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
 ),
-sh AS (
+sh0 AS (
     SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS sh
     FROM toks, range(0, 4096) r(i)
     WHERE len(t) >= 3 AND i <= len(t) - 3
 ),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+hashed AS (SELECT doc_id, sh, {hbase} AS hb FROM sh),
 sig AS (
-    SELECT doc_id, s, min({h}) AS mh
-    FROM sh, range(0, 16) seeds(s)
-    GROUP BY doc_id, s
+    SELECT doc_id,
+           {mins}
+    FROM hashed
+    GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, CAST(s // 4 AS INT) AS band,
-           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_hash
-    FROM sig GROUP BY doc_id, CAST(s // 4 AS INT)
+    {bands_union}
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
