@@ -49,12 +49,12 @@ _BOOK_COL = "__book__"
 # Ship this module inside the UDF closure (pickle-by-value) so executors don't
 # need the package on their PYTHONPATH — the Spark analog of the reference
 # shipping a compiled cdylib to the host engine (ref: _utils.py:55-84).
-def _register_self_by_value() -> None:
+def _register_self_by_value(module_name: str | None = None) -> None:
     import sys
 
     from pyspark import cloudpickle
 
-    mod = sys.modules.get(__name__)
+    mod = sys.modules.get(module_name or __name__)
     if mod is not None:
         try:
             cloudpickle.register_pickle_by_value(mod)
@@ -148,13 +148,18 @@ def _fold_arrays(
     qty: Sequence,
     prev_price: Sequence | None,
     prev_qty: Sequence | None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Sequential fold over one book; returns (values, missing_mask) shaped
-    (4n, m). Port of the event loop at ref: calculate_bbo.rs:96-110."""
+    bids: "_Side | None" = None,
+    asks: "_Side | None" = None,
+) -> tuple[np.ndarray, np.ndarray, "_Side", "_Side"]:
+    """Sequential fold over one book; returns (values, missing_mask, bids,
+    asks) with the arrays shaped (4n, m). Port of the event loop at
+    ref: calculate_bbo.rs:96-110. Passing pre-populated sides resumes a book
+    mid-stream (the Structured Streaming state hand-off)."""
     m = len(price)
     out = np.zeros((4 * n, m), dtype=np.int64)
     mask = np.ones((4 * n, m), dtype=bool)  # True = null (missing level)
-    bids, asks = _Side(), _Side()
+    bids = bids if bids is not None else _Side()
+    asks = asks if asks is not None else _Side()
 
     for r in range(m):
         b = is_bid[r]
@@ -219,7 +224,7 @@ def _fold_arrays(
                 out[base + 3, r] = al[px]
                 mask[base + 2, r] = False
                 mask[base + 3, r] = False
-    return out, mask
+    return out, mask, bids, asks
 
 
 def _as_list(s: pd.Series) -> list:
@@ -262,7 +267,7 @@ def _apply_fold(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq, kind="mergesort", ignore_index=True)
-        out, mask = _fold_arrays(
+        out, mask, _, _ = _fold_arrays(
             variant,
             n,
             pdf[seq].to_numpy(),

@@ -1,0 +1,120 @@
+"""Streaming continuous book == batch fold, across micro-batch boundaries.
+
+Feeds the same event sequence to (a) the batch operator and (b) the
+Structured Streaming operator split into multiple micro-batches (one parquet
+file per trigger via maxFilesPerTrigger=1), asserting identical per-event
+snapshots. This pins the state hand-off in ``_fold_arrays(bids=…, asks=…)``:
+a book must resume mid-stream exactly where the previous micro-batch left it.
+"""
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from polars_order_book_spark import top_n_levels_from_price_mutations
+from polars_order_book_spark.streaming import top_n_levels_stream
+from tests.conftest import rows_by_seq
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("product_id", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("is_bid", BooleanType(), False),
+        StructField("price", LongType(), False),
+        StructField("qty", LongType(), False),
+    ]
+)
+
+
+def _mutation_events():
+    """Two products, add/delete churn that moves the best level around."""
+    rows = []
+    for prod in ("A", "B"):
+        base = 100 if prod == "A" else 500
+        s = 0
+        for price, qty in [
+            (base + 1, 5), (base + 2, 3), (base + 3, 7), (base + 2, -3),
+            (base + 4, 2), (base + 1, -5), (base + 3, -7), (base + 4, -2),
+            (base + 5, 9), (base + 6, 1),
+        ]:
+            for bid in (True, False):
+                rows.append((prod, s, bid, price + (0 if bid else 50), qty))
+                s += 1
+    return rows
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_stream_matches_batch_across_microbatches(spark, n):
+    rows = _mutation_events()
+    batch_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    expected = rows_by_seq(
+        top_n_levels_from_price_mutations(
+            batch_df, by=["product_id"], n=n
+        ).withColumn("k", F.concat_ws("|", "product_id", "seq")),
+        seq="k",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="obstream_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        # 3 chronological chunks -> 3 micro-batches (maxFilesPerTrigger=1,
+        # file source orders by modification time).
+        chunks = [rows[0:13], rows[13:27], rows[27:]]
+        for i, chunk in enumerate(chunks):
+            part = os.path.join(tmp, f"part_{i}")
+            spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(part, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+            time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+        stream_in = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        snaps = top_n_levels_stream(
+            stream_in, "mutations", by=["product_id"], n=n
+        )
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName(f"book_snaps_{n}")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = rows_by_seq(
+            spark.table(f"book_snaps_{n}").withColumn(
+                "k", F.concat_ws("|", "product_id", "seq")
+            ),
+            seq="k",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert set(got) == set(expected)
+    snap_cols = [c for c in next(iter(expected.values())) if c.startswith(("bid_", "ask_"))]
+    for k, exp in expected.items():
+        for c in snap_cols:
+            assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
+
+
+def test_stream_requires_keys(spark):
+    df = spark.createDataFrame([], EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="at least one key"):
+        top_n_levels_stream(df, "mutations", by=[])
