@@ -255,6 +255,85 @@ WHERE rank <= 10
 """
 
 
+def _bucket_sql(n_planes: int) -> str:
+    """DuckDB CTEs re-deriving the md5-based hyperplane buckets used by
+    similarity.signed_projection_buckets (planes are md5-derived constants,
+    so SQL recomputes the identical doubles)."""
+    return f"""
+planes AS (
+    SELECT p,
+           list_transform(range(0, 64), j ->
+               (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS pv
+    FROM range(0, {n_planes}) t(p)
+),
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+buckets AS (
+    SELECT vec_id,
+           string_agg(CASE WHEN list_dot_product(vv, pv) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM allv CROSS JOIN planes GROUP BY vec_id
+)"""
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_lsh(emb, queries, k=10, n_planes=6)
+
+
+ANN_LSH_SQL = f"""
+WITH {_bucket_sql(6)},
+v AS (SELECT b.vec_id AS neighbor_id, a.vv, b.bucket
+      FROM buckets b JOIN allv a ON a.vec_id = b.vec_id),
+q AS (SELECT b.vec_id AS query_id, a.vv AS qv, b.bucket
+      FROM buckets b JOIN allv a ON a.vec_id = b.vec_id
+      WHERE b.vec_id < 5),
+sim AS (
+    SELECT q.query_id, v.neighbor_id,
+           list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+    FROM v JOIN q ON v.bucket = q.bucket
+    WHERE v.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sim
+)
+WHERE rank <= 10
+"""
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_embedding_pairs(emb, threshold=0.4)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {_bucket_sql(16)},
+bands AS (
+    SELECT vec_id, b AS band, substr(bucket, CAST(b * 4 + 1 AS INT), 4) AS key
+    FROM buckets, range(0, 4) r(b)
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.vec_id < b.vec_id
+),
+sim AS (
+    SELECT c.doc_a, c.doc_b,
+           list_dot_product(va.vv, vb.vv)
+             / (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))) AS cosine
+    FROM cands c
+    JOIN allv va ON va.vec_id = c.doc_a
+    JOIN allv vb ON vb.vec_id = c.doc_b
+)
+SELECT doc_a, doc_b, cosine FROM sim WHERE cosine >= 0.4
+"""
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 

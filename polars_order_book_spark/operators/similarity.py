@@ -22,9 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_order_book_spark.functions.hashing import hash64
-
-
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -78,37 +75,102 @@ def cosine_topk_bruteforce(
     )
 
 
+def plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component: derived from
+    md5(f"{p}:{j}") exactly like functions.hashing.hash64, but computed
+    driver-side with hashlib (md5 is md5 — bit-identical to Spark's F.md5 and
+    DuckDB's md5, so the SQL oracle can re-derive the same planes)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
+def _plane_literal(p: int, dim: int):
+    return F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
+
+
 def signed_projection_buckets(
     vectors: DataFrame,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes pseudo-random
-    projections. Plane p's component j = (hash64(p:j) % 1000)/1000 - 0.5 —
-    deterministic and oracle-reproducible, no RNG state."""
-    dim = F.size(F.col(vec_col))
+    projections. Plane vectors are precomputed literals (no per-row hashing on
+    executors — at 100 TB the planes are a constant folded into the plan)."""
     v = _as_double(F.col(vec_col))
-
-    def plane_component(p, j):
-        return (hash64(F.concat_ws(":", F.lit(p), j.cast("string"))) % 1000) / 1000.0 - 0.5
-
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, j: x * plane_component(p, j),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _dot(v, _plane_literal(p, dim))
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return vectors.select(
         F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket")
     )
+
+
+def neardup_embedding_pairs(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    band_size: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    MinHash-LSH's banding trick applied to sign buckets: vectors agreeing on
+    ALL planes of ANY band become candidates; candidates are then verified
+    with the exact cosine and kept when >= threshold. Returns
+    (doc_a, doc_b, cosine).
+
+    Scale design: candidate generation is a self-equi-join on (band, key) —
+    no all-pairs product; verification joins the (small) candidate set back
+    to the vectors. Recall/precision tune via n_planes/band_size exactly like
+    MinHash bands; determinism comes from the md5-derived planes.
+    """
+    assert n_planes % band_size == 0
+    n_bands = n_planes // band_size
+    b = signed_projection_buckets(
+        vectors, vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim
+    )
+    bands = b.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("bucket", i * band_size + 1, band_size).alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv"))
+    sim = (
+        cands.join(v.withColumnRenamed("vid", "doc_a").withColumnRenamed("vv", "va"), on="doc_a")
+        .join(v.withColumnRenamed("vid", "doc_b").withColumnRenamed("vv", "vb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+            ).alias("cosine"),
+        )
+    )
+    return sim.where(F.col("cosine") >= threshold).select("doc_a", "doc_b", "cosine")
 
 
 def cosine_topk_lsh(

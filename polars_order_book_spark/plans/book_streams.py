@@ -98,18 +98,42 @@ MODIFY_STREAM_SQL = """
 """
 
 
-def oracle_book_sql(stream_sql: str, n: int, variant: str) -> str:
+def keyed_mutations_stream(events: DataFrame) -> DataFrame:
+    """Mutations stream with a 7-way book key (7 is odd, so every book sees
+    both bid and ask users) — drives the multi-book / streaming paths."""
+    return events.select(
+        (F.col("user_id") % 7).alias("book"),
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        (F.col("user_id") % N_PRICES + 1).alias("price"),
+        (F.floor("value").cast("long") % 5 + 1).alias("qty"),
+    )
+
+
+KEYED_MUTATIONS_STREAM_SQL = """
+    SELECT user_id % 7 AS book,
+           event_id AS seq,
+           user_id % 2 = 0 AS is_bid,
+           user_id % 20 + 1 AS price,
+           CAST(floor(value) AS BIGINT) % 5 + 1 AS qty
+    FROM events
+"""
+
+
+def oracle_book_sql(stream_sql: str, n: int, variant: str, key: str | None = None) -> str:
     """DuckDB SQL computing top-N snapshots for a derived stream — the
     relational (strategy B) formulation: running aggregate per (side, price)
     on an events × touched-levels grid, side-aware rank, pivot to 4·n cols.
 
     ``variant``: 'mutations' (running SUM) or 'updates' (running LAST ignore
-    nulls). Output: seq + bid_price_i/bid_qty_i/ask_price_i/ask_qty_i.
+    nulls). Output: [key,] seq + bid_price_i/bid_qty_i/ask_price_i/ask_qty_i.
+    ``key`` names an optional book-key column present in the stream SQL.
     """
+    kpart = f"g.{key}, " if key else ""
     if variant == "mutations":
-        running = "sum(coalesce(d.qty, 0)) OVER (PARTITION BY g.is_bid, g.price ORDER BY g.seq)"
+        running = f"sum(coalesce(d.qty, 0)) OVER (PARTITION BY {kpart}g.is_bid, g.price ORDER BY g.seq)"
     elif variant == "updates":
-        running = "last_value(d.qty IGNORE NULLS) OVER (PARTITION BY g.is_bid, g.price ORDER BY g.seq)"
+        running = f"last_value(d.qty IGNORE NULLS) OVER (PARTITION BY {kpart}g.is_bid, g.price ORDER BY g.seq)"
     else:
         raise ValueError(variant)
     pivots = []
@@ -121,42 +145,52 @@ def oracle_book_sql(stream_sql: str, n: int, variant: str) -> str:
             f"           max(CASE WHEN rn = {i} AND NOT is_bid THEN level_qty END) AS ask_qty_{i}"
         )
     pivot_sql = ",\n           ".join(pivots)
+    k = f"{key}, " if key else ""
     if variant == "mutations":
         # Collapse multi-delta events on one level (same-price modify) so the
         # grid join stays 1:1 — mirrors order_book_relational.
         stream_cte = ("raw AS ({}),\n"
-                      "stream AS (SELECT seq, is_bid, price, sum(qty) AS qty "
-                      "FROM raw GROUP BY seq, is_bid, price)").format(stream_sql)
+                      "stream AS (SELECT {}seq, is_bid, price, sum(qty) AS qty "
+                      "FROM raw GROUP BY {}seq, is_bid, price)").format(stream_sql, k, k)
     else:
         stream_cte = f"stream AS ({stream_sql})"
+    grid_join = f"s.{key} = l.{key}" if key else "TRUE"
+    d_key = f"d.{key} = g.{key} AND " if key else ""
+    snap_cols = ", ".join(
+        c for i in range(1, n + 1)
+        for c in (f"bid_price_{i}", f"bid_qty_{i}", f"ask_price_{i}", f"ask_qty_{i}")
+    )
+    using = f"({key}, seq)" if key else "(seq)"
+    sel_k = f"s.{key}, " if key else ""
     return f"""
 WITH {stream_cte},
-seqs AS (SELECT DISTINCT seq FROM stream),
-levels AS (SELECT DISTINCT is_bid, price FROM stream),
-grid AS (SELECT s.seq, l.is_bid, l.price FROM seqs s CROSS JOIN levels l),
+seqs AS (SELECT DISTINCT {k}seq FROM stream),
+levels AS (SELECT DISTINCT {k}is_bid, price FROM stream),
+grid AS (SELECT s.seq, {('l.' + key + ', ') if key else ''}l.is_bid, l.price
+         FROM seqs s JOIN levels l ON {grid_join}),
 filled AS (
-    SELECT g.seq, g.is_bid, g.price,
+    SELECT {('g.' + key + ', ') if key else ''}g.seq, g.is_bid, g.price,
            {running} AS level_qty
     FROM grid g
-    LEFT JOIN stream d ON d.seq = g.seq AND d.is_bid = g.is_bid AND d.price = g.price
+    LEFT JOIN stream d ON {d_key}d.seq = g.seq AND d.is_bid = g.is_bid AND d.price = g.price
 ),
 booked AS (
-    SELECT seq, is_bid, price, level_qty,
+    SELECT {k}seq, is_bid, price, level_qty,
            row_number() OVER (
-               PARTITION BY seq, is_bid
+               PARTITION BY {k}seq, is_bid
                ORDER BY CASE WHEN is_bid THEN -price ELSE price END
            ) AS rn
     FROM filled
     WHERE level_qty > 0
 ),
 snaps AS (
-    SELECT seq,
+    SELECT {k}seq,
            {pivot_sql}
     FROM booked
-    GROUP BY seq
+    GROUP BY {k}seq
 )
-SELECT s.seq, {", ".join(c for i in range(1, n + 1) for c in (f"bid_price_{i}", f"bid_qty_{i}", f"ask_price_{i}", f"ask_qty_{i}"))}
-FROM seqs s LEFT JOIN snaps USING (seq)
+SELECT {sel_k}s.seq, {snap_cols}
+FROM seqs s LEFT JOIN snaps USING {using}
 """
 
 
