@@ -191,7 +191,7 @@ votes AS (
     FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 

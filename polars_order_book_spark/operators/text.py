@@ -52,7 +52,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     punct = F.length(F.regexp_replace(F.lower(t), r"[a-z0-9\s]", ""))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
         (punct.cast("double") / n_chars).alias("punct_ratio"),

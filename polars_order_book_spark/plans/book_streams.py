@@ -131,7 +131,12 @@ def oracle_book_sql(stream_sql: str, n: int, variant: str, key: str | None = Non
     """
     kpart = f"g.{key}, " if key else ""
     if variant == "mutations":
-        running = f"sum(coalesce(d.qty, 0)) OVER (PARTITION BY {kpart}g.is_bid, g.price ORDER BY g.seq)"
+        # CAST: DuckDB's bare integer sum() yields HUGEINT, which fetchdf
+        # renders as float64 and breaks the driver's value-hash vs Spark int64.
+        running = (
+            f"CAST(sum(coalesce(d.qty, 0)) OVER "
+            f"(PARTITION BY {kpart}g.is_bid, g.price ORDER BY g.seq) AS BIGINT)"
+        )
     elif variant == "updates":
         running = f"last_value(d.qty IGNORE NULLS) OVER (PARTITION BY {kpart}g.is_bid, g.price ORDER BY g.seq)"
     else:
@@ -150,7 +155,7 @@ def oracle_book_sql(stream_sql: str, n: int, variant: str, key: str | None = Non
         # Collapse multi-delta events on one level (same-price modify) so the
         # grid join stays 1:1 — mirrors order_book_relational.
         stream_cte = ("raw AS ({}),\n"
-                      "stream AS (SELECT {}seq, is_bid, price, sum(qty) AS qty "
+                      "stream AS (SELECT {}seq, is_bid, price, CAST(sum(qty) AS BIGINT) AS qty "
                       "FROM raw GROUP BY {}seq, is_bid, price)").format(stream_sql, k, k)
     else:
         stream_cte = f"stream AS ({stream_sql})"

@@ -38,6 +38,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
+    # Mimic the driver's value-hash sensitivity: post-normalization dtype
+    # divergence (e.g. DuckDB HUGEINT -> float64 vs Spark int64) is a failure
+    # even when values compare equal as floats.
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"dtype {c}: spark={a[c].dtype} duck={b[c].dtype}")
     if len(a) != len(b):
         return problems
     for c in a.columns:
