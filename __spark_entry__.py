@@ -74,6 +74,17 @@ def _ob_modify(n):
     return run
 
 
+def _ob_keyed_mutations(n):
+    """Multi-book fold — the reference's documented scaling workflow
+    (ref: README.md:184-216): groupBy(book) runs one independent book per
+    group, so the fold parallelizes across books instead of one serial task."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations(stream, by=["book"], n=n)
+        return out.select("book", "seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_relational(n, variant):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
@@ -443,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_updates_top3": _ob_updates(3),
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
+        "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         # relational strategy B (independent execution path, same oracle)
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
@@ -462,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "ann_cosine_topk": _ann_bruteforce,
+        "ann_cosine_topk_lsh": _ann_lsh,
+        "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
         "text_fingerprint": _text_fingerprint,
@@ -477,6 +491,9 @@ def oracle_sql() -> dict[str, str]:
         "ob_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
+        "ob_keyed_mutations_top2": bs.oracle_book_sql(
+            bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
+        ),
         "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_relational_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
@@ -493,6 +510,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
         "ann_cosine_topk": ANN_SQL,
+        "ann_cosine_topk_lsh": ANN_LSH_SQL,
+        "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": TEXT_LANG_SQL,
         "text_fingerprint": TEXT_FINGERPRINT_SQL,

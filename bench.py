@@ -25,6 +25,7 @@ def main() -> None:
         "ob_updates_top3",
         "ob_mutations_top2",
         "ob_modify_top2",
+        "ob_keyed_mutations_top2",
         "ob_relational_mutations_top2",
         "q1_pricing_summary",
         "q3_top_revenue_orders",
@@ -34,18 +35,29 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
+        "ann_cosine_topk_lsh",
         "text_quality",
     ]
     qs = E.queries()
 
+    def checksum(df):
+        """Force full computation of every output column — a bare count() lets
+        Catalyst prune aggregate value expressions, under-measuring real work."""
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]["n"]
+
     # one warmup to exclude JVM/Arrow spin-up from per-query numbers
-    qs["q1_pricing_summary"](spark, sf_dir).count()
+    checksum(qs["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = checksum(df)
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
 
