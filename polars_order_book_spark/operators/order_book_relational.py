@@ -61,11 +61,15 @@ def modify_to_mutations(
     exploded = df.select(
         *other, F.explode(F.array(delta_del, delta_add)).alias("__d")
     ).where(F.col("__d").isNotNull())
+    # Zero-delta rows (pure no-op q=0, qty-only modify with q == prev_qty) are
+    # kept: they don't move the running sum, but their seq must still appear in
+    # the events grid so strategy B emits a snapshot row per input event,
+    # matching strategy A's one-row-per-event contract.
     return exploded.select(
         *other,
         F.col("__d.d_price").alias(price),
         F.col("__d.d_qty").alias(qty),
-    ).where(F.col(qty) != 0)
+    )
 
 
 def top_n_levels_relational(

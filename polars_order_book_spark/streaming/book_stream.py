@@ -121,9 +121,15 @@ def top_n_levels_stream(
         else:
             bids, asks = _Side(), _Side()
 
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # applyInPandasWithState delivers one group's micro-batch as MULTIPLE
+        # Arrow chunks in arbitrary post-shuffle order (chunking kicks in past
+        # spark.sql.execution.arrow.maxRecordsPerBatch). Sorting each chunk
+        # independently would apply events out of seq order across chunks and
+        # corrupt book state — so gather the whole micro-batch, sort once,
+        # fold once.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(seq, kind="mergesort", ignore_index=True)
             out, mask, bids, asks = _fold_arrays(
                 variant,

@@ -113,3 +113,27 @@ def test_modify_to_mutations_explode(spark):
     deltas = modify_to_mutations(df)
     b = by_seq(top_n_levels_relational(deltas, n=1, variant="mutations"), cols)
     assert a == b
+
+
+def test_modify_zero_delta_events_keep_snapshot_rows(spark):
+    """Events whose net delta is zero (pure no-op q=0 with null prevs, and a
+    qty-only modify with q == prev_qty) must still emit a snapshot row in
+    strategy B — one output row per input event, like strategy A."""
+    rows = [
+        (1, True, 5, 10, None, None),   # add 10@5
+        (2, True, 7, 0, None, None),    # pure no-op (ref: update.rs:120)
+        (3, True, 5, 10, None, 10),     # qty-only modify, q == prev_qty -> net 0
+        (4, False, 9, 3, None, None),   # add 3@9 ask
+        (5, True, 6, 10, 5, 10),        # full modify 5 -> 6
+    ]
+    from polars_order_book_spark import top_n_levels_from_price_mutations_with_modify
+
+    df = spark.createDataFrame(rows, SCHEMA5)
+    cols = snapshot_columns(2)
+    a = by_seq(
+        top_n_levels_from_price_mutations_with_modify(
+            df, prev_price="prev_price", prev_qty="prev_qty", n=2), cols)
+    deltas = modify_to_mutations(df)
+    b = by_seq(top_n_levels_relational(deltas, n=2, variant="mutations"), cols)
+    assert set(b) == {1, 2, 3, 4, 5}
+    assert a == b

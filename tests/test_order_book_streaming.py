@@ -114,6 +114,56 @@ def test_stream_matches_batch_across_microbatches(spark, n):
             assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
 
 
+def test_stream_multichunk_microbatch_folds_in_seq_order(spark):
+    """One micro-batch larger than arrow.maxRecordsPerBatch arrives at the
+    state fold as MULTIPLE pandas chunks; events must be folded in seq order
+    across chunks, not per-chunk. Input is written in reverse-seq order so a
+    per-chunk sort (the old bug) deterministically corrupts the book."""
+    rows = []
+    for s in range(60):
+        # alternating add/delete churn on one product; valid in seq order only
+        if s % 2 == 0:
+            rows.append(("A", s, True, 100 + (s % 7), 5))
+        else:
+            rows.append(("A", s, True, 100 + ((s - 1) % 7), -5))
+    batch_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    expected = rows_by_seq(top_n_levels_from_price_mutations(batch_df, by=["product_id"], n=2))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    tmp = tempfile.mkdtemp(prefix="obchunk_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        part = os.path.join(tmp, "part")
+        spark.createDataFrame(list(reversed(rows)), EVENT_SCHEMA).coalesce(1).write.parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(part, pq), os.path.join(in_dir, "000.parquet"))
+
+        stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        snaps = top_n_levels_stream(stream_in, "mutations", by=["product_id"], n=2)
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName("book_snaps_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = rows_by_seq(spark.table("book_snaps_chunks"))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert set(got) == set(expected)
+    snap_cols = [c for c in next(iter(expected.values())) if c.startswith(("bid_", "ask_"))]
+    for k, exp in expected.items():
+        for c in snap_cols:
+            assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
+
+
 def test_stream_requires_keys(spark):
     df = spark.createDataFrame([], EVENT_SCHEMA)
     with pytest.raises(ValueError, match="at least one key"):
