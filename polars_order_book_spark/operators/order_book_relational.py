@@ -72,6 +72,79 @@ def modify_to_mutations(
     )
 
 
+def _segmented_running_levels(
+    g: DataFrame,
+    variant: str,
+    keys: list[str],
+    seq: str,
+    is_bid: str,
+    price: str,
+    qty: str,
+    n_buckets: int,
+    source: DataFrame,
+) -> DataFrame:
+    """Two-phase segmented scan of the running level aggregate.
+
+    Phase 1 partitions the grid by (keys, seq-bucket, side, price) — buckets ×
+    levels-way parallel — and computes the bucket-LOCAL running aggregate.
+    Phase 2 reduces each bucket to one row per (keys, bucket, side, price)
+    (the bucket total for sums, the bucket-last set-value for updates), runs
+    the tiny carry-in prefix over buckets, and broadcast-joins it back:
+
+        level_qty = carry_in (+ local running sum | coalesce local last)
+
+    The carry-in relation is |buckets| × |levels| rows — broadcastable at any
+    event count. Bucket boundaries come from an O(1)-row min/max scan of the
+    source (one cheap extra job, deterministic).
+    """
+    row = source.agg(
+        F.min(F.col(seq)).alias("mn"), F.max(F.col(seq)).alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return g.select(*keys, seq, is_bid, price, F.lit(None).cast("long").alias("level_qty"))
+    width = max(1, (int(mx) - int(mn)) // n_buckets + 1)
+    g = g.withColumn("__bkt", F.expr(f"(`{seq}` - {int(mn)}) div {width}"))
+
+    w_local = (
+        Window.partitionBy(*keys, "__bkt", is_bid, price)
+        .orderBy(seq)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_carry = (
+        Window.partitionBy(*keys, is_bid, price)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if variant == "mutations":
+        local = F.sum(F.coalesce(F.col(qty), F.lit(0))).over(w_local)
+    else:  # updates: bucket-local running last (ignoring non-delta grid rows)
+        local = F.last(F.col(qty), ignorenulls=True).over(w_local)
+    staged = g.select(*keys, seq, "__bkt", is_bid, price, local.alias("__local"))
+
+    # Bucket reduction = the phase-1 running value at the bucket's last seq
+    # (max_by over the unique seq is deterministic, unlike agg-context last(),
+    # and groups on the same keys the window just partitioned by — AQE reuses
+    # the exchange).
+    per_bucket = staged.groupBy(*keys, "__bkt", is_bid, price).agg(
+        F.max_by("__local", F.col(seq)).alias("__bval")
+    )
+    if variant == "mutations":
+        carry_col = F.coalesce(F.sum("__bval").over(w_carry), F.lit(0))
+        combine = F.col("__carry") + F.col("__local")
+    else:
+        carry_col = F.last("__bval", ignorenulls=True).over(w_carry)
+        combine = F.coalesce(F.col("__local"), F.col("__carry"))
+    carry = per_bucket.select(
+        *keys, "__bkt", is_bid, price, carry_col.alias("__carry")
+    )
+
+    joined = staged.join(
+        F.broadcast(carry), on=[*keys, "__bkt", is_bid, price], how="left"
+    )
+    return joined.select(*keys, seq, is_bid, price, combine.alias("level_qty"))
+
+
 def top_n_levels_relational(
     df: DataFrame,
     price: str = "price",
@@ -82,15 +155,30 @@ def top_n_levels_relational(
     by: Sequence[str] | None = None,
     n: int = 1,
     variant: str = "mutations",
+    seq_buckets: int | None = None,
 ) -> DataFrame:
     """Book snapshots via windows + grid join; returns (by..., seq, 4·n cols).
 
     ``variant``: ``"mutations"`` (running sum of deltas) or ``"updates"``
     (running last of set-values). For modify streams, pre-apply
     :func:`modify_to_mutations`.
+
+    ``seq_buckets`` splits the running aggregate into a two-phase segmented
+    scan over contiguous seq ranges: phase 1 computes bucket-local running
+    aggregates partitioned by (keys, bucket, side, price); phase 2 derives a
+    per-bucket carry-in from the tiny bucket-totals relation and broadcasts it
+    back. Without it the window's parallelism is capped at |keys| × 2 ×
+    |price domain| — with a 20-price book that is ≤40 partitions no matter how
+    large the cluster (the 100 TB scale-killer). Default: 32 buckets when
+    ``by`` is empty (single global book), off when keyed (parallelism already
+    scales with the number of books; pass explicitly for skewed books).
     """
+    if variant not in ("mutations", "updates"):
+        raise ValueError(f"unknown variant {variant!r}")
     keys = list(by) if by else []
     kc = [F.col(k) for k in keys]
+    if seq_buckets is None:
+        seq_buckets = 0 if keys else 32
 
     events = df.select(*keys, seq).distinct()
     levels = df.select(*keys, is_bid, price).distinct()
@@ -107,20 +195,22 @@ def top_n_levels_relational(
         deltas = deltas.groupBy(*keys, seq, is_bid, price).agg(F.sum(qty).alias(qty))
     g = grid.join(deltas, on=[*keys, seq, is_bid, price], how="left")
 
-    w = (
-        Window.partitionBy(*kc, F.col(is_bid), F.col(price))
-        .orderBy(seq)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    if variant == "mutations":
-        lq = F.sum(F.coalesce(F.col(qty), F.lit(0))).over(w)
-    elif variant == "updates":
-        lq = F.last(F.col(qty), ignorenulls=True).over(w)
+    if seq_buckets and seq_buckets > 1:
+        booked = _segmented_running_levels(
+            g, variant, keys, seq, is_bid, price, qty, seq_buckets, df
+        )
     else:
-        raise ValueError(f"unknown variant {variant!r}")
-    booked = g.select(*keys, seq, is_bid, price, lq.alias("level_qty")).where(
-        F.col("level_qty") > 0
-    )
+        w = (
+            Window.partitionBy(*kc, F.col(is_bid), F.col(price))
+            .orderBy(seq)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        if variant == "mutations":
+            lq = F.sum(F.coalesce(F.col(qty), F.lit(0))).over(w)
+        else:
+            lq = F.last(F.col(qty), ignorenulls=True).over(w)
+        booked = g.select(*keys, seq, is_bid, price, lq.alias("level_qty"))
+    booked = booked.where(F.col("level_qty") > 0)
 
     # Side-aware rank: best = greatest bid / least ask (the reference encodes
     # this as AskPrice's reversed Ord, ref: price_level.rs:88-92).
