@@ -84,7 +84,10 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> D
         F.min((F.lit(2 * s + 1) * hbase + F.lit(10007 * s + 1)) % MINHASH_PRIME).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
-    return sh.distinct().groupBy("doc_id").agg(*aggs)
+    # No distinct(): min is invariant under duplicate shingles, so the single
+    # groupBy (with map-side partial agg) replaces a distinct+groupBy double
+    # shuffle.
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(sig: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
@@ -168,27 +171,30 @@ def minhash_lsh_duplicates(
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 32) -> DataFrame:
     """Per-doc SimHash: majority vote over token-hash bits, weights = token
-    multiplicity. Bit b of hash64(token) is extracted with nibble arithmetic
-    (no shift operators — keeps the DuckDB oracle expression identical)."""
+    multiplicity. Bit b of md5(token) is extracted with nibble arithmetic
+    (no shift operators — keeps the DuckDB oracle expression identical).
+
+    Shape: one row per token occurrence, ONE groupBy(doc_id) computing all
+    ``bits`` votes as wide aggregate columns (the same single-agg trick as
+    minhash_signatures) — versus exploding bits×|tokens| rows into a
+    groupBy(doc, bit), a ``bits``-fold shuffle reduction. The md5 is common-
+    subexpression-eliminated across the 32 vote expressions by codegen."""
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    tb = tok.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    h = F.md5(F.col("tok"))
+
+    def bit(b: int):
+        # nibble (b // 4) of md5, little-endian within nibble: (v div 2^(b%4)) % 2
+        nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+        return F.floor(nib / F.lit(2 ** (b % 4))).cast("int") % 2
+
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)]
     )
-    # nibble (b // 4) of md5, little-endian within nibble via (v div 2^(b%4)) % 2
-    nib = F.conv(
-        F.substring(F.md5(F.col("tok")), (F.col("b") / 4).cast("int") + 1, 1), 16, 10
-    ).cast("int")
-    divisor = F.pow(F.lit(2.0), (F.col("b") % 4).cast("double")).cast("int")
-    bit = F.floor(nib / divisor).cast("int") % 2
-    votes = tb.groupBy("doc_id", "b").agg(
-        F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("vote")
-    )
-    weight = F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0, weight).otherwise(F.lit(0))).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -200,24 +206,67 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard within blocks (blocking bounds the quadratic).
-    With block_col=None every doc pairs with every doc — small inputs only."""
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING — never
+    all-pairs.
+
+    Candidate generation uses the set-similarity-join prefix theorem: order
+    every doc's shingles by a global total order (ascending document
+    frequency, ties by value) and keep only the first
+    ``n − ceil(t·n) + 1`` shingles; any two sets with J ≥ t MUST share a
+    prefix shingle, so joining on prefix shingles alone loses no pairs.
+    A length filter (|A| ≥ t·|B|, necessary for J ≥ t) prunes further before
+    exact verification over the full shingle sets.
+
+    Scale contract: cost is Σ per-prefix-shingle collision group², and the
+    prefix keeps only each doc's RAREST shingles — high-frequency shingles
+    never generate candidates, so one giant block (e.g. block_col='lang' with
+    one dominant language) no longer implies a |block|² join. ``block_col``
+    remains as an optional semantic restriction (only intra-block pairs are
+    reported), not the scalability mechanism."""
     sh = shingles(df, text_col, id_col, k).distinct()
+    blk: list[str] = []
     if block_col is not None:
         blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, on="doc_id")
-        a = sh.select(F.col("__blk"), F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("__blk"), F.col("doc_id").alias("doc_b"),
-                      F.col("shingle").alias("shingle_b"))
-        joined = a.join(b, on="__blk").where(
-            (F.col("doc_a") < F.col("doc_b")) & (F.col("shingle") == F.col("shingle_b"))
-        )
-    else:
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
-        joined = a.join(b, a["shingle"] == b["shingle_b"]).where(F.col("doc_a") < F.col("doc_b"))
-    inter = joined.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+        blk = ["__blk"]
+
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy(*blk, "shingle").agg(F.count(F.lit(1)).alias("__freq"))
+    ranked = (
+        sh.join(freq, on=[*blk, "shingle"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("__freq", "shingle")
+            ),
+        )
+        .join(sizes, on="doc_id")
+    )
+    prefix = ranked.where(
+        F.col("__rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+
+    a = prefix.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
+    b = prefix.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+    cands = (
+        a.join(b, on=[*blk, "shingle"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t·|B| <= |A| (and symmetrically)
+            & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh_plain = sh.select("doc_id", "shingle")
+    inter = (
+        cands.join(sh_plain.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .join(sh_plain.withColumnRenamed("doc_id", "doc_b"), on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), on="doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), on="doc_b")

@@ -1,0 +1,93 @@
+"""Dedup operator tests: prefix-filtered Jaccard vs brute force, simhash shape.
+
+The driver's DuckDB oracle already cross-checks these at sf0.01; these tests
+pin the algorithmic contracts on controlled inputs — especially that prefix
+filtering loses no pairs on a maximally-skewed block (every doc in ONE block,
+the shape that made all-pairs-within-block quadratic).
+"""
+
+import itertools
+import random
+
+import pytest
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from polars_order_book_spark.operators import dedup
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("lang", StringType()),
+    StructField("text", StringType()),
+])
+
+
+def _shingle_set(text: str, k: int = 3) -> set:
+    toks = text.lower().strip().split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)} if len(toks) >= k else set()
+
+
+def _brute_pairs(rows, threshold, k=3):
+    out = {}
+    sets = {r[0]: _shingle_set(r[2], k) for r in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = pytest.approx(j)
+    return out
+
+
+def _doc_rows(n_docs=40, seed=11):
+    """One skewed block: all docs lang='en'. Even/odd doc pairs are near-dups
+    (one-token edit); everything else dissimilar."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(n_docs // 2):
+        base = [rng.choice(vocab) for _ in range(30)]
+        edited = list(base)
+        edited[rng.randrange(len(edited))] = rng.choice(vocab)
+        rows.append((2 * i, "en", " ".join(base)))
+        rows.append((2 * i + 1, "en", " ".join(edited)))
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.7])
+def test_prefix_filter_jaccard_matches_bruteforce_skewed_block(spark, threshold):
+    rows = _doc_rows()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=threshold, block_col="lang"
+        ).collect()
+    }
+    expected = _brute_pairs(rows, threshold)
+    assert got == expected
+    assert expected, "test must exercise at least one surviving pair"
+
+
+def test_prefix_filter_jaccard_no_block(spark):
+    rows = _doc_rows(n_docs=20)
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == _brute_pairs(rows, 0.5)
+
+
+def test_simhash_signature_stable_and_bounded(spark):
+    rows = [(1, "en", "the quick brown fox jumps"),
+            (2, "en", "the quick brown fox jumps"),
+            (3, "en", "a completely different sentence here")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]                    # identical text -> identical signature
+    assert sigs[1] != sigs[3]
+    assert all(0 <= s < 2 ** 32 for s in sigs.values())
