@@ -26,6 +26,7 @@ from polars_order_book_spark import (
     top_n_levels_relational,
     snapshot_columns,
 )
+from polars_order_book_spark.functions import conversion as conv
 from polars_order_book_spark.operators import dedup, multimodal, similarity, text
 from polars_order_book_spark.plans import book_streams as bs
 from polars_order_book_spark.plans import queries as hq
@@ -83,6 +84,34 @@ def _ob_keyed_mutations(n):
         out = top_n_levels_from_price_mutations(stream, by=["book"], n=n)
         return out.select("book", "seq", *snapshot_columns(n))
     return run
+
+
+def _ob_conversion(n):
+    """End-to-end exchange-message workflow (ref: README.md:131-162): raw
+    side-string / float-price / message-type feed -> conversion helpers ->
+    mutations fold -> unscale snapshot prices back to floats."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        raw = bs.conversion_raw_stream(load_table(spark, sf_dir, "events"))
+        ev = raw.select(
+            "seq",
+            conv.side_to_is_bid("side").alias("is_bid"),
+            conv.scale_price("price_f", 100).alias("price"),
+            conv.signed_qty("message_type", "qty").alias("qty"),
+        )
+        out = top_n_levels_from_price_mutations(ev, n=n)
+        return conv.unscale_prices(out.select("seq", *snapshot_columns(n)), 100)
+    return run
+
+
+def _conversion_oracle_sql(n: int) -> str:
+    inner = bs.oracle_book_sql(bs.CONVERSION_DELTAS_SQL, n, "mutations")
+    cols = ["s.seq"]
+    for i in range(1, n + 1):
+        cols += [
+            f"bid_price_{i} / 100 AS bid_price_{i}", f"bid_qty_{i}",
+            f"ask_price_{i} / 100 AS ask_price_{i}", f"ask_qty_{i}",
+        ]
+    return "SELECT {} FROM ({}) s".format(", ".join(cols), inner)
 
 
 def _ob_relational(n, variant):
@@ -455,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
+        "ob_conversion_top2": _ob_conversion(2),
         # relational strategy B (independent execution path, same oracle)
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
@@ -494,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_keyed_mutations_top2": bs.oracle_book_sql(
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
         ),
+        "ob_conversion_top2": _conversion_oracle_sql(2),
         "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_relational_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),

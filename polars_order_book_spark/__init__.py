@@ -28,6 +28,13 @@ from polars_order_book_spark.operators.order_book_relational import (
     top_n_levels_relational,
     modify_to_mutations,
 )
+from polars_order_book_spark.functions.conversion import (
+    side_to_is_bid,
+    scale_price,
+    unscale_prices,
+    signed_qty,
+)
+from polars_order_book_spark.functions.frames import hconcat
 from polars_order_book_spark.session import get_spark
 
 __all__ = [
@@ -38,6 +45,11 @@ __all__ = [
     "modify_to_mutations",
     "OrderBookError",
     "snapshot_columns",
+    "side_to_is_bid",
+    "scale_price",
+    "unscale_prices",
+    "signed_qty",
+    "hconcat",
     "get_spark",
 ]
 

@@ -1,0 +1,60 @@
+"""Frame-shape helpers for reference workflows Spark lacks primitives for.
+
+``pl.concat(how="horizontal")`` (ref: README.md:161) zips two frames row-by-
+row positionally. Spark DataFrames have no intrinsic row order, so the Spark
+analog is a join: on an explicit shared id when one exists (the scale path —
+plain equi join, shuffle on the id), else by row position derived from
+per-side ordering columns (SURVEY.md §2.3's join-on-row-id mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_POS = "__hconcat_pos__"
+
+
+def hconcat(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str] | None = None,
+    left_order: str | Sequence[str] | None = None,
+    right_order: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Horizontal concat of two equal-length frames.
+
+    ``on``: shared id column(s) to align by — the scalable path (a plain
+    equi join; Catalyst broadcasts or shuffles as appropriate).
+
+    ``left_order``/``right_order``: when there is no shared id, align by ROW
+    POSITION under each side's explicit ordering (``right_order`` defaults to
+    ``left_order`` if the column exists on both sides). Positional alignment
+    needs a global row_number — a single-partition sort per side — so it is
+    for moderate frames only; give the data a real key for 100 TB work, like
+    the reference's own examples join on "id" (ref: test_calculate_bbo.py:60).
+
+    Overlapping non-key column names take the left side's values; the right
+    side's duplicates are dropped (matching Polars, which errors on duplicate
+    names — we prefer the lenient join idiom).
+    """
+    if on is None and left_order is None:
+        raise ValueError("hconcat needs `on` (shared id) or `left_order` (positional)")
+    if on is not None:
+        keys = [on] if isinstance(on, str) else list(on)
+        dup = [c for c in right.columns if c in left.columns and c not in keys]
+        return left.join(right.drop(*dup), on=keys)
+
+    lo = [left_order] if isinstance(left_order, str) else list(left_order)
+    ro = (
+        ([right_order] if isinstance(right_order, str) else list(right_order))
+        if right_order is not None
+        else lo
+    )
+    lnum = left.withColumn(_POS, F.row_number().over(Window.orderBy(*lo)))
+    rnum = right.withColumn(_POS, F.row_number().over(Window.orderBy(*ro)))
+    dup = [c for c in rnum.columns if c in lnum.columns and c != _POS]
+    return lnum.join(rnum.drop(*dup), on=_POS).drop(_POS)

@@ -120,6 +120,52 @@ KEYED_MUTATIONS_STREAM_SQL = """
 """
 
 
+def conversion_raw_stream(events: DataFrame) -> DataFrame:
+    """Raw exchange-style messages (ref: README.md:131-162): string ``side``,
+    float ``price_f``, ``message_type`` with delete-as-'Trade'. Each user's
+    events alternate Add/Trade per (user, pair) so every delete removes
+    exactly the qty its paired add created — valid by construction."""
+    w = Window.partitionBy("user_id").orderBy("seq")
+    base = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id"),
+    )
+    occ = F.row_number().over(w) - 1
+    pair = F.expr("occ div 2")
+    base = base.withColumn("occ", occ).withColumn("pair", pair)
+    return base.select(
+        "seq",
+        F.when(F.col("user_id") % 2 == 0, F.lit("BID")).otherwise(F.lit("ASK")).alias("side"),
+        (((F.col("user_id") + F.col("pair")) % N_PRICES + 1) * F.lit(0.5)).alias("price_f"),
+        F.when(F.col("occ") % 2 == 1, F.lit("Trade")).otherwise(F.lit("Add")).alias("message_type"),
+        ((F.col("user_id") + F.col("pair")) % 3 + 1).cast("long").alias("qty"),
+    )
+
+
+CONVERSION_RAW_SQL = """
+    SELECT seq,
+           CASE WHEN user_id % 2 = 0 THEN 'BID' ELSE 'ASK' END AS side,
+           ((user_id + (occ // 2)) % 20 + 1) * 0.5 AS price_f,
+           CASE WHEN occ % 2 = 1 THEN 'Trade' ELSE 'Add' END AS message_type,
+           CAST((user_id + (occ // 2)) % 3 + 1 AS BIGINT) AS qty
+    FROM (
+        SELECT event_id AS seq, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS occ
+        FROM events
+    )
+"""
+
+# The conversion recipe applied in SQL — mirrors functions.conversion
+# (side_to_is_bid / scale_price / signed_qty) for the oracle.
+CONVERSION_DELTAS_SQL = f"""
+    SELECT seq,
+           lower(side) IN ('bid', 'b', 'buy') AS is_bid,
+           CAST(round(price_f * 100) AS BIGINT) AS price,
+           CAST(CASE WHEN lower(message_type) IN ('delete', 'trade') THEN -qty ELSE qty END AS BIGINT) AS qty
+    FROM ({CONVERSION_RAW_SQL})
+"""
+
+
 def oracle_book_sql(stream_sql: str, n: int, variant: str, key: str | None = None) -> str:
     """DuckDB SQL computing top-N snapshots for a derived stream — the
     relational (strategy B) formulation: running aggregate per (side, price)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -38,6 +39,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # truncation.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def load_event_csv(
+    spark: SparkSession,
+    path: str,
+    schema: "StructType | str | None" = None,
+    **options: str,
+) -> DataFrame:
+    """CSV ingest for order-book event replays — the reference's only file
+    format beyond in-memory frames (its real-data bench reads a message CSV,
+    ref: order_book/benches/ninja.rs:26-38).
+
+    With an explicit ``schema`` the scan skips inference (one pass, not two)
+    and stays splittable; pass ``header='false'`` etc. via options. The scan
+    is declarative, so column pruning reaches the source like parquet
+    (predicate pushdown over CSV is format-limited by nature).
+    """
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
