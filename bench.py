@@ -50,8 +50,11 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]["n"]
 
-    # one warmup to exclude JVM/Arrow spin-up from per-query numbers
+    # Warmups exclude one-time spin-up from per-query numbers: JVM/codegen
+    # (relational query) AND the Python UDF worker pool + cloudpickled module
+    # broadcast (pandas-UDF query) — the latter costs ~2s on first use.
     checksum(qs["q1_pricing_summary"](spark, sf_dir))
+    checksum(qs["ob_updates_top1"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -154,12 +154,61 @@ def _fold_arrays(
     """Sequential fold over one book; returns (values, missing_mask, bids,
     asks) with the arrays shaped (4n, m). Port of the event loop at
     ref: calculate_bbo.rs:96-110. Passing pre-populated sides resumes a book
-    mid-stream (the Structured Streaming state hand-off)."""
+    mid-stream (the Structured Streaming state hand-off).
+
+    Emit strategy: an event strictly below its side's pre-event nth-best price
+    that doesn't grow/shrink the book past n levels CANNOT change that side's
+    top-N, and the other side never changes — so snapshots are written only on
+    top-N-changing rows and forward-filled vectorized afterwards (the numpy
+    analog of the reference's incremental top-N maintenance,
+    ref: top_n_levels.rs:59-63, which equally skips below-worst updates)."""
     m = len(price)
-    out = np.zeros((4 * n, m), dtype=np.int64)
-    mask = np.ones((4 * n, m), dtype=bool)  # True = null (missing level)
+    # Column 0 holds the baseline (resumed state for streaming, else nulls);
+    # data rows live at columns 1..m, forward-filled from the left.
+    out = np.zeros((4 * n, m + 1), dtype=np.int64)
+    mask = np.ones((4 * n, m + 1), dtype=bool)  # True = null (missing level)
     bids = bids if bids is not None else _Side()
     asks = asks if asks is not None else _Side()
+    bid_written = np.zeros(m + 1, dtype=bool)
+    ask_written = np.zeros(m + 1, dtype=bool)
+    bid_written[0] = ask_written[0] = True
+
+    def emit(side_is_bid: bool, c: int) -> None:
+        if side_is_bid:
+            bp, bl = bids.prices, bids.levels
+            nb = len(bp)
+            for i in range(min(n, nb)):
+                base = 4 * i
+                px = bp[nb - 1 - i]  # best bid = greatest price
+                out[base, c] = px
+                out[base + 1, c] = bl[px]
+                mask[base, c] = False
+                mask[base + 1, c] = False
+            for i in range(nb, n):
+                base = 4 * i
+                mask[base, c] = True
+                mask[base + 1, c] = True
+            bid_written[c] = True
+        else:
+            ap, al = asks.prices, asks.levels
+            na = len(ap)
+            for i in range(min(n, na)):
+                base = 4 * i + 2
+                px = ap[i]  # best ask = least price
+                out[base, c] = px
+                out[base + 1, c] = al[px]
+                mask[base, c] = False
+                mask[base + 1, c] = False
+            for i in range(na, n):
+                base = 4 * i + 2
+                mask[base, c] = True
+                mask[base + 1, c] = True
+            ask_written[c] = True
+
+    if bids.prices:
+        emit(True, 0)
+    if asks.prices:
+        emit(False, 0)
 
     for r in range(m):
         b = is_bid[r]
@@ -170,6 +219,19 @@ def _fold_arrays(
                 f"null is_bid/price/qty at seq={seq[r]} (ref: update.rs:8-16)"
             )
         side = bids if b else asks
+        # Pre-event threshold: the nth-best price (side-aware). Any op whose
+        # touched prices are all strictly worse cannot alter the top-N.
+        sp = side.prices
+        ln = len(sp)
+        if ln < n:
+            unchanged = False  # book may grow/shrink through the boundary
+        elif b:
+            thr = sp[ln - n]
+            unchanged = p < thr
+        else:
+            thr = sp[n - 1]
+            unchanged = p > thr
+
         if variant == "updates":
             side.set_level(p, q)
         elif variant == "mutations":
@@ -177,7 +239,7 @@ def _fold_arrays(
                 side.add(p, q)
             elif q < 0:
                 side.delete(p, -q)
-            # q == 0: no-op (ref: update.rs:120)
+            # q == 0: no-op (ref: update.rs:120) — still emits a row (ffill)
         else:  # modify — 9-way decision table, ref: update.rs:132-162
             pp = prev_price[r]  # type: ignore[index]
             pq = prev_qty[r]  # type: ignore[index]
@@ -195,6 +257,8 @@ def _fold_arrays(
                     f"negative qty with non-null prev at seq={seq[r]} (ref: update.rs:158)"
                 )
             elif pp is not None:  # full modify: move prev_qty@prev_price -> qty@price
+                if unchanged:  # both touched prices must be below threshold
+                    unchanged = (pp < thr) if b else (pp > thr)
                 if q == 0:
                     side.delete(pp, pq)  # ref: update.rs:155-157
                 else:
@@ -206,25 +270,21 @@ def _fold_arrays(
                 else:
                     side.delete(p, pq - q)  # qty-only modify, ref: update.rs:148-150
 
-        # emit snapshot (ref: calculate_bbo.rs:70-85, output.rs:62-120)
-        bp, bl = bids.prices, bids.levels
-        ap, al = asks.prices, asks.levels
-        nb, na = len(bp), len(ap)
-        for i in range(n):
-            base = 4 * i
-            if i < nb:
-                px = bp[nb - 1 - i]  # best bid = greatest price
-                out[base, r] = px
-                out[base + 1, r] = bl[px]
-                mask[base, r] = False
-                mask[base + 1, r] = False
-            if i < na:
-                px = ap[i]  # best ask = least price
-                out[base + 2, r] = px
-                out[base + 3, r] = al[px]
-                mask[base + 2, r] = False
-                mask[base + 3, r] = False
-    return out, mask, bids, asks
+        if not unchanged:
+            emit(b, r + 1)
+
+    # Vectorized forward-fill per side from the last written column
+    # (ref: output.rs:62-120 writes every row; equivalent post-fill here).
+    cols = np.arange(m + 1)
+    bid_idx = np.maximum.accumulate(np.where(bid_written, cols, 0))
+    ask_idx = np.maximum.accumulate(np.where(ask_written, cols, 0))
+    bid_rows = [4 * i + j for i in range(n) for j in (0, 1)]
+    ask_rows = [4 * i + j for i in range(n) for j in (2, 3)]
+    out[bid_rows] = out[np.ix_(bid_rows, bid_idx)]
+    mask[bid_rows] = mask[np.ix_(bid_rows, bid_idx)]
+    out[ask_rows] = out[np.ix_(ask_rows, ask_idx)]
+    mask[ask_rows] = mask[np.ix_(ask_rows, ask_idx)]
+    return out[:, 1:], mask[:, 1:], bids, asks
 
 
 def _as_list(s: pd.Series) -> list:
