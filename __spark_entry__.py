@@ -346,6 +346,22 @@ WHERE rank <= 10
 """
 
 
+def _ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # round(9): BLAS reduction order differs from the oracle's left fold by
+    # ~1e-15; quantizing makes the value-hash comparable.
+    return similarity.cosine_topk_blas(emb, queries, k=10, round_digits=9)
+
+
+ANN_BLAS_SQL = f"""
+SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine
+FROM ({ANN_SQL})
+"""
+
+
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_embedding_pairs(emb, threshold=0.4)
@@ -505,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "ann_cosine_topk": _ann_bruteforce,
         "ann_cosine_topk_lsh": _ann_lsh,
+        "ann_cosine_topk_blas": _ann_blas,
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
@@ -542,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": JACCARD_SQL,
         "ann_cosine_topk": ANN_SQL,
         "ann_cosine_topk_lsh": ANN_LSH_SQL,
+        "ann_cosine_topk_blas": ANN_BLAS_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": TEXT_LANG_SQL,

@@ -36,6 +36,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "ann_cosine_topk_lsh",
+        "ann_cosine_topk_blas",
         "text_quality",
     ]
     qs = E.queries()

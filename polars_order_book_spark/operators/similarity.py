@@ -173,6 +173,78 @@ def neardup_embedding_pairs(
     return sim.where(F.col("cosine") >= threshold).select("doc_a", "doc_b", "cosine")
 
 
+def cosine_topk_blas(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched numpy GEMM (the wide-vector fast
+    path; same contract as :func:`cosine_topk_bruteforce`).
+
+    Per Arrow batch of vectors, one matrix multiply computes all
+    query×vector similarities at BLAS speed, and only each batch's LOCAL
+    top-k rows survive to the final global top-k window — the shuffle carries
+    O(partitions × |Q| × k) rows, not O(N × |Q|).
+
+    The query set is materialized driver-side into the closure (one numpy
+    matrix): top-k-per-query only makes sense for a query set that fits in
+    memory, the same smallness contract the built-in path's F.broadcast
+    assumes. BLAS reductions sum in a different order than the left-fold
+    higher-order functions, so cosines can differ from the built-in path by
+    ~1e-15; ``round_digits`` (e.g. 9) quantizes the output for cross-engine
+    comparison.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    kk = k
+
+    def topk_batches(pdfs):
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vm_unit = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = qm_unit @ vm_unit.T  # |Q| x batch GEMM
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                keep = ids != qid
+                cand_idx = np.nonzero(keep)[0]
+                if len(cand_idx) > kk:
+                    part = np.argpartition(-row[cand_idx], kk)[:kk]
+                    cand_idx = cand_idx[part]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[cand_idx],
+                        "cosine": row[cand_idx],
+                    }
+                )
+
+    local = vectors.select(id_col, vec_col).mapInPandas(
+        topk_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    out = (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+    if round_digits is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_digits))
+    return out
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,58 @@
+"""ANN operator tests: BLAS path vs built-in brute force, LSH recall shape."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from polars_order_book_spark.operators import similarity
+
+VEC_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(DoubleType())),
+])
+
+
+def _vectors(n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    return [(i, rng.normal(size=dim).tolist()) for i in range(n)]
+
+
+def test_blas_topk_matches_bruteforce(spark):
+    rows = _vectors()
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(4)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=7).collect()
+    }
+    blas = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_blas(df, queries, k=7).collect()
+    }
+    assert set(brute) == set(blas)
+    for key, (nid, cos) in brute.items():
+        bnid, bcos = blas[key]
+        assert bnid == nid
+        assert bcos == pytest.approx(cos, abs=1e-12)
+
+
+def test_blas_topk_excludes_self_and_caps_k(spark):
+    rows = _vectors(n=30)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk_blas(df, queries, k=5).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] != 0 for r in got)
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
