@@ -57,13 +57,19 @@ def main() -> None:
     checksum(qs["q1_pricing_summary"](spark, sf_dir))
     checksum(qs["ob_updates_top1"](spark, sf_dir))
 
+    # Best-of-2: single-shot timings on a shared box jitter 2-4x from GC /
+    # page cache / CPU contention; the min of two full computations is the
+    # steady-state cost (both runs execute the complete plan - no caching).
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = checksum(df)
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = checksum(df)
+            best = min(best, time.time() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
