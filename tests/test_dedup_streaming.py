@@ -1,0 +1,64 @@
+"""Streaming dedup: survivor mapping must be sticky across micro-batches."""
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from polars_order_book_spark.streaming import dedup_stream_with_survivor
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), False),
+])
+
+# batch 0: doc 1/2 duplicates ("alpha"), doc 3 unique
+# batch 1: doc 4 duplicates "alpha" again (cross-batch), doc 5 new
+BATCHES = [
+    [(1, "alpha"), (2, "alpha"), (3, "beta")],
+    [(4, "alpha"), (5, "gamma")],
+]
+
+
+def test_survivor_mapping_sticky_across_batches(spark):
+    tmp = tempfile.mkdtemp(prefix="dedupstream_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        for i, batch in enumerate(BATCHES):
+            part = os.path.join(tmp, f"part_{i}")
+            spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(part, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+            time.sleep(1.1)
+
+        stream_in = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        tagged = dedup_stream_with_survivor(stream_in)
+        q = (
+            tagged.writeStream.format("memory")
+            .queryName("dedup_tags")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["doc_id"]: r for r in spark.table("dedup_tags").collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # "alpha" survivor fixed at min id of its first batch, sticky afterwards
+    assert rows[1]["keep_id"] == 1 and rows[1]["is_first"]
+    assert rows[2]["keep_id"] == 1 and not rows[2]["is_first"]
+    assert rows[4]["keep_id"] == 1 and not rows[4]["is_first"]  # cross-batch dup
+    assert rows[3]["keep_id"] == 3 and rows[3]["is_first"]
+    assert rows[5]["keep_id"] == 5 and rows[5]["is_first"]
+    assert rows[1]["content_hash"] == rows[4]["content_hash"]
