@@ -476,6 +476,22 @@ FROM documents
 """
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_image_stub(docs)
+
+
+# Text is ASCII in the derived payloads (octet_length == length), so the
+# VARCHAR prefix mirrors the binary prefix byte-for-byte — DuckDB's md5 does
+# not accept BLOBs.
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(LEAST(octet_length(encode(text)), 384) AS BIGINT) AS out_bytes,
+       md5(substr(text, 1, CAST(LEAST(octet_length(encode(text)), 384) AS INT))) AS resized_md5
+FROM documents
+"""
+
+
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.frame_sample_stub(docs)
@@ -529,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _text_tokens,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
+        "multimodal_resize": _multimodal_resize,
     }
 
 
@@ -567,4 +584,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": TEXT_TOKENS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+        "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     }

@@ -72,6 +72,44 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_bytes", LongType()),
+    StructField("resized_md5", StringType()),
+])
+
+
+def resize_image_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 32,
+    target_h: int = 32,
+) -> DataFrame:
+    """Resize plumbing over binary payloads (mapInPandas, binary in → derived
+    bytes out). The deterministic stand-in 'resize' is a prefix crop to the
+    target byte budget (w·h·3/8); a real implementation swaps in
+    PIL.Image.resize on the decoded array. Output carries the md5 of the
+    resized payload so results are comparable across engines without shipping
+    raw bytes through the comparator."""
+    import hashlib
+
+    budget = target_w * target_h * 3 // 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p)[:budget] for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "out_bytes": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "payload", every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: one output row per sampled offset per doc —
