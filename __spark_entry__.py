@@ -123,6 +123,16 @@ def _ob_relational(n, variant):
     return run
 
 
+def _ob_relational_keyed(n):
+    """Strategy B on the multi-book stream: every window/grid key includes the
+    book column, so relational parallelism scales with books × levels."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_relational(stream, by=["book"], n=n, variant="mutations")
+        return out.select("book", "seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_modify_relational(n):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = bs.modify_stream(load_table(spark, sf_dir, "events"))
@@ -521,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
+        "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         # host-engine query surface (SURVEY §2.3)
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q3_top_revenue_orders": hq.q3_top_revenue_orders,
@@ -562,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_relational_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
+        "ob_relational_keyed_mutations_top2": bs.oracle_book_sql(
+            bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
+        ),
         "q1_pricing_summary": hq.Q1_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,

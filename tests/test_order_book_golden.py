@@ -208,6 +208,45 @@ def test_group_by_books(spark):
         assert [v[2] for v in vals] == CYCLE_EXP_ASK
 
 
+def test_modifies_asymmetric_cross_side(spark):
+    """Rust-only golden (ref: calculate_bbo.rs:304-335): bid ladder climbs
+    1->5 while the ask ladder walks 9->6; final rows move the best bid 5->1
+    (qty 50->1) and the best ask 6->9 (qty 60->1)."""
+    prices = [1, 2, 3, 4, 5, 9, 8, 7, 6, 1, 9]
+    qtys = [10, 20, 30, 40, 50, 90, 80, 70, 60, 1, 1]
+    bids = [True] * 5 + [False] * 4 + [True, False]
+    prev_p = [None, 1, 2, 3, 4, None, 9, 8, 7, 5, 6]
+    prev_q = [None, 10, 20, 30, 40, None, 90, 80, 70, 50, 60]
+    rows = list(zip(range(11), bids, prices, qtys, prev_p, prev_q))
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=1)
+    got = snap(out, ["bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1"])
+    assert [g[0] for g in got] == [1, 2, 3, 4, 5, 5, 5, 5, 5, 1, 1]
+    assert [g[1] for g in got] == [10, 20, 30, 40, 50, 50, 50, 50, 50, 1, 1]
+    assert [g[2] for g in got] == [None, None, None, None, None, 9, 8, 7, 6, 6, 9]
+    assert [g[3] for g in got] == [None, None, None, None, None, 90, 80, 70, 60, 60, 1]
+
+
+def test_n1_and_n2_top_level_consistency(spark):
+    """Rust-only consistency suite (ref: calculate_bbo.rs:372-519): the n=1
+    book (basic tracking path in the reference) and the n=2 book must agree on
+    level 1 for every row, across all three variants."""
+    import random
+
+    rng = random.Random(99)
+    from tests.test_order_book_relational import gen_mutations, gen_updates
+
+    mut = spark.createDataFrame(gen_mutations(rng, 200), SCHEMA3)
+    upd = spark.createDataFrame(gen_updates(rng, 200), SCHEMA3)
+    for maker, df in [(top_n_levels_from_price_mutations, mut),
+                      (top_n_levels_from_price_updates, upd)]:
+        cols = ["bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1"]
+        one = snap(maker(df, n=1), cols)
+        two = snap(maker(df, n=2), cols)
+        assert one == two
+
+
 def test_output_struct_mode(spark):
     """output_struct returns the Polars shape (struct to unnest)."""
     df = spark.createDataFrame([(1, True, 5, 50)], SCHEMA3)
