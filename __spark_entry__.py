@@ -356,6 +356,54 @@ WHERE rank <= 10
 """
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=2)
+
+
+ANN_IVF_SQL = """
+WITH centroids AS (
+    SELECT c,
+           list_transform(range(0, 64), j ->
+               (CAST(concat('0x', substr(md5(concat('ivf', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS cv
+    FROM range(0, 8) t(c)
+),
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+sims AS (
+    SELECT vec_id, c,
+           list_dot_product(vv, cv) / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS s
+    FROM allv CROSS JOIN centroids
+),
+ranked AS (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+),
+va AS (SELECT vec_id AS neighbor_id, c AS cell FROM ranked WHERE rn <= 1),
+qa AS (SELECT vec_id AS query_id, c AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+pair AS (
+    SELECT qa.query_id, va.neighbor_id,
+           list_dot_product(q.vv, v.vv)
+             / (sqrt(list_dot_product(q.vv, q.vv)) * sqrt(list_dot_product(v.vv, v.vv))) AS cosine
+    FROM qa
+    JOIN va ON va.cell = qa.cell
+    JOIN allv q ON q.vec_id = qa.query_id
+    JOIN allv v ON v.vec_id = va.neighbor_id
+    WHERE va.neighbor_id <> qa.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pair
+)
+WHERE rank <= 10
+"""
+
+
 def _ann_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -549,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_bruteforce,
         "ann_cosine_topk_lsh": _ann_lsh,
         "ann_cosine_topk_blas": _ann_blas,
+        "ann_cosine_topk_ivf": _ann_ivf,
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
@@ -591,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ANN_SQL,
         "ann_cosine_topk_lsh": ANN_LSH_SQL,
         "ann_cosine_topk_blas": ANN_BLAS_SQL,
+        "ann_cosine_topk_ivf": ANN_IVF_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": TEXT_LANG_SQL,

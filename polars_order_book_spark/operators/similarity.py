@@ -173,6 +173,97 @@ def neardup_embedding_pairs(
     return sim.where(F.col("cosine") >= threshold).select("doc_a", "doc_b", "cosine")
 
 
+def centroid_component(c: int, j: int) -> float:
+    """Deterministic IVF centroid component, md5-derived like plane_component
+    (distinct salt so centroids and LSH planes are independent)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"ivf{c}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
+def _centroid_literal(c: int, dim: int):
+    return F.array(*[F.lit(centroid_component(c, j)) for j in range(dim)])
+
+
+def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
+                     top: int) -> DataFrame:
+    """(id, cell) pairs: the ``top`` nearest coarse centroids per vector by
+    cosine. Assignment is a pure projection (argmax over n_cells dot products
+    against literal centroids — constant-folded, no shuffle, no Python)."""
+    v = _as_double(F.col("__v"))
+    sims = []
+    for c in range(n_cells):
+        cl = _centroid_literal(c, dim)
+        sim = _dot(v, cl) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(cl, cl)))
+        # struct sorts lexicographically: (sim desc, cell asc) via negated cell
+        sims.append(F.struct(sim.alias("s"), F.lit(-c).alias("nc")))
+    ranked = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, top)
+    return vec_df.select(
+        F.col(id_name),
+        F.explode(F.transform(ranked, lambda x: -x["nc"])).alias("cell"),
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization: vectors index into their
+    single nearest centroid's inverted list; each query probes its ``n_probe``
+    nearest cells and scores only those lists.
+
+    The coarse quantizer is a fixed set of md5-derived pseudo-random
+    centroids (spherical assignment by cosine) — deterministic, plan-constant,
+    and exactly re-derivable in SQL for the oracle; a production build would
+    train centroids with k-means, changing only the literals. Scale shape:
+    assignment is a map-only projection, the candidate join is an equi-join on
+    cell id (~N·n_probe/n_cells candidates per query), and skewed cells split
+    under AQE."""
+    va = _cell_assignment(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
+        "neighbor_id", n_cells, dim, 1,
+    )
+    qa = _cell_assignment(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
+        "query_id", n_cells, dim, n_probe,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
+    ).join(va, on="neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).join(qa, on="query_id")
+    sim = (
+        v.join(q, on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("vv"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+            ).alias("cosine"),
+        )
+    )
+    # No dedup needed: each vector lives in exactly one cell, so a
+    # (query, neighbor) pair meets in at most one probed cell.
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
 def cosine_topk_blas(
     vectors: DataFrame,
     queries: DataFrame,

@@ -46,6 +46,32 @@ def test_blas_topk_matches_bruteforce(spark):
         assert bcos == pytest.approx(cos, abs=1e-12)
 
 
+def test_ivf_topk_subset_of_bruteforce_with_exact_cosines(spark):
+    """IVF results are exact cosines over a candidate subset: every returned
+    (query, neighbor) must carry the same cosine brute force computes, ranks
+    must be contiguous from 1, and per-query rows never exceed k."""
+    rows = _vectors(n=300, dim=64)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=300).collect()
+    }
+    ivf = similarity.cosine_topk_ivf(df, queries, k=10, n_cells=8, n_probe=2).collect()
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r["query_id"], []).append(r)
+        assert brute[(r["query_id"], r["neighbor_id"])] == pytest.approx(
+            r["cosine"], abs=1e-12
+        )
+    for qid, rs in per_query.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+
+
 def test_blas_topk_excludes_self_and_caps_k(spark):
     rows = _vectors(n=30)
     df = spark.createDataFrame(rows, VEC_SCHEMA)
