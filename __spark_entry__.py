@@ -589,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_categorize": hq.part_categorize,
         "events_hourly": hq.events_hourly,
         "events_user_running_total": hq.events_user_running_total,
+        "events_sessionize": hq.events_sessionize,
+        "events_rollup": hq.events_rollup,
         # pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -633,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         "part_categorize": hq.PART_CATEGORIZE_SQL,
         "events_hourly": hq.EVENTS_HOURLY_SQL,
         "events_user_running_total": hq.EVENTS_RUNNING_SQL,
+        "events_sessionize": hq.EVENTS_SESSIONS_SQL,
+        "events_rollup": hq.EVENTS_ROLLUP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -262,3 +262,86 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# --- Events: gap-based sessionization ---------------------------------------
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap sessionization: a new session starts when a user's gap from
+    the previous event exceeds 30 minutes; session id = cumulative count of
+    session starts. One windowed lag + one running sum — both partitioned by
+    user, so the shuffle scales with users, not time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond epochs: exact integers in both engines (second-level epoch
+    # rounds in DuckDB but truncates in Spark — off-by-one at .5s fractions).
+    epoch_us = F.unix_micros(F.col("ts"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(is_start).over(wrun).alias("session_no"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+# --- Events: rollup (grouping sets surface) ---------------------------------
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type, JSON-extracted prop bucket): per-combination,
+    per-type, and grand-total aggregates in one pass (Catalyst expands
+    grouping sets into a single shuffle with map-side partial agg). Also
+    exercises the JSON scalar-function surface (get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k_bucket = (F.get_json_object(F.col("props"), "$.k").cast("long") % 10).alias("k_bucket")
+    return (
+        ev.select("event_type", k_bucket, "value")
+        .rollup("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
+"""
