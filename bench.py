@@ -32,12 +32,17 @@ def main() -> None:
         "q5_nation_revenue",
         "topk_orders_per_customer",
         "events_hourly",
+        "events_sessionize",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
         "ann_cosine_topk",
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_blas",
+        "ann_cosine_topk_ivf",
         "text_quality",
+        "multimodal_features",
     ]
     qs = E.queries()
 

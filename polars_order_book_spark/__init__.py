@@ -27,6 +27,7 @@ from polars_order_book_spark.operators.order_book import (
 from polars_order_book_spark.operators.order_book_relational import (
     top_n_levels_relational,
     modify_to_mutations,
+    mutation_stream_violations,
 )
 from polars_order_book_spark.functions.conversion import (
     side_to_is_bid,
@@ -43,6 +44,7 @@ __all__ = [
     "top_n_levels_from_price_mutations_with_modify",
     "top_n_levels_relational",
     "modify_to_mutations",
+    "mutation_stream_violations",
     "OrderBookError",
     "snapshot_columns",
     "side_to_is_bid",

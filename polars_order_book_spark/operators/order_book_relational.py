@@ -145,6 +145,41 @@ def _segmented_running_levels(
     return joined.select(*keys, seq, is_bid, price, combine.alias("level_qty"))
 
 
+def mutation_stream_violations(
+    df: DataFrame,
+    price: str = "price",
+    qty: str = "qty",
+    is_bid: str = "is_bid",
+    *,
+    seq: str = "seq",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rows where a mutation stream violates the reference's error contract.
+
+    A delta stream is valid iff every per-level prefix sum stays >= 0 —
+    deleting from a missing level and over-deleting both drive the running
+    sum negative (ref: book_side.rs:91-112). The exact fold RAISES on these
+    (strategy A parity with the reference); the relational path computes
+    through them silently, so run this validator first when input validity is
+    not known. Returns (by..., seq, is_bid, price, level_qty) for every
+    violating event, empty when the stream is valid.
+
+    Scale: one running-sum window per (keys, side, price) over DELTA rows only
+    (no events×levels grid) — strictly cheaper than the snapshot query itself.
+    """
+    keys = list(by) if by else []
+    w = (
+        Window.partitionBy(*keys, F.col(is_bid), F.col(price))
+        .orderBy(seq)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(qty)).over(w)
+    return (
+        df.select(*keys, seq, is_bid, price, run.alias("level_qty"))
+        .where(F.col("level_qty") < 0)
+    )
+
+
 def top_n_levels_relational(
     df: DataFrame,
     price: str = "price",

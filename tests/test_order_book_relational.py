@@ -10,6 +10,7 @@ from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from polars_order_book_spark import (
     modify_to_mutations,
+    mutation_stream_violations,
     top_n_levels_from_price_mutations,
     top_n_levels_from_price_updates,
     top_n_levels_relational,
@@ -113,6 +114,30 @@ def test_modify_to_mutations_explode(spark):
     deltas = modify_to_mutations(df)
     b = by_seq(top_n_levels_relational(deltas, n=1, variant="mutations"), cols)
     assert a == b
+
+
+def test_violation_detector_flags_what_the_fold_raises_on(spark):
+    """Where strategy A raises (delete-on-missing, over-delete), the
+    relational validator must flag the same seqs; valid streams yield none."""
+    invalid = [
+        (1, True, 5, 3),    # add 3@5
+        (2, True, 7, -1),   # delete on missing level 7  -> violation
+        (3, True, 5, -4),   # over-delete (3 available)  -> violation
+        (4, False, 9, 2),   # valid ask add
+    ]
+    df = spark.createDataFrame(invalid, SCHEMA3)
+    flagged = sorted(r["seq"] for r in mutation_stream_violations(df).collect())
+    assert flagged == [2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        top_n_levels_from_price_mutations(df, n=1).collect()
+    assert "Level not found" in str(exc.value) or "Qty exceeds" in str(exc.value)
+
+    valid = gen_mutations(random.Random(1), 200)
+    vdf = spark.createDataFrame(valid, SCHEMA3)
+    assert mutation_stream_violations(vdf).count() == 0
 
 
 def test_modify_zero_delta_events_keep_snapshot_rows(spark):
