@@ -229,6 +229,10 @@ def ngram_jaccard_pairs(
         blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, on="doc_id")
         blk = ["__blk"]
+    # The shingle relation feeds five subtrees (freq, rank, sizes, both
+    # verify joins). Measured: explicit persist() is a net LOSS here — the
+    # distinct's shuffle files already get reused across subtrees
+    # (ReusedExchange), so caching only adds materialization cost.
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy(*blk, "shingle").agg(F.count(F.lit(1)).alias("__freq"))
