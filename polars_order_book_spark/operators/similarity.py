@@ -195,7 +195,10 @@ def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
     sims = []
     for c in range(n_cells):
         cl = _centroid_literal(c, dim)
-        sim = _dot(v, cl) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(cl, cl)))
+        # |v| is a common positive factor across cells — dropping it leaves
+        # the cosine ranking (and thus the assignment) unchanged while
+        # skipping n_cells redundant self-dot folds per row.
+        sim = _dot(v, cl) / F.sqrt(_dot(cl, cl))
         # struct sorts lexicographically: (sim desc, cell asc) via negated cell
         sims.append(F.struct(sim.alias("s"), F.lit(-c).alias("nc")))
     ranked = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, top)
