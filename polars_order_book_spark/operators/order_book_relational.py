@@ -247,23 +247,29 @@ def top_n_levels_relational(
         booked = g.select(*keys, seq, is_bid, price, lq.alias("level_qty"))
     booked = booked.where(F.col("level_qty") > 0)
 
-    # Side-aware rank: best = greatest bid / least ask (the reference encodes
-    # this as AskPrice's reversed Ord, ref: price_level.rs:88-92).
-    rank_w = Window.partitionBy(*kc, F.col(seq), F.col(is_bid)).orderBy(
-        F.when(F.col(is_bid), -F.col(price)).otherwise(F.col(price))
+    # Top-N assembly in ONE shuffle: collect each event's live levels into a
+    # per-side array, sort side-aware in-memory (arrays are |live levels|
+    # long — bounded), and project the first n. Replaces a rank window +
+    # pivot groupBy (two grid-sized shuffles) with a single groupBy(seq).
+    # Best = greatest bid / least ask (the reference encodes this as
+    # AskPrice's reversed Ord, ref: price_level.rs:88-92) via the order key.
+    bid = F.col(is_bid)
+    ordkey = F.when(bid, -F.col(price)).otherwise(F.col(price))
+    lvl = F.struct(ordkey.alias("o"), F.col(price).alias("p"), F.col("level_qty").alias("q"))
+    snaps = booked.groupBy(*keys, seq).agg(
+        F.slice(F.array_sort(F.collect_list(F.when(bid, lvl))), 1, n).alias("__b"),
+        F.slice(F.array_sort(F.collect_list(F.when(~bid, lvl))), 1, n).alias("__a"),
     )
-    ranked = booked.withColumn("rn", F.row_number().over(rank_w))
-
-    aggs = []
+    cols = []
     for i in range(1, n + 1):
-        hit = F.col("rn") == i
-        bid = F.col(is_bid)
-        aggs += [
-            F.max(F.when(hit & bid, F.col(price))).alias(f"bid_price_{i}"),
-            F.max(F.when(hit & bid, F.col("level_qty"))).alias(f"bid_qty_{i}"),
-            F.max(F.when(hit & ~bid, F.col(price))).alias(f"ask_price_{i}"),
-            F.max(F.when(hit & ~bid, F.col("level_qty"))).alias(f"ask_qty_{i}"),
+        # F.get is 0-based and null-safe out of bounds (element_at raises
+        # under ANSI mode)
+        cols += [
+            F.get("__b", i - 1)["p"].alias(f"bid_price_{i}"),
+            F.get("__b", i - 1)["q"].alias(f"bid_qty_{i}"),
+            F.get("__a", i - 1)["p"].alias(f"ask_price_{i}"),
+            F.get("__a", i - 1)["q"].alias(f"ask_qty_{i}"),
         ]
-    snaps = ranked.groupBy(*keys, seq).agg(*aggs)
+    snaps = snaps.select(*keys, seq, *cols)
     # Keep every event row, even those whose book is empty (all-null snapshot).
     return events.join(snaps, on=[*keys, seq], how="left")
