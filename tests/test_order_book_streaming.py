@@ -114,6 +114,50 @@ def test_stream_matches_batch_across_microbatches(spark, n):
             assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
 
 
+def test_stream_updates_variant_matches_batch(spark):
+    """Set-level (updates) variant through the streaming path: one
+    micro-batch, parity with the batch operator including qty=0 deletes."""
+    from polars_order_book_spark import top_n_levels_from_price_updates
+
+    rows = []
+    for s in range(40):
+        price = 100 + (s % 5)
+        qty = 0 if s % 7 == 6 else (s % 9)  # includes set-to-zero deletes
+        rows.append(("A", s, s % 2 == 0, price, qty))
+    batch_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    expected = rows_by_seq(top_n_levels_from_price_updates(batch_df, by=["product_id"], n=2))
+
+    tmp = tempfile.mkdtemp(prefix="obstream_upd_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        part = os.path.join(tmp, "part")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(part, pq), os.path.join(in_dir, "000.parquet"))
+        stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        snaps = top_n_levels_stream(stream_in, "updates", by=["product_id"], n=2)
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName("book_snaps_upd")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = rows_by_seq(spark.table("book_snaps_upd"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    snap_cols = [c for c in next(iter(expected.values())) if c.startswith(("bid_", "ask_"))]
+    assert set(got) == set(expected)
+    for k, exp in expected.items():
+        for c in snap_cols:
+            assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
+
+
 def test_stream_multichunk_microbatch_folds_in_seq_order(spark):
     """One micro-batch larger than arrow.maxRecordsPerBatch arrives at the
     state fold as MULTIPLE pandas chunks; events must be folded in seq order
