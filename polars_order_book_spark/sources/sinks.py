@@ -1,0 +1,59 @@
+"""Output sinks: partitioned / bucketed parquet writers.
+
+The reference has no sinks (its output is an in-memory frame); a 100 TB
+engine needs durable, layout-aware output. Two shapes:
+
+* :func:`write_partitioned` — hive-style directory partitioning. Readers
+  filtering on the partition columns scan only matching directories
+  (PartitionFilters in the plan — pinned by tests/test_sinks.py).
+* :func:`write_bucketed` — bucketed + sorted table (saveAsTable; bucketing
+  metadata lives in the catalog). Joins/aggregations on the bucket keys read
+  co-located data and skip the shuffle.
+
+Both default to dynamic partition overwrite so re-running a job replaces only
+the partitions it produced — idempotent backfills.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write hive-partitioned parquet. ``max_records_per_file`` caps file size
+    (small-file control is the other half: repartition on the partition cols
+    first so each task writes few files)."""
+    writer = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Re-read a partitioned dataset; partition columns come back as columns
+    and predicates on them prune directories at planning time."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (optionally sorted) managed table. Equi-joins between
+    tables bucketed the same way on the same keys skip the shuffle."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
