@@ -49,22 +49,22 @@ def cosine_topk_bruteforce(
     Returns (query_id, neighbor_id, rank, cosine). Ties broken by neighbor id
     for cross-engine determinism.
     """
+    # Norms are projected ONCE per vector before the join — the pair stage
+    # then runs one dot instead of three. sqrt(dot(x,x)) is the same
+    # expression either way, so cosines stay bit-identical to the oracle.
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    )
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
     sim = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("vv"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("vv"), F.col("vv"))))
-            ).alias("cosine"),
+            (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -157,17 +157,22 @@ def neardup_embedding_pairs(
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .distinct()
     )
-    v = vectors.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv"))
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
     sim = (
-        cands.join(v.withColumnRenamed("vid", "doc_a").withColumnRenamed("vv", "va"), on="doc_a")
-        .join(v.withColumnRenamed("vid", "doc_b").withColumnRenamed("vv", "vb"), on="doc_b")
+        cands.join(
+            v.select(F.col("vid").alias("doc_a"), F.col("vv").alias("va"), F.col("vn").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            v.select(F.col("vid").alias("doc_b"), F.col("vv").alias("vb"), F.col("vn").alias("nb")),
+            on="doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
-            ).alias("cosine"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     return sim.where(F.col("cosine") >= threshold).select("doc_a", "doc_b", "cosine")
@@ -241,20 +246,17 @@ def cosine_topk_ivf(
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    ).join(va, on="neighbor_id")
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv")))).join(va, on="neighbor_id")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).join(qa, on="query_id")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(qa, on="query_id")
     sim = (
         v.join(q, on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("vv"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("vv"), F.col("vv"))))
-            ).alias("cosine"),
+            (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
     # No dedup needed: each vector lives in exactly one cell, so a
@@ -353,10 +355,14 @@ def cosine_topk_lsh(
     Scale path — the vector×query product becomes a bucket-equi-join."""
     vb = signed_projection_buckets(vectors, vec_col=vec_col, id_col=id_col, n_planes=n_planes)
     qb = signed_projection_buckets(queries, vec_col=vec_col, id_col=query_id_col, n_planes=n_planes)
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")).join(
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv")))).join(
         vb.withColumnRenamed("vec_id", "neighbor_id"), on="neighbor_id"
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")).join(
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(
         qb.withColumnRenamed("vec_id", "query_id"), on="query_id"
     )
     sim = (
@@ -365,10 +371,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("vv"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("vv"), F.col("vv"))))
-            ).alias("cosine"),
+            (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
