@@ -501,6 +501,49 @@ FROM documents
 """
 
 
+def _text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+TEXT_WINNOW_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           CAST(concat('0x', substr(md5(concat_ws(' ', t[i+1], t[i+2], t[i+3])), 1, 15)) AS BIGINT) AS h
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 3 AND i <= len(t) - 3
+),
+wins AS (
+    SELECT doc_id, pos,
+           min({'h': h, 'p': pos}) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+           ) AS am,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM grams
+)
+SELECT DISTINCT doc_id, (am).p AS pos, (am).h AS fp_hash
+FROM wins WHERE pos <= n - 4 OR pos = 0
+"""
+
+
+def _text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_VOCABULARY_SQL = """
+SELECT tok AS token,
+       count(DISTINCT doc_id) AS doc_freq,
+       count(*) AS total_count
+FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+)
+GROUP BY tok
+"""
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -604,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
         "text_fingerprint": _text_fingerprint,
+        "text_winnow_fingerprints": _text_winnow,
+        "text_vocabulary": _text_vocabulary,
         "text_token_counts": _text_tokens,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
@@ -649,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": TEXT_LANG_SQL,
         "text_fingerprint": TEXT_FINGERPRINT_SQL,
+        "text_winnow_fingerprints": TEXT_WINNOW_SQL,
+        "text_vocabulary": TEXT_VOCABULARY_SQL,
         "text_token_counts": TEXT_TOKENS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,

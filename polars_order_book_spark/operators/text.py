@@ -79,3 +79,67 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (collapses case/whitespace variance)."""
     fp = F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash fingerprint sampling (winnowing-style, MOSS lineage):
+    hash every k-gram, then keep positions whose hash is the minimum of the
+    trailing w-window — every w-run of k-grams contributes at least one
+    selected fingerprint, so partial overlaps between documents survive
+    sampling. Returns (doc_id, pos, fp_hash) for selected positions.
+
+    Relational shape: explode k-gram rows (map-only), one window min per doc
+    ordered by position — shuffle scales with documents, windows are
+    single-pass. The hash is the portable md5-derived hash64 (identical in
+    the DuckDB oracle)."""
+    from polars_order_book_spark.functions.hashing import hash64
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ).alias("g"),
+        ),
+    )
+    grams = base.select("doc_id", F.explode(gram).alias("kg")).select(
+        "doc_id", F.col("kg.pos").cast("long").alias("pos"), hash64(F.col("kg.g")).alias("h")
+    )
+    from pyspark.sql import Window as W
+
+    # True winnowing: each length-w window of consecutive k-grams selects its
+    # argmin (lexicographic struct-min -> leftmost position on hash ties, the
+    # deterministic rule both engines share); the selected set is the distinct
+    # union over valid window starts. Short docs (< w grams) form one window.
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    amin = F.min(F.struct(F.col("h").alias("h"), F.col("pos").alias("p"))).over(win)
+    ndoc = F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    starts = grams.select(
+        "doc_id", "pos", amin.alias("__am"), ndoc.alias("__n")
+    ).where((F.col("pos") <= F.col("__n") - w) | (F.col("pos") == 0))
+    return starts.select(
+        "doc_id", F.col("__am.p").alias("pos"), F.col("__am.h").alias("fp_hash")
+    ).distinct()
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: per token, document frequency and total occurrence
+    count — the fuel for IDF weighting, stopword discovery, and vocab pruning.
+    One explode + one groupBy(token) with map-side partial agg."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )

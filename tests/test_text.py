@@ -1,0 +1,54 @@
+"""Text operator contracts: winnowing coverage guarantee, vocabulary counts."""
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from polars_order_book_spark.operators import text
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def test_winnow_guarantees_one_fingerprint_per_window(spark):
+    """Every trailing w-window of k-gram positions must contain >= 1 selected
+    fingerprint — the property that makes sampled fingerprints usable for
+    partial-overlap detection."""
+    k, w = 3, 4
+    rows = [(1, " ".join(f"tok{i % 17}" for i in range(60))),
+            (2, "a b c"),                    # exactly one k-gram
+            (3, "too short")]                # no k-gram at all
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = text.winnow_fingerprints(df, k=k, w=w)
+    sel = {}
+    for r in out.collect():
+        sel.setdefault(r["doc_id"], set()).add(r["pos"])
+
+    n_grams_doc1 = 60 - k + 1
+    for start in range(n_grams_doc1 - w + 1):
+        window = set(range(start, start + w))
+        assert window & sel[1], f"window at {start} has no fingerprint"
+    assert sel[2] == {0}
+    assert 3 not in sel
+
+
+def test_winnow_shared_fingerprints_detect_overlap(spark):
+    """Documents sharing a long run of tokens must share fingerprint hashes."""
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [(1, "unique alpha beta " + shared),
+            (2, shared + " gamma delta other")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    fps = {}
+    for r in text.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[1] & fps[2], "overlapping docs share no fingerprints"
+
+
+def test_vocabulary_counts(spark):
+    rows = [(1, "the cat sat"), (2, "the the dog")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {r["token"]: (r["doc_freq"], r["total_count"])
+           for r in text.vocabulary(df).collect()}
+    assert got["the"] == (2, 3)
+    assert got["cat"] == (1, 1)
+    assert got["dog"] == (1, 1)
