@@ -544,6 +544,24 @@ GROUP BY tok
 """
 
 
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+total AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf,
+       tf.tf * (CAST(total.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN total
+"""
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -649,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_winnow_fingerprints": _text_winnow,
         "text_vocabulary": _text_vocabulary,
+        "text_tfidf": _text_tfidf,
         "text_token_counts": _text_tokens,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
@@ -696,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": TEXT_FINGERPRINT_SQL,
         "text_winnow_fingerprints": TEXT_WINNOW_SQL,
         "text_vocabulary": TEXT_VOCABULARY_SQL,
+        "text_tfidf": TEXT_TFIDF_SQL,
         "text_token_counts": TEXT_TOKENS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,

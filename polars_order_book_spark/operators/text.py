@@ -143,3 +143,31 @@ def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.count_distinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_scale: bool = False,
+) -> DataFrame:
+    """Per (doc, token) TF-IDF weights: tf = in-doc count, idf from corpus
+    document frequency with add-one smoothing.
+
+    Default weight is the RATIONAL form ``tf · (N + 1) / (df + 1)`` — pure
+    integer-derived arithmetic, bit-identical across engines (the usual
+    ``ln`` form depends on libm rounding, which differs between JVM and
+    DuckDB at the last ulp). ``log_scale=True`` switches to
+    ``tf · (ln((N+1)/(df+1)) + 1)`` for conventional scaling.
+
+    Shape: token explode → groupBy(doc, token) for tf; doc-frequency side is
+    |vocabulary| rows — broadcast to the tf relation, no big-side reshuffle.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    total = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    joined = tf.join(F.broadcast(dfreq), on="token").crossJoin(F.broadcast(total))
+    ratio = (F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    weight = F.col("tf") * (F.log(ratio) + 1) if log_scale else F.col("tf") * ratio
+    return joined.select("doc_id", "token", "tf", weight.alias("tfidf"))

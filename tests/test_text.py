@@ -44,6 +44,22 @@ def test_winnow_shared_fingerprints_detect_overlap(spark):
     assert fps[1] & fps[2], "overlapping docs share no fingerprints"
 
 
+def test_tfidf_weights(spark):
+    rows = [(1, "cat cat dog"), (2, "dog bird")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["tfidf"])
+           for r in text.tf_idf(df).collect()}
+    # N=2; cat df=1 -> ratio 3/2; dog df=2 -> ratio 1
+    assert got[(1, "cat")] == (2, 2 * 1.5)
+    assert got[(1, "dog")] == (1, 1.0)
+    assert got[(2, "bird")] == (1, 1.5)
+    # log_scale variant keeps tf but rescales
+    logged = {(r["doc_id"], r["token"]): r["tfidf"]
+              for r in text.tf_idf(df, log_scale=True).collect()}
+    import math
+    assert logged[(1, "cat")] == 2 * (math.log(1.5) + 1)
+
+
 def test_vocabulary_counts(spark):
     rows = [(1, "the cat sat"), (2, "the the dog")]
     df = spark.createDataFrame(rows, DOC_SCHEMA)
