@@ -208,6 +208,9 @@ def top_n_levels_relational(
     ``by`` is empty (single global book), off when keyed (parallelism already
     scales with the number of books; pass explicitly for skewed books).
     """
+    from polars_order_book_spark.operators.order_book import _check_n
+
+    _check_n(n)  # same 1..=20 guardrail as the fold (ref: calculate_bbo.rs:120-123)
     if variant not in ("mutations", "updates"):
         raise ValueError(f"unknown variant {variant!r}")
     keys = list(by) if by else []
