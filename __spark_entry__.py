@@ -114,6 +114,53 @@ def _conversion_oracle_sql(n: int) -> str:
     return "SELECT {} FROM ({}) s".format(", ".join(cols), inner)
 
 
+def _ob_stream_keyed(n):
+    """The Structured Streaming continuous book, driven to completion over the
+    driver's events (availableNow trigger -> memory sink) and returned as a
+    bounded DataFrame. Its per-event snapshots must equal the BATCH keyed
+    fold, so the streaming path gets the same full oracle hash check."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ])
+        from polars_order_book_spark.streaming import top_n_levels_stream
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # file streaming source requires a directory; glob-filter to the table
+        ev = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        stream = bs.keyed_mutations_stream(ev)
+        snaps = top_n_levels_stream(stream, "mutations", by=["book"], n=n)
+        name = f"ob_stream_snaps_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ob_stream_ckpt_")
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.table(name).select("book", "seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_relational(n, variant):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
@@ -636,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         "ob_conversion_top2": _ob_conversion(2),
+        "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         # relational strategy B (independent execution path, same oracle)
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
@@ -685,6 +733,9 @@ def oracle_sql() -> dict[str, str]:
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
         ),
         "ob_conversion_top2": _conversion_oracle_sql(2),
+        "ob_stream_keyed_mutations_top2": bs.oracle_book_sql(
+            bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
+        ),
         "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_relational_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
