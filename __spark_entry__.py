@@ -700,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_running_total": hq.events_user_running_total,
         "events_sessionize": hq.events_sessionize,
         "events_rollup": hq.events_rollup,
+        "events_value_quantiles": hq.events_value_quantiles,
         # pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -752,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_running_total": hq.EVENTS_RUNNING_SQL,
         "events_sessionize": hq.EVENTS_SESSIONS_SQL,
         "events_rollup": hq.EVENTS_ROLLUP_SQL,
+        "events_value_quantiles": hq.EVENTS_QUANTILES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

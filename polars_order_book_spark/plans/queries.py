@@ -318,6 +318,31 @@ FROM sess GROUP BY user_id, session_no
 """
 
 
+# --- Events: exact quantiles -------------------------------------------------
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type. Spark's percentile()
+    and DuckDB's quantile_cont() share the (n-1)·q linear-interpolation
+    definition — verified bit-identical, no rounding needed. (Exact
+    percentile sorts per group; at 100 TB swap in approx_percentile and drop
+    the oracle to a tolerance check.)"""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return ev.groupBy("event_type").agg(
+        qs[0].alias("p25"), qs[1].alias("p50"), qs[2].alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type, qs[1] AS p25, qs[2] AS p50, qs[3] AS p75, n
+FROM (
+    SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs, count(*) AS n
+    FROM events GROUP BY event_type
+)
+"""
+
+
 # --- Events: rollup (grouping sets surface) ---------------------------------
 
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
