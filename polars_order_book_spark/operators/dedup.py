@@ -205,6 +205,7 @@ def ngram_jaccard_pairs(
     k: int = DEFAULT_SHINGLE_K,
     block_col: str | None = None,
     threshold: float = 0.5,
+    order_by: str = "freq",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING — never
     all-pairs.
@@ -222,7 +223,14 @@ def ngram_jaccard_pairs(
     never generate candidates, so one giant block (e.g. block_col='lang' with
     one dominant language) no longer implies a |block|² join. ``block_col``
     remains as an optional semantic restriction (only intra-block pairs are
-    reported), not the scalability mechanism."""
+    reported), not the scalability mechanism.
+
+    ``order_by``: the prefix theorem holds for ANY global total order.
+    ``"freq"`` (default) orders by ascending document frequency — minimal
+    candidates, costs a frequency groupBy + join. ``"hash"`` orders by the
+    portable shingle hash — skips both (two fewer passes over the shingle
+    relation) at the price of more candidates on skewed real-text corpora.
+    Results are identical either way."""
     sh = shingles(df, text_col, id_col, k).distinct()
     blk: list[str] = []
     if block_col is not None:
@@ -235,14 +243,19 @@ def ngram_jaccard_pairs(
     # (ReusedExchange), so caching only adds materialization cost.
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy(*blk, "shingle").agg(F.count(F.lit(1)).alias("__freq"))
+    if order_by == "freq":
+        freq = sh.groupBy(*blk, "shingle").agg(F.count(F.lit(1)).alias("__freq"))
+        keyed = sh.join(freq, on=[*blk, "shingle"])
+        order_cols = [F.col("__freq"), F.col("shingle")]
+    elif order_by == "hash":
+        keyed = sh.withColumn("__hkey", hash64(F.col("shingle")))
+        order_cols = [F.col("__hkey"), F.col("shingle")]
+    else:
+        raise ValueError(f"unknown order_by {order_by!r}")
     ranked = (
-        sh.join(freq, on=[*blk, "shingle"])
-        .withColumn(
+        keyed.withColumn(
             "__rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("__freq", "shingle")
-            ),
+            F.row_number().over(Window.partitionBy("doc_id").orderBy(*order_cols)),
         )
         .join(sizes, on="doc_id")
     )

@@ -191,15 +191,55 @@ def _centroid_literal(c: int, dim: int):
     return F.array(*[F.lit(centroid_component(c, j)) for j in range(dim)])
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 7,
+) -> list:
+    """Spherical k-means on a seeded sample, driver-side — returns centroid
+    rows usable as :func:`cosine_topk_ivf`'s ``centroids``. The sample cap
+    bounds driver memory (training data volume is irrelevant to centroid
+    quality past a few thousand points); the full-data assignment still runs
+    distributed. Deterministic given (data, seed)."""
+    import numpy as np
+
+    rows = (
+        vectors.select(vec_col)
+        .limit(sample * 4)
+        .sample(False, 1.0, seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_cells, replace=False)]
+    for _ in range(iters):
+        cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        assign = np.argmax(x @ cent_unit.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cent]
+
+
 def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
-                     top: int) -> DataFrame:
+                     top: int, centroids: list | None = None) -> DataFrame:
     """(id, cell) pairs: the ``top`` nearest coarse centroids per vector by
     cosine. Assignment is a pure projection (argmax over n_cells dot products
     against literal centroids — constant-folded, no shuffle, no Python)."""
     v = _as_double(F.col("__v"))
     sims = []
     for c in range(n_cells):
-        cl = _centroid_literal(c, dim)
+        if centroids is not None:
+            cl = F.array(*[F.lit(float(x)) for x in centroids[c]])
+        else:
+            cl = _centroid_literal(c, dim)
         # |v| is a common positive factor across cells — dropping it leaves
         # the cosine ranking (and thus the assignment) unchanged while
         # skipping n_cells redundant self-dot folds per row.
@@ -224,10 +264,15 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     n_probe: int = 2,
     dim: int = 64,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: vectors index into their
     single nearest centroid's inverted list; each query probes its ``n_probe``
     nearest cells and scores only those lists.
+
+    ``centroids``: optional trained centroid vectors (see
+    :func:`train_ivf_centroids`) — better recall on clustered data; the
+    default md5-derived set keeps the pipeline oracle-re-derivable.
 
     The coarse quantizer is a fixed set of md5-derived pseudo-random
     centroids (spherical assignment by cosine) — deterministic, plan-constant,
@@ -236,13 +281,15 @@ def cosine_topk_ivf(
     assignment is a map-only projection, the candidate join is an equi-join on
     cell id (~N·n_probe/n_cells candidates per query), and skewed cells split
     under AQE."""
+    if centroids is not None:
+        n_cells = len(centroids)
     va = _cell_assignment(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
-        "neighbor_id", n_cells, dim, 1,
+        "neighbor_id", n_cells, dim, 1, centroids,
     )
     qa = _cell_assignment(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
-        "query_id", n_cells, dim, n_probe,
+        "query_id", n_cells, dim, n_probe, centroids,
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")

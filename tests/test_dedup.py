@@ -72,6 +72,19 @@ def test_prefix_filter_jaccard_matches_bruteforce_skewed_block(spark, threshold)
     assert expected, "test must exercise at least one surviving pair"
 
 
+def test_prefix_filter_hash_order_identical_results(spark):
+    """order_by='hash' (no frequency pass) must return exactly the same pairs
+    as the default frequency order — only candidate generation differs."""
+    rows = _doc_rows()
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, block_col="lang").collect()}
+    b = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard_pairs(
+             df, threshold=0.5, block_col="lang", order_by="hash").collect()}
+    assert a == b and a
+
+
 def test_prefix_filter_jaccard_no_block(spark):
     rows = _doc_rows(n_docs=20)
     df = spark.createDataFrame(rows, DOC_SCHEMA)

@@ -72,6 +72,37 @@ def test_ivf_topk_subset_of_bruteforce_with_exact_cosines(spark):
         assert len(rs) <= 10
 
 
+def test_ivf_trained_centroids_improve_recall_on_clustered_data(spark):
+    """On clustered vectors, k-means-trained centroids must match or beat the
+    fixed pseudo-random quantizer's recall vs exact brute force."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 64)) * 3
+    rows = []
+    for i in range(360):
+        c = centers[i % 6]
+        rows.append((i, (c + rng.normal(size=64) * 0.4).tolist()))
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=10).collect()
+    }
+
+    def recall(result):
+        hits = {(r["query_id"], r["neighbor_id"]) for r in result.collect()}
+        return len(hits & truth) / len(truth)
+
+    fixed = recall(similarity.cosine_topk_ivf(df, queries, k=10, n_cells=6, n_probe=1))
+    trained_c = similarity.train_ivf_centroids(df, n_cells=6, sample=360)
+    trained = recall(
+        similarity.cosine_topk_ivf(df, queries, k=10, n_probe=1, centroids=trained_c)
+    )
+    assert trained >= fixed
+    assert trained >= 0.9  # cluster-aligned cells should nearly nail top-10
+
+
 def test_blas_topk_excludes_self_and_caps_k(spark):
     rows = _vectors(n=30)
     df = spark.createDataFrame(rows, VEC_SCHEMA)
