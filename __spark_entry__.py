@@ -642,6 +642,34 @@ FROM documents
 """
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features_stub(docs)
+
+
+# ASCII payloads: per-byte sum == per-char ascii() sum.
+MULTIMODAL_AUDIO_SQL = """
+WITH base AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n,
+           8000 * (1 + octet_length(encode(text)) % 3) AS rate
+    FROM documents
+),
+sums AS (
+    SELECT doc_id, CAST(sum(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS s
+    FROM base, range(1, 8192) r(i)
+    WHERE i <= n
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       CAST(b.rate AS BIGINT) AS fake_sample_rate,
+       CAST((b.n * 1000) // (b.rate * 2) AS BIGINT) AS fake_duration_ms,
+       CAST(1 + b.n % 2 AS BIGINT) AS fake_channels,
+       CAST(CASE WHEN b.n = 0 THEN 0 ELSE s.s // b.n END AS BIGINT) AS rms_proxy
+FROM base b LEFT JOIN sums s USING (doc_id)
+"""
+
+
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.resize_image_stub(docs)
@@ -721,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
         "multimodal_resize": _multimodal_resize,
+        "multimodal_audio_features": _multimodal_audio,
+        "q6_forecast_revenue": hq.q6_forecast_revenue,
     }
 
 
@@ -773,4 +803,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+        "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+        "q6_forecast_revenue": hq.Q6_SQL,
     }

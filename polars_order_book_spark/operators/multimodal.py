@@ -72,6 +72,44 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("fake_sample_rate", LongType()),
+    StructField("fake_duration_ms", LongType()),
+    StructField("fake_channels", LongType()),
+    StructField("rms_proxy", LongType()),
+])
+
+
+def extract_audio_features_stub(df: DataFrame, id_col: str = "doc_id",
+                                payload_col: str = "payload") -> DataFrame:
+    """Audio-modality plumbing (mapInPandas over binary): deterministic fake
+    sample-rate/duration/loudness derived from the bytes — swap in
+    soundfile/ffprobe for real decode. rms_proxy = mean byte value, the
+    cheapest 'loudness' stand-in that is a pure function of the payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                n = len(b)
+                rate = 8000 * (1 + n % 3)  # 8/16/24 kHz fake tiers
+                out.append({
+                    "n_bytes": n,
+                    "fake_sample_rate": rate,
+                    "fake_duration_ms": (n * 1000) // (rate * 2) if n else 0,
+                    "fake_channels": 1 + n % 2,
+                    "rms_proxy": sum(b) // n if n else 0,
+                })
+            res = pd.DataFrame(out)
+            res.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield res
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("out_bytes", LongType()),

@@ -96,6 +96,39 @@ LIMIT 20
 """
 
 
+# --- Q6: forecast revenue change (pure scan-filter-agg, TPC-H Q6 shape) ----
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table predicate + aggregate: the canonical pushdown shape —
+    every filter reaches the parquet scan, the agg is one map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-07-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 4, 2))
+            .cast("double")
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_effect,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+  AND l_shipdate < TIMESTAMP '2024-07-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
 # --- Q5: region revenue rollup (join chain across all dims) ----------------
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
