@@ -70,6 +70,26 @@ def test_differential_mutations(spark, n, seed):
     assert a == b
 
 
+@pytest.mark.parametrize("seq_buckets", [2, 3, 7])
+@pytest.mark.parametrize("variant", ["mutations", "updates"])
+def test_differential_tiny_bucket_counts(spark, variant, seq_buckets):
+    """Hammer the segmented scan's carry-in: tiny bucket counts cut the
+    stream mid-flight, so every level's running aggregate crosses multiple
+    bucket boundaries."""
+    rng = random.Random(13)
+    rows = gen_mutations(rng, 240) if variant == "mutations" else gen_updates(rng, 240)
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(2)
+    maker = (top_n_levels_from_price_mutations if variant == "mutations"
+             else top_n_levels_from_price_updates)
+    a = by_seq(maker(df, n=2), cols)
+    b = by_seq(
+        top_n_levels_relational(df, n=2, variant=variant, seq_buckets=seq_buckets),
+        cols,
+    )
+    assert a == b
+
+
 @pytest.mark.parametrize("n", [1, 3])
 @pytest.mark.parametrize("seed", [7, 42])
 def test_differential_updates(spark, n, seed):

@@ -208,6 +208,37 @@ def test_stream_multichunk_microbatch_folds_in_seq_order(spark):
             assert got[k][c] == exp[c], f"{k}.{c}: {got[k][c]} != {exp[c]}"
 
 
+def test_stream_invalid_delete_fails_query(spark):
+    """The error contract survives streaming: an over-delete terminates the
+    query with the same 'Qty exceeds available' failure the batch fold
+    raises (ref: book_side.rs:110)."""
+    rows = [("A", 0, True, 100, 3), ("A", 1, True, 100, -5)]
+    tmp = tempfile.mkdtemp(prefix="obstream_err_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        part = os.path.join(tmp, "part")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(part, pq), os.path.join(in_dir, "000.parquet"))
+        stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        snaps = top_n_levels_stream(stream_in, "mutations", by=["product_id"], n=1)
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName("book_snaps_err")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception) as e:
+            q.awaitTermination(120)
+        assert "Qty exceeds available" in str(e.value)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_requires_keys(spark):
     df = spark.createDataFrame([], EVENT_SCHEMA)
     with pytest.raises(ValueError, match="at least one key"):
