@@ -300,6 +300,25 @@ def _as_list(s: pd.Series) -> list:
     return s.tolist()
 
 
+def _normalize_expr_args(
+    df: DataFrame, args: dict[str, "str | Column | None"]
+) -> tuple[DataFrame, dict[str, str | None], list[str]]:
+    """Accept ``str | Column`` per input (the reference's IntoExpr contract,
+    ref: _utils.py:15-52): Column expressions are materialized as temp
+    columns, dropped again from the operator's output."""
+    out: dict[str, str | None] = {}
+    temps: list[str] = []
+    for name, val in args.items():
+        if val is None or isinstance(val, str):
+            out[name] = val
+        else:
+            tmp = f"__expr_{name}"
+            df = df.withColumn(tmp, val)
+            out[name] = tmp
+            temps.append(tmp)
+    return df, out, temps
+
+
 def _apply_fold(
     df: DataFrame,
     variant: str,
@@ -314,6 +333,13 @@ def _apply_fold(
     output_struct: str | None = None,
 ) -> DataFrame:
     _check_n(n)
+    df, named, temps = _normalize_expr_args(
+        df,
+        {"price": price, "qty": qty, "is_bid": is_bid, "seq": seq,
+         "prev_price": prev_price, "prev_qty": prev_qty},
+    )
+    price, qty, is_bid, seq = named["price"], named["qty"], named["is_bid"], named["seq"]
+    prev_price, prev_qty = named["prev_price"], named["prev_qty"]
     snap_cols = snapshot_columns(n)
 
     drop_book = False
@@ -322,7 +348,8 @@ def _apply_fold(
         by = [_BOOK_COL]
         drop_book = True
 
-    out_fields = [f for f in df.schema.fields if f.name != _BOOK_COL]
+    drop_cols = [_BOOK_COL, *temps]
+    out_fields = [f for f in df.schema.fields if f.name not in drop_cols]
     schema = StructType(out_fields + [StructField(c, LongType(), True) for c in snap_cols])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -337,7 +364,7 @@ def _apply_fold(
             _as_list(pdf[prev_price]) if prev_price else None,
             _as_list(pdf[prev_qty]) if prev_qty else None,
         )
-        res = pdf.drop(columns=[_BOOK_COL], errors="ignore")
+        res = pdf.drop(columns=drop_cols, errors="ignore")
         for j, c in enumerate(snap_cols):
             res[c] = pd.arrays.IntegerArray(out[j], mask[j])
         return res
@@ -353,9 +380,9 @@ def _apply_fold(
 
 def top_n_levels_from_price_updates(
     df: DataFrame,
-    price: str = "price",
-    qty: str = "qty",
-    is_bid: str = "is_bid",
+    price: "str | Column" = "price",
+    qty: "str | Column" = "qty",
+    is_bid: "str | Column" = "is_bid",
     *,
     seq: str = "seq",
     by: Sequence[str] | None = None,
@@ -379,9 +406,9 @@ def top_n_levels_from_price_updates(
 
 def top_n_levels_from_price_mutations(
     df: DataFrame,
-    price: str = "price",
-    qty: str = "qty",
-    is_bid: str = "is_bid",
+    price: "str | Column" = "price",
+    qty: "str | Column" = "qty",
+    is_bid: "str | Column" = "is_bid",
     *,
     seq: str = "seq",
     by: Sequence[str] | None = None,
@@ -400,13 +427,13 @@ def top_n_levels_from_price_mutations(
 
 def top_n_levels_from_price_mutations_with_modify(
     df: DataFrame,
-    price: str = "price",
-    qty: str = "qty",
-    is_bid: str = "is_bid",
-    prev_price: str | None = None,
-    prev_qty: str | None = None,
+    price: "str | Column" = "price",
+    qty: "str | Column" = "qty",
+    is_bid: "str | Column" = "is_bid",
+    prev_price: "str | Column | None" = None,
+    prev_qty: "str | Column | None" = None,
     *,
-    seq: str = "seq",
+    seq: "str | Column" = "seq",
     by: Sequence[str] | None = None,
     n: int = 1,
     output_struct: str | None = None,

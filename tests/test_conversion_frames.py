@@ -82,6 +82,29 @@ def test_signed_qty_types(spark):
     assert got == [5, -5, -3, 2]
 
 
+def test_operators_accept_column_expressions(spark):
+    """IntoExpr parity (ref: _utils.py:15-52): inputs may be Column
+    expressions, not just names — the conversion recipe inlines into one
+    call; temp expr columns do not leak into the output."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(RAW_ROWS, RAW_SCHEMA)
+    named = top_n_levels_from_price_mutations(_convert(raw), n=1)
+    inline = top_n_levels_from_price_mutations(
+        raw,
+        price=scale_price("price_f", 100),
+        qty=signed_qty("message_type", "qty"),
+        is_bid=side_to_is_bid("side"),
+        n=1,
+    )
+    assert not [c for c in inline.columns if c.startswith("__expr_")]
+    got = {r["seq"]: (r["bid_price_1"], r["bid_qty_1"], r["ask_price_1"])
+           for r in inline.collect()}
+    exp = {r["seq"]: (r["bid_price_1"], r["bid_qty_1"], r["ask_price_1"])
+           for r in named.collect()}
+    assert got == exp
+
+
 def test_hconcat_on_id(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"])
     right = spark.createDataFrame([(2, 20.0), (1, 10.0)], ["id", "y"])
