@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _multimodal_resize,
         "multimodal_audio_features": _multimodal_audio,
         "q6_forecast_revenue": hq.q6_forecast_revenue,
+        "supplier_nation_summary": hq.supplier_nation_summary,
     }
 
 
@@ -805,4 +806,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,
         "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
         "q6_forecast_revenue": hq.Q6_SQL,
+        "supplier_nation_summary": hq.SUPPLIER_NATION_SQL,
     }

@@ -166,6 +166,34 @@ GROUP BY r_name, n_name
 """
 
 
+# --- Supplier rollup (completes 10/10 table coverage) ----------------------
+
+def supplier_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers per nation with balance stats — broadcast dim join + decimal
+    aggregates (order-independent sums)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec(F.col("s_acctbal"))).cast("double").alias("total_acctbal"),
+            F.max(F.col("s_acctbal")).alias("max_acctbal"),
+        )
+    )
+
+
+SUPPLIER_NATION_SQL = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS total_acctbal,
+       max(s_acctbal) AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # --- Window ranking: top orders per customer -------------------------------
 
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
