@@ -156,28 +156,38 @@ def mutation_stream_violations(
 ) -> DataFrame:
     """Rows where a mutation stream violates the reference's error contract.
 
-    A delta stream is valid iff every per-level prefix sum stays >= 0 —
-    deleting from a missing level and over-deleting both drive the running
-    sum negative (ref: book_side.rs:91-112). The exact fold RAISES on these
+    A delta stream is valid iff no event field is null (ref: update.rs:8-16)
+    and every per-level prefix sum stays >= 0 — deleting from a missing level
+    and over-deleting both drive the running sum negative
+    (ref: book_side.rs:91-112). The exact fold RAISES on all of these
     (strategy A parity with the reference); the relational path computes
     through them silently, so run this validator first when input validity is
-    not known. Returns (by..., seq, is_bid, price, level_qty) for every
-    violating event, empty when the stream is valid.
+    not known. Returns (by..., seq, is_bid, price, level_qty, reason) with
+    reason ∈ {'null_field', 'negative_level'}; empty when the stream is valid.
 
     Scale: one running-sum window per (keys, side, price) over DELTA rows only
     (no events×levels grid) — strictly cheaper than the snapshot query itself.
     """
     keys = list(by) if by else []
+    null_row = F.col(is_bid).isNull() | F.col(price).isNull() | F.col(qty).isNull()
+    nulls = df.where(null_row).select(
+        *keys, seq, is_bid, price,
+        F.lit(None).cast("long").alias("level_qty"),
+        F.lit("null_field").alias("reason"),
+    )
     w = (
         Window.partitionBy(*keys, F.col(is_bid), F.col(price))
         .orderBy(seq)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = F.sum(F.col(qty)).over(w)
-    return (
-        df.select(*keys, seq, is_bid, price, run.alias("level_qty"))
+    negative = (
+        df.where(~null_row)
+        .select(*keys, seq, is_bid, price, run.alias("level_qty"))
         .where(F.col("level_qty") < 0)
+        .withColumn("reason", F.lit("negative_level"))
     )
+    return nulls.unionByName(negative)
 
 
 def top_n_levels_relational(

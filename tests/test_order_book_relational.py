@@ -140,14 +140,16 @@ def test_violation_detector_flags_what_the_fold_raises_on(spark):
     """Where strategy A raises (delete-on-missing, over-delete), the
     relational validator must flag the same seqs; valid streams yield none."""
     invalid = [
-        (1, True, 5, 3),    # add 3@5
-        (2, True, 7, -1),   # delete on missing level 7  -> violation
-        (3, True, 5, -4),   # over-delete (3 available)  -> violation
-        (4, False, 9, 2),   # valid ask add
+        (1, True, 5, 3),     # add 3@5
+        (2, True, 7, -1),    # delete on missing level 7  -> violation
+        (3, True, 5, -4),    # over-delete (3 available)  -> violation
+        (4, False, 9, 2),    # valid ask add
+        (5, None, 9, 2),     # null is_bid                -> violation
     ]
     df = spark.createDataFrame(invalid, SCHEMA3)
-    flagged = sorted(r["seq"] for r in mutation_stream_violations(df).collect())
-    assert flagged == [2, 3]
+    flagged = {r["seq"]: r["reason"] for r in mutation_stream_violations(df).collect()}
+    assert flagged == {2: "negative_level", 3: "negative_level", 5: "null_field"}
+    df = df.where("seq < 5")  # drop the null row for the fold-raise check below
 
     import pytest as _pytest
 
