@@ -1,0 +1,63 @@
+"""Dump formatted physical plans for the bench headline queries.
+
+Usage: python tools/dump_plans.py [--sf DIR] [--out PLANS.md]
+
+The output is the evidence trail for plan-quality review: broadcast vs
+shuffle joins, pushed filters, partial aggregation, codegen stages, and the
+segmented-scan shuffle keys — the same properties tests/test_plans.py gates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINE = [
+    "ob_relational_mutations_top2",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "text_quality",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="PLANS.md")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from polars_order_book_spark.session import get_spark
+
+    spark = get_spark("dump-plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    with open(args.out, "w") as f:
+        f.write("# Physical plans (formatted) — headline queries\n\n")
+        f.write(f"Generated from `{args.sf}`. Pandas-UDF fold queries are "
+                "omitted: their plan is a single FlatMapGroupsInPandas over "
+                "one exchange by the book keys.\n")
+        for name in HEADLINE:
+            df = qs[name](spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+    print(f"wrote {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
