@@ -82,6 +82,8 @@ def _segmented_running_levels(
     qty: str,
     n_buckets: int,
     source: DataFrame,
+    deltas: DataFrame,
+    levels: DataFrame,
 ) -> DataFrame:
     """Two-phase segmented scan of the running level aggregate.
 
@@ -104,17 +106,13 @@ def _segmented_running_levels(
     if mn is None:
         return g.select(*keys, seq, is_bid, price, F.lit(None).cast("long").alias("level_qty"))
     width = max(1, (int(mx) - int(mn)) // n_buckets + 1)
-    g = g.withColumn("__bkt", F.expr(f"(`{seq}` - {int(mn)}) div {width}"))
+    bkt_of = lambda c: F.expr(f"(`{c}` - {int(mn)}) div {width}")  # noqa: E731
+    g = g.withColumn("__bkt", bkt_of(seq))
 
     w_local = (
         Window.partitionBy(*keys, "__bkt", is_bid, price)
         .orderBy(seq)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_carry = (
-        Window.partitionBy(*keys, is_bid, price)
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     if variant == "mutations":
         local = F.sum(F.coalesce(F.col(qty), F.lit(0))).over(w_local)
@@ -122,22 +120,37 @@ def _segmented_running_levels(
         local = F.last(F.col(qty), ignorenulls=True).over(w_local)
     staged = g.select(*keys, seq, "__bkt", is_bid, price, local.alias("__local"))
 
-    # Bucket reduction = the phase-1 running value at the bucket's last seq
-    # (max_by over the unique seq is deterministic, unlike agg-context last(),
-    # and groups on the same keys the window just partitioned by — AQE reuses
-    # the exchange).
-    per_bucket = staged.groupBy(*keys, "__bkt", is_bid, price).agg(
-        F.max_by("__local", F.col(seq)).alias("__bval")
+    # Carry-in branch NEVER touches the grid (the naive formulation replays
+    # the whole grid+window subtree inside the broadcast build — plan-dump
+    # finding). Bucket reductions need only DELTA rows; the tiny complete
+    # (levels × buckets) domain then guarantees every staged row finds its
+    # carry even for buckets where a level has no delta.
+    d = deltas.withColumn("__bkt", bkt_of(seq))
+    if variant == "mutations":
+        bval = F.sum(F.col(qty)).alias("__bval")
+    else:
+        # last set-value by seq: max over (seq, qty) structs of non-null qty
+        bval = F.max(
+            F.when(F.col(qty).isNotNull(), F.struct(F.col(seq).alias("s"), F.col(qty).alias("q")))
+        )["q"].alias("__bval")
+    btots = d.groupBy(*keys, "__bkt", is_bid, price).agg(bval)
+    domain = levels.select(
+        *keys, is_bid, price,
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets))).alias("__bkt"),
     )
+    w_carry = (
+        Window.partitionBy(*keys, is_bid, price)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    full = domain.join(btots, on=[*keys, "__bkt", is_bid, price], how="left")
     if variant == "mutations":
         carry_col = F.coalesce(F.sum("__bval").over(w_carry), F.lit(0))
         combine = F.col("__carry") + F.col("__local")
     else:
         carry_col = F.last("__bval", ignorenulls=True).over(w_carry)
         combine = F.coalesce(F.col("__local"), F.col("__carry"))
-    carry = per_bucket.select(
-        *keys, "__bkt", is_bid, price, carry_col.alias("__carry")
-    )
+    carry = full.select(*keys, "__bkt", is_bid, price, carry_col.alias("__carry"))
 
     joined = staged.join(
         F.broadcast(carry), on=[*keys, "__bkt", is_bid, price], how="left"
@@ -245,7 +258,7 @@ def top_n_levels_relational(
 
     if seq_buckets and seq_buckets > 1:
         booked = _segmented_running_levels(
-            g, variant, keys, seq, is_bid, price, qty, seq_buckets, df
+            g, variant, keys, seq, is_bid, price, qty, seq_buckets, df, deltas, levels
         )
     else:
         w = (
