@@ -75,6 +75,17 @@ def _ob_modify(n):
     return run
 
 
+def _ob_chunked_mutations(n, seq_chunks):
+    """Seq-range-chunked fold: identical semantics to `_ob_mutations` but each
+    book folds in `seq_chunks` chained rounds (bounded per-task memory — the
+    group-size-ceiling fix, SCALE.md). Shares the mutations oracle."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations(stream, n=n, seq_chunks=seq_chunks)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_keyed_mutations(n):
     """Multi-book fold — the reference's documented scaling workflow
     (ref: README.md:184-216): groupBy(book) runs one independent book per
@@ -710,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
+        "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "ob_conversion_top2": _ob_conversion(2),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         # relational strategy B (independent execution path, same oracle)
@@ -764,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_keyed_mutations_top2": bs.oracle_book_sql(
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
         ),
+        "ob_chunked_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_conversion_top2": _conversion_oracle_sql(2),
         "ob_stream_keyed_mutations_top2": bs.oracle_book_sql(
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"

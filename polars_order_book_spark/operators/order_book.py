@@ -287,6 +287,24 @@ def _fold_arrays(
     return out[:, 1:], mask[:, 1:], bids, asks
 
 
+def _side_from_lists(prices: "Sequence[int] | None", qtys: "Sequence[int] | None") -> _Side:
+    """Rebuild a ``_Side`` from parallel price/qty lists (state hand-off shape
+    shared by the streaming operator and the chunked batch fold)."""
+    side = _Side()
+    # `prices` may be a list (streaming state store) or a numpy array (Arrow
+    # deserialization of an array column) — avoid ambiguous truthiness.
+    if prices is not None and len(prices):
+        side.prices = sorted(int(p) for p in prices)
+        side.levels = {
+            int(p): int(q) for p, q in zip(prices, qtys if qtys is not None else [])
+        }
+    return side
+
+
+def _side_to_lists(side: _Side) -> tuple[list, list]:
+    return list(side.prices), [side.levels[p] for p in side.prices]
+
+
 def _as_list(s: pd.Series) -> list:
     """Column -> python list with None for nulls (fast path for the row loop)."""
     if s.dtype == object:
@@ -319,6 +337,149 @@ def _normalize_expr_args(
     return df, out, temps
 
 
+def _apply_fold_chunked(
+    df: DataFrame,
+    variant: str,
+    price: str,
+    qty: str,
+    is_bid: str,
+    seq: str,
+    by: Sequence[str],
+    n: int,
+    prev_price: str | None,
+    prev_qty: str | None,
+    snap_cols: list[str],
+    drop_cols: list[str],
+    out_fields: list[StructField],
+    seq_chunks: int,
+) -> DataFrame:
+    """Seq-range-chunked fold: removes the applyInPandas group-size ceiling.
+
+    ``_apply_fold`` materializes one book's WHOLE event history in one Python
+    worker. Here each book's events are bucketed into ``seq_chunks`` seq
+    ranges and folded round-by-round, chaining the two ``_Side`` structures
+    across rounds exactly like the Structured Streaming operator chains them
+    across micro-batches (``streaming/book_stream.py``): round *c* cogroups
+    chunk-*c* events with the round *c−1* end-state relation (book keys + four
+    long arrays) and emits the snapshot rows plus one tagged end-state row per
+    book. Peak per-task memory is one chunk of one book, not the history.
+
+    Scale/laziness contract: the builder stays fully lazy — no Spark job runs
+    until the result is acted on. Each round's output is lazily
+    ``localCheckpoint(eager=False)``-ed, which both caches it (the state chain
+    and the data union share one computation instead of re-folding prior
+    rounds) and truncates lineage (without this the plan tree nests every
+    prior round and grows quadratically with ``seq_chunks``). The input is
+    re-scanned once per round — the same trade the availableNow streaming path
+    makes. On a real cluster where executor loss must be survivable, prefer
+    reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
+    semantics or the streaming operator; local checkpoints are
+    executor-resident.
+    """
+    from pyspark.sql.types import ArrayType, BooleanType
+
+    spark = df.sparkSession
+    keys = list(by)
+    chunk_col = "__seq_chunk__"
+    smin, smax = "__seq_min__", "__seq_max__"
+
+    bounds = df.groupBy(*keys).agg(F.min(seq).alias(smin), F.max(seq).alias(smax))
+    span = F.col(smax) - F.col(smin) + F.lit(1)
+    chunk = F.least(
+        F.lit(seq_chunks - 1),
+        F.floor((F.col(seq) - F.col(smin)) * F.lit(seq_chunks) / span),
+    )
+    chunked = (
+        df.join(F.broadcast(bounds), on=keys)
+        .withColumn(chunk_col, F.coalesce(chunk, F.lit(0)).cast("int"))
+        .drop(smin, smax)
+    )
+
+    state_cols = ["__bid_prices__", "__bid_qtys__", "__ask_prices__", "__ask_qtys__"]
+    data_cols = [f.name for f in df.schema.fields]
+    inter_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        + [StructField(c, LongType(), True) for c in snap_cols]
+        + [StructField("__is_state__", BooleanType(), False)]
+        + [StructField(c, ArrayType(LongType()), True) for c in state_cols]
+    )
+    state_schema = StructType(
+        [StructField(k, df.schema[k].dataType, True) for k in keys]
+        + [StructField(c, ArrayType(LongType()), True) for c in state_cols]
+    )
+    all_cols = [f.name for f in inter_schema.fields]
+
+    def fold(key: tuple, events: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if len(state):
+            row = state.iloc[0]
+            bids = _side_from_lists(row[state_cols[0]], row[state_cols[1]])
+            asks = _side_from_lists(row[state_cols[2]], row[state_cols[3]])
+        else:
+            bids, asks = _Side(), _Side()
+
+        frames = []
+        if len(events):
+            pdf = events.sort_values(seq, kind="mergesort", ignore_index=True)
+            pdf = pdf.drop(columns=[chunk_col], errors="ignore")
+            out, mask, bids, asks = _fold_arrays(
+                variant,
+                n,
+                pdf[seq].to_numpy(),
+                _as_list(pdf[is_bid]),
+                _as_list(pdf[price]),
+                _as_list(pdf[qty]),
+                _as_list(pdf[prev_price]) if prev_price else None,
+                _as_list(pdf[prev_qty]) if prev_qty else None,
+                bids=bids,
+                asks=asks,
+            )
+            res = pdf.copy()
+            for j, c in enumerate(snap_cols):
+                res[c] = pd.arrays.IntegerArray(out[j], mask[j])
+            res["__is_state__"] = False
+            for c in state_cols:
+                res[c] = None
+            frames.append(res[all_cols])
+
+        bp, bq = _side_to_lists(bids)
+        ap, aq = _side_to_lists(asks)
+        srow: dict = {c: [None] for c in all_cols}
+        for k, v in zip(keys, key):
+            srow[k] = [v]
+        srow["__is_state__"] = [True]
+        srow[state_cols[0]], srow[state_cols[1]] = [bp], [bq]
+        srow[state_cols[2]], srow[state_cols[3]] = [ap], [aq]
+        frames.append(pd.DataFrame(srow, columns=all_cols))
+        if len(frames) == 1:
+            return frames[0]
+        import warnings
+
+        with warnings.catch_warnings():
+            # all-NA state columns on data rows; Arrow casts to the declared
+            # schema regardless of the pandas result dtype
+            warnings.simplefilter("ignore", FutureWarning)
+            return pd.concat(frames, ignore_index=True)
+
+    state_df = spark.createDataFrame([], state_schema)
+    parts: list[DataFrame] = []
+    for c in range(seq_chunks):
+        events_c = chunked.where(F.col(chunk_col) == c)
+        res = (
+            events_c.groupBy(*keys)
+            .cogroup(state_df.groupBy(*keys))
+            .applyInPandas(fold, schema=inter_schema)
+            .localCheckpoint(eager=False)
+        )
+        parts.append(res.where(~F.col("__is_state__")).select(*data_cols, *snap_cols))
+        state_df = res.where(F.col("__is_state__")).select(*keys, *state_cols)
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    keep = [f.name for f in out_fields]
+    return union.select(*keep, *snap_cols)
+
+
 def _apply_fold(
     df: DataFrame,
     variant: str,
@@ -331,6 +492,7 @@ def _apply_fold(
     prev_price: str | None = None,
     prev_qty: str | None = None,
     output_struct: str | None = None,
+    seq_chunks: int | None = None,
 ) -> DataFrame:
     _check_n(n)
     df, named, temps = _normalize_expr_args(
@@ -350,6 +512,17 @@ def _apply_fold(
 
     drop_cols = [_BOOK_COL, *temps]
     out_fields = [f for f in df.schema.fields if f.name not in drop_cols]
+
+    if seq_chunks is not None and seq_chunks > 1:
+        result = _apply_fold_chunked(
+            df, variant, price, qty, is_bid, seq, by, n, prev_price, prev_qty,
+            snap_cols, drop_cols, out_fields, seq_chunks,
+        )
+        if output_struct:
+            keep = [f.name for f in out_fields]
+            result = result.select(*keep, F.struct(*snap_cols).alias(output_struct))
+        return result
+
     schema = StructType(out_fields + [StructField(c, LongType(), True) for c in snap_cols])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -388,6 +561,7 @@ def top_n_levels_from_price_updates(
     by: Sequence[str] | None = None,
     n: int = 1,
     output_struct: str | None = None,
+    seq_chunks: int | None = None,
 ) -> DataFrame:
     """Fold snapshot-set events: qty replaces the level, qty=0 deletes it.
 
@@ -399,9 +573,12 @@ def top_n_levels_from_price_updates(
 
     ``seq`` orders events within a book; ``by`` names the book key columns
     (e.g. ``["product_id", "reset_count"]``, ref: README.md:184-216).
+    ``seq_chunks`` > 1 folds each book in that many seq-range chunks with state
+    chained across chunks — same results, bounded per-task memory (see
+    ``_apply_fold_chunked``).
     """
     return _apply_fold(df, "updates", price, qty, is_bid, seq, by, n,
-                       output_struct=output_struct)
+                       output_struct=output_struct, seq_chunks=seq_chunks)
 
 
 def top_n_levels_from_price_mutations(
@@ -414,6 +591,7 @@ def top_n_levels_from_price_mutations(
     by: Sequence[str] | None = None,
     n: int = 1,
     output_struct: str | None = None,
+    seq_chunks: int | None = None,
 ) -> DataFrame:
     """Fold signed-delta events: qty>0 adds, qty<0 deletes, 0 no-op.
 
@@ -422,7 +600,7 @@ def top_n_levels_from_price_mutations(
     exactly like the reference (ref: book_side.rs:91-112).
     """
     return _apply_fold(df, "mutations", price, qty, is_bid, seq, by, n,
-                       output_struct=output_struct)
+                       output_struct=output_struct, seq_chunks=seq_chunks)
 
 
 def top_n_levels_from_price_mutations_with_modify(
@@ -437,6 +615,7 @@ def top_n_levels_from_price_mutations_with_modify(
     by: Sequence[str] | None = None,
     n: int = 1,
     output_struct: str | None = None,
+    seq_chunks: int | None = None,
 ) -> DataFrame:
     """Mutations plus atomic order moves (delete prev_qty@prev_price then add
     qty@price in one event).
@@ -452,7 +631,7 @@ def top_n_levels_from_price_mutations_with_modify(
         )
     if prev_price is None:
         return _apply_fold(df, "mutations", price, qty, is_bid, seq, by, n,
-                           output_struct=output_struct)
+                           output_struct=output_struct, seq_chunks=seq_chunks)
     return _apply_fold(df, "modify", price, qty, is_bid, seq, by, n,
                        prev_price=prev_price, prev_qty=prev_qty,
-                       output_struct=output_struct)
+                       output_struct=output_struct, seq_chunks=seq_chunks)

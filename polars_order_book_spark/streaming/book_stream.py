@@ -38,6 +38,8 @@ from polars_order_book_spark.operators.order_book import (
     _check_n,
     _fold_arrays,
     _register_self_by_value,
+    _side_from_lists,
+    _side_to_lists,
     snapshot_columns,
 )
 
@@ -53,18 +55,6 @@ _STATE_SCHEMA = StructType(
         StructField("ask_qtys", ArrayType(LongType()), True),
     ]
 )
-
-
-def _side_from_lists(prices: Sequence[int] | None, qtys: Sequence[int] | None) -> _Side:
-    side = _Side()
-    if prices:
-        side.prices = sorted(int(p) for p in prices)
-        side.levels = {int(p): int(q) for p, q in zip(prices, qtys or [])}
-    return side
-
-
-def _side_to_lists(side: _Side) -> Tuple[list, list]:
-    return list(side.prices), [side.levels[p] for p in side.prices]
 
 
 def top_n_levels_stream(

@@ -1,0 +1,127 @@
+"""Chunked batch fold (``seq_chunks=``) must be byte-identical to the
+unchunked fold — it only changes WHERE state lives (chained across seq-range
+chunks, like the streaming operator chains it across micro-batches), never
+the semantics. Covers the group-size-ceiling fix from SCALE.md."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from polars_order_book_spark import (
+    OrderBookError,
+    snapshot_columns,
+    top_n_levels_from_price_mutations,
+    top_n_levels_from_price_mutations_with_modify,
+    top_n_levels_from_price_updates,
+)
+
+from test_property_differential import (
+    SCHEMA3,
+    SCHEMA5,
+    SETTINGS,
+    by_seq,
+    modify_stream,
+    mutation_stream,
+)
+
+KEYED_SCHEMA = StructType([StructField("book", LongType())] + SCHEMA3.fields)
+
+
+@settings(**SETTINGS)
+@given(rows=mutation_stream(), k=st.sampled_from([2, 5]))
+def test_property_chunked_equals_unchunked_mutations(spark, rows, k):
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(2)
+    base = by_seq(top_n_levels_from_price_mutations(df, n=2), cols)
+    chunked = by_seq(top_n_levels_from_price_mutations(df, n=2, seq_chunks=k), cols)
+    assert chunked == base
+
+
+@settings(**SETTINGS)
+@given(rows=modify_stream())
+def test_property_chunked_equals_unchunked_modify(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA5)
+    cols = snapshot_columns(2)
+    base = by_seq(
+        top_n_levels_from_price_mutations_with_modify(
+            df, prev_price="prev_price", prev_qty="prev_qty", n=2
+        ),
+        cols,
+    )
+    chunked = by_seq(
+        top_n_levels_from_price_mutations_with_modify(
+            df, prev_price="prev_price", prev_qty="prev_qty", n=2, seq_chunks=3
+        ),
+        cols,
+    )
+    assert chunked == base
+
+
+def _keyed_rows():
+    # Two books with interleaved adds/deletes; deterministic and valid.
+    rows = []
+    for bk in (0, 1):
+        live = {}
+        for s in range(40):
+            b = (s + bk) % 2 == 0
+            p = 1 + (s * 3 + bk) % 7
+            q = 1 + s % 4
+            if (b, p) in live and s % 5 == 0:
+                q = -min(live[(b, p)], q)
+            live[(b, p)] = live.get((b, p), 0) + q
+            if live[(b, p)] == 0:
+                del live[(b, p)]
+            rows.append((bk, s, b, p, q))
+    return rows
+
+
+def _collect_keyed(df, n):
+    cols = ["book", "seq"] + snapshot_columns(n)
+    return {(r["book"], r["seq"]): tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_chunked_keyed_and_tiny_chunks(spark):
+    df = spark.createDataFrame(_keyed_rows(), KEYED_SCHEMA)
+    base = _collect_keyed(top_n_levels_from_price_mutations(df, by=["book"], n=2), 2)
+    # more chunks than any book's span: every chunk holds <= a couple events
+    for k in (3, 12):
+        chunked = _collect_keyed(
+            top_n_levels_from_price_mutations(df, by=["book"], n=2, seq_chunks=k), 2
+        )
+        assert chunked == base
+
+
+def test_chunked_updates_unkeyed(spark):
+    rows = [(s, s % 2 == 0, 1 + s % 5, s % 4) for s in range(60)]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(3)
+    base = by_seq(top_n_levels_from_price_updates(df, n=3), cols)
+    chunked = by_seq(top_n_levels_from_price_updates(df, n=3, seq_chunks=4), cols)
+    assert chunked == base
+
+
+def test_chunked_error_contract_crosses_chunks(spark):
+    """An over-delete whose level was consumed in an EARLIER chunk must still
+    raise: state chains across chunks, so chunk 2 sees chunk 1's book."""
+    rows = [
+        (0, True, 5, 3),   # add 3@5            (chunk 0)
+        (1, True, 5, -3),  # delete all         (chunk 0)
+        (2, True, 7, 1),   # unrelated add      (chunk 1)
+        (3, True, 5, -1),  # over-delete: level 5 is gone (chunk 1)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    out = top_n_levels_from_price_mutations(df, n=1, seq_chunks=2)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "Level not found" in str(ei.value)
+
+
+def test_chunked_seq_chunks_one_is_plain_fold(spark):
+    """seq_chunks=1 (or None) takes the single-pass path — no chained rounds."""
+    rows = [(s, True, 1 + s % 3, 1) for s in range(10)]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    cols = snapshot_columns(1)
+    assert by_seq(
+        top_n_levels_from_price_mutations(df, n=1, seq_chunks=1), cols
+    ) == by_seq(top_n_levels_from_price_mutations(df, n=1), cols)
