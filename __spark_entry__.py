@@ -306,7 +306,11 @@ FROM votes GROUP BY doc_id
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.4, block_col="lang")
+    # order_by="hash": identical pairs (pinned by test) with two fewer passes
+    # over the shingle relation than the freq ordering
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=0.4, block_col="lang", order_by="hash"
+    )
 
 
 JACCARD_SQL = """
@@ -741,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": hq.events_sessionize,
         "events_rollup": hq.events_rollup,
         "events_value_quantiles": hq.events_value_quantiles,
+        "events_value_quantiles_approx": hq.events_value_quantiles_approx,
+        "events_user_distinct_approx": hq.events_user_distinct_approx,
         # pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -798,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": hq.EVENTS_SESSIONS_SQL,
         "events_rollup": hq.EVENTS_ROLLUP_SQL,
         "events_value_quantiles": hq.EVENTS_QUANTILES_SQL,
+        "events_value_quantiles_approx": hq.EVENTS_QUANTILES_APPROX_SQL,
+        "events_user_distinct_approx": hq.EVENTS_DISTINCT_APPROX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

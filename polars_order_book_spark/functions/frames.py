@@ -36,6 +36,9 @@ def hconcat(
     needs a global row_number — a single-partition sort per side — so it is
     for moderate frames only; give the data a real key for 100 TB work, like
     the reference's own examples join on "id" (ref: test_calculate_bbo.py:60).
+    The positional path EAGERLY counts both sides and raises ValueError on a
+    length mismatch (Polars' horizontal concat errors too; a silent inner-join
+    truncation would mask the caller's off-by-one). The `on` path stays lazy.
 
     Overlapping non-key column names take the left side's values; the right
     side's duplicates are dropped (matching Polars, which errors on duplicate
@@ -54,6 +57,12 @@ def hconcat(
         if right_order is not None
         else lo
     )
+    n_left, n_right = left.count(), right.count()
+    if n_left != n_right:
+        raise ValueError(
+            f"hconcat positional alignment needs equal lengths: "
+            f"left={n_left} right={n_right} (Polars raises here too)"
+        )
     lnum = left.withColumn(_POS, F.row_number().over(Window.orderBy(*lo)))
     rnum = right.withColumn(_POS, F.row_number().over(Window.orderBy(*ro)))
     dup = [c for c in rnum.columns if c in lnum.columns and c != _POS]

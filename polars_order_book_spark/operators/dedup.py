@@ -259,9 +259,14 @@ def ngram_jaccard_pairs(
         )
         .join(sizes, on="doc_id")
     )
-    prefix = ranked.where(
-        F.col("__rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    )
+    # ceil(t·n) in float arithmetic can land one ULP above an exact integer
+    # product (0.435·1000 = 435.00000000000006 → ceil 436), shortening the
+    # prefix below what the theorem requires and silently dropping a boundary
+    # pair; nudge down before ceil so exact products stay exact.
+    def _ceil_t(n_col):
+        return F.ceil(F.lit(threshold) * n_col - F.lit(1e-9))
+
+    prefix = ranked.where(F.col("__rn") <= F.col("n_sh") - _ceil_t(F.col("n_sh")) + 1)
 
     a = prefix.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
     b = prefix.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
@@ -270,8 +275,8 @@ def ngram_jaccard_pairs(
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             # length filter: J >= t forces t·|B| <= |A| (and symmetrically)
-            & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
-            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+            & (F.col("na") >= _ceil_t(F.col("nb")))
+            & (F.col("nb") >= _ceil_t(F.col("na")))
         )
         .select("doc_a", "doc_b")
         .distinct()

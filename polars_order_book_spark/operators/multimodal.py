@@ -3,14 +3,21 @@
 Treats image/audio/video as ``binary`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` — the Spark pattern for decode / resize /
 feature-extract at 100 TB (each batch is one Arrow RecordBatch; no per-row
-Python). The image/audio codec libraries are NOT in this container, so the
-actual decode is STUBBED (``decode_image_stub``) with a deterministic fake
-whose outputs are pure functions of the bytes — making the Spark-side plumbing
-(schema, batching, UDF signature) real and oracle-checkable while the codec
-call is a drop-in replacement later.
+Python).
+
+Codec strategy (import-try gated): real codecs (PIL for images, soundfile for
+audio) are attempted at import time; payloads bearing real-format magic bytes
+decode through them when present and raise ``NotImplementedError`` when not.
+Payloads WITHOUT real magic (e.g. the testdata's utf-8 stand-ins) always take
+the deterministic fake path (``decode_image_stub``), whose outputs are pure
+functions of the bytes — so the Spark-side plumbing (schema, batching, UDF
+signature) stays real and oracle-checkable in any environment, and a
+codec-equipped cluster changes only the real-magic branch.
 """
 
 from __future__ import annotations
+
+import importlib
 
 from collections.abc import Iterator
 
@@ -23,6 +30,29 @@ from pyspark.sql.types import (
 )
 
 
+def _import_optional(name: str):
+    """Best-effort import of an optional codec library; None when absent."""
+    try:
+        return importlib.import_module(name)
+    except Exception:
+        return None
+
+
+# Detected once at import; decode functions accept an explicit module handle
+# so both branches are unit-testable in a codec-less container.
+_PIL_IMAGE = _import_optional("PIL.Image")
+_SOUNDFILE = _import_optional("soundfile")
+_DETECT = object()  # sentinel: "use the detected module"
+
+_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM", b"RIFF")
+_AUDIO_MAGIC = (b"RIFF", b"fLaC", b"OggS")
+
+
+def _has_magic(payload: bytes, magics: tuple[bytes, ...]) -> bool:
+    head = bytes(payload[:4])
+    return any(head.startswith(m) for m in magics)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize a binary payload column from text (the testdata has no real
     media; utf-8 bytes stand in for an encoded image)."""
@@ -30,13 +60,13 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """Deterministic fake decode — replace with PIL/ffmpeg in production.
-
-    Raises NotImplementedError for payloads that would need a real codec
-    (magic bytes of real formats), else derives fake dimensions from length.
-    """
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
-        raise NotImplementedError("real codecs are not available in this container")
+    """Deterministic fake decode for payloads without real-format magic —
+    dimensions are pure functions of the byte length (oracle-checkable)."""
+    if _has_magic(payload, _IMAGE_MAGIC):
+        raise NotImplementedError(
+            "payload has real image magic bytes; decode_image_stub only fakes "
+            "non-image payloads — route through decode_image"
+        )
     n = len(payload)
     return {
         "n_bytes": n,
@@ -44,6 +74,68 @@ def decode_image_stub(payload: bytes) -> dict:
         "fake_width": 64 + n % 512,
         "fake_height": 64 + (n * 7) % 512,
         "fake_channels": 3,
+    }
+
+
+def decode_image(payload: bytes, image_module=_DETECT) -> dict:
+    """Import-try-gated image decode.
+
+    Real-format payloads (PNG/JPEG/GIF/BMP/RIFF magic) decode through PIL when
+    it is importable — emitting REAL width/height/channels in the same columns
+    — and raise ``NotImplementedError`` when it is not. Everything else takes
+    the deterministic stub. ``image_module`` overrides the detected codec
+    (tests inject a fake PIL, or None to simulate its absence).
+    """
+    mod = _PIL_IMAGE if image_module is _DETECT else image_module
+    if _has_magic(payload, _IMAGE_MAGIC):
+        if mod is None:
+            raise NotImplementedError(
+                "real image payload but no codec available (install Pillow)"
+            )
+        import io
+
+        img = mod.open(io.BytesIO(bytes(payload)))
+        width, height = img.size
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0] if len(payload) else 0,
+            "fake_width": int(width),
+            "fake_height": int(height),
+            "fake_channels": len(img.getbands()),
+        }
+    return decode_image_stub(payload)
+
+
+def decode_audio(payload: bytes, audio_module=_DETECT) -> dict:
+    """Import-try-gated audio decode: RIFF/FLAC/Ogg magic routes through
+    soundfile when importable (real sample rate / frames / channels), raises
+    when not; other payloads take the deterministic fake tier model."""
+    mod = _SOUNDFILE if audio_module is _DETECT else audio_module
+    b = bytes(payload)
+    n = len(b)
+    if _has_magic(b, _AUDIO_MAGIC):
+        if mod is None:
+            raise NotImplementedError(
+                "real audio payload but no codec available (install soundfile)"
+            )
+        import io
+
+        info = mod.info(io.BytesIO(b))
+        rate = int(info.samplerate)
+        return {
+            "n_bytes": n,
+            "fake_sample_rate": rate,
+            "fake_duration_ms": int(info.frames * 1000 // rate) if rate else 0,
+            "fake_channels": int(info.channels),
+            "rms_proxy": sum(b) // n if n else 0,
+        }
+    rate = 8000 * (1 + n % 3)  # 8/16/24 kHz fake tiers
+    return {
+        "n_bytes": n,
+        "fake_sample_rate": rate,
+        "fake_duration_ms": (n * 1000) // (rate * 2) if n else 0,
+        "fake_channels": 1 + n % 2,
+        "rms_proxy": sum(b) // n if n else 0,
     }
 
 
@@ -64,7 +156,7 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf[payload_col]]
+            feats = [decode_image(p) for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield out
@@ -84,25 +176,15 @@ AUDIO_FEATURE_SCHEMA = StructType([
 
 def extract_audio_features_stub(df: DataFrame, id_col: str = "doc_id",
                                 payload_col: str = "payload") -> DataFrame:
-    """Audio-modality plumbing (mapInPandas over binary): deterministic fake
-    sample-rate/duration/loudness derived from the bytes — swap in
-    soundfile/ffprobe for real decode. rms_proxy = mean byte value, the
-    cheapest 'loudness' stand-in that is a pure function of the payload."""
+    """Audio-modality plumbing (mapInPandas over binary): real-magic payloads
+    decode through soundfile when importable (see ``decode_audio``); others
+    get deterministic fake sample-rate/duration/loudness derived from the
+    bytes. rms_proxy = mean byte value, the cheapest 'loudness' stand-in that
+    is a pure function of the payload."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf[payload_col]:
-                b = bytes(p)
-                n = len(b)
-                rate = 8000 * (1 + n % 3)  # 8/16/24 kHz fake tiers
-                out.append({
-                    "n_bytes": n,
-                    "fake_sample_rate": rate,
-                    "fake_duration_ms": (n * 1000) // (rate * 2) if n else 0,
-                    "fake_channels": 1 + n % 2,
-                    "rms_proxy": sum(b) // n if n else 0,
-                })
+            out = [decode_audio(p) for p in pdf[payload_col]]
             res = pd.DataFrame(out)
             res.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield res
@@ -125,18 +207,32 @@ def resize_image_stub(
     target_h: int = 32,
 ) -> DataFrame:
     """Resize plumbing over binary payloads (mapInPandas, binary in → derived
-    bytes out). The deterministic stand-in 'resize' is a prefix crop to the
-    target byte budget (w·h·3/8); a real implementation swaps in
-    PIL.Image.resize on the decoded array. Output carries the md5 of the
-    resized payload so results are comparable across engines without shipping
-    raw bytes through the comparator."""
+    bytes out). Real-magic payloads resize through PIL when importable (md5
+    over the raw RGB pixel bytes — deterministic given the decode); other
+    payloads use the deterministic stand-in, a prefix crop to the target byte
+    budget (w·h·3/8). Output carries the md5 of the resized payload so results
+    are comparable across engines without shipping raw bytes through the
+    comparator."""
     import hashlib
 
     budget = target_w * target_h * 3 // 8
 
+    def resize_one(p: bytes) -> bytes:
+        b = bytes(p)
+        if _has_magic(b, _IMAGE_MAGIC):
+            if _PIL_IMAGE is None:
+                raise NotImplementedError(
+                    "real image payload but no codec available (install Pillow)"
+                )
+            import io
+
+            img = _PIL_IMAGE.open(io.BytesIO(b)).convert("RGB")
+            return img.resize((target_w, target_h)).tobytes()
+        return b[:budget]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [bytes(p)[:budget] for p in pdf[payload_col]]
+            resized = [resize_one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),

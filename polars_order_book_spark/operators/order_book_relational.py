@@ -84,6 +84,7 @@ def _segmented_running_levels(
     source: DataFrame,
     deltas: DataFrame,
     levels: DataFrame,
+    seq_bounds: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Two-phase segmented scan of the running level aggregate.
 
@@ -96,13 +97,18 @@ def _segmented_running_levels(
         level_qty = carry_in (+ local running sum | coalesce local last)
 
     The carry-in relation is |buckets| × |levels| rows — broadcastable at any
-    event count. Bucket boundaries come from an O(1)-row min/max scan of the
-    source (one cheap extra job, deterministic).
+    event count. Bucket boundaries come from ``seq_bounds`` when the caller
+    supplies them, else from a min/max(seq) aggregation of the source — an
+    O(1)-row result but an EAGER job that recomputes the upstream plan (see
+    the ``top_n_levels_relational`` docstring).
     """
-    row = source.agg(
-        F.min(F.col(seq)).alias("mn"), F.max(F.col(seq)).alias("mx")
-    ).first()
-    mn, mx = row["mn"], row["mx"]
+    if seq_bounds is not None:
+        mn, mx = seq_bounds
+    else:
+        row = source.agg(
+            F.min(F.col(seq)).alias("mn"), F.max(F.col(seq)).alias("mx")
+        ).first()
+        mn, mx = row["mn"], row["mx"]
     if mn is None:
         return g.select(*keys, seq, is_bid, price, F.lit(None).cast("long").alias("level_qty"))
     width = max(1, (int(mx) - int(mn)) // n_buckets + 1)
@@ -214,6 +220,7 @@ def top_n_levels_relational(
     n: int = 1,
     variant: str = "mutations",
     seq_buckets: int | None = None,
+    seq_bounds: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Book snapshots via windows + grid join; returns (by..., seq, 4·n cols).
 
@@ -230,6 +237,12 @@ def top_n_levels_relational(
     large the cluster (the 100 TB scale-killer). Default: 32 buckets when
     ``by`` is empty (single global book), off when keyed (parallelism already
     scales with the number of books; pass explicitly for skewed books).
+
+    EAGER-JOB caveat: with ``seq_buckets`` active and no ``seq_bounds``, the
+    builder runs one min/max(seq) Spark job at CONSTRUCTION time to derive
+    bucket boundaries — which re-executes the upstream plan once (expensive
+    when ``df`` is itself an explode/join pipeline; cache the input or pass
+    ``seq_bounds=(min_seq, max_seq)`` to keep construction fully lazy).
     """
     from polars_order_book_spark.operators.order_book import _check_n
 
@@ -258,7 +271,8 @@ def top_n_levels_relational(
 
     if seq_buckets and seq_buckets > 1:
         booked = _segmented_running_levels(
-            g, variant, keys, seq, is_bid, price, qty, seq_buckets, df, deltas, levels
+            g, variant, keys, seq, is_bid, price, qty, seq_buckets, df, deltas,
+            levels, seq_bounds,
         )
     else:
         w = (

@@ -204,13 +204,18 @@ def train_ivf_centroids(
     rows usable as :func:`cosine_topk_ivf`'s ``centroids``. The sample cap
     bounds driver memory (training data volume is irrelevant to centroid
     quality past a few thousand points); the full-data assignment still runs
-    distributed. Deterministic given (data, seed)."""
+    distributed.
+
+    Sampling: rows are ordered by a seeded hash of the vector itself before
+    the limit — a deterministic pseudo-random subset that is invariant to
+    partitioning/row order (a bare ``limit`` picks partition-dependent rows)
+    and unbiased for ordered/clustered inputs. Deterministic given
+    (data, seed)."""
     import numpy as np
 
     rows = (
         vectors.select(vec_col)
-        .limit(sample * 4)
-        .sample(False, 1.0, seed)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
         .limit(sample)
         .collect()
     )

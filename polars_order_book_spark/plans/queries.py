@@ -404,6 +404,72 @@ FROM (
 """
 
 
+# --- Events: approximate aggregates (tolerance-mode oracle) -----------------
+#
+# The driver compares exact value hashes, which a sketch cannot promise — so
+# each approx query emits EXACT anchor values plus booleans asserting the
+# sketch landed inside its guaranteed tolerance, and the oracle emits the same
+# anchors with literal TRUEs. An out-of-tolerance sketch flips a boolean and
+# fails the hash; sketch nondeterminism WITHIN tolerance (partition merge
+# order) cannot. At 100 TB these are the operators a user reaches for first:
+# one pass, mergeable state, no per-group sort.
+
+
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per event type, checked
+    against a ±3pp exact-rank bracket. accuracy=10000 guarantees rank error
+    ≤ 1e-4·N, far inside the bracket; booleans only flip on a real defect."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = F.expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)")
+    lo = F.expr("percentile(value, array(0.22D, 0.47D, 0.72D))")
+    hi = F.expr("percentile(value, array(0.28D, 0.53D, 0.78D))")
+    exact = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    agg = ev.groupBy("event_type").agg(
+        approx.alias("__ap"), lo.alias("__lo"), hi.alias("__hi"),
+        exact.alias("__ex"), F.count(F.lit(1)).alias("n"),
+    )
+    cols = [F.col("event_type"), F.col("n")]
+    for i, name in enumerate(("p25", "p50", "p75")):
+        in_tol = (F.col("__ap")[i] >= F.col("__lo")[i]) & (
+            F.col("__ap")[i] <= F.col("__hi")[i]
+        )
+        cols += [F.col("__ex")[i].alias(name), in_tol.alias(f"{name}_in_tol")]
+    return agg.select(*cols)
+
+
+EVENTS_QUANTILES_APPROX_SQL = """
+SELECT event_type, n,
+       qs[1] AS p25, TRUE AS p25_in_tol,
+       qs[2] AS p50, TRUE AS p50_in_tol,
+       qs[3] AS p75, TRUE AS p75_in_tol
+FROM (
+    SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs, count(*) AS n
+    FROM events GROUP BY event_type
+)
+"""
+
+
+def events_user_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.02) per event type, checked
+    within 3·rsd of the exact distinct count (a ~3-sigma bound for HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__ap"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    in_tol = (
+        F.abs(F.col("__ap") - F.col("n_users"))
+        <= F.lit(3 * 0.02) * F.col("n_users")
+    )
+    return agg.select("event_type", "n_users", in_tol.alias("approx_in_tol"))
+
+
+EVENTS_DISTINCT_APPROX_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_in_tol
+FROM events GROUP BY event_type
+"""
+
+
 # --- Events: rollup (grouping sets surface) ---------------------------------
 
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,3 +149,10 @@ def test_csv_event_ingest_folds(spark):
     assert out[3]["bid_price_1"] == 101 and out[3]["bid_qty_1"] == 2
     assert out[4]["bid_price_1"] == 101  # 100-level deleted, 101 remains
     assert out[4]["ask_price_1"] == 105 and out[4]["ask_qty_1"] == 3
+
+
+def test_hconcat_positional_length_mismatch_raises(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["o", "x"])
+    right = spark.createDataFrame([(10, 1.0), (20, 2.0)], ["r", "y"])
+    with pytest.raises(ValueError, match="equal lengths"):
+        hconcat(left, right, left_order="o", right_order="r")

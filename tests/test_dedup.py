@@ -11,6 +11,7 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from polars_order_book_spark.operators import dedup
@@ -104,3 +105,17 @@ def test_simhash_signature_stable_and_bounded(spark):
     assert sigs[1] == sigs[2]                    # identical text -> identical signature
     assert sigs[1] != sigs[3]
     assert all(0 <= s < 2 ** 32 for s in sigs.values())
+
+
+def test_prefix_ceil_epsilon_guards_exact_products(spark):
+    """ceil(t·n) in doubles can round an exact integer product UP one
+    (0.07·100 → 7.000000000000001 → 8), shortening the prefix below the
+    theorem's bound. The operator nudges down by 1e-9 before ceil; pin the
+    arithmetic both ways so a refactor can't silently reintroduce it."""
+    assert 0.07 * 100 == 7.000000000000001  # the float artifact itself
+    row = spark.range(1).select(
+        F.ceil(F.lit(0.07) * F.lit(100)).alias("naive"),
+        F.ceil(F.lit(0.07) * F.lit(100) - F.lit(1e-9)).alias("guarded"),
+    ).first()
+    assert row["naive"] == 8  # the artifact the guard exists for
+    assert row["guarded"] == 7

@@ -1,0 +1,123 @@
+"""Multimodal plumbing + import-try codec gating.
+
+The container has no image/audio codecs, so the real-codec branch is
+exercised by injecting a fake module handle (the dispatch structure is what
+matters); the stub branch and the codec-missing error are tested directly.
+"""
+
+import io
+
+import pytest
+
+from polars_order_book_spark.operators import multimodal as mm
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\nrest-of-payload"
+WAV_MAGIC = b"RIFF\x24\x00\x00\x00WAVEfmt "
+TEXT_PAYLOAD = b"plain utf-8 text payload"
+
+
+class _FakeImg:
+    size = (320, 200)
+
+    def getbands(self):
+        return ("R", "G", "B", "A")
+
+
+class _FakePIL:
+    """Duck-typed PIL.Image module: open(file) -> image with size/getbands."""
+
+    def __init__(self):
+        self.opened_with = None
+
+    def open(self, fp):
+        assert isinstance(fp, io.BytesIO)
+        self.opened_with = fp.getvalue()
+        return _FakeImg()
+
+
+class _FakeInfo:
+    samplerate = 44100
+    frames = 88200
+    channels = 2
+
+
+class _FakeSoundfile:
+    def info(self, fp):
+        assert isinstance(fp, io.BytesIO)
+        return _FakeInfo()
+
+
+def test_decode_image_stub_is_deterministic():
+    a = mm.decode_image_stub(TEXT_PAYLOAD)
+    b = mm.decode_image_stub(TEXT_PAYLOAD)
+    assert a == b
+    assert a["n_bytes"] == len(TEXT_PAYLOAD)
+    assert a["fake_width"] == 64 + len(TEXT_PAYLOAD) % 512
+
+
+def test_decode_image_stub_refuses_real_magic():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(PNG_MAGIC)
+
+
+def test_decode_image_codec_missing_branch():
+    # real magic + no codec: the honest NotImplementedError
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm.decode_image(PNG_MAGIC, image_module=None)
+
+
+def test_decode_image_codec_present_branch():
+    fake = _FakePIL()
+    out = mm.decode_image(PNG_MAGIC, image_module=fake)
+    assert fake.opened_with == PNG_MAGIC  # payload reached the codec
+    assert out["fake_width"] == 320
+    assert out["fake_height"] == 200
+    assert out["fake_channels"] == 4
+    assert out["n_bytes"] == len(PNG_MAGIC)
+
+
+def test_decode_image_stub_path_ignores_codec():
+    # non-magic payloads never touch the codec, even when one is available
+    fake = _FakePIL()
+    out = mm.decode_image(TEXT_PAYLOAD, image_module=fake)
+    assert fake.opened_with is None
+    assert out == mm.decode_image_stub(TEXT_PAYLOAD)
+
+
+def test_decode_audio_codec_missing_branch():
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm.decode_audio(WAV_MAGIC, audio_module=None)
+
+
+def test_decode_audio_codec_present_branch():
+    out = mm.decode_audio(WAV_MAGIC, audio_module=_FakeSoundfile())
+    assert out["fake_sample_rate"] == 44100
+    assert out["fake_duration_ms"] == 2000
+    assert out["fake_channels"] == 2
+
+
+def test_decode_audio_stub_branch():
+    out = mm.decode_audio(TEXT_PAYLOAD, audio_module=None)
+    n = len(TEXT_PAYLOAD)
+    assert out["n_bytes"] == n
+    assert out["fake_sample_rate"] == 8000 * (1 + n % 3)
+    assert out["rms_proxy"] == sum(TEXT_PAYLOAD) // n
+
+
+def test_detected_modules_absent_in_container():
+    # documents the container contract the stub branch relies on; if codecs
+    # appear, the real branch activates and this pin should be revisited
+    assert mm._PIL_IMAGE is None
+    assert mm._SOUNDFILE is None
+
+
+def test_extract_image_features_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], ["doc_id", "text"]
+    )
+    out = mm.extract_image_features(mm.attach_payload(df)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == len(b"hello world")
+    assert by_id[1]["fake_channels"] == 3
+    assert by_id[2]["fake_width"] == 64 + len(b"another doc") % 512

@@ -113,3 +113,20 @@ def test_blas_topk_excludes_self_and_caps_k(spark):
     assert len(got) == 5
     assert all(r["neighbor_id"] != 0 for r in got)
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_train_ivf_centroids_invariant_to_partitioning(spark):
+    """Centroid training samples by seeded hash-order, not partition order —
+    repartitioning (or any upstream layout change) must not change centroids."""
+    import numpy as np
+
+    from polars_order_book_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = train_ivf_centroids(df, vec_col="embedding", n_cells=4, sample=32, seed=5)
+    shuffled = train_ivf_centroids(
+        df.repartition(7), vec_col="embedding", n_cells=4, sample=32, seed=5
+    )
+    assert base == shuffled
