@@ -26,6 +26,7 @@ def main() -> None:
         "ob_mutations_top2",
         "ob_modify_top2",
         "ob_keyed_mutations_top2",
+        "ob_chunked_mutations_top2",
         "ob_relational_mutations_top2",
         "q1_pricing_summary",
         "q3_top_revenue_orders",
@@ -33,6 +34,8 @@ def main() -> None:
         "topk_orders_per_customer",
         "events_hourly",
         "events_sessionize",
+        "events_value_quantiles_approx",
+        "events_user_distinct_approx",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -62,19 +65,25 @@ def main() -> None:
     checksum(qs["q1_pricing_summary"](spark, sf_dir))
     checksum(qs["ob_updates_top1"](spark, sf_dir))
 
-    # Best-of-2: single-shot timings on a shared box jitter 2-4x from GC /
-    # page cache / CPU contention; the min of two full computations is the
-    # steady-state cost (both runs execute the complete plan - no caching).
+    # Three timed runs per query: report BEST (steady-state cost — single-shot
+    # timings on a shared box jitter 2-4x from GC / page cache / CPU
+    # contention) AND MEDIAN (load-robust central tendency), plus the 1-min
+    # loadavg before/after, so load-sensitive entries are attributable. Every
+    # run executes the complete plan — no caching between runs.
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in headline:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = checksum(df)
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
             assert n >= 0
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
+    load_end = os.getloadavg()[0]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,6 +92,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "loadavg_1min_start": round(load_start, 2),
+        "loadavg_1min_end": round(load_end, 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

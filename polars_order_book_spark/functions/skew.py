@@ -1,0 +1,103 @@
+"""Skew hardening for bucketed joins: dynamic salt-splitting of hot groups.
+
+Bucketed designs (LSH bands, IVF cells) die on the one hot bucket: a group
+with m rows makes the self-join task do m² work, and AQE's skew splitting
+cannot subdivide a single join KEY — only oversized partitions. These helpers
+re-key oversized groups by a deterministic salt so per-task work is bounded by
+~cap², no matter how degenerate the data (e.g. every document identical ⇒ one
+band bucket holding the whole corpus).
+
+Both helpers are pure DataFrame transforms: one extra group-size aggregation
+plus a broadcast-friendly join against it; no driver collect, no RDDs. Salting
+never changes results — each pair still meets exactly once (proof in the
+docstrings) — so callers keep their oracle equivalence.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SA, _SB, _N = "__salt_a__", "__salt_b__", "__grp_n__"
+
+
+def _salt_count(cap: int):
+    """Number of salt cells per group: ceil(n/cap), 1 for small groups."""
+    return F.greatest(F.lit(1), F.ceil(F.col(_N) / F.lit(cap))).cast("int")
+
+
+def salted_pair_join(
+    rows: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    cap: int,
+) -> DataFrame:
+    """Self-equi-join of ``rows`` on ``keys`` → ordered id pairs
+    (``out_a`` < ``out_b``), with per-task pair counts bounded by ~cap².
+
+    Triangle decomposition: each group of size n splits into S = ceil(n/cap)
+    salt cells by hash(id) mod S; a pair (x, y) meets exactly once — row x
+    enters the left side at (salt(x), j) for every j and row y enters the
+    right side at (i, salt(y)) for every i, so they join only in cell
+    (salt(x), salt(y)); the mirrored meeting in (salt(y), salt(x)) carries
+    (y, x) and is removed by the ``<`` filter. Replication cost is S× per row
+    — paid only inside oversized groups. Output may contain duplicates across
+    different key values (same as the unsalted join); callers dedup as before.
+    """
+    keys = list(keys)
+    sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
+    r = rows.join(sizes, on=keys)
+    s = _salt_count(cap)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), s).cast("int")
+    left = r.select(
+        *keys,
+        salt.alias(_SA),
+        F.explode(F.sequence(F.lit(0), s - 1)).alias(_SB),
+        F.col(id_col).alias(out_a),
+    )
+    right = r.select(
+        *keys,
+        F.explode(F.sequence(F.lit(0), s - 1)).alias(_SA),
+        salt.alias(_SB),
+        F.col(id_col).alias(out_b),
+    )
+    return (
+        left.join(right, on=[*keys, _SA, _SB])
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+    )
+
+
+def salted_probe_join(
+    build: DataFrame,
+    probe: DataFrame,
+    keys: Sequence[str],
+    build_id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Equi-join ``build`` ⋈ ``probe`` on ``keys`` with hot build groups
+    salt-split: build rows take salt = hash(id) mod S, probe rows replicate
+    across all S salts of their group, so each (probe, build) pair meets
+    exactly once and per-task build rows are bounded by ~cap. Returns the
+    joined frame with all columns from both sides (salt columns dropped).
+
+    The replication multiplier applies to the PROBE side (queries), which in
+    ANN workloads is orders of magnitude smaller than the vector side — the
+    standard asymmetry this helper assumes.
+    """
+    keys = list(keys)
+    sizes = build.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
+    s = _salt_count(cap)
+    b = build.join(sizes, on=keys).withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.col(build_id_col)), s).cast("int")
+    ).drop(_N)
+    p = (
+        probe.join(sizes, on=keys)
+        .withColumn("__salt__", F.explode(F.sequence(F.lit(0), s - 1)))
+        .drop(_N)
+    )
+    return b.join(p, on=[*keys, "__salt__"]).drop("__salt__")

@@ -111,9 +111,21 @@ def lsh_band_buckets(sig: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> Data
     ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(buckets: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket. The self-join is
-    keyed on (band, band_hash) — only colliding docs meet."""
+    keyed on (band, band_hash) — only colliding docs meet.
+
+    ``bucket_cap`` salt-splits buckets above that size before the self-join
+    (see :func:`functions.skew.salted_pair_join`): a degenerate corpus (every
+    doc identical ⇒ one bucket holds everything) otherwise concentrates the
+    whole m² pair space in one task, which AQE cannot split mid-key. Results
+    are identical either way."""
+    if bucket_cap:
+        from polars_order_book_spark.functions.skew import salted_pair_join
+
+        return salted_pair_join(
+            buckets, ["band", "band_hash"], "doc_id", "doc_a", "doc_b", bucket_cap
+        ).distinct()
     a = buckets.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
     b = buckets.select(F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
     return (
@@ -159,12 +171,16 @@ def minhash_lsh_duplicates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
     threshold: float = 0.5,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify."""
+    """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify.
+
+    ``bucket_cap`` (default 4096) bounds per-task candidate generation even on
+    adversarial corpora; pass None for the unsalted join."""
     sh = shingles(df, text_col, id_col, k)
     sig = minhash_signatures(sh, num_hashes)
     buckets = lsh_band_buckets(sig, band_rows)
-    pairs = lsh_candidate_pairs(buckets)
+    pairs = lsh_candidate_pairs(buckets, bucket_cap)
     return jaccard_verify(pairs, sh, threshold)
 
 

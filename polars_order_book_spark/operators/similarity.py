@@ -120,6 +120,7 @@ def neardup_embedding_pairs(
     n_planes: int = 16,
     band_size: int = 4,
     dim: int = 64,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -132,6 +133,9 @@ def neardup_embedding_pairs(
     no all-pairs product; verification joins the (small) candidate set back
     to the vectors. Recall/precision tune via n_planes/band_size exactly like
     MinHash bands; determinism comes from the md5-derived planes.
+    ``bucket_cap`` (default 4096) salt-splits hot band buckets so one
+    degenerate bucket (e.g. all-identical embeddings) cannot concentrate the
+    pair space in a single task; None restores the plain join.
     """
     assert n_planes % band_size == 0
     n_bands = n_planes // band_size
@@ -150,13 +154,20 @@ def neardup_embedding_pairs(
             ])
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.key")
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band", "key"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
-        .distinct()
-    )
+    if bucket_cap:
+        from polars_order_book_spark.functions.skew import salted_pair_join
+
+        cands = salted_pair_join(
+            bands, ["band", "key"], "vec_id", "doc_a", "doc_b", bucket_cap
+        ).distinct()
+    else:
+        cands = (
+            bands.alias("a")
+            .join(bands.alias("b"), on=["band", "key"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+            .distinct()
+        )
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
     ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
@@ -270,6 +281,7 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     dim: int = 64,
     centroids: list | None = None,
+    cell_cap: int | None = 65536,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: vectors index into their
     single nearest centroid's inverted list; each query probes its ``n_probe``
@@ -284,8 +296,10 @@ def cosine_topk_ivf(
     and exactly re-derivable in SQL for the oracle; a production build would
     train centroids with k-means, changing only the literals. Scale shape:
     assignment is a map-only projection, the candidate join is an equi-join on
-    cell id (~N·n_probe/n_cells candidates per query), and skewed cells split
-    under AQE."""
+    cell id (~N·n_probe/n_cells candidates per query). ``cell_cap`` (default
+    64k) salt-splits inverted lists above that size — one hot cell is a single
+    join key, which AQE cannot subdivide — replicating only the (small) query
+    side across the cell's salts; None restores the plain cell join."""
     if centroids is not None:
         n_cells = len(centroids)
     va = _cell_assignment(
@@ -302,9 +316,14 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(qa, on="query_id")
+    if cell_cap:
+        from polars_order_book_spark.functions.skew import salted_probe_join
+
+        paired = salted_probe_join(v, q, ["cell"], "neighbor_id", cell_cap)
+    else:
+        paired = v.join(q, on="cell")
     sim = (
-        v.join(q, on="cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        paired.where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

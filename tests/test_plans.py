@@ -89,3 +89,64 @@ def test_whole_stage_codegen_covers_text_ops(spark):
     # "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python in the path
+
+
+# --- negative invariants over the WHOLE registry -----------------------------
+#
+# Sites where a BroadcastNestedLoopJoin is deliberate and bounded:
+#   * the unkeyed relational book's events x touched-levels grid (build side =
+#     distinct touched levels, provably tiny)
+#   * brute-force ANN's vectors x broadcast query set (build side = the
+#     handful of query vectors)
+# Everything else must stay equi-join shaped. A CartesianProduct is never OK.
+#   * TF-IDF's broadcast of the 1-row corpus-size aggregate (a scalar
+#     attached to every row — the standard shape for global normalizers)
+_BNLJ_WHITELIST = {
+    "ob_relational_mutations_top2",
+    "ob_relational_updates_top3",
+    "ob_relational_modify_top2",
+    "ann_cosine_topk",
+    "ann_cosine_topk_blas",
+    "text_tfidf",
+}
+
+# Streaming executes on construction; exercised by driver + streaming tests.
+_PLAN_SKIP = {"ob_stream_keyed_mutations_top2"}
+
+
+@needs_testdata
+def test_registry_no_cartesian_no_unwhitelisted_bnlj(spark):
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in _PLAN_SKIP:
+            continue
+        plan = plan_of(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_WHITELIST:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
+@needs_testdata
+def test_dimension_joins_never_shuffle(spark):
+    """Queries joining dimension tables (region/nation/customer/supplier) must
+    broadcast the dim side — a SortMergeJoin/ShuffledHashJoin against a dim is
+    a plan regression (it shuffles the fact table on the dim key for nothing).
+    """
+    dim_queries = [
+        "q3_top_revenue_orders",
+        "q5_nation_revenue",
+        "supplier_nation_summary",
+        "customers_without_orders",
+        "topk_orders_per_customer",
+    ]
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in dim_queries:
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name

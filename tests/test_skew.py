@@ -1,0 +1,116 @@
+"""Skew hardening: salted bucket joins must bound per-task group sizes on
+adversarial data (every doc identical ⇒ one band bucket holds the corpus)
+while producing results identical to the plain joins."""
+
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.functions.skew import (
+    _SA,
+    _SB,
+    salted_pair_join,
+    salted_probe_join,
+)
+from polars_order_book_spark.operators import dedup, similarity
+
+
+def _adversarial_docs(spark, n=60):
+    # identical text ⇒ identical minhash signature ⇒ ONE bucket per band
+    return spark.createDataFrame(
+        [(i, "the same exact text repeated for every single document here") for i in range(n)],
+        ["doc_id", "text"],
+    )
+
+
+def test_salted_pair_join_equals_plain_join(spark):
+    rows = spark.createDataFrame(
+        [(b, h, i) for b in range(2) for h in ("x", "y") for i in range(20)],
+        ["band", "band_hash", "doc_id"],
+    )
+    plain = dedup.lsh_candidate_pairs(rows, bucket_cap=None)
+    salted = dedup.lsh_candidate_pairs(rows, bucket_cap=6)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_pair_join_bounds_cell_sizes(spark):
+    """On one degenerate bucket of 64 docs with cap 8, every salted join cell
+    must hold ~cap rows per side (bounded per-task candidate counts)."""
+    rows = spark.createDataFrame(
+        [(0, "hot", i) for i in range(64)], ["band", "band_hash", "doc_id"]
+    )
+    # reproduce the left side of salted_pair_join and measure cell sizes
+    sizes = rows.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("__grp_n__"))
+    r = rows.join(sizes, on=["band", "band_hash"])
+    s = F.greatest(F.lit(1), F.ceil(F.col("__grp_n__") / F.lit(8))).cast("int")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), s).cast("int")
+    left = r.select(
+        "band", "band_hash", salt.alias(_SA),
+        F.explode(F.sequence(F.lit(0), s - 1)).alias(_SB), "doc_id",
+    )
+    cell_sizes = [
+        row["n"]
+        for row in left.groupBy("band", "band_hash", _SA, _SB)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    # 64 docs over 8 salts: expected 8/cell; hash unevenness tolerated to 3x
+    assert max(cell_sizes) <= 3 * 8
+    # and the pair set is still exactly the full m-choose-2
+    pairs = salted_pair_join(rows, ["band", "band_hash"], "doc_id", "a", "b", 8)
+    assert pairs.distinct().count() == 64 * 63 // 2
+
+
+def test_minhash_lsh_salted_identical_on_adversarial_corpus(spark):
+    docs = _adversarial_docs(spark, 40)
+    plain = dedup.minhash_lsh_duplicates(docs, threshold=0.5, bucket_cap=None)
+    salted = dedup.minhash_lsh_duplicates(docs, threshold=0.5, bucket_cap=5)
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+    # all docs identical: every pair is a duplicate
+    assert plain.count() == 40 * 39 // 2
+
+
+def test_neardup_embedding_salted_identical(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(30):
+        v = base + rng.normal(scale=0.01, size=16)  # near-identical cluster
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(threshold=0.9, n_planes=8, band_size=4, dim=16)
+    plain = similarity.neardup_embedding_pairs(df, bucket_cap=None, **kw)
+    salted = similarity.neardup_embedding_pairs(df, bucket_cap=4, **kw)
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["cosine"], 12))  # noqa: E731
+    got_p, got_s = sorted(map(key, plain.collect())), sorted(map(key, salted.collect()))
+    assert got_p == got_s
+    assert len(got_p) == 30 * 29 // 2  # the whole cluster is near-dup
+
+
+def test_ivf_salted_probe_identical(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_cells=4, n_probe=2, dim=16)
+    plain = similarity.cosine_topk_ivf(df, q, cell_cap=None, **kw)
+    salted = similarity.cosine_topk_ivf(df, q, cell_cap=7, **kw)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+def test_salted_probe_join_pairs_meet_once(spark):
+    build = spark.createDataFrame(
+        [(0, i) for i in range(40)] + [(1, 100 + i) for i in range(3)],
+        ["cell", "neighbor_id"],
+    )
+    probe = spark.createDataFrame([(0, "q1"), (0, "q2"), (1, "q3")], ["cell", "query_id"])
+    out = salted_probe_join(build, probe, ["cell"], "neighbor_id", 6)
+    # every (query, build) pair in the same cell appears exactly once
+    assert out.count() == 40 * 2 + 3
+    assert out.select("neighbor_id", "query_id").distinct().count() == out.count()
