@@ -213,6 +213,120 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int,
+                    block_col: str | None) -> DataFrame:
+    """(doc_id[, __blk], __sh): DISTINCT shingles per doc as ONE array,
+    ordered by (hash64, shingle) — the same global total order the relational
+    path's order_by='hash' uses, derived in-array (no shuffle, no window)."""
+    cols = [F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("__blk"))
+    base = df.select(*cols)
+    toks = F.col("__toks")
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    keyed = F.transform(
+        F.array_distinct(sh), lambda s: F.struct(hash64(s).alias("h"), s.alias("s"))
+    )
+    ordered = F.transform(F.array_sort(keyed), lambda x: x["s"])
+    out = ["doc_id", "__blk"] if block_col is not None else ["doc_id"]
+    return base.withColumn("__sh", ordered).select(*out, "__sh")
+
+
+def ngram_jaccard_pairs_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = DEFAULT_SHINGLE_K,
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    spread: int | None = None,
+) -> DataFrame:
+    """Array-native exact n-gram Jaccard pairs ≥ threshold — identical results
+    to :func:`ngram_jaccard_pairs` (same prefix-filter theorem, same hash
+    total order), different physical shape:
+
+    * shingle sets live as ONE hash-ordered array column per doc (map-only) —
+      no exploded shingle relation, so no distinct shuffle and no per-doc
+      row_number window;
+    * only the PREFIX explodes into the candidate join (n − ⌈t·n⌉ + 1 rows
+      per doc instead of n);
+    * verification is ``array_intersect`` on the two docs' arrays after
+      joining the bounded candidate set back — two joins that move one array
+      per doc, not two grid joins over every (doc, shingle) row.
+
+    Scale contract: per-row memory is the doc's shingle set (bounded by doc
+    length — the same bound `applyInPandas` text ops already assume); shuffle
+    volume is prefixes + candidate pairs, strictly less than the relational
+    path's full shingle relation. Same candidate-bounding property: only the
+    rarest-by-hash prefix shingles generate join rows.
+
+    ``spread``: optional doc-relation repartition BEFORE the map-heavy
+    shingling. This path has no shuffle until the candidate join, so its
+    parallelism is the SCAN's split count — correct on a real table (many
+    row groups) but serial on a single-row-group local file. Cost when used:
+    one shuffle of the raw doc bytes. Leave None when the source is already
+    well-split (the 100 TB case).
+
+    Measured (sf0.1, local[32], checksummed): identical pairs to the
+    relational path, but 2-3× SLOWER end-to-end — the candidate join's
+    shuffles carry few bytes yet heavy CPU, so AQE coalesces them below the
+    useful task count, and per-doc array ops (distinct/sort) pay quadratic
+    corners the shuffle-based distinct avoids. The relational
+    :func:`ngram_jaccard_pairs` stays the registered/recommended
+    implementation; this one is kept as the array-native alternative for
+    well-split inputs with short documents.
+    """
+    if spread:
+        df = df.repartition(spread)
+    arr = _shingle_arrays(df, text_col, id_col, k, block_col)
+    blk = ["__blk"] if block_col is not None else []
+    n_sh = F.size("__sh")
+
+    def _ceil_t(n_col):
+        # same 1e-9 nudge as the relational path (exact-product float guard)
+        return F.ceil(F.lit(threshold) * n_col - F.lit(1e-9))
+
+    prefix_len = (n_sh - _ceil_t(n_sh) + 1).cast("int")
+    pref = arr.select(
+        *blk,
+        F.col("doc_id"),
+        n_sh.alias("n_sh"),
+        F.explode(F.slice("__sh", 1, prefix_len)).alias("shingle"),
+    )
+    a = pref.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
+    b = pref.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+    cands = (
+        a.join(b, on=[*blk, "shingle"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= _ceil_t(F.col("nb")))
+            & (F.col("nb") >= _ceil_t(F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = arr.select("doc_id", "__sh")
+    return (
+        cands.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sa")), on="doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sb")), on="doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("__sa") + F.size("__sb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

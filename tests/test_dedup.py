@@ -119,3 +119,22 @@ def test_prefix_ceil_epsilon_guards_exact_products(spark):
     ).first()
     assert row["naive"] == 8  # the artifact the guard exists for
     assert row["guarded"] == 7
+
+
+def test_ngram_jaccard_arrays_impl_identical(spark):
+    """The array-native implementation must produce exactly the relational
+    path's pairs (same prefix theorem, same hash total order)."""
+    docs = spark.createDataFrame(_doc_rows(), DOC_SCHEMA)
+    rel = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.4, block_col="lang", order_by="hash"
+        ).collect()
+    )
+    arr = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs_arrays(
+            docs, threshold=0.4, block_col="lang", spread=4
+        ).collect()
+    )
+    assert rel == arr and len(rel) > 0

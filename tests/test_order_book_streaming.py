@@ -243,3 +243,108 @@ def test_stream_requires_keys(spark):
     df = spark.createDataFrame([], EVENT_SCHEMA)
     with pytest.raises(ValueError, match="at least one key"):
         top_n_levels_stream(df, "mutations", by=[])
+
+
+def _run_stream_batches(spark, batches, name, horizon, n=2, timeout=180):
+    """Feed chronological micro-batches (one file per trigger) through the
+    reorder-mode stream; return rows_by_seq of the memory sink."""
+    tmp = tempfile.mkdtemp(prefix="obreorder_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        for i, chunk in enumerate(batches):
+            part = os.path.join(tmp, f"part_{i}")
+            spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(part, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+            time.sleep(1.1)
+        stream_in = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        snaps = top_n_levels_stream(
+            stream_in, "mutations", by=["product_id"], n=n, reorder_horizon=horizon
+        )
+        q = (
+            snaps.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        return rows_by_seq(spark.table(name))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_reorder_buffer_matches_sorted_batch_golden(spark):
+    """Out-of-order arrival within the horizon: emitted snapshots must equal
+    the sorted-batch golden for every seq at or below the final watermark
+    minus the horizon; later seqs stay buffered (unemitted)."""
+    rows = {}
+    qty_state = {}
+    for s in range(30):
+        p = 100 + (s * 3) % 7
+        if p in qty_state and s % 4 == 3:
+            q = -min(qty_state[p], 1 + s % 3)
+        else:
+            q = 1 + s % 5
+        qty_state[p] = qty_state.get(p, 0) + q
+        if qty_state[p] == 0:
+            del qty_state[p]
+        rows[s] = ("A", s, True, p, q)
+
+    golden_df = spark.createDataFrame(
+        [rows[s] for s in range(30)], EVENT_SCHEMA
+    )
+    expected = rows_by_seq(
+        top_n_levels_from_price_mutations(golden_df, by=["product_id"], n=2)
+    )
+
+    # each arrival satisfies seq > max_seen - 5 (late by at most 5)
+    order1 = [2, 0, 1, 3, 5, 4, 6, 8, 7, 9]
+    order2 = [12, 10, 11, 14, 13, 15, 17, 16, 19, 18]
+    order3 = [21, 20, 22, 24, 23, 25, 27, 26, 29, 28]
+    batches = [[rows[s] for s in o] for o in (order1, order2, order3)]
+    got = _run_stream_batches(spark, batches, "book_reorder_ok", horizon=5)
+
+    emitted_bound = 29 - 5  # final watermark minus horizon
+    assert set(got) == set(s for s in range(emitted_bound + 1))
+    snap_cols = [c for c in next(iter(expected.values())) if c.startswith(("bid_", "ask_"))]
+    for s in range(emitted_bound + 1):
+        for c in snap_cols:
+            assert got[s][c] == expected[s][c], f"seq {s} col {c}"
+
+
+def test_stream_reorder_too_late_fails_query(spark):
+    """An event later than the horizon violates the arrival contract and must
+    fail the query loudly, like every other contract violation."""
+    rows1 = [("A", s, True, 100 + s % 3, 1) for s in range(10)]  # wm -> 9
+    rows2 = [("A", 3, True, 100, 1)]  # 3 <= 9 - 5: beyond the horizon
+    with pytest.raises(Exception) as e:
+        _run_stream_batches(spark, [rows1, rows2], "book_reorder_late", horizon=5)
+    assert "reorder horizon" in str(e.value)
+
+
+def test_stream_reorder_horizon_zero_equals_in_order_contract(spark):
+    """horizon=0 folds everything already seen except nothing is held back:
+    wm - 0 covers every seq, so in-order input matches the batch golden
+    completely."""
+    rows = [("A", s, True, 100 + s % 3, 1) for s in range(12)]
+    golden = rows_by_seq(
+        top_n_levels_from_price_mutations(
+            spark.createDataFrame(rows, EVENT_SCHEMA), by=["product_id"], n=2
+        )
+    )
+    got = _run_stream_batches(
+        spark, [rows[:6], rows[6:]], "book_reorder_zero", horizon=0
+    )
+    assert set(got) == set(golden)
+    snap_cols = [c for c in next(iter(golden.values())) if c.startswith(("bid_", "ask_"))]
+    for s, exp in golden.items():
+        for c in snap_cols:
+            assert got[s][c] == exp[c]
