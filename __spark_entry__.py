@@ -27,7 +27,7 @@ from polars_order_book_spark import (
     snapshot_columns,
 )
 from polars_order_book_spark.functions import conversion as conv
-from polars_order_book_spark.operators import dedup, multimodal, similarity, text
+from polars_order_book_spark.operators import dedup, multimodal, sampling, similarity, text
 from polars_order_book_spark.plans import book_streams as bs
 from polars_order_book_spark.plans import queries as hq
 from polars_order_book_spark.sources.tables import load_table
@@ -335,6 +335,60 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
 """
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph -> survivor per
+    duplicate cluster (min-label propagation; eager iterative fixpoint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+    return dedup.neardup_components(pairs)
+
+
+def _components_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS component, (node = min(r)) AS is_survivor
+FROM reach GROUP BY node
+"""
+
+
+def _docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable 25% sample by hash(doc_id) — stable
+    under repartitioning/appends, unlike df.sample()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15)) AS BIGINT)
+      % 1000000 < 250000
+"""
+
+
+def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _redact_sql() -> str:
+    t = "text"
+    counts = []
+    for name, pat in text.PII_PATTERNS:
+        counts.append(f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}")
+        t = f"regexp_replace({t}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"SELECT doc_id, {t} AS redacted, {', '.join(counts)} FROM documents"
 
 
 def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_components": _dedup_components,
+        "documents_hash_sample": _docs_hash_sample,
+        "text_redact_pii": _text_redact,
         "ann_cosine_topk": _ann_bruteforce,
         "ann_cosine_topk_lsh": _ann_lsh,
         "ann_cosine_topk_blas": _ann_blas,
@@ -810,6 +867,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
+        "dedup_components": _components_sql(),
+        "documents_hash_sample": HASH_SAMPLE_SQL,
+        "text_redact_pii": _redact_sql(),
         "ann_cosine_topk": ANN_SQL,
         "ann_cosine_topk_lsh": ANN_LSH_SQL,
         "ann_cosine_topk_blas": ANN_BLAS_SQL,

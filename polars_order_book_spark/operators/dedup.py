@@ -162,6 +162,75 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float = 0.5) -> D
     )
 
 
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → survivor
+    selection: returns (doc_id, component, is_survivor) where ``component`` is
+    the MIN doc id reachable through pair edges and the survivor is the member
+    equal to its component id. The step after any pairwise dedup — collapse
+    transitive duplicate clusters to one kept document.
+
+    Algorithm: min-label propagation. Labels start as each node's own id;
+    every round each node takes the min of its label and its neighbors'
+    labels; converged when a round changes nothing. Rounds needed = graph
+    diameter (duplicate clusters are short-diameter in practice). Each round
+    is one join + one groupBy on the edge relation — all shuffles on node id,
+    AQE-skew-splittable; lineage is truncated per round (localCheckpoint),
+    and convergence is checked with a count, so this builder runs EAGER Spark
+    jobs (bounded by ``max_iter``) — the standard shape for iterative
+    fixpoints. Raises if the fixpoint is not reached within ``max_iter``
+    (pathological diameter — raise the cap or pre-cluster).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, on=[edges.dst == labels.node], how="inner")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=[labels.node == neighbor_min.src], how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("component"),
+                (F.col("node") == F.col("label")).alias("is_survivor"),
+            )
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds; "
+        "component diameter exceeds the cap"
+    )
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -171,3 +171,34 @@ def tf_idf(
     ratio = (F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")
     weight = F.col("tf") * (F.log(ratio) + 1) if log_scale else F.col("tf") * ratio
     return joined.select("doc_id", "token", "tf", weight.alias("tfidf"))
+
+
+# --- PII redaction -----------------------------------------------------------
+#
+# Patterns restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): literal classes, bounded repetition, \b word boundaries —
+# no lookarounds, no backrefs — so the oracle can mirror the redaction
+# bit-for-bit.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s from text — the compliance pass a
+    training-data pipeline runs before anything else. Returns
+    (doc_id, redacted, n_email, n_phone, n_ipv4). Pure regexp_replace /
+    regexp_count chain: map-only, codegen'd, zero shuffle; patterns applied in
+    declaration order (email first so its digits can't double-count as
+    phones)."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = t
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts)

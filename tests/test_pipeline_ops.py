@@ -1,0 +1,89 @@
+"""Pipeline-curation operators: connected components, deterministic sampling,
+PII redaction."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.operators import sampling, text
+from polars_order_book_spark.operators.dedup import neardup_components
+
+
+def test_components_basic_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: (r["component"], r["is_survivor"])
+           for r in neardup_components(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_components_long_chain_converges(spark):
+    """A 12-node chain needs ~diameter rounds of label propagation — pins the
+    iteration loop, not just the 1-hop case."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    rows = neardup_components(pairs).collect()
+    assert all(r["component"] == 0 for r in rows)
+    assert sum(r["is_survivor"] for r in rows) == 1
+    assert len(rows) == 13
+
+
+def test_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, max_iter=2)
+
+
+def test_hash_sample_invariant_to_partitioning(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.3).collect())
+    b = sorted(r["k"] for r in sampling.hash_sample(df.repartition(13), "k", 0.3).collect())
+    assert a == b
+    # rate lands near 30% (hash uniformity)
+    assert 0.2 < len(a) / 1000 < 0.4
+
+
+def test_hash_sample_salts_are_independent(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = set(r["k"] for r in sampling.hash_sample(df, "k", 0.5, salt="s1").collect())
+    b = set(r["k"] for r in sampling.hash_sample(df, "k", 0.5, salt="s2").collect())
+    overlap = len(a & b) / 2000
+    assert 0.15 < overlap < 0.35  # ~0.25 for independent halves
+
+
+def test_hash_split_disjoint_and_covering(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    tr, va, te = sampling.hash_split(df, "k", [0.8, 0.1, 0.1])
+    s = [set(r["k"] for r in d.collect()) for d in (tr, va, te)]
+    assert s[0] | s[1] | s[2] == set(range(500))
+    assert not (s[0] & s[1]) and not (s[0] & s[2]) and not (s[1] & s[2])
+    assert len(s[0]) > len(s[1]) and len(s[0]) > len(s[2])
+
+
+def test_hash_split_validates_weights(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, "k", [0.5, 0.4])
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or 555-123-4567 ok"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert got[1]["redacted"] == "contact me at <EMAIL> or <PHONE> ok"
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1 and got[1]["n_ipv4"] == 0
+    assert got[2]["redacted"] == "server at <IPV4> responded"
+    assert got[2]["n_ipv4"] == 1
+    assert got[3]["redacted"] == "nothing sensitive here"
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
