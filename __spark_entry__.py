@@ -391,6 +391,46 @@ def _redact_sql() -> str:
     return f"SELECT doc_id, {t} AS redacted, {', '.join(counts)} FROM documents"
 
 
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each click/view's most recent purchase (per user,
+    at-or-before its timestamp). Oracle = DuckDB's native ASOF JOIN."""
+    from polars_order_book_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], right_on_as="purchase_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "last_purchase_value",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH l AS (
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'view')
+),
+r AS (
+    SELECT user_id, ts, max(value) AS last_purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+       r.last_purchase_value, epoch_us(r.ts) AS purchase_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -801,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": hq.events_value_quantiles,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
+        "events_asof_purchase": _events_asof,
+        "events_lead_lag": hq.events_lead_lag,
         # pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -863,6 +905,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": hq.EVENTS_QUANTILES_SQL,
         "events_value_quantiles_approx": hq.EVENTS_QUANTILES_APPROX_SQL,
         "events_user_distinct_approx": hq.EVENTS_DISTINCT_APPROX_SQL,
+        "events_asof_purchase": EVENTS_ASOF_SQL,
+        "events_lead_lag": hq.EVENTS_LEAD_LAG_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

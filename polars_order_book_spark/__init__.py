@@ -36,6 +36,8 @@ from polars_order_book_spark.functions.conversion import (
     signed_qty,
 )
 from polars_order_book_spark.functions.frames import hconcat
+from polars_order_book_spark.operators.asof import asof_join
+from polars_order_book_spark.operators.sampling import hash_sample, hash_split
 from polars_order_book_spark.session import get_spark
 
 __all__ = [
@@ -52,6 +54,9 @@ __all__ = [
     "unscale_prices",
     "signed_qty",
     "hconcat",
+    "asof_join",
+    "hash_sample",
+    "hash_split",
     "get_spark",
 ]
 

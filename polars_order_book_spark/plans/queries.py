@@ -404,6 +404,37 @@ FROM (
 """
 
 
+# --- Events: lead/lag neighbors ---------------------------------------------
+
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next neighbor attributes (lag/lead) under a total
+    deterministic order (ts, event_id). One window = one shuffle on user_id;
+    both functions share the frame, so Catalyst evaluates them in a single
+    window operator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        prev_v.alias("prev_value"),
+        (F.col("value") - prev_v).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+EVENTS_LEAD_LAG_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS value_delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --- Events: approximate aggregates (tolerance-mode oracle) -----------------
 #
 # The driver compares exact value hashes, which a sketch cannot promise — so

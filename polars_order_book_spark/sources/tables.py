@@ -64,6 +64,24 @@ def load_event_csv(
     return reader.csv(path)
 
 
+def load_event_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: "StructType | str | None" = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines ingest — the other text format event replays arrive in.
+
+    Same contract as :func:`load_event_csv`: an explicit ``schema`` skips
+    inference (one pass) and keeps the scan splittable by line; without one,
+    Spark samples to infer. Malformed lines follow the standard JSON-source
+    modes (pass ``mode='FAILFAST'`` to reject them loudly)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

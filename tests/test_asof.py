@@ -1,0 +1,91 @@
+"""asof_join semantics: backward/forward, ties, tolerance, null payloads."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from polars_order_book_spark.operators.asof import asof_join
+
+L_SCHEMA = StructType([
+    StructField("k", StringType()),
+    StructField("t", LongType()),
+    StructField("ev", StringType()),
+])
+R_SCHEMA = StructType([
+    StructField("k", StringType()),
+    StructField("t", LongType()),
+    StructField("px", DoubleType()),
+])
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", 5, "x"), ("a", 10, "y"), ("a", 20, "z"), ("b", 7, "w"), ("b", 8, "v")],
+        L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 1.0), ("a", 10, 2.0), ("a", 15, 3.0), ("b", 9, 9.0)],
+        R_SCHEMA,
+    )
+    return left, right
+
+
+def _by_key(df, cols):
+    return {(r["k"], r["t"]): tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_asof_backward_with_equal_ts_match(spark):
+    left, right = _frames(spark)
+    got = _by_key(asof_join(left, right, on="t", by=["k"], right_on_as="rt"),
+                  ["px", "rt"])
+    assert got[("a", 5)] == (1.0, 4)     # greatest right t <= 5
+    assert got[("a", 10)] == (2.0, 10)   # equal t matches (>= semantics)
+    assert got[("a", 20)] == (3.0, 15)
+    assert got[("b", 7)] == (None, None)  # no right row at or before 7
+    assert got[("b", 8)] == (None, None)
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    got = _by_key(
+        asof_join(left, right, on="t", by=["k"], direction="forward", right_on_as="rt"),
+        ["px", "rt"],
+    )
+    assert got[("a", 5)] == (2.0, 10)    # least right t >= 5
+    assert got[("a", 10)] == (2.0, 10)
+    assert got[("a", 20)] == (None, None)
+    assert got[("b", 7)] == (9.0, 9)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left, right = _frames(spark)
+    got = _by_key(
+        asof_join(left, right, on="t", by=["k"], tolerance=F.lit(2), right_on_as="rt"),
+        ["px", "rt"],
+    )
+    assert got[("a", 5)] == (1.0, 4)      # gap 1 <= 2
+    assert got[("a", 20)] == (None, None)  # gap 5 > 2 -> nulled
+
+
+def test_asof_null_payload_does_not_skip_back(spark):
+    """A right row with a NULL payload value still 'wins' its time slot — the
+    fill must not reach past it to an older non-null row (struct fill)."""
+    left = spark.createDataFrame([("a", 10, "x")], L_SCHEMA)
+    right = spark.createDataFrame([("a", 4, 1.0), ("a", 8, None)], R_SCHEMA)
+    got = _by_key(asof_join(left, right, on="t", by=["k"], right_on_as="rt"),
+                  ["px", "rt"])
+    assert got[("a", 10)] == (None, 8)  # matched the t=8 row, whose px is null
+
+
+def test_asof_rejects_column_collision(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("px", "ev"), on="t", by=["k"])
+
+
+def test_asof_preserves_left_row_count(spark):
+    left, right = _frames(spark)
+    assert asof_join(left, right, on="t", by=["k"]).count() == left.count()

@@ -156,3 +156,30 @@ def test_hconcat_positional_length_mismatch_raises(spark):
     right = spark.createDataFrame([(10, 1.0), (20, 2.0)], ["r", "y"])
     with pytest.raises(ValueError, match="equal lengths"):
         hconcat(left, right, left_order="o", right_order="r")
+
+
+def test_jsonl_event_ingest_folds(spark):
+    """JSONL replay file -> schema'd scan -> mutations fold, mirroring the CSV
+    ingest path."""
+    import json
+
+    from polars_order_book_spark.sources.tables import load_event_jsonl
+
+    rows = [
+        {"seq": 0, "is_bid": True, "price": 5, "qty": 3},
+        {"seq": 1, "is_bid": False, "price": 9, "qty": 2},
+        {"seq": 2, "is_bid": True, "price": 6, "qty": 1},
+        {"seq": 3, "is_bid": True, "price": 6, "qty": -1},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "events.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        df = load_event_jsonl(
+            spark, p, "seq long, is_bid boolean, price long, qty long"
+        )
+        out = {r["seq"]: (r["bid_price_1"], r["ask_price_1"])
+               for r in top_n_levels_from_price_mutations(df, n=1).collect()}
+    assert out[2] == (6, 9)
+    assert out[3] == (5, 9)  # the 6-level emptied; best bid falls back to 5

@@ -27,6 +27,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_ivf",
     "text_quality",
+    "events_asof_purchase",
+    "events_lead_lag",
+    "events_value_quantiles_approx",
+    "documents_hash_sample",
+    "text_redact_pii",
 ]
 
 
