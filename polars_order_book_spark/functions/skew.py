@@ -49,9 +49,13 @@ def salted_pair_join(
     different key values (same as the unsalted join); callers dedup as before.
     """
     keys = list(keys)
-    sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
-    r = rows.join(sizes, on=keys)
-    s = _salt_count(cap)
+    # Only OVER-CAP groups need salting, and there are few of them by
+    # construction (each holds > cap rows) — broadcast that tiny relation
+    # instead of equi-joining the full group-size table; rows without a match
+    # keep S = 1 and the salted join degenerates to the plain one for them.
+    hot = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    r = rows.join(F.broadcast(hot), on=keys, how="left")
+    s = F.coalesce(_salt_count(cap), F.lit(1))
     salt = F.pmod(F.xxhash64(F.col(id_col)), s).cast("int")
     left = r.select(
         *keys,
@@ -90,13 +94,16 @@ def salted_probe_join(
     standard asymmetry this helper assumes.
     """
     keys = list(keys)
-    sizes = build.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
-    s = _salt_count(cap)
-    b = build.join(sizes, on=keys).withColumn(
+    # Same hot-groups-only broadcast as salted_pair_join: un-hot groups keep
+    # S = 1 (salt 0 on both sides), so they pay nothing beyond the broadcast
+    # lookup.
+    hot = build.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    s = F.coalesce(_salt_count(cap), F.lit(1))
+    b = build.join(F.broadcast(hot), on=keys, how="left").withColumn(
         "__salt__", F.pmod(F.xxhash64(F.col(build_id_col)), s).cast("int")
     ).drop(_N)
     p = (
-        probe.join(sizes, on=keys)
+        probe.join(F.broadcast(hot), on=keys, how="left")
         .withColumn("__salt__", F.explode(F.sequence(F.lit(0), s - 1)))
         .drop(_N)
     )

@@ -55,6 +55,12 @@ def asof_join(
 
     Right payload column names must not collide with left columns — rename
     before joining (explicit beats implicit suffixing).
+
+    Determinism contract: ``right`` should be unique per (``by``, ``on``) —
+    with duplicates, which of the tied rows wins is partition-order dependent
+    (pandas ``merge_asof`` has the same caveat, resolved by input order,
+    which Spark does not have). Pre-aggregate ties (e.g.
+    ``groupBy(by, on).agg(...)``) as the registered query does.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

@@ -89,3 +89,50 @@ def test_asof_rejects_column_collision(spark):
 def test_asof_preserves_left_row_count(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, on="t", by=["k"]).count() == left.count()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def asof_case(draw):
+    keys = ["a", "b"]
+    left = [
+        (draw(st.sampled_from(keys)), draw(st.integers(0, 50)), f"e{i}")
+        for i in range(draw(st.integers(1, 12)))
+    ]
+    # right unique per (k, t) — the operator's determinism contract
+    rts = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=10, unique=True,
+        )
+    )
+    right = [(k, t, float(i)) for i, (k, t) in enumerate(rts)]
+    return left, right
+
+
+@settings(
+    max_examples=12, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=asof_case(), direction=st.sampled_from(["backward", "forward"]))
+def test_asof_differential_vs_pandas_merge_asof(spark, case, direction):
+    import pandas as pd
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, L_SCHEMA)
+    right = spark.createDataFrame(right_rows, R_SCHEMA)
+    got = {
+        (r["k"], r["t"], r["ev"]): r["px"]
+        for r in asof_join(left, right, on="t", by=["k"], direction=direction).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "ev"]).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "px"]).sort_values("t", kind="mergesort")
+    exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+    exp = {
+        (r.k, r.t, r.ev): (None if pd.isna(r.px) else r.px)
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
