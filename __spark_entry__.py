@@ -364,6 +364,36 @@ FROM reach GROUP BY node
 """
 
 
+def _documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: LSH pairs -> components -> drop
+    non-survivors; returns the kept corpus (ids only, hash-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = dedup.neardup_components(dedup.minhash_lsh_duplicates(docs, threshold=0.5))
+    return dedup.apply_dedup(docs, comps).select("doc_id", "lang")
+
+
+def _documents_deduped_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+losers AS (
+    SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def _docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, engine-portable 25% sample by hash(doc_id) — stable
     under repartitioning/appends, unlike df.sample()."""
@@ -849,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_components": _dedup_components,
+        "documents_deduped": _documents_deduped,
         "documents_hash_sample": _docs_hash_sample,
         "text_redact_pii": _text_redact,
         "ann_cosine_topk": _ann_bruteforce,
@@ -912,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
         "dedup_components": _components_sql(),
+        "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
         "text_redact_pii": _redact_sql(),
         "ann_cosine_topk": ANN_SQL,

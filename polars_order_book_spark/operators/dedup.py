@@ -231,6 +231,21 @@ def neardup_components(
     )
 
 
+def apply_dedup(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the dedup decision: keep every row that is either outside
+    any duplicate cluster or its cluster's survivor. One broadcast-or-shuffle
+    anti-join of the (small) non-survivor set against the corpus — the final
+    step of the near-dup pipeline."""
+    losers = components.where(~F.col("is_survivor")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     text_col: str = "text",

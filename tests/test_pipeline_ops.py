@@ -87,3 +87,16 @@ def test_redact_pii(spark):
     assert got[2]["n_ipv4"] == 1
     assert got[3]["redacted"] == "nothing sensitive here"
     assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+
+
+def test_apply_dedup_keeps_survivors_and_singletons(spark):
+    from polars_order_book_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], ["doc_a", "doc_b"])
+    comps = neardup_components(pairs)
+    kept = sorted(r["doc_id"] for r in apply_dedup(docs, comps).collect())
+    # cluster {1,2,4} -> survivor 1; docs 0,3,5 untouched
+    assert kept == [0, 1, 3, 5]
