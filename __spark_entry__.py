@@ -413,10 +413,11 @@ def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _redact_sql() -> str:
+    # counts mirror the Spark chain: each on the text AFTER prior redactions
     t = "text"
     counts = []
     for name, pat in text.PII_PATTERNS:
-        counts.append(f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}")
+        counts.append(f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT) AS n_{name}")
         t = f"regexp_replace({t}, '{pat}', '<{name.upper()}>', 'g')"
     return f"SELECT doc_id, {t} AS redacted, {', '.join(counts)} FROM documents"
 

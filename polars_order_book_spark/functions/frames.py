@@ -57,11 +57,17 @@ def hconcat(
         if right_order is not None
         else lo
     )
-    n_left, n_right = left.count(), right.count()
-    if n_left != n_right:
+    # Single eager action for the guard (not one count() job per side); the
+    # positional path is documented as eager + moderate-frame-only.
+    counts = dict(
+        left.groupBy().count().select(F.lit("l").alias("s"), "count")
+        .unionByName(right.groupBy().count().select(F.lit("r").alias("s"), "count"))
+        .collect()
+    )
+    if counts["l"] != counts["r"]:
         raise ValueError(
             f"hconcat positional alignment needs equal lengths: "
-            f"left={n_left} right={n_right} (Polars raises here too)"
+            f"left={counts['l']} right={counts['r']} (Polars raises here too)"
         )
     lnum = left.withColumn(_POS, F.row_number().over(Window.orderBy(*lo)))
     rnum = right.withColumn(_POS, F.row_number().over(Window.orderBy(*ro)))

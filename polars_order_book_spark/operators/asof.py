@@ -105,11 +105,20 @@ def asof_join(
     res = filled.where(F.col(_SIDE) == 1).drop(_SIDE)
 
     matched_on = F.col(_PAY)["__on"]
+    # Null semantics match pandas merge_asof / DuckDB ASOF: a left row with a
+    # null `on` or a null `by` key never matches. Without this guard the
+    # forward direction's descending sort parks null `on` rows after every
+    # right row (window covers everything → spurious smallest-`on` match),
+    # and null `by` keys would group with each other while the oracle's
+    # equality join excludes them.
+    joinable = F.col(on).isNotNull()
+    for k in by:
+        joinable = joinable & F.col(k).isNotNull()
     if tolerance is not None:
         gap = (F.col(on) - matched_on) if direction == "backward" else (matched_on - F.col(on))
-        in_tol = matched_on.isNotNull() & (gap <= tolerance)
+        in_tol = joinable & matched_on.isNotNull() & (gap <= tolerance)
     else:
-        in_tol = matched_on.isNotNull()
+        in_tol = joinable & matched_on.isNotNull()
     cols = [*by, on, *[c for c in left_cols if c not in by and c != on]]
     proj = [F.col(c) for c in cols]
     for c in payload:

@@ -44,13 +44,29 @@ _PIL_IMAGE = _import_optional("PIL.Image")
 _SOUNDFILE = _import_optional("soundfile")
 _DETECT = object()  # sentinel: "use the detected module"
 
-_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"BM", b"RIFF")
-_AUDIO_MAGIC = (b"RIFF", b"fLaC", b"OggS")
+# Magic prefixes containing non-ASCII bytes (\x89, \xff) cannot occur in
+# utf-8 text payloads; ASCII-lookalike prefixes (GIF8, RIFF, fLaC, OggS) CAN
+# ("GIF89a is an image format..." is valid prose), so those additionally
+# require binary evidence — a NUL byte in the head — before the payload is
+# routed to a real codec. Text never contains NUL; every real container
+# format has one in its first bytes (length/version/reserved fields).
+_IMAGE_MAGIC_BINARY = (b"\x89PNG", b"\xff\xd8\xff")
+_IMAGE_MAGIC_ASCII = (b"GIF87a", b"GIF89a", b"BM", b"RIFF")
+_AUDIO_MAGIC_BINARY: tuple[bytes, ...] = ()
+_AUDIO_MAGIC_ASCII = (b"RIFF", b"fLaC", b"OggS")
+
+_IMAGE_MAGIC = (_IMAGE_MAGIC_BINARY, _IMAGE_MAGIC_ASCII)
+_AUDIO_MAGIC = (_AUDIO_MAGIC_BINARY, _AUDIO_MAGIC_ASCII)
 
 
-def _has_magic(payload: bytes, magics: tuple[bytes, ...]) -> bool:
-    head = bytes(payload[:4])
-    return any(head.startswith(m) for m in magics)
+def _has_magic(payload: bytes, magics) -> bool:
+    binary, ascii_ = magics
+    head = bytes(payload[:8])
+    if any(head.startswith(m) for m in binary):
+        return True
+    if any(head.startswith(m) for m in ascii_):
+        return b"\x00" in bytes(payload[:64])
+    return False
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

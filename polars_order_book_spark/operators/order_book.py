@@ -349,7 +349,6 @@ def _apply_fold_chunked(
     prev_price: str | None,
     prev_qty: str | None,
     snap_cols: list[str],
-    drop_cols: list[str],
     out_fields: list[StructField],
     seq_chunks: int,
 ) -> DataFrame:
@@ -383,16 +382,27 @@ def _apply_fold_chunked(
     chunk_col = "__seq_chunk__"
     smin, smax = "__seq_min__", "__seq_max__"
 
+    # Null-safe equality on the bounds join: groupBy folds null-key rows into
+    # a null group (matching the unchunked path), so the join-back must match
+    # them too — a plain equi-join would silently drop null-key books.
     bounds = df.groupBy(*keys).agg(F.min(seq).alias(smin), F.max(seq).alias(smax))
+    bkeys = [f"__bnd_{k}__" for k in keys]
+    bounds = bounds.select(
+        *[F.col(k).alias(bk) for k, bk in zip(keys, bkeys)], smin, smax
+    )
+    cond = None
+    for k, bk in zip(keys, bkeys):
+        c = F.col(k).eqNullSafe(F.col(bk))
+        cond = c if cond is None else (cond & c)
     span = F.col(smax) - F.col(smin) + F.lit(1)
     chunk = F.least(
         F.lit(seq_chunks - 1),
         F.floor((F.col(seq) - F.col(smin)) * F.lit(seq_chunks) / span),
     )
     chunked = (
-        df.join(F.broadcast(bounds), on=keys)
+        df.join(F.broadcast(bounds), on=cond)
         .withColumn(chunk_col, F.coalesce(chunk, F.lit(0)).cast("int"))
-        .drop(smin, smax)
+        .drop(smin, smax, *bkeys)
     )
 
     state_cols = ["__bid_prices__", "__bid_qtys__", "__ask_prices__", "__ask_qtys__"]
@@ -516,7 +526,7 @@ def _apply_fold(
     if seq_chunks is not None and seq_chunks > 1:
         result = _apply_fold_chunked(
             df, variant, price, qty, is_bid, seq, by, n, prev_price, prev_qty,
-            snap_cols, drop_cols, out_fields, seq_chunks,
+            snap_cols, out_fields, seq_chunks,
         )
         if output_struct:
             keep = [f.name for f in out_fields]

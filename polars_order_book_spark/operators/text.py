@@ -190,15 +190,14 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     """Redact emails / phone numbers / IPv4s from text — the compliance pass a
     training-data pipeline runs before anything else. Returns
     (doc_id, redacted, n_email, n_phone, n_ipv4). Pure regexp_replace /
-    regexp_count chain: map-only, codegen'd, zero shuffle; patterns applied in
-    declaration order (email first so its digits can't double-count as
-    phones)."""
-    t = F.col(text_col)
-    counts = [
-        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat in PII_PATTERNS
-    ]
-    red = t
+    regexp_count chain: map-only, codegen'd, zero shuffle. Patterns apply in
+    declaration order and each count is taken on the text AFTER the previous
+    patterns' redactions, so counts always equal the number of tokens the
+    replacement chain actually produced (an email's digits can't also count
+    as a phone)."""
+    red = F.col(text_col)
+    counts = []
     for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts)

@@ -448,21 +448,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) per event type, checked
-    against a ±3pp exact-rank bracket. accuracy=10000 guarantees rank error
-    ≤ 1e-4·N, far inside the bracket; booleans only flip on a real defect."""
-    ev = load_table(spark, sf_dir, "events")
+    against a ±3pp rank bracket of DISCRETE order statistics
+    (percentile_disc): the sketch returns an actual data element whose rank
+    errs by ≤ 1e-4·N (accuracy=10000), and any element with rank inside
+    [q−3pp, q+3pp] lies between those two discrete values BY CONSTRUCTION —
+    no group is too small for the bracket (an interpolated bracket false-fails
+    tiny groups, where discrete elements sit outside interpolated values)."""
+    return value_quantiles_approx_checked(load_table(spark, sf_dir, "events"))
+
+
+def value_quantiles_approx_checked(ev: DataFrame) -> DataFrame:
+    """Core of events_value_quantiles_approx over any (event_type, value)
+    frame — separated so the tiny-group bracket property is unit-testable."""
+
+    def disc(q: float):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+
     approx = F.expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)")
-    lo = F.expr("percentile(value, array(0.22D, 0.47D, 0.72D))")
-    hi = F.expr("percentile(value, array(0.28D, 0.53D, 0.78D))")
     exact = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
-    agg = ev.groupBy("event_type").agg(
-        approx.alias("__ap"), lo.alias("__lo"), hi.alias("__hi"),
-        exact.alias("__ex"), F.count(F.lit(1)).alias("n"),
-    )
+    qs = (0.25, 0.5, 0.75)
+    aggs = [approx.alias("__ap"), exact.alias("__ex"), F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(qs):
+        aggs += [disc(max(0.0, q - 0.03)).alias(f"__lo{i}"),
+                 disc(min(1.0, q + 0.03)).alias(f"__hi{i}")]
+    agg = ev.groupBy("event_type").agg(*aggs)
     cols = [F.col("event_type"), F.col("n")]
     for i, name in enumerate(("p25", "p50", "p75")):
-        in_tol = (F.col("__ap")[i] >= F.col("__lo")[i]) & (
-            F.col("__ap")[i] <= F.col("__hi")[i]
+        in_tol = (F.col("__ap")[i] >= F.col(f"__lo{i}")) & (
+            F.col("__ap")[i] <= F.col(f"__hi{i}")
         )
         cols += [F.col("__ex")[i].alias(name), in_tol.alias(f"{name}_in_tol")]
     return agg.select(*cols)

@@ -136,3 +136,17 @@ def test_asof_differential_vs_pandas_merge_asof(spark, case, direction):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_asof_null_on_and_null_by_never_match(spark):
+    left = spark.createDataFrame(
+        [("a", None, "nullt"), (None, 5, "nullk"), ("a", 5, "ok")], L_SCHEMA
+    )
+    right = spark.createDataFrame([("a", 4, 1.0), (None, 4, 2.0)], R_SCHEMA)
+    for direction in ("backward", "forward"):
+        got = {r["ev"]: r["px"] for r in asof_join(
+            left, right, on="t", by=["k"], direction=direction
+        ).collect()}
+        assert got["nullt"] is None   # null `on` matches nothing
+        assert got["nullk"] is None   # null `by` matches nothing
+        assert got["ok"] == (1.0 if direction == "backward" else None)

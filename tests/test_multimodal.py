@@ -121,3 +121,25 @@ def test_extract_image_features_end_to_end(spark):
     assert by_id[1]["n_bytes"] == len(b"hello world")
     assert by_id[1]["fake_channels"] == 3
     assert by_id[2]["fake_width"] == 64 + len(b"another doc") % 512
+
+
+def test_ascii_lookalike_magic_is_not_real_media():
+    """utf-8 prose starting with GIF8/RIFF/BM/OggS must take the stub path —
+    only binary evidence (a NUL in the head) routes to a real codec."""
+    for prose in (
+        b"BMW recalls several models this year",
+        b"GIF89a is an image format from 1989",
+        b"RIFF is a container format family",
+        b"OggS frames begin every Ogg page",
+        b"fLaC is the free lossless audio codec",
+    ):
+        # no NotImplementedError, no codec call
+        out = mm.decode_image(prose, image_module=None)
+        assert out == mm.decode_image_stub(prose)
+        mm.decode_audio(prose, audio_module=None)  # must not raise
+
+
+def test_binary_magic_still_routes_to_codec():
+    assert mm._has_magic(PNG_MAGIC, mm._IMAGE_MAGIC)       # non-ASCII sig
+    assert mm._has_magic(WAV_MAGIC, mm._AUDIO_MAGIC)       # RIFF + NUL bytes
+    assert mm._has_magic(b"\xff\xd8\xff\xe1EXIF", mm._IMAGE_MAGIC)  # JPEG/EXIF

@@ -125,3 +125,37 @@ def test_chunked_seq_chunks_one_is_plain_fold(spark):
     assert by_seq(
         top_n_levels_from_price_mutations(df, n=1, seq_chunks=1), cols
     ) == by_seq(top_n_levels_from_price_mutations(df, n=1), cols)
+
+
+def test_chunked_accepts_column_expressions(spark):
+    """seq_chunks composes with IntoExpr-style Column inputs: the temp expr
+    columns must thread through the chunk rounds and not leak into output."""
+    from pyspark.sql import functions as F
+
+    rows = [(s, "B" if s % 2 == 0 else "A", 1.0 + (s % 4) * 0.01, 2) for s in range(30)]
+    df = spark.createDataFrame(rows, ["seq", "side", "price_f", "qty"])
+    kwargs = dict(
+        price=F.round(F.col("price_f") * 100).cast("long"),
+        qty=F.col("qty"),
+        is_bid=F.col("side") == "B",
+        n=2,
+    )
+    base = top_n_levels_from_price_mutations(df, **kwargs)
+    chunked = top_n_levels_from_price_mutations(df, seq_chunks=3, **kwargs)
+    assert not [c for c in chunked.columns if c.startswith("__")]
+    cols = snapshot_columns(2)
+    assert by_seq(chunked, cols) == by_seq(base, cols)
+
+
+def test_chunked_null_book_key_matches_unchunked(spark):
+    """Null book keys form a group in groupBy; the chunked path's bounds join
+    must match them null-safely instead of dropping the null-key book."""
+    rows = [(None, s, True, 1 + s % 3, 1) for s in range(10)]
+    rows += [(1, s, True, 1 + s % 3, 1) for s in range(10)]
+    df = spark.createDataFrame(rows, KEYED_SCHEMA)
+    base = _collect_keyed(top_n_levels_from_price_mutations(df, by=["book"], n=1), 1)
+    chunked = _collect_keyed(
+        top_n_levels_from_price_mutations(df, by=["book"], n=1, seq_chunks=3), 1
+    )
+    assert chunked == base
+    assert any(k[0] is None for k in chunked)  # the null book is present

@@ -100,3 +100,28 @@ def test_apply_dedup_keeps_survivors_and_singletons(spark):
     kept = sorted(r["doc_id"] for r in apply_dedup(docs, comps).collect())
     # cluster {1,2,4} -> survivor 1; docs 0,3,5 untouched
     assert kept == [0, 1, 3, 5]
+
+
+def test_redact_pii_counts_follow_the_chain(spark):
+    """Counts are taken on progressively-redacted text: an email containing
+    phone-shaped digits yields n_email=1, n_phone=0 (no double counting)."""
+    df = spark.createDataFrame(
+        [(1, "reach me: 555-123-4567@example.com thanks")], ["doc_id", "text"]
+    )
+    r = text.redact_pii(df).collect()[0]
+    assert r["redacted"] == "reach me: <EMAIL> thanks"
+    assert r["n_email"] == 1 and r["n_phone"] == 0 and r["n_ipv4"] == 0
+
+
+def test_approx_quantile_bracket_holds_on_tiny_groups(spark):
+    """Discrete order-statistic bracket: a 4-row group must not false-fail
+    (interpolated brackets do — the sketch returns data elements)."""
+    from polars_order_book_spark.plans.queries import value_quantiles_approx_checked
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (0, 10, 20, 1000)] + [("h", 7.0)],
+        ["event_type", "value"],
+    )
+    rows = {r["event_type"]: r for r in value_quantiles_approx_checked(df).collect()}
+    for g in ("g", "h"):
+        assert rows[g]["p25_in_tol"] and rows[g]["p50_in_tol"] and rows[g]["p75_in_tol"]
