@@ -749,6 +749,57 @@ FROM tf JOIN dfreq USING (token) CROSS JOIN total
 """
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_features(load_table(spark, sf_dir, "documents"), ngram=5)
+
+
+# Mirrors repetition_features: n-grams via positional list indexing (the
+# winnow-SQL pattern), struct-max tie-break identical to Spark's struct
+# ordering (count, then lexicographically greatest bigram).
+TEXT_REPETITION_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+stats AS (
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+           list_sum(list_transform(t, x -> length(x))) AS tok_chars
+    FROM toks
+),
+bi AS (
+    SELECT doc_id, concat_ws(' ', t[i+1], t[i+2]) AS g
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 2 AND i <= len(t) - 2
+),
+bitop AS (
+    SELECT doc_id, max({'c': cnt, 'g': g}) AS top
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+ng AS (
+    SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]) AS g
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 5 AND i <= len(t) - 5
+),
+ngd AS (
+    SELECT doc_id, sum((cnt - 1) * (length(g) - 4)) AS dup_chars
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM ng GROUP BY doc_id, g)
+    WHERE cnt > 1
+    GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_tokens - s.n_distinct AS DOUBLE) / s.n_tokens AS dup_token_frac,
+       (bitop.top).g AS top_bigram,
+       CAST(coalesce((bitop.top).c * (length((bitop.top).g) - 1), 0) AS DOUBLE)
+           / greatest(s.tok_chars, 1) AS top_bigram_frac,
+       CAST(coalesce(ngd.dup_chars, 0) AS DOUBLE)
+           / greatest(s.tok_chars, 1) AS dup_ngram_frac
+FROM stats s
+LEFT JOIN bitop USING (doc_id)
+LEFT JOIN ngd USING (doc_id)
+"""
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -895,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": _text_vocabulary,
         "text_tfidf": _text_tfidf,
         "text_token_counts": _text_tokens,
+        "text_repetition": _text_repetition,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
         "multimodal_resize": _multimodal_resize,
@@ -959,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocabulary": TEXT_VOCABULARY_SQL,
         "text_tfidf": TEXT_TFIDF_SQL,
         "text_token_counts": TEXT_TOKENS_SQL,
+        "text_repetition": TEXT_REPETITION_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,

@@ -134,6 +134,110 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    heavily self-repeating documents are boilerplate / spam and get filtered
+    before training. Returns one row per doc:
+
+    - ``n_tokens``            token count
+    - ``dup_token_frac``      fraction of token occurrences beyond each
+                              token's first occurrence
+    - ``top_bigram``          most frequent word bigram (ties broken by the
+                              lexicographically greatest bigram — the same
+                              deterministic struct-max rule in both engines)
+    - ``top_bigram_frac``     fraction of token characters covered by all
+                              occurrences of that bigram (naive occurrence
+                              count × bigram token chars; overlaps between
+                              occurrences are not de-overlapped — the
+                              standard cheap measure)
+    - ``dup_ngram_frac``      fraction of token characters covered by
+                              occurrences-beyond-first of duplicated
+                              ``ngram``-grams
+
+    The corpus has no newlines, so the token-n-gram family stands in for
+    Gopher's duplicate-line measures; all fractions use total token chars
+    (sum of token lengths, whitespace excluded) as the denominator.
+
+    Shape: n-grams come from array ``transform`` over the token array
+    (map-only, no per-gram shuffle), then one explode + groupBy(doc, gram)
+    with map-side partial agg, and a struct-max per doc. Shuffle volume is
+    O(distinct grams) — scale-safe; no window over the full token stream.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+
+    def grams_col(n: int) -> Column:
+        idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+    stats = base.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__n_distinct"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "__tok_chars"
+        ),
+    )
+
+    bigram = (
+        base.select("doc_id", F.explode(grams_col(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("cnt").alias("c"), F.col("g").alias("g"))).alias("__top"))
+        .select(
+            "doc_id",
+            F.col("__top.g").alias("top_bigram"),
+            (F.col("__top.c") * (F.length("__top.g") - 1)).alias("__bg_chars"),
+        )
+    )
+
+    ng = (
+        base.select("doc_id", F.explode(grams_col(ngram)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first(F.length("g")).alias("glen"))
+        .where(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cnt") - 1) * (F.col("glen") - (ngram - 1))).alias("__dup_chars")
+        )
+    )
+
+    out = (
+        stats.join(bigram, on="doc_id", how="left")
+        .join(ng, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("n_tokens") - F.col("__n_distinct")).cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            "top_bigram",
+            (
+                F.coalesce(F.col("__bg_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("__tok_chars"), F.lit(1))
+            ).alias("top_bigram_frac"),
+            (
+                F.coalesce(F.col("__dup_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("__tok_chars"), F.lit(1))
+            ).alias("dup_ngram_frac"),
+        )
+    )
+    return out
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus vocabulary: per token, document frequency and total occurrence
     count — the fuel for IDF weighting, stopword discovery, and vocab pruning.

@@ -68,3 +68,45 @@ def test_vocabulary_counts(spark):
     assert got["the"] == (2, 3)
     assert got["cat"] == (1, 1)
     assert got["dog"] == (1, 1)
+
+
+def test_repetition_features_hand_computed(spark):
+    """Pin the Gopher-style measures on docs with known repetition structure."""
+    rows = [
+        (1, "aa bb aa bb aa bb aa bb"),   # 8 tokens, 2 distinct
+        (2, "x1 x2 x3 x4 x5 x6"),          # no repetition at all
+        (3, "solo"),                       # 1 token: no bigram, no 5-gram
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {r["doc_id"]: r.asDict() for r in text.repetition_features(df, ngram=5).collect()}
+
+    r1 = got[1]
+    assert r1["n_tokens"] == 8
+    assert r1["dup_token_frac"] == (8 - 2) / 8
+    # "aa bb" occurs 4x, "bb aa" 3x -> top is "aa bb" by count.
+    assert r1["top_bigram"] == "aa bb"
+    # 4 occurrences x 4 token-chars over 16 total token chars.
+    assert r1["top_bigram_frac"] == (4 * 4) / 16
+    # 5-grams: "aa bb aa bb aa" x2, "bb aa bb aa bb" x2 -> dup chars =
+    # (2-1)*10 + (2-1)*10 = 20 over 16 (>1 is fine: overlaps not de-overlapped).
+    assert r1["dup_ngram_frac"] == 20 / 16
+
+    r2 = got[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["dup_ngram_frac"] == 0.0
+    # All bigrams count 1 -> tie broken by lexicographically greatest.
+    assert r2["top_bigram"] == "x5 x6"
+
+    r3 = got[3]
+    assert r3["top_bigram"] is None
+    assert r3["top_bigram_frac"] == 0.0
+    assert r3["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_features_tie_break_matches_struct_order(spark):
+    """Equal-count bigrams resolve to the lexicographically greatest one —
+    the rule the DuckDB oracle mirrors via struct max."""
+    df = spark.createDataFrame([(1, "b a b a")], DOC_SCHEMA)
+    row = text.repetition_features(df).collect()[0]
+    # bigrams: "b a" x2, "a b" x1 -> count wins over lexicographic order.
+    assert row["top_bigram"] == "b a"
