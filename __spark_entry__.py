@@ -27,7 +27,14 @@ from polars_order_book_spark import (
     snapshot_columns,
 )
 from polars_order_book_spark.functions import conversion as conv
-from polars_order_book_spark.operators import dedup, multimodal, sampling, similarity, text
+from polars_order_book_spark.operators import (
+    dedup,
+    multimodal,
+    ranges,
+    sampling,
+    similarity,
+    text,
+)
 from polars_order_book_spark.plans import book_streams as bs
 from polars_order_book_spark.plans import queries as hq
 from polars_order_book_spark.sources.tables import load_table
@@ -817,6 +824,49 @@ FROM documents
 """
 
 
+# Irregular, disjoint half-open price bands — deliberately NOT aligned to the
+# bucket width so the bucketed range join's refine filter does real work.
+_PRICE_BANDS = [
+    ("micro", 0.0, 4500.0),
+    ("small", 4500.0, 21000.0),
+    ("mid", 21000.0, 58000.0),
+    ("large", 58000.0, 123000.0),
+    ("xl", 123000.0, 207000.0),
+    ("xxl", 207000.0, 333000.0),
+    ("whale", 333000.0, 1000000.0),
+]
+
+
+def _orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (equi-join on bucket id, no nested loop): band every
+    order by total price against an interval table, then aggregate per band.
+    min/max are order-insensitive double aggregates — hash-stable across
+    engines, unlike a float sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = ranges.range_join(
+        orders, bands, point_col="o_totalprice", lo_col="lo", hi_col="hi",
+        bucket_width=20000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+_BANDS_VALUES_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+ORDERS_PRICE_BANDS_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES_SQL})
+SELECT band, count(*) AS n_orders,
+       min(o_totalprice) AS min_total,
+       max(o_totalprice) AS max_total
+FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_image_features(docs)
@@ -951,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _frame_sample,
         "multimodal_resize": _multimodal_resize,
         "multimodal_audio_features": _multimodal_audio,
+        "orders_price_bands": _orders_price_bands,
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         "supplier_nation_summary": hq.supplier_nation_summary,
     }
@@ -1016,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,
         "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+        "orders_price_bands": ORDERS_PRICE_BANDS_SQL,
         "q6_forecast_revenue": hq.Q6_SQL,
         "supplier_nation_summary": hq.SUPPLIER_NATION_SQL,
     }
