@@ -352,6 +352,15 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_components(pairs)
 
 
+def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component/survivor contract as dedup_components, computed with the
+    alternating large-star/small-star algorithm (O(log n) rounds independent
+    of cluster diameter — the scale-safe choice for chained near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+    return dedup.neardup_components_star(pairs)
+
+
 def _components_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
@@ -981,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_components": _dedup_components,
+        "dedup_components_star": _dedup_components_star,
         "documents_deduped": _documents_deduped,
         "documents_hash_sample": _docs_hash_sample,
         "text_redact_pii": _text_redact,
@@ -1047,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
         "dedup_components": _components_sql(),
+        "dedup_components_star": _components_sql(),
         "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
         "text_redact_pii": _redact_sql(),

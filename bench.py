@@ -45,6 +45,8 @@ def main() -> None:
         "ann_cosine_topk_blas",
         "ann_cosine_topk_ivf",
         "text_quality",
+        "text_repetition",
+        "orders_price_bands",
         "multimodal_features",
     ]
     qs = E.queries()

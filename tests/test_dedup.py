@@ -138,3 +138,70 @@ def test_ngram_jaccard_arrays_impl_identical(spark):
         ).collect()
     )
     assert rel == arr and len(rel) > 0
+
+
+def _components_of(rows):
+    """Ground-truth union-find over edge tuples."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_star_components_match_label_propagation_random(spark):
+    rng = random.Random(7)
+    rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    rows = [(a, b) for a, b in rows if a != b]
+    pairs = _pairs_df(spark, rows)
+    via_star = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in dedup.neardup_components_star(pairs).collect()
+    }
+    via_prop = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in dedup.neardup_components(pairs).collect()
+    }
+    assert via_star == via_prop
+    truth = _components_of(rows)
+    assert {(n, c) for n, c, _ in via_star} == set(truth.items())
+
+
+def test_star_components_long_chain(spark):
+    """A 200-node path graph: diameter 199. Label propagation at default
+    max_iter would need ~200 rounds; the star algorithm collapses it in
+    O(log n) rounds."""
+    rows = [(i, i + 1) for i in range(200)]
+    out = dedup.neardup_components_star(_pairs_df(spark, rows), max_iter=12)
+    got = {(r["doc_id"], r["component"]) for r in out.collect()}
+    assert got == {(i, 0) for i in range(201)}
+    survivors = [r["doc_id"] for r in out.collect() if r["is_survivor"]]
+    assert survivors == [0]
+
+
+def test_star_components_star_input_converges_immediately(spark):
+    rows = [(0, i) for i in range(1, 6)]
+    out = dedup.neardup_components_star(_pairs_df(spark, rows), max_iter=2)
+    got = {(r["doc_id"], r["component"]) for r in out.collect()}
+    assert got == {(i, 0) for i in range(6)}
+
+
+def test_star_components_null_and_self_edges_ignored(spark):
+    rows = [(1, 2), (3, 3), (None, 4), (5, None)]
+    out = dedup.neardup_components_star(_pairs_df(spark, rows)).collect()
+    got = {(r["doc_id"], r["component"]) for r in out}
+    # self-edge keeps node 3 as its own component; null endpoints drop the row
+    assert got == {(1, 1), (2, 1), (3, 3)}
