@@ -424,6 +424,55 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15))
 """
 
 
+def _docs_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture draw: up to ~800 tokens per source in portable
+    hash order, split over 2 hash shards (bounded per-task window work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.budget_pack(docs, 800, by="source", shards=2)
+
+
+BUDGET_PACK_SQL = """
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens, h % 2 AS pack_shard,
+           sum(n_tokens) OVER (
+               PARTITION BY source, h % 2 ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, source, CAST(pack_shard AS BIGINT) AS pack_shard,
+       n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 400
+"""
+
+
+def _text_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.docfreq_score(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_DOCFREQ_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+per_doc AS (
+    SELECT t.doc_id, count(*) AS n_tokens, sum(d.df) AS sum_df
+    FROM tok t JOIN dfreq d USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(sum_df AS BIGINT) AS sum_df,
+       CAST(sum_df AS DOUBLE) / (n_tokens * total.n) AS df_score
+FROM per_doc CROSS JOIN total
+"""
+
+
 def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_pii(load_table(spark, sf_dir, "documents"))
 
@@ -816,6 +865,39 @@ LEFT JOIN ngd USING (doc_id)
 """
 
 
+def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: probe = every 97th document (a stand-in for a
+    benchmark suite), token-4-gram overlap against the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 97 == 0)
+    # n=4 on this synthetic small-vocab corpus plays the role 8-13-gram
+    # checks play on natural text: rare enough to be meaningful, common
+    # enough that near-duplicates of probe docs actually trip it.
+    return text.ngram_contamination(docs, probe, n=4)
+
+
+TEXT_CONTAMINATION_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]) AS g
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 4 AND i <= len(t) - 4
+),
+cg AS (SELECT DISTINCT doc_id, g FROM grams),
+pg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, count(*) AS n_matched FROM cg JOIN pg USING (g) GROUP BY doc_id),
+stats AS (SELECT doc_id, greatest(len(t) - 3, 0) AS n_grams FROM toks)
+SELECT s.doc_id,
+       CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+       coalesce(h.n_matched, 0) > 0 AS contaminated
+FROM stats s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -993,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": _dedup_components_star,
         "documents_deduped": _documents_deduped,
         "documents_hash_sample": _docs_hash_sample,
+        "documents_budget_pack": _docs_budget_pack,
+        "text_docfreq_score": _text_docfreq,
         "text_redact_pii": _text_redact,
         "ann_cosine_topk": _ann_bruteforce,
         "ann_cosine_topk_lsh": _ann_lsh,
@@ -1007,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _text_tfidf,
         "text_token_counts": _text_tokens,
         "text_repetition": _text_repetition,
+        "text_contamination": _text_contamination,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _frame_sample,
         "multimodal_resize": _multimodal_resize,
@@ -1060,6 +1145,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star": _components_sql(),
         "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
+        "documents_budget_pack": BUDGET_PACK_SQL,
+        "text_docfreq_score": TEXT_DOCFREQ_SQL,
         "text_redact_pii": _redact_sql(),
         "ann_cosine_topk": ANN_SQL,
         "ann_cosine_topk_lsh": ANN_LSH_SQL,
@@ -1074,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": TEXT_TFIDF_SQL,
         "text_token_counts": TEXT_TOKENS_SQL,
         "text_repetition": TEXT_REPETITION_SQL,
+        "text_contamination": TEXT_CONTAMINATION_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_frame_sample": FRAME_SAMPLE_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,

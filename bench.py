@@ -46,6 +46,8 @@ def main() -> None:
         "ann_cosine_topk_ivf",
         "text_quality",
         "text_repetition",
+        "text_contamination",
+        "text_docfreq_score",
         "orders_price_bands",
         "multimodal_features",
     ]

@@ -69,3 +69,59 @@ def hash_split(
         )
         lo = hi
     return out
+
+
+def budget_pack(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 1,
+) -> DataFrame:
+    """Token-budget selection: keep documents per ``by`` group, in
+    deterministic hash order, until the group's token budget is exhausted —
+    how a pretraining mixture is actually drawn ("2B tokens of source X").
+    A document is kept while the budget is not yet full when it arrives
+    (``cum_tokens - n_tokens < budget``), so each group keeps at least one
+    document and may overshoot by less than one document's tokens.
+
+    Hash order (portable hash64 of the id) makes the selection an unbiased,
+    engine-reproducible sample of each source — append-stable like
+    ``hash_sample``, but quota-bounded instead of rate-bounded.
+
+    Scale: the running sum needs one ordered window per group, and a single
+    group's window is one task. ``shards > 1`` splits every group into hash
+    shards with ``budget // shards`` tokens each — same total quota, bounded
+    per-task work — the same salting answer the skewed joins use. Output:
+    (doc_id, <by>, pack_shard, n_tokens, cum_tokens) for kept rows, with
+    ``cum_tokens`` the running total within the (group, shard).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from pyspark.sql import Window as W
+
+    from polars_order_book_spark.operators.text import token_count
+
+    shard_budget = budget_tokens // shards
+    if shard_budget <= 0:
+        raise ValueError("budget_tokens // shards must be > 0")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash64(F.col(id_col)).alias("__h"),
+    ).withColumn("pack_shard", F.pmod(F.col("__h"), F.lit(shards)).cast("long"))
+    win = (
+        W.partitionBy(by, "pack_shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return cum.where(F.col("cum_tokens") - F.col("n_tokens") < shard_budget).select(
+        "doc_id", by, "pack_shard", "n_tokens", "cum_tokens"
+    )

@@ -238,6 +238,70 @@ def repetition_features(
     return out
 
 
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined token ``n``-grams via array ``transform`` —
+    map-only, no per-gram shuffle."""
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any token
+    ``n``-gram with a probe (evaluation/benchmark) set — the pass every
+    serious pretraining pipeline runs so test sets don't leak into training
+    data. Returns one row per corpus doc:
+    (doc_id, n_grams, n_matched, contaminated) where ``n_matched`` counts the
+    doc's DISTINCT n-grams that appear anywhere in the probe set.
+
+    Shape: both sides build n-grams with array ``transform`` (map-only); the
+    probe's distinct gram set is broadcast (benchmark suites are
+    dimension-sized by nature), the corpus side inner-joins and runs one
+    groupBy(doc) with partial aggregation. If a probe ever outgrows
+    broadcast, dropping the ``F.broadcast`` hint degrades gracefully to a
+    shuffled equi-join on the gram string — still no nested loop.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    cg = (
+        base.select("doc_id", F.explode(_token_ngrams(F.col("__toks"), n)).alias("g"))
+        .distinct()
+    )
+    pg = (
+        probe.select(
+            F.explode(_token_ngrams(tokens(F.col(text_col)), n)).alias("g")
+        ).distinct()
+    )
+    hits = (
+        cg.join(F.broadcast(pg), on="g", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    stats = base.select(
+        "doc_id",
+        F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return stats.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        (F.coalesce(F.col("n_matched"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus vocabulary: per token, document frequency and total occurrence
     count — the fuel for IDF weighting, stopword discovery, and vocab pruning.
@@ -246,6 +310,41 @@ def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return tok.groupBy("token").agg(
         F.count_distinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+def docfreq_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM quality proxy (the CCNet-style filter without the model):
+    score each document by the mean corpus document-frequency of its tokens —
+    high = common/fluent vocabulary, low = rare tokens / junk. Returns
+    (doc_id, n_tokens, sum_df, df_score) with
+    ``df_score = sum_df / (n_tokens · N)`` in (0, 1].
+
+    All aggregation is INTEGER (token occurrences summed over bigint doc
+    frequencies), so the result is order-independent and bit-identical across
+    engines — the one double appears in a single final division. A log-prob
+    variant would hit libm last-ulp divergence between JVM and DuckDB; the
+    rational form keeps the operator hash-checkable.
+
+    Shape: explode → one groupBy(token) for frequencies (|vocab| rows,
+    broadcast back) → one groupBy(doc). Same scale profile as tf_idf.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("__df"))
+    total = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    per_doc = (
+        tok.join(F.broadcast(dfreq), on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__df").alias("sum_df"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_df",
+        (F.col("sum_df").cast("double") / (F.col("n_tokens") * F.col("__n"))).alias("df_score"),
     )
 
 

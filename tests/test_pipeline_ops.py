@@ -125,3 +125,71 @@ def test_approx_quantile_bracket_holds_on_tiny_groups(spark):
     rows = {r["event_type"]: r for r in value_quantiles_approx_checked(df).collect()}
     for g in ("g", "h"):
         assert rows[g]["p25_in_tol"] and rows[g]["p50_in_tol"] and rows[g]["p75_in_tol"]
+
+
+def test_budget_pack_respects_quota_and_order(spark):
+    rows = [(i, "src_a" if i < 20 else "src_b", "tok " * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.budget_pack(df, 50, by="source", shards=1).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, kept in by_src.items():
+        # each doc is 10 tokens; keep-while-not-full with budget 50 -> 5 docs
+        assert len(kept) == 5, src
+        assert max(r["cum_tokens"] for r in kept) == 50
+        # kept set = the 5 lowest hash64(doc_id) of the group (unbiased draw)
+        from polars_order_book_spark.functions.hashing import hash64
+        ids = [i for i, s, _ in rows if s == src]
+        hashes = {
+            r["doc_id"]: r["h"]
+            for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            .select("doc_id", hash64(F.col("doc_id")).alias("h"))
+            .collect()
+        }
+        want = set(sorted(ids, key=lambda i: (hashes[i], i))[:5])
+        assert {r["doc_id"] for r in kept} == want
+
+
+def test_budget_pack_keeps_at_least_one_doc_and_may_overshoot(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "a b c d e f g h")], "doc_id long, source string, text string"
+    )
+    out = sampling.budget_pack(df, 3, by="source").collect()
+    assert len(out) == 1 and out[0]["cum_tokens"] == 8
+
+
+def test_budget_pack_shards_partition_the_quota(spark):
+    rows = [(i, "s", "tok " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.budget_pack(df, 100, by="source", shards=4).collect()
+    shards = {}
+    for r in out:
+        shards.setdefault(r["pack_shard"], []).append(r["cum_tokens"])
+    assert set(shards) <= {0, 1, 2, 3}
+    # each shard's quota is 25 tokens -> keeps docs while cum-10 < 25
+    for cums in shards.values():
+        assert max(cums) <= 30
+
+
+def test_budget_pack_validates_args(spark):
+    df = spark.createDataFrame([(1, "s", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        sampling.budget_pack(df, 0)
+    with pytest.raises(ValueError):
+        sampling.budget_pack(df, 10, shards=0)
+    with pytest.raises(ValueError):
+        sampling.budget_pack(df, 3, shards=5)  # per-shard budget rounds to 0
+
+
+def test_docfreq_score_integer_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird"), (3, "cat dog bird")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in text.docfreq_score(docs).collect()}
+    # df: cat->2 docs, dog->3, bird->2; N=3
+    assert got[1]["sum_df"] == 2 + 2 + 3 and got[1]["n_tokens"] == 3
+    assert got[1]["df_score"] == 7 / 9
+    assert got[2]["sum_df"] == 3 + 2
+    assert got[3]["sum_df"] == 2 + 3 + 2

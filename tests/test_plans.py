@@ -108,6 +108,8 @@ _BNLJ_WHITELIST = {
     "ann_cosine_topk",
     "ann_cosine_topk_blas",
     "text_tfidf",
+    # same 1-row corpus-total broadcast cross join as text_tfidf
+    "text_docfreq_score",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

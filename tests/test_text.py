@@ -110,3 +110,33 @@ def test_repetition_features_tie_break_matches_struct_order(spark):
     row = text.repetition_features(df).collect()[0]
     # bigrams: "b a" x2, "a b" x1 -> count wins over lexicographic order.
     assert row["top_bigram"] == "b a"
+
+
+def test_ngram_contamination_flags_shared_spans(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here entirely now yes"),
+            (3, "prefix junk quick brown fox jumps suffix"),  # shares a 4-gram
+            (4, "ab cd"),  # too short for any 4-gram
+        ],
+        DOC_SCHEMA,
+    )
+    probe = spark.createDataFrame([(100, "zz quick brown fox jumps zz")], DOC_SCHEMA)
+    got = {r["doc_id"]: r.asDict() for r in
+           text.ngram_contamination(corpus, probe, n=4).collect()}
+    assert got[1]["contaminated"] and got[1]["n_matched"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_matched"] == 0
+    assert got[3]["contaminated"]
+    assert got[4]["n_grams"] == 0 and not got[4]["contaminated"]
+    assert got[1]["n_grams"] == 9 - 3
+
+
+def test_ngram_contamination_counts_distinct_grams(spark):
+    """A gram repeated in the corpus doc counts once."""
+    corpus = spark.createDataFrame([(1, "a b c d a b c d")], DOC_SCHEMA)
+    probe = spark.createDataFrame([(9, "a b c d")], DOC_SCHEMA)
+    row = text.ngram_contamination(corpus, probe, n=4).collect()[0]
+    # distinct 4-grams of doc 1: {a b c d, b c d a, c d a b, d a b c}; only
+    # "a b c d" is in the probe.
+    assert row["n_matched"] == 1
