@@ -179,6 +179,73 @@ def _ob_stream_keyed(n):
     return run
 
 
+def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming gap sessionization (session_window), driven to
+    completion with availableNow -> complete-mode memory sink. Boundary
+    semantics are pinned equal to the batch lag-rule, so the streaming
+    output gets the full batch oracle hash check."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from polars_order_book_spark.streaming import sessionize_stream
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # integer div: nanos exceed float64's exact range
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = sessionize_stream(ev, gap="30 minutes")
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sess_stream_ckpt_")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select("user_id", "n_events", "start_us", "end_us")
+
+
+EVENTS_SESSIONS_STREAM_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {hq.SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 def _ob_relational(n, variant):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
@@ -1066,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_distinct_approx": hq.events_user_distinct_approx,
         "events_asof_purchase": _events_asof,
         "events_lead_lag": hq.events_lead_lag,
+        "events_sessionize_stream": _events_sessionize_stream,
         # pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1137,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_distinct_approx": hq.EVENTS_DISTINCT_APPROX_SQL,
         "events_asof_purchase": EVENTS_ASOF_SQL,
         "events_lead_lag": hq.EVENTS_LEAD_LAG_SQL,
+        "events_sessionize_stream": EVENTS_SESSIONS_STREAM_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

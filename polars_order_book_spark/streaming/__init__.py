@@ -1,4 +1,5 @@
 from polars_order_book_spark.streaming.book_stream import top_n_levels_stream
+from polars_order_book_spark.streaming.session_stream import sessionize_stream
 from polars_order_book_spark.streaming.dedup_stream import (
     dedup_stream_with_survivor,
     drop_exact_duplicates_stream,
@@ -6,6 +7,7 @@ from polars_order_book_spark.streaming.dedup_stream import (
 
 __all__ = [
     "top_n_levels_stream",
+    "sessionize_stream",
     "dedup_stream_with_survivor",
     "drop_exact_duplicates_stream",
 ]

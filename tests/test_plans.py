@@ -113,7 +113,7 @@ _BNLJ_WHITELIST = {
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.
-_PLAN_SKIP = {"ob_stream_keyed_mutations_top2"}
+_PLAN_SKIP = {"ob_stream_keyed_mutations_top2", "events_sessionize_stream"}
 
 
 @needs_testdata
