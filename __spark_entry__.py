@@ -1128,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_running_total": hq.events_user_running_total,
         "events_sessionize": hq.events_sessionize,
         "events_rollup": hq.events_rollup,
+        "events_hourly_pivot": hq.events_hourly_pivot,
+        "orders_rolling_revenue": hq.orders_rolling_revenue,
         "events_value_quantiles": hq.events_value_quantiles,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
@@ -1200,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_running_total": hq.EVENTS_RUNNING_SQL,
         "events_sessionize": hq.EVENTS_SESSIONS_SQL,
         "events_rollup": hq.EVENTS_ROLLUP_SQL,
+        "events_hourly_pivot": hq.EVENTS_HOURLY_PIVOT_SQL,
+        "orders_rolling_revenue": hq.ORDERS_ROLLING_REVENUE_SQL,
         "events_value_quantiles": hq.EVENTS_QUANTILES_SQL,
         "events_value_quantiles_approx": hq.EVENTS_QUANTILES_APPROX_SQL,
         "events_user_distinct_approx": hq.EVENTS_DISTINCT_APPROX_SQL,

@@ -541,3 +541,76 @@ SELECT event_type,
 FROM events
 GROUP BY ROLLUP (event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
 """
+
+
+# --- Events: hourly pivot ----------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type contingency table via the pivot surface.
+    The pivot value list is pinned (schema independent of data — also what
+    keeps the single shuffle: with explicit values Catalyst plans ONE
+    groupBy(hour) with per-type conditional aggregates, no extra distinct
+    pass over event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.select(F.hour("ts").cast("long").alias("hour"), "event_type")
+        .groupBy("hour")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "hour", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+EVENTS_HOURLY_PIVOT_SQL = """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+# --- Orders: rolling 90-day revenue per customer -----------------------------
+
+def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: the customer's trailing-90-day revenue, via a RANGE window
+    frame over an integer day index (range frames include all peers of the
+    current order key, so same-day orders agree regardless of row order; the
+    sum is decimal → order-independent and engine-exact). One shuffle+sort
+    on (custkey, day) — the same exchange any per-customer time-series op
+    pays."""
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ: truncate to a date and count days since
+    # epoch — identical truncation semantics in DuckDB's CAST(ts AS DATE).
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.alias("day"))
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("long").alias("day"),
+        F.sum(_dec(F.col("o_totalprice"), 12)).over(w).cast("double").alias("rev_90d"),
+    )
+
+
+ORDERS_ROLLING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey,
+       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_90d
+FROM orders
+"""

@@ -32,6 +32,13 @@ HEADLINE = [
     "events_value_quantiles_approx",
     "documents_hash_sample",
     "text_redact_pii",
+    "orders_price_bands",
+    "text_repetition",
+    "text_contamination",
+    "text_docfreq_score",
+    "documents_budget_pack",
+    "events_hourly_pivot",
+    "orders_rolling_revenue",
 ]
 
 
