@@ -139,6 +139,76 @@ class _Side:
             self.levels[price] = qty
 
 
+class _SideBest:
+    """N=1 fast-path side: price->qty dict plus the tracked best price only
+    (ref: book_side_tracked_basic.rs:45-78). Inserts/deletes are O(1) dict ops
+    with a best-price comparison — no sorted-list memmove; only deleting the
+    best itself rescans the dict (O(L), rare), exactly the reference's
+    basic-tracker trade. ``hi=True`` tracks the max (bids), else the min."""
+
+    __slots__ = ("levels", "best", "hi")
+
+    def __init__(self, hi: bool) -> None:
+        self.levels: dict[int, int] = {}
+        self.best: int | None = None
+        self.hi = hi
+
+    @classmethod
+    def from_side(cls, side: "object | None", hi: bool) -> "_SideBest":
+        if isinstance(side, cls):
+            return side
+        out = cls(hi)
+        if side is not None and side.levels:  # type: ignore[union-attr]
+            out.levels = dict(side.levels)  # type: ignore[union-attr]
+            out.best = max(out.levels) if hi else min(out.levels)
+        return out
+
+    def _rescan(self) -> None:
+        # ref: book_side_tracked_basic.rs:96-104 (recompute best on its removal)
+        self.best = (
+            (max(self.levels) if self.hi else min(self.levels)) if self.levels else None
+        )
+
+    def _maybe_promote(self, price: int) -> None:
+        if self.best is None or (price > self.best if self.hi else price < self.best):
+            self.best = price
+
+    def add(self, price: int, qty: int) -> None:
+        cur = self.levels.get(price)
+        if cur is None:
+            self.levels[price] = qty
+            self._maybe_promote(price)
+        else:
+            self.levels[price] = cur + qty
+
+    def delete(self, price: int, qty: int) -> None:
+        cur = self.levels.get(price)
+        if cur is None:
+            raise OrderBookError(f"Level not found: price={price}")
+        if qty > cur:
+            raise OrderBookError(
+                f"Qty exceeds available: delete {qty} from level {price} holding {cur}"
+            )
+        if qty == cur:
+            del self.levels[price]
+            if price == self.best:
+                self._rescan()
+        else:
+            self.levels[price] = cur - qty
+
+    def set_level(self, price: int, qty: int) -> None:
+        cur = self.levels.get(price)
+        if qty == 0:
+            if cur is not None:
+                del self.levels[price]
+                if price == self.best:
+                    self._rescan()
+        else:
+            if cur is None:
+                self._maybe_promote(price)
+            self.levels[price] = qty
+
+
 def _fold_arrays(
     variant: str,
     n: int,
@@ -148,9 +218,10 @@ def _fold_arrays(
     qty: Sequence,
     prev_price: Sequence | None,
     prev_qty: Sequence | None,
-    bids: "_Side | None" = None,
-    asks: "_Side | None" = None,
-) -> tuple[np.ndarray, np.ndarray, "_Side", "_Side"]:
+    bids: "_Side | _SideBest | None" = None,
+    asks: "_Side | _SideBest | None" = None,
+    fast_n1: bool = True,
+) -> "tuple[np.ndarray, np.ndarray, _Side | _SideBest, _Side | _SideBest]":
     """Sequential fold over one book; returns (values, missing_mask, bids,
     asks) with the arrays shaped (4n, m). Port of the event loop at
     ref: calculate_bbo.rs:96-110. Passing pre-populated sides resumes a book
@@ -167,13 +238,35 @@ def _fold_arrays(
     # data rows live at columns 1..m, forward-filled from the left.
     out = np.zeros((4 * n, m + 1), dtype=np.int64)
     mask = np.ones((4 * n, m + 1), dtype=bool)  # True = null (missing level)
-    bids = bids if bids is not None else _Side()
-    asks = asks if asks is not None else _Side()
+    fast = fast_n1 and n == 1
+    if fast:
+        bids = _SideBest.from_side(bids, hi=True)
+        asks = _SideBest.from_side(asks, hi=False)
+    else:
+        bids = bids if bids is not None else _Side()
+        asks = asks if asks is not None else _Side()
     bid_written = np.zeros(m + 1, dtype=bool)
     ask_written = np.zeros(m + 1, dtype=bool)
     bid_written[0] = ask_written[0] = True
 
-    def emit(side_is_bid: bool, c: int) -> None:
+    def emit_fast(side_is_bid: bool, c: int) -> None:
+        side = bids if side_is_bid else asks
+        base = 0 if side_is_bid else 2
+        best = side.best
+        if best is not None:
+            out[base, c] = best
+            out[base + 1, c] = side.levels[best]
+            mask[base, c] = False
+            mask[base + 1, c] = False
+        else:
+            mask[base, c] = True
+            mask[base + 1, c] = True
+        if side_is_bid:
+            bid_written[c] = True
+        else:
+            ask_written[c] = True
+
+    def emit_general(side_is_bid: bool, c: int) -> None:
         if side_is_bid:
             bp, bl = bids.prices, bids.levels
             nb = len(bp)
@@ -205,9 +298,10 @@ def _fold_arrays(
                 mask[base + 1, c] = True
             ask_written[c] = True
 
-    if bids.prices:
+    emit = emit_fast if fast else emit_general
+    if bids.levels:
         emit(True, 0)
-    if asks.prices:
+    if asks.levels:
         emit(False, 0)
 
     for r in range(m):
@@ -221,16 +315,23 @@ def _fold_arrays(
         side = bids if b else asks
         # Pre-event threshold: the nth-best price (side-aware). Any op whose
         # touched prices are all strictly worse cannot alter the top-N.
-        sp = side.prices
-        ln = len(sp)
-        if ln < n:
-            unchanged = False  # book may grow/shrink through the boundary
-        elif b:
-            thr = sp[ln - n]
-            unchanged = p < thr
+        if fast:
+            thr = side.best
+            if thr is None:
+                unchanged = False  # book may grow/shrink through the boundary
+            else:
+                unchanged = p < thr if b else p > thr
         else:
-            thr = sp[n - 1]
-            unchanged = p > thr
+            sp = side.prices
+            ln = len(sp)
+            if ln < n:
+                unchanged = False  # book may grow/shrink through the boundary
+            elif b:
+                thr = sp[ln - n]
+                unchanged = p < thr
+            else:
+                thr = sp[n - 1]
+                unchanged = p > thr
 
         if variant == "updates":
             side.set_level(p, q)
@@ -301,8 +402,9 @@ def _side_from_lists(prices: "Sequence[int] | None", qtys: "Sequence[int] | None
     return side
 
 
-def _side_to_lists(side: _Side) -> tuple[list, list]:
-    return list(side.prices), [side.levels[p] for p in side.prices]
+def _side_to_lists(side: "_Side | _SideBest") -> tuple[list, list]:
+    prices = side.prices if isinstance(side, _Side) else sorted(side.levels)
+    return list(prices), [side.levels[p] for p in prices]
 
 
 def _as_list(s: pd.Series) -> list:
