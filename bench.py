@@ -66,8 +66,11 @@ def main() -> None:
     # Warmups exclude one-time spin-up from per-query numbers: JVM/codegen
     # (relational query) AND the Python UDF worker pool + cloudpickled module
     # broadcast (pandas-UDF query) — the latter costs ~2s on first use.
-    checksum(qs["q1_pricing_summary"](spark, sf_dir))
-    checksum(qs["ob_updates_top1"](spark, sf_dir))
+    for warm in ("q1_pricing_summary", "ob_updates_top1"):
+        try:
+            checksum(qs[warm](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
 
     # Three timed runs per query: report BEST (steady-state cost — single-shot
     # timings on a shared box jitter 2-4x from GC / page cache / CPU
@@ -77,16 +80,23 @@ def main() -> None:
     load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = checksum(df)
-            runs.append(time.time() - t0)
-            assert n >= 0
-        timings[name] = round(min(runs), 3)
-        medians[name] = round(sorted(runs)[1], 3)
+        # Per-query fault isolation: one broken query must never zero out the
+        # whole round's perf evidence (r3 lesson — a single AnalysisException
+        # aborted the run and BENCH_r03 had no numbers).
+        try:
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = checksum(df)
+                runs.append(time.time() - t0)
+                assert n >= 0
+            timings[name] = round(min(runs), 3)
+            medians[name] = round(sorted(runs)[1], 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     load_end = os.getloadavg()[0]
 
     total = round(sum(timings.values()), 3)
@@ -97,6 +107,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "errors": errors,
         "total_median": round(sum(medians.values()), 3),
         "loadavg_1min_start": round(load_start, 2),
         "loadavg_1min_end": round(load_end, 2),

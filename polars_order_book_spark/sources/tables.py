@@ -17,28 +17,67 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# The driver's parquet stores these as TIMESTAMP(NANOS), which Spark's reader
-# only accepts as long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-# session.py). DuckDB reads the same files at microsecond precision, so we
-# truncate nanos -> micros to agree with the oracle exactly.
-_NANO_TS_COLS = {
+# Timestamp columns the testdata has shipped under three physical encodings so
+# far: TIMESTAMP(NANOS) (readable only as long via nanosAsLong), native
+# timestamp[us] (Spark reads it as TIMESTAMP_NTZ), and plain TIMESTAMP.
+# DuckDB reads all of them at microsecond precision, so we normalize every
+# encoding to session-TZ TIMESTAMP (session tz is pinned UTC in session.py,
+# making the cast exact and epoch_us-equivalent).
+_TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive: the driver may hand us a session built without our factory.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+def normalize_ts(df: DataFrame, cols: "tuple[str, ...]") -> DataFrame:
+    """Normalize timestamp columns to TIMESTAMP regardless of how the parquet
+    encoded them. Handles: bigint epoch-nanos (legacy nanosAsLong reads),
+    TIMESTAMP_NTZ (native timestamp[us] files under a UTC session), and
+    already-TIMESTAMP (no-op). Pure column expressions — no job is triggered
+    and pushdown/pruning through the scan is unaffected."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        t = dtypes.get(c)
+        if t == "bigint":
             # Integer division: nanos (~1.7e18) exceed float64's 2^53 exact
             # range, so `/ 1000` could be off by up to 1 µs vs DuckDB's exact
             # truncation.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif t == "timestamp_ntz":
+            # Session tz is UTC, so NTZ -> TIMESTAMP is a pure reinterpretation
+            # (same micros-since-epoch DuckDB's epoch_us sees).
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def ts_columns(name: str) -> "tuple[str, ...]":
+    """Timestamp columns of a testdata table (empty tuple if none)."""
+    return _TS_COLS.get(name, ())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: the driver may hand us a session built without our factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ts(df, _TS_COLS.get(name, ()))
+
+
+def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of a testdata table with the SAME timestamp contract as
+    :func:`load_table`. readStream needs an explicit schema, so we take the
+    file's real schema from a (metadata-only) batch read instead of hardcoding
+    one — that's what makes this robust to physical-encoding drift between
+    testdata generations. The file source requires a directory path;
+    pathGlobFilter narrows it to the one table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_ts(df, _TS_COLS.get(name, ()))
 
 
 def load_event_csv(
