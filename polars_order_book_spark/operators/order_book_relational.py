@@ -98,22 +98,36 @@ def _segmented_running_levels(
 
     The carry-in relation is |buckets| × |levels| rows — broadcastable at any
     event count. Bucket boundaries come from ``seq_bounds`` when the caller
-    supplies them, else from a min/max(seq) aggregation of the source — an
-    O(1)-row result but an EAGER job that recomputes the upstream plan (see
-    the ``top_n_levels_relational`` docstring).
+    supplies them (pure-literal plan), else LAZILY from a 1-row min/max(seq)
+    aggregate attached via broadcast cross join — the scalar-normalizer shape,
+    so construction triggers zero Spark jobs and the bounds subtree executes
+    with the query (its exchange is identical on both attach sites, which
+    AQE/ReuseExchange dedupes).
     """
     if seq_bounds is not None:
-        mn, mx = seq_bounds
+        mn, mx = int(seq_bounds[0]), int(seq_bounds[1])
+        width = max(1, (mx - mn) // n_buckets + 1)
+
+        def bkt_of(rel: DataFrame) -> DataFrame:
+            return rel.withColumn("__bkt", F.expr(f"(`{seq}` - {mn}) div {width}"))
     else:
-        row = source.agg(
-            F.min(F.col(seq)).alias("mn"), F.max(F.col(seq)).alias("mx")
-        ).first()
-        mn, mx = row["mn"], row["mx"]
-    if mn is None:
-        return g.select(*keys, seq, is_bid, price, F.lit(None).cast("long").alias("level_qty"))
-    width = max(1, (int(mx) - int(mn)) // n_buckets + 1)
-    bkt_of = lambda c: F.expr(f"(`{c}` - {int(mn)}) div {width}")  # noqa: E731
-    g = g.withColumn("__bkt", bkt_of(seq))
+        bounds = source.agg(
+            F.min(F.col(seq)).alias("__mn"), F.max(F.col(seq)).alias("__mx")
+        ).select(
+            "__mn",
+            F.expr(
+                f"greatest(1L, ((__mx - __mn) div {n_buckets}) + 1L)"
+            ).alias("__w"),
+        )
+
+        def bkt_of(rel: DataFrame) -> DataFrame:
+            return (
+                rel.crossJoin(F.broadcast(bounds))
+                .withColumn("__bkt", F.expr(f"(`{seq}` - __mn) div __w"))
+                .drop("__mn", "__w")
+            )
+
+    g = bkt_of(g)
 
     w_local = (
         Window.partitionBy(*keys, "__bkt", is_bid, price)
@@ -131,7 +145,7 @@ def _segmented_running_levels(
     # finding). Bucket reductions need only DELTA rows; the tiny complete
     # (levels × buckets) domain then guarantees every staged row finds its
     # carry even for buckets where a level has no delta.
-    d = deltas.withColumn("__bkt", bkt_of(seq))
+    d = bkt_of(deltas)
     if variant == "mutations":
         bval = F.sum(F.col(qty)).alias("__bval")
     else:
@@ -238,11 +252,13 @@ def top_n_levels_relational(
     ``by`` is empty (single global book), off when keyed (parallelism already
     scales with the number of books; pass explicitly for skewed books).
 
-    EAGER-JOB caveat: with ``seq_buckets`` active and no ``seq_bounds``, the
-    builder runs one min/max(seq) Spark job at CONSTRUCTION time to derive
-    bucket boundaries — which re-executes the upstream plan once (expensive
-    when ``df`` is itself an explode/join pipeline; cache the input or pass
-    ``seq_bounds=(min_seq, max_seq)`` to keep construction fully lazy).
+    Construction is fully lazy either way: with ``seq_bounds`` the bucket
+    arithmetic is literal; without, bounds come from a 1-row min/max(seq)
+    aggregate broadcast-cross-joined in (the scalar-normalizer shape), which
+    executes with the query — no job runs at construction (pinned by
+    tests/test_order_book_relational.py's zero-jobs listener test). Pass
+    ``seq_bounds=(min_seq, max_seq)`` when known to shave the tiny bounds
+    subtree out of the runtime plan.
     """
     from polars_order_book_spark.operators.order_book import _check_n
 

@@ -184,3 +184,22 @@ def test_modify_zero_delta_events_keep_snapshot_rows(spark):
     b = by_seq(top_n_levels_relational(deltas, n=2, variant="mutations"), cols)
     assert set(b) == {1, 2, 3, 4, 5}
     assert a == b
+
+
+def test_construction_triggers_zero_jobs(spark):
+    """The segmented-scan builder must be fully lazy: bucket bounds come from
+    a broadcast 1-row aggregate inside the plan, not an eager min/max job at
+    construction (r3 verdict item — an eager job re-executes the upstream
+    plan once per build, expensive when the input is an explode pipeline)."""
+    rows = gen_mutations(random.Random(3), 120)
+    df = spark.createDataFrame(rows, SCHEMA3)
+    sc = spark.sparkContext
+    # StatusTracker job ids are monotonically increasing; no new ids => no jobs
+    n_before = max([-1, *(sc.statusTracker().getJobIdsForGroup(None) or [])])
+    out = top_n_levels_relational(df, n=2, variant="mutations", seq_buckets=8)
+    n_after = max([-1, *(sc.statusTracker().getJobIdsForGroup(None) or [])])
+    assert n_after == n_before, "top_n_levels_relational ran a Spark job at construction"
+    # and the lazily-built plan still computes the right thing
+    a = by_seq(top_n_levels_from_price_mutations(df, n=2), snapshot_columns(2))
+    b = by_seq(out, snapshot_columns(2))
+    assert a == b
