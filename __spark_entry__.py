@@ -206,6 +206,84 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events", "start_us", "end_us")
 
 
+def _events_sessionize_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SHAPED streaming sessionizer: watermark + append mode + file
+    sink. Complete-mode (events_sessionize_stream) re-emits every session each
+    trigger and materializes the whole table in driver memory — fine as an
+    sf0.01 oracle harness, a driver OOM at 100×. Append mode emits each
+    session exactly once when the watermark passes its close and writes to
+    durable parquet; state is bounded to open sessions. The oracle is
+    restricted to watermark-closed sessions (gap 30m, delay 1h): a session
+    emits when max_event_ts + gap < final watermark = global_max_ts - delay."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+    from polars_order_book_spark.streaming import sessionize_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    sess = sessionize_stream(ev, gap="30 minutes", watermark="1 hour")
+    out_dir = tempfile.mkdtemp(prefix="sess_append_") + "/sessions"
+    ckpt = tempfile.mkdtemp(prefix="sess_append_ckpt_")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select("user_id", "n_events", "start_us", "end_us")
+
+
+def _ob_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's n1-vs-n2 consistency golden as an oracle query (ref:
+    calculate_bbo.rs:372-519): the SAME stream computed at n=1 (fast path)
+    and n=2 (general sorted-list path) must agree on every level-1 column.
+    Both sides are joined per seq and hashed against one oracle book, so any
+    fastpath divergence breaks the value hash."""
+    stream = bs.updates_stream(load_table(spark, sf_dir, "events"))
+    lvl1 = ["bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1"]
+    n1 = top_n_levels_from_price_updates(stream, n=1).select(
+        "seq", *[F.col(c).alias(f"{c}_n1") for c in lvl1]
+    )
+    n2 = top_n_levels_from_price_updates(stream, n=2).select(
+        "seq", *[F.col(c).alias(f"{c}_n2") for c in lvl1]
+    )
+    return n1.join(n2, on="seq")
+
+
+def _ob_consistency_sql() -> str:
+    lvl1 = ["bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1"]
+    inner = bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 1, "updates")
+    cols = ", ".join(
+        [f"{c} AS {c}_n1" for c in lvl1] + [f"{c} AS {c}_n2" for c in lvl1]
+    )
+    return f"SELECT seq, {cols} FROM ({inner}) b"
+
+
+def _sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-output round trip: write_partitioned (hive layout, dynamic
+    overwrite) then read_partitioned, hashed against DuckDB reading the
+    ORIGINAL table — proves the sink loses no rows/values and the partition
+    column survives the directory encoding."""
+    import tempfile
+
+    from polars_order_book_spark.sources.sinks import read_partitioned, write_partitioned
+
+    part = load_table(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="sink_rt_") + "/part"
+    write_partitioned(part, path, ["p_brand"])
+    back = read_partitioned(spark, path)
+    return back.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+SINK_ROUNDTRIP_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+"""
+
+
 EVENTS_SESSIONS_STREAM_SQL = f"""
 WITH flagged AS (
     SELECT user_id, event_id, ts,
@@ -225,6 +303,43 @@ SELECT user_id, count(*) AS n_events,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us
 FROM sess GROUP BY user_id, session_no
+"""
+
+
+# Append-mode oracle: only watermark-closed sessions are emitted. A session
+# closes when its window end (last event + gap) falls at or below the final
+# watermark. Spark tracks watermarks at MILLISECOND precision (max event time
+# is floored to ms before subtracting the delay) — mirrored by the // 1000.
+_SESSION_GAP_US = 1_800_000_000  # 30 min, matches sessionize_stream gap
+_SESSION_WM_DELAY_MS = 3_600_000  # 1 hour watermark delay
+EVENTS_SESSIONS_STREAM_APPEND_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) AS end_us
+    FROM sess GROUP BY user_id, session_no
+),
+wm AS (
+    SELECT (max(epoch_us(ts)) // 1000 - {_SESSION_WM_DELAY_MS}) * 1000 AS wm_us
+    FROM events
+)
+SELECT a.user_id, a.n_events, a.start_us, a.end_us
+FROM agg a, wm
+WHERE a.end_us + {_SESSION_GAP_US} <= wm.wm_us
 """
 
 
@@ -1109,6 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lead_lag": hq.events_lead_lag,
         "events_asof_purchase": _events_asof,
         "events_sessionize_stream": _events_sessionize_stream,
+        # --- new this round (r4) ---
+        "events_sessionize_stream_append": _events_sessionize_stream_append,
+        "ob_consistency_n1_n2": _ob_consistency,
+        "sink_roundtrip": _sink_roundtrip,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1201,6 +1320,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": EVENTS_ASOF_SQL,
         "events_lead_lag": hq.EVENTS_LEAD_LAG_SQL,
         "events_sessionize_stream": EVENTS_SESSIONS_STREAM_SQL,
+        "events_sessionize_stream_append": EVENTS_SESSIONS_STREAM_APPEND_SQL,
+        "ob_consistency_n1_n2": _ob_consistency_sql(),
+        "sink_roundtrip": SINK_ROUNDTRIP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

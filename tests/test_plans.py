@@ -113,7 +113,11 @@ _BNLJ_WHITELIST = {
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.
-_PLAN_SKIP = {"ob_stream_keyed_mutations_top2", "events_sessionize_stream"}
+_PLAN_SKIP = {
+    "ob_stream_keyed_mutations_top2",
+    "events_sessionize_stream",
+    "events_sessionize_stream_append",
+}
 
 
 @needs_testdata
