@@ -588,6 +588,43 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15))
 """
 
 
+def _docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: largest deterministic subset hitting a 50/30/20
+    split across three sources (binding domain keeps all rows, others
+    hash-downsample). Map-side filter after a broadcast rates join — the
+    fact table never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.domain_mix_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+DOMAIN_MIX_SQL = """
+WITH counts AS (
+    SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+    WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+w(source, wt) AS (
+    VALUES ('src0', CAST(0.5 AS DOUBLE)),
+           ('src1', CAST(0.3 AS DOUBLE)),
+           ('src2', CAST(0.2 AS DOUBLE))
+),
+caps AS (
+    SELECT c.source, c.n, w.wt, c.n / w.wt AS cap
+    FROM counts c JOIN w USING (source)
+),
+t AS (SELECT min(cap) AS tt FROM caps),
+rates AS (
+    SELECT source, least(CAST(1.0 AS DOUBLE), wt * tt / n) AS r
+    FROM caps, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '')), 1, 15)) AS BIGINT)
+      % 1000000 < CAST(floor(r * 1000000) AS BIGINT)
+"""
+
+
 def _docs_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture draw: up to ~800 tokens per source in portable
     hash order, split over 2 hash shards (bounded per-task window work)."""
@@ -1240,7 +1277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- host-engine query surface (SURVEY §2.3) ---
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q5_nation_revenue": hq.q5_nation_revenue,
-        "events_hourly": hq.events_hourly,
         "events_hourly_pivot": hq.events_hourly_pivot,
         "orders_rolling_revenue": hq.orders_rolling_revenue,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
@@ -1253,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "documents_budget_pack": _docs_budget_pack,
+        "documents_domain_mix": _docs_domain_mix,
         "text_docfreq_score": _text_docfreq,
         "text_redact_pii": _text_redact,
         "ann_cosine_topk": _ann_bruteforce,
@@ -1269,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "q3_top_revenue_orders": hq.q3_top_revenue_orders,
+        "events_hourly": hq.events_hourly,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
         "part_categorize": hq.part_categorize,
@@ -1331,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star": _components_sql(),
         "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
+        "documents_domain_mix": DOMAIN_MIX_SQL,
         "documents_budget_pack": BUDGET_PACK_SQL,
         "text_docfreq_score": TEXT_DOCFREQ_SQL,
         "text_redact_pii": _redact_sql(),

@@ -125,3 +125,63 @@ def budget_pack(
     return cum.where(F.col("cum_tokens") - F.col("n_tokens") < shard_budget).select(
         "doc_id", by, "pack_shard", "n_tokens", "cum_tokens"
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    *,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic downsample to target domain proportions — mixture
+    re-weighting, the other half of dataset curation next to quota draws
+    (:func:`budget_pack` answers "N tokens of X"; this answers "30% books,
+    50% web, 20% code").
+
+    No upsampling: the output is the LARGEST subset achieving the target
+    shares. With per-domain counts n_d and weights w_d, the feasible total is
+    T = min_d(n_d / w_d); each domain keeps rate r_d = w_d·T / n_d (the
+    binding domain keeps everything, others downsample). Membership is the
+    portable hash64 threshold — stable across runs, partitionings, engines,
+    and appends, like every sampler here. Domains absent from ``weights``
+    are dropped.
+
+    Scale shape: one tiny groupBy(domain) count, the scalar T attached by a
+    1-row broadcast cross join (scalar-normalizer shape), per-domain rates
+    broadcast back to the fact side as an equi-join, then a map-side hash
+    filter. No fact-table shuffle anywhere. All arithmetic is IEEE float64
+    (division + multiply + floor), bit-identical in the DuckDB oracle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be strictly positive")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in sorted(weights.items())],
+        f"{domain_col} string, __w double",
+    )
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    caps = counts.join(F.broadcast(wdf), on=domain_col).withColumn(
+        "__cap", F.col("__n") / F.col("__w")
+    )
+    t = caps.agg(F.min("__cap").alias("__t"))
+    rates = caps.crossJoin(F.broadcast(t)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0), F.col("__w") * F.col("__t") / F.col("__n")
+        ).alias("__r"),
+    )
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    bucket = F.pmod(hash64(keyed), F.lit(_BUCKETS))
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .where(bucket < F.floor(F.col("__r") * _BUCKETS).cast("long"))
+        .drop("__r")
+    )

@@ -193,3 +193,57 @@ def test_docfreq_score_integer_exact(spark):
     assert got[1]["df_score"] == 7 / 9
     assert got[2]["sum_df"] == 3 + 2
     assert got[3]["sum_df"] == 2 + 3 + 2
+
+
+def _mix_df(spark, counts):
+    rows = []
+    i = 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    # binding domain (a: 200 w=0.5 -> cap 400) keeps all; b,c downsample
+    df = _mix_df(spark, {"a": 200, "b": 300, "c": 500})
+    out = sampling.domain_mix_sample(df, {"a": 0.5, "b": 0.3, "c": 0.2})
+    by_src = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src["a"] == 200  # rate exactly 1.0 — every row kept
+    # b target 120 (rate .4), c target 80 (rate .16); hash noise tolerance
+    assert 90 <= by_src["b"] <= 150
+    assert 55 <= by_src["c"] <= 105
+    # invariant to partitioning (portable hash, not sample())
+    again = sampling.domain_mix_sample(
+        df.repartition(7), {"a": 0.5, "b": 0.3, "c": 0.2}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_domain_mix_drops_unweighted_domains(spark):
+    df = _mix_df(spark, {"a": 50, "b": 50, "junk": 50})
+    out = sampling.domain_mix_sample(df, {"a": 0.5, "b": 0.5})
+    assert out.where(F.col("source") == "junk").count() == 0
+
+
+def test_domain_mix_validates_weights(spark):
+    df = _mix_df(spark, {"a": 5})
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.domain_mix_sample(df, {"a": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.domain_mix_sample(df, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.domain_mix_sample(df, {})
+
+
+def test_domain_mix_is_lazy(spark):
+    df = _mix_df(spark, {"a": 30, "b": 30})
+    sc = spark.sparkContext
+    n_before = max([-1, *(sc.statusTracker().getJobIdsForGroup(None) or [])])
+    sampling.domain_mix_sample(df, {"a": 0.5, "b": 0.5})
+    n_after = max([-1, *(sc.statusTracker().getJobIdsForGroup(None) or [])])
+    assert n_after == n_before

@@ -110,6 +110,9 @@ _BNLJ_WHITELIST = {
     "text_tfidf",
     # same 1-row corpus-total broadcast cross join as text_tfidf
     "text_docfreq_score",
+    # 1-row feasible-total (T) broadcast cross join in the rates subtree;
+    # the fact side is an equi-join on domain
+    "documents_domain_mix",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -51,6 +51,7 @@ DEMOTED_TAIL = {
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
     "q3_top_revenue_orders",
+    "events_hourly",
     "topk_orders_per_customer",
     "customers_without_orders",
     "part_categorize",
