@@ -588,6 +588,82 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15))
 """
 
 
+def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with survivor tagging (applyInPandasWithState
+    keyed by content hash), driven to completion with availableNow -> update
+    memory sink. Every document is tagged with the canonical keep_id (min id
+    of the hash's first micro-batch); a single-file availableNow replay is
+    one batch, so the oracle is min(doc_id) per md5(text)."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.streaming.dedup_stream import (
+        dedup_stream_with_survivor,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = dedup_stream_with_survivor(docs)
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select("content_hash", "doc_id", "keep_id", "is_first")
+
+
+DEDUP_STREAM_SQL = """
+SELECT md5(text) AS content_hash, doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_first
+FROM documents
+"""
+
+
+def _events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format ingestion round trip: events written to CSV (header +
+    proper quoting for the free-text props column) and read back through
+    load_event_csv with an explicit schema (single pass, splittable scan),
+    hashed against DuckDB reading the original parquet. Timestamps travel as
+    unix micros so the comparison is exact, not format-dependent."""
+    import tempfile
+
+    from polars_order_book_spark.sources.tables import load_event_csv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/events_csv"
+    ev.write.mode("overwrite").option("header", "true").csv(path)
+    back = load_event_csv(
+        spark,
+        path,
+        schema="event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    )
+    return back
+
+
+EVENTS_CSV_ROUNDTRIP_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+"""
+
+
 def _docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture re-weighting: largest deterministic subset hitting a 50/30/20
     split across three sources (binding domain keeps all rows, others
@@ -1265,13 +1341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
         "sink_roundtrip": _sink_roundtrip,
+        "dedup_stream_survivors": _dedup_stream_survivors,
+        "events_csv_roundtrip": _events_csv_roundtrip,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
-        "ob_conversion_top2": _ob_conversion(2),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         # --- host-engine query surface (SURVEY §2.3) ---
@@ -1298,10 +1375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
-        "text_fingerprint": _text_fingerprint,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): redundant
         # variants with green rows in BOTH CORRECTNESS_r02 and r03 ---
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
+        "ob_conversion_top2": _ob_conversion(2),
+        "text_fingerprint": _text_fingerprint,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1361,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_stream_append": EVENTS_SESSIONS_STREAM_APPEND_SQL,
         "ob_consistency_n1_n2": _ob_consistency_sql(),
         "sink_roundtrip": SINK_ROUNDTRIP_SQL,
+        "dedup_stream_survivors": DEDUP_STREAM_SQL,
+        "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

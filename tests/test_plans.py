@@ -120,6 +120,7 @@ _PLAN_SKIP = {
     "ob_stream_keyed_mutations_top2",
     "events_sessionize_stream",
     "events_sessionize_stream_append",
+    "dedup_stream_survivors",
 }
 
 

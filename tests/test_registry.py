@@ -47,6 +47,8 @@ def test_query_analyzes(spark, name, fn):
 # driver signal (r3 verdict item 1).
 DEMOTED_TAIL = {
     "ob_chunked_mutations_top2",
+    "ob_conversion_top2",
+    "text_fingerprint",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
