@@ -601,6 +601,12 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
+    # Measured NON-optimization (sf0.1, fresh session, identical checksums):
+    # semi-joining the shingle relation down to candidate docs before the
+    # verify joins — shuffled (best 6.1s vs 5.3s) or broadcast (7.3s) — LOSES:
+    # the candidate subtree gets re-executed for the prune/broadcast build,
+    # costing more than the pruned verify bytes save. The plain formulation
+    # below reuses the distinct's shuffle files across all subtrees.
     sh_plain = sh.select("doc_id", "shingle")
     inter = (
         cands.join(sh_plain.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
