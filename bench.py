@@ -49,6 +49,8 @@ def main() -> None:
         "text_contamination",
         "text_docfreq_score",
         "orders_price_bands",
+        "documents_domain_mix",
+        "events_csv_roundtrip",
         "multimodal_features",
     ]
     qs = E.queries()
