@@ -39,6 +39,9 @@ HEADLINE = [
     "documents_budget_pack",
     "events_hourly_pivot",
     "orders_rolling_revenue",
+    "documents_domain_mix",
+    "ob_consistency_n1_n2",
+    "events_csv_roundtrip",
 ]
 
 
