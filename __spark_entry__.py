@@ -664,6 +664,33 @@ FROM events
 """
 
 
+def _embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization of the embeddings table, exploded to
+    (vec_id, scale, pos, q) scalar rows so every quantized component is
+    value-hashed against the oracle (array columns stringify differently
+    across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "q")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+EMBEDDINGS_QUANTIZE_SQL = """
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS scale
+    FROM embeddings
+)
+SELECT vec_id, CAST(scale AS DOUBLE) AS scale, CAST(t.i - 1 AS BIGINT) AS pos,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 127.0
+                            / CAST(scale AS DOUBLE) + 0.5) AS INT)
+       END AS q
+FROM s, UNNEST(generate_series(1, len(embedding))) AS t(i)
+"""
+
+
 def _docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture re-weighting: largest deterministic subset hitting a 50/30/20
     split across three sources (binding domain keeps all rows, others
@@ -1343,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _sink_roundtrip,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
+        "embeddings_quantize_int8": _embeddings_quantize,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1374,12 +1402,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _ann_ivf,
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
-        "text_lang_id": _text_lang,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): redundant
         # variants with green rows in BOTH CORRECTNESS_r02 and r03 ---
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "ob_conversion_top2": _ob_conversion(2),
         "text_fingerprint": _text_fingerprint,
+        "text_lang_id": _text_lang,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1441,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "sink_roundtrip": SINK_ROUNDTRIP_SQL,
         "dedup_stream_survivors": DEDUP_STREAM_SQL,
         "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
+        "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

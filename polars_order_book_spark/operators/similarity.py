@@ -451,3 +451,63 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the serving-side compression
+    step of an ANN pipeline (4× smaller than float32, SIMD-friendly int dot
+    products; recall loss bounded by the reconstruction error below).
+
+    Each vector is scaled by its own max-|x| so the quantized range uses all
+    of [-127, 127]: q_i = round(x_i · 127 / scale), stored with the scale for
+    dequantization x̂_i = q_i · scale / 127. Reconstruction error is at most
+    scale/254 per component (half a quantization step, pinned by test).
+    All-zero vectors emit scale 0 and all-zero codes.
+
+    Shape: pure map-side higher-order functions (transform/array_max) inside
+    whole-stage codegen — no shuffle, no Python. Rounding is floor(x + 0.5)
+    rather than engine round() so the DuckDB oracle is bit-identical (both
+    engines evaluate the identical IEEE float64 expression).
+
+    Output: (id_col, scale double, qvec array<int>).
+    """
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    with_scale = df.withColumn("__scale", scale)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("__scale") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("__scale").cast("double")
+                + F.lit(0.5)
+            )
+        )
+        .cast("int"),
+    )
+    return with_scale.select(
+        F.col(id_col),
+        F.col("__scale").cast("double").alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: x̂_i = q_i · scale / 127 as
+    array<float> (map-side transform, no shuffle)."""
+    return df.withColumn(
+        "dequantized",
+        F.transform(
+            F.col(qvec_col),
+            lambda q: (
+                q.cast("double") * F.col(scale_col) / F.lit(127.0)
+            ).cast("float"),
+        ),
+    )

@@ -49,6 +49,7 @@ DEMOTED_TAIL = {
     "ob_chunked_mutations_top2",
     "ob_conversion_top2",
     "text_fingerprint",
+    "text_lang_id",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",

@@ -130,3 +130,31 @@ def test_train_ivf_centroids_invariant_to_partitioning(spark):
         df.repartition(7), vec_col="embedding", n_cells=4, sample=32, seed=5
     )
     assert base == shuffled
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import random
+
+    from polars_order_book_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(40)
+    ] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_int8(df)
+    got = {r["vec_id"]: r for r in dequantize_int8(q).join(
+        df, on="vec_id").collect()}
+    assert len(got) == 41
+    for vid, r in got.items():
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        if vid == 99:
+            assert r["scale"] == 0.0 and set(r["qvec"]) == {0}
+            continue
+        # reconstruction error <= half a quantization step per component
+        bound = r["scale"] / 254 + 1e-6
+        for x, xhat in zip(r["embedding"], r["dequantized"]):
+            assert abs(x - xhat) <= bound, (vid, x, xhat, bound)
