@@ -691,6 +691,34 @@ FROM s, UNNEST(generate_series(1, len(embedding))) AS t(i)
 """
 
 
+def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk layout: every document assigned to its 256-token
+    training sequence (bin + start offset) per source in portable hash
+    order, 2 hash shards bounding per-task window work."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, 256, shards=2)
+
+
+PACK_SEQUENCES_SQL = """
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens, h % 2 AS pack_shard,
+           CAST(sum(n_tokens) OVER (PARTITION BY source, h % 2 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM base
+)
+SELECT doc_id, source, pack_shard, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_index,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS start_offset
+FROM cum
+"""
+
+
 def _docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture re-weighting: largest deterministic subset hitting a 50/30/20
     split across three sources (binding domain keeps all rows, others
@@ -1371,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
         "embeddings_quantize_int8": _embeddings_quantize,
+        "documents_pack_sequences": _docs_pack_sequences,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1398,7 +1427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_docfreq_score": _text_docfreq,
         "text_redact_pii": _text_redact,
         "ann_cosine_topk": _ann_bruteforce,
-        "ann_cosine_topk_lsh": _ann_lsh,
         "ann_cosine_topk_ivf": _ann_ivf,
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
@@ -1408,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_conversion_top2": _ob_conversion(2),
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
+        "ann_cosine_topk_lsh": _ann_lsh,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1470,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream_survivors": DEDUP_STREAM_SQL,
         "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
         "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,
+        "documents_pack_sequences": PACK_SEQUENCES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -185,3 +185,60 @@ def domain_mix_sample(
         .where(bucket < F.floor(F.col("__r") * _BUCKETS).cast("long"))
         .drop("__r")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len_tokens: int,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 1,
+) -> DataFrame:
+    """Assign every document to a fixed-token-length training sequence — the
+    concat-and-chunk step of a pretraining pipeline (:func:`budget_pack`
+    SELECTS a quota; this PACKS everything into seq_len-token bins).
+
+    Documents are laid out per (group, shard) in portable hash order; each
+    doc's start offset is the running token total before it, and its bin is
+    ``start div seq_len``. The layout is therefore a pure function of the
+    data — append-stable, partition-invariant, engine-reproducible — and a
+    doc's (bin, offset) never changes when later docs arrive. Docs longer
+    than ``seq_len_tokens`` simply span bins (start-offset contract; the
+    splitter downstream slices them).
+
+    Scale: one ordered window per (group, shard) — identical shape and
+    bounds to :func:`budget_pack`; ``shards`` caps per-task window work.
+    Output: (doc_id, <by>, pack_shard, n_tokens, seq_index, start_offset)
+    where start_offset is within the bin.
+    """
+    if seq_len_tokens <= 0:
+        raise ValueError(f"seq_len_tokens must be > 0, got {seq_len_tokens}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from pyspark.sql import Window as W
+
+    from polars_order_book_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash64(F.col(id_col)).alias("__h"),
+    ).withColumn("pack_shard", F.pmod(F.col("__h"), F.lit(shards)).cast("long"))
+    win = (
+        W.partitionBy(by, "pack_shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("__cum", F.sum("n_tokens").over(win))
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        by,
+        "pack_shard",
+        "n_tokens",
+        (start / seq_len_tokens).cast("long").alias("seq_index"),
+        F.pmod(start, F.lit(seq_len_tokens)).alias("start_offset"),
+    )

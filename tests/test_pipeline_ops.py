@@ -247,3 +247,30 @@ def test_domain_mix_is_lazy(spark):
     sampling.domain_mix_sample(df, {"a": 0.5, "b": 0.5})
     n_after = max([-1, *(sc.statusTracker().getJobIdsForGroup(None) or [])])
     assert n_after == n_before
+
+
+def test_pack_sequences_layout_invariants(spark):
+    rows = [(i, "s", "tok " * (i % 7 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sampling.pack_sequences(df, 16).collect()
+    assert len(out) == 60
+    # reconstruct the layout: within the hash order, offsets are contiguous
+    ordered = sorted(out, key=lambda r: (r["seq_index"], r["start_offset"]))
+    cum = 0
+    for r in ordered:
+        assert r["seq_index"] == cum // 16
+        assert r["start_offset"] == cum % 16
+        cum += r["n_tokens"]
+    # partition-invariance (portable hash order, not physical order)
+    again = sampling.pack_sequences(df.repartition(9), 16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_shards_and_validation(spark):
+    rows = [(i, "s", "a b c") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sampling.pack_sequences(df, 8, shards=4)
+    assert out.select("pack_shard").distinct().count() == 4
+    import pytest as _pt
+    with _pt.raises(ValueError, match="seq_len_tokens"):
+        sampling.pack_sequences(df, 0)

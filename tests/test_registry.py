@@ -50,6 +50,7 @@ DEMOTED_TAIL = {
     "ob_conversion_top2",
     "text_fingerprint",
     "text_lang_id",
+    "ann_cosine_topk_lsh",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
