@@ -12,7 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "polars-order-book-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "polars-order-book-spark",
+    cpus: int | None = None,
+    state_store: str | None = None,
+) -> SparkSession:
+    """``state_store='rocksdb'`` switches Structured Streaming state to the
+    RocksDB provider — the production choice when keyed state (books,
+    sessions, dedup hashes) outgrows executor heap: state lives off-heap on
+    local disk with changelog checkpointing, instead of the default in-memory
+    HDFS-backed map. Same results either way (pinned by
+    tests/test_state_store.py); default None keeps Spark's default provider.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -36,4 +47,12 @@ def get_spark(app_name: str = "polars-order-book-spark", cpus: int | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store {state_store!r}")
     return builder.getOrCreate()
