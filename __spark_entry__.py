@@ -160,7 +160,9 @@ def _ob_stream_keyed(n):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
         return spark.table(name).select("book", "seq", *snapshot_columns(n))
     return run
 
@@ -185,7 +187,9 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("min(year(ts))", "max(year(ts))")
         .first()
     )
-    if lo is None or lo < 1990 or hi > 2100:
+    if lo is None:
+        raise ValueError("events table is empty — nothing to sessionize")
+    if lo < 1990 or hi > 2100:
         raise ValueError(
             f"events.ts years [{lo}, {hi}] outside sane range — probable "
             "timestamp unit mismatch (nanos vs micros) in the source parquet"
@@ -202,7 +206,9 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return spark.table(name).select("user_id", "n_events", "start_us", "end_us")
 
 
@@ -233,7 +239,9 @@ def _events_sessionize_stream_append(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return spark.read.parquet(out_dir).select("user_id", "n_events", "start_us", "end_us")
 
 
@@ -601,12 +609,9 @@ def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream_with_survivor,
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    docs = load_table_stream(spark, sf_dir, "documents")
     tagged = dedup_stream_with_survivor(docs)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
@@ -618,7 +623,9 @@ def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return spark.table(name).select("content_hash", "doc_id", "keep_id", "is_first")
 
 
@@ -650,10 +657,13 @@ def _events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="csv_rt_") + "/events_csv"
     ev.write.mode("overwrite").option("header", "true").csv(path)
+    # multiLine: quoted newlines inside props must not tear records (the
+    # default reader splits on raw newlines regardless of quoting).
     back = load_event_csv(
         spark,
         path,
         schema="event_id long, ts_us long, user_id long, event_type string, value double, props string",
+        multiLine="true",
     )
     return back
 

@@ -234,11 +234,13 @@ def pack_sequences(
     )
     cum = base.withColumn("__cum", F.sum("n_tokens").over(win))
     start = F.col("__cum") - F.col("n_tokens")
+    # integer div, not float: cumulative token counts near 2^53 would round
+    # a double quotient across a bin boundary (same guard as the nanos path)
     return cum.select(
         "doc_id",
         by,
         "pack_shard",
         "n_tokens",
-        (start / seq_len_tokens).cast("long").alias("seq_index"),
+        F.expr(f"(__cum - n_tokens) div {int(seq_len_tokens)}").alias("seq_index"),
         F.pmod(start, F.lit(seq_len_tokens)).alias("start_offset"),
     )

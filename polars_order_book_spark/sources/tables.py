@@ -56,9 +56,18 @@ def ts_columns(name: str) -> "tuple[str, ...]":
     return _TS_COLS.get(name, ())
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive: the driver may hand us a session built without our factory.
+def _defensive_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our factory — pin the
+    two confs our timestamp contract depends on: nanosAsLong (legacy
+    TIMESTAMP(NANOS) files are unreadable without it) and a UTC session tz
+    (the NTZ->TIMESTAMP cast in normalize_ts is a pure reinterpretation only
+    under UTC; any other zone would shift every epoch micro by the offset)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _defensive_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return normalize_ts(df, _TS_COLS.get(name, ()))
 
@@ -70,7 +79,7 @@ def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     one — that's what makes this robust to physical-encoding drift between
     testdata generations. The file source requires a directory path;
     pathGlobFilter narrows it to the one table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _defensive_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     df = (
         spark.readStream.schema(schema)

@@ -4,8 +4,9 @@ RocksDB provider — the production state backend when keyed streaming state
 outgrows executor heap (100 TB contract: state on local disk + changelog
 checkpoints, not heap).
 
-Runs in its OWN SparkSession (stopping the shared fixture session would break
-other tests), serially after it.
+Uses the SHARED session fixture: the provider class is read per query from
+the session conf, so the test flips the conf for the RocksDB run and restores
+it in a finally block — it never stops or replaces the shared session.
 """
 
 import os

@@ -55,23 +55,19 @@ def encoded_dirs(spark):
     return dirs
 
 
-_EXPECTED = [
-    dt.datetime.utcfromtimestamp(us / 1_000_000).replace(
-        microsecond=us % 1_000_000
-    )
-    for us in _INSTANTS_US
-]
+# Value equality is asserted through unix_micros, NOT collected datetimes:
+# PySpark renders TIMESTAMP as naive datetimes in the DRIVER's local zone, so
+# a datetime comparison would only pass on UTC machines and this matrix must
+# hold anywhere.
 
 
 @pytest.mark.parametrize("encoding", ENCODINGS)
 def test_load_table_normalizes_every_encoding(spark, encoded_dirs, encoding):
     df = load_table(spark, encoded_dirs[encoding], "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
-    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    # unix_micros is the downstream contract every events query relies on;
     # nanos encodings carry +999ns which must TRUNCATE to the same micros
     # (DuckDB-equivalent), not round up.
-    assert got == _EXPECTED
-    # unix_micros is the downstream contract every events query relies on
     micros = [
         r[0]
         for r in df.orderBy("event_id").selectExpr("unix_micros(ts)").collect()
@@ -91,12 +87,15 @@ def test_load_table_stream_matches_batch(spark, encoded_dirs, encoding):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = [
-        r["ts"]
-        for r in spark.table(f"ts_matrix_{encoding}").orderBy("event_id").collect()
+        r[0]
+        for r in spark.table(f"ts_matrix_{encoding}")
+        .orderBy("event_id")
+        .selectExpr("unix_micros(ts)")
+        .collect()
     ]
-    assert got == _EXPECTED
+    assert got == _INSTANTS_US
 
 
 def test_normalize_ts_noop_on_plain_timestamp(spark):
