@@ -701,6 +701,28 @@ FROM s, UNNEST(generate_series(1, len(embedding))) AS t(i)
 """
 
 
+def _part_hconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hconcat by shared id (the scalable equi-join path, mirroring the
+    reference's own id-join usage, ref: test_calculate_bbo.py:60): two
+    disjoint projections of part re-joined horizontally; overlapping non-key
+    columns take the left side's values."""
+    from polars_order_book_spark.functions.frames import hconcat
+
+    part = load_table(spark, sf_dir, "part")
+    left = part.select("p_partkey", "p_name", "p_retailprice")
+    right = part.select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice") * 2).alias("p_retailprice"),  # dup name: left wins
+    )
+    return hconcat(left, right, on="p_partkey")
+
+
+PART_HCONCAT_SQL = """
+SELECT p_partkey, p_name, p_retailprice, p_brand FROM part
+"""
+
+
 def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk layout: every document assigned to its 256-token
     training sequence (bin + start offset) per source in portable hash
@@ -1410,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_csv_roundtrip": _events_csv_roundtrip,
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
+        "part_hconcat": _part_hconcat,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1430,7 +1453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
-        "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "documents_budget_pack": _docs_budget_pack,
         "documents_domain_mix": _docs_domain_mix,
@@ -1447,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
         "ann_cosine_topk_lsh": _ann_lsh,
+        "dedup_components": _dedup_components,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1510,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
         "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,
         "documents_pack_sequences": PACK_SEQUENCES_SQL,
+        "part_hconcat": PART_HCONCAT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -51,6 +51,7 @@ DEMOTED_TAIL = {
     "text_fingerprint",
     "text_lang_id",
     "ann_cosine_topk_lsh",
+    "dedup_components",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
