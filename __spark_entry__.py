@@ -701,6 +701,36 @@ FROM s, UNNEST(generate_series(1, len(embedding))) AS t(i)
 """
 
 
+def _events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion round trip: events written as JSONL and read back
+    through load_event_jsonl with an explicit schema (single pass, splittable
+    by line), hashed against DuckDB reading the original parquet. Timestamps
+    travel as unix micros; the free-text props column exercises JSON string
+    escaping."""
+    import tempfile
+
+    from polars_order_book_spark.sources.tables import load_event_jsonl
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/events_jsonl"
+    ev.write.mode("overwrite").json(path)
+    return load_event_jsonl(
+        spark,
+        path,
+        schema="event_id long, ts_us long, user_id long, event_type string, value double, props string",
+    )
+
+
+EVENTS_JSONL_ROUNDTRIP_SQL = EVENTS_CSV_ROUNDTRIP_SQL
+
+
 def _part_hconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hconcat by shared id (the scalable equi-join path, mirroring the
     reference's own id-join usage, ref: test_calculate_bbo.py:60): two
@@ -1433,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
         "part_hconcat": _part_hconcat,
+        "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1453,7 +1484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
-        "documents_hash_sample": _docs_hash_sample,
         "documents_budget_pack": _docs_budget_pack,
         "documents_domain_mix": _docs_domain_mix,
         "text_docfreq_score": _text_docfreq,
@@ -1470,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang,
         "ann_cosine_topk_lsh": _ann_lsh,
         "dedup_components": _dedup_components,
+        "documents_hash_sample": _docs_hash_sample,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1534,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,
         "documents_pack_sequences": PACK_SEQUENCES_SQL,
         "part_hconcat": PART_HCONCAT_SQL,
+        "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

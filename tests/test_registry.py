@@ -52,6 +52,7 @@ DEMOTED_TAIL = {
     "text_lang_id",
     "ann_cosine_topk_lsh",
     "dedup_components",
+    "documents_hash_sample",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
