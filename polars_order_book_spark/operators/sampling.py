@@ -180,8 +180,12 @@ def domain_mix_sample(
     )
     keyed = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     bucket = F.pmod(hash64(keyed), F.lit(_BUCKETS))
+    # Explicit isin: the rates join already restricts to weighted domains,
+    # but a literal IN predicate pushes into the parquet scan (row-group
+    # pruning / PushedFilters) — the join alone does not.
     return (
-        df.join(F.broadcast(rates), on=domain_col)
+        df.where(F.col(domain_col).isin(*weights))
+        .join(F.broadcast(rates), on=domain_col)
         .where(bucket < F.floor(F.col("__r") * _BUCKETS).cast("long"))
         .drop("__r")
     )
