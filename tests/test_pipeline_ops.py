@@ -274,3 +274,72 @@ def test_pack_sequences_shards_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="seq_len_tokens"):
         sampling.pack_sequences(df, 0)
+
+
+# --- property-based invariants for the samplers ------------------------------
+
+from hypothesis import HealthCheck, given, settings as hsettings, strategies as st
+
+_PROP_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@hsettings(**_PROP_SETTINGS)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=30, max_value=200),
+        min_size=2,
+        max_size=4,
+    ),
+    wsplit=st.integers(min_value=1, max_value=9),
+)
+def test_domain_mix_proportions_property(spark, counts, wsplit):
+    """For any domain sizes and any 2-way weight split: rates never exceed 1,
+    the binding domain keeps everything, and realized counts track targets
+    within hash noise."""
+    doms = sorted(counts)[:2]
+    weights = {doms[0]: wsplit / 10, doms[1]: 1 - wsplit / 10}
+    df = _mix_df(spark, counts)
+    out = sampling.domain_mix_sample(df, weights)
+    by_src = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert set(by_src) <= set(doms)
+    t = min(counts[d] / weights[d] for d in doms)
+    for d in doms:
+        target = weights[d] * t
+        assert by_src.get(d, 0) <= counts[d]  # never upsample
+        if counts[d] <= target + 1e-9:  # binding domain: rate 1, exact
+            assert by_src.get(d, 0) == counts[d]
+        else:
+            # hash-threshold realization: binomial noise around the target
+            assert abs(by_src.get(d, 0) - target) <= 4 * (target ** 0.5) + 3
+
+
+@hsettings(**_PROP_SETTINGS)
+@given(
+    n_docs=st.integers(min_value=5, max_value=80),
+    seq_len=st.integers(min_value=4, max_value=64),
+    shards=st.integers(min_value=1, max_value=3),
+)
+def test_pack_sequences_contiguity_property(spark, n_docs, seq_len, shards):
+    """For any corpus/bin/shard sizes: per (source, shard) the layout is a
+    contiguous token tape — offsets chain exactly, bins advance by div."""
+    rows = [(i, "s" + str(i % 2), "w " * (i % 9 + 1)) for i in range(n_docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sampling.pack_sequences(df, seq_len, shards=shards).collect()
+    assert len(out) == n_docs
+    groups = {}
+    for r in out:
+        groups.setdefault((r["source"], r["pack_shard"]), []).append(r)
+    for rs in groups.values():
+        rs.sort(key=lambda r: (r["seq_index"], r["start_offset"]))
+        cum = 0
+        for r in rs:
+            assert r["seq_index"] == cum // seq_len
+            assert r["start_offset"] == cum % seq_len
+            cum += r["n_tokens"]
