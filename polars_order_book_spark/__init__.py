@@ -37,7 +37,17 @@ from polars_order_book_spark.functions.conversion import (
 )
 from polars_order_book_spark.functions.frames import hconcat
 from polars_order_book_spark.operators.asof import asof_join
-from polars_order_book_spark.operators.sampling import hash_sample, hash_split
+from polars_order_book_spark.operators.sampling import (
+    budget_pack,
+    domain_mix_sample,
+    hash_sample,
+    hash_split,
+    pack_sequences,
+)
+from polars_order_book_spark.operators.similarity import (
+    dequantize_int8,
+    quantize_int8,
+)
 from polars_order_book_spark.session import get_spark
 
 __all__ = [
@@ -57,6 +67,11 @@ __all__ = [
     "asof_join",
     "hash_sample",
     "hash_split",
+    "budget_pack",
+    "domain_mix_sample",
+    "pack_sequences",
+    "quantize_int8",
+    "dequantize_int8",
     "get_spark",
 ]
 

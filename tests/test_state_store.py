@@ -72,3 +72,31 @@ def test_get_spark_rejects_unknown_state_store():
 
     with pytest.raises(ValueError, match="unknown state_store"):
         get_spark("bad", cpus=1, state_store="leveldb")
+
+
+@needs_testdata
+def test_book_stream_rocksdb_matches_default(spark):
+    """Keyed continuous book under the RocksDB provider must equal the
+    default-provider run — the applyInPandasWithState path, not just the
+    built-in session_window aggregation."""
+    import __spark_entry__ as E
+
+    run = E.queries()["ob_stream_keyed_mutations_top2"]
+    base = {tuple(r) for r in run(spark, SF_DIR).collect()}
+    assert base
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = {tuple(r) for r in run(spark, SF_DIR).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks == base
