@@ -53,3 +53,30 @@ def test_partitioned_overwrite_is_idempotent(spark):
         assert read_partitioned(spark, path).count() == 10
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """The point of write_bucketed: two tables bucketed+sorted the same way
+    on the join key must SortMergeJoin with NO Exchange on either side (the
+    co-location claim in SCALE.md). Broadcast is disabled for the check so
+    the planner must actually rely on the bucketing."""
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    # warehouse dir is a static conf — tables land in the session default
+    # (./spark-warehouse) and are dropped in the finally block
+    left = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_left", ["k"], 4, sort_by=["k"])
+    write_bucketed(right, "bkt_right", ["k"], 4, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
