@@ -57,3 +57,32 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite a hive-partitioned dataset with consolidated files — the
+    small-files maintenance pass every long-lived 100 TB table needs (each
+    streaming/append job leaves one file per task per partition; thousands of
+    tiny files turn scan planning and NameNode/listing into the bottleneck).
+
+    One repartition on the partition columns routes every partition's rows to
+    a single task, so each partition is rewritten as one file (capped by
+    ``max_records_per_file`` when given). Dynamic partition overwrite keeps
+    the rewrite idempotent and atomic per partition — concurrent readers see
+    old or new files, never a half-written partition. Partition-column
+    skew caveat: one giant partition = one write task; raise
+    ``max_records_per_file`` granularity by salting upstream if that bites.
+    """
+    df = spark.read.parquet(path)
+    compacted = df.repartition(*[df[c] for c in partition_by])
+    write_partitioned(
+        compacted,
+        path,
+        partition_by,
+        max_records_per_file=max_records_per_file,
+    )

@@ -80,3 +80,32 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_compact_partitions_consolidates_files(spark, tmp_path):
+    """Many tiny files per partition -> one file per partition, same data."""
+    import glob
+
+    from polars_order_book_spark.sources.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 900).selectExpr("id", "id % 3 AS p")
+    # fragment: 8-way repartition x maxRecordsPerFile -> many files/partition
+    write_partitioned(
+        df.repartition(8), path, ["p"], max_records_per_file=50
+    )
+    before = len(glob.glob(f"{path}/p=*/*.parquet"))
+    assert before > 6, before
+    data_before = sorted(
+        (r["id"], r["p"]) for r in spark.read.parquet(path).collect()
+    )
+    compact_partitions(spark, path, ["p"])
+    after = len(glob.glob(f"{path}/p=*/*.parquet"))
+    assert after == 3, after  # one file per partition value
+    data_after = sorted(
+        (r["id"], r["p"]) for r in spark.read.parquet(path).collect()
+    )
+    assert data_after == data_before
