@@ -731,6 +731,34 @@ def _events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSONL_ROUNDTRIP_SQL = EVENTS_CSV_ROUNDTRIP_SQL
 
 
+def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass intake profile of the documents table: exact null counts
+    per column, exact distinct counts for the bounded-cardinality columns,
+    and text length stats — one map-side partial agg + a 1-row reduce."""
+    from polars_order_book_spark.operators.profiling import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(
+        docs, exact_distinct=("lang", "source"), length_of=("text",)
+    )
+
+
+DOCUMENTS_PROFILE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+       CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+       CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+       CAST(min(len(text)) AS INT) AS text_len_min,
+       CAST(max(len(text)) AS INT) AS text_len_max,
+       avg(len(text)) AS text_len_avg
+FROM documents
+"""
+
+
 def _part_hconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hconcat by shared id (the scalable equi-join path, mirroring the
     reference's own id-join usage, ref: test_calculate_bbo.py:60): two
@@ -1464,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pack_sequences": _docs_pack_sequences,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
+        "documents_profile": _documents_profile,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1482,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- pipeline operators ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "documents_budget_pack": _docs_budget_pack,
         "documents_domain_mix": _docs_domain_mix,
@@ -1501,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": _ann_lsh,
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
+        "dedup_simhash": _dedup_simhash,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1566,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_pack_sequences": PACK_SEQUENCES_SQL,
         "part_hconcat": PART_HCONCAT_SQL,
         "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
+        "documents_profile": DOCUMENTS_PROFILE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -343,3 +343,25 @@ def test_pack_sequences_contiguity_property(spark, n_docs, seq_len, shards):
             assert r["seq_index"] == cum // seq_len
             assert r["start_offset"] == cum % seq_len
             cum += r["n_tokens"]
+
+
+def test_profile_table_single_pass_and_values(spark):
+    from polars_order_book_spark.operators.profiling import (
+        profile_approx_distinct,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab", "en"), (2, None, "en"), (3, "abcd", None)],
+        ["id", "text", "lang"],
+    )
+    row = profile_table(
+        df, exact_distinct=("lang",), length_of=("text",)
+    ).first()
+    assert row["n_rows"] == 3
+    assert row["id_nulls"] == 0 and row["text_nulls"] == 1 and row["lang_nulls"] == 1
+    assert row["lang_distinct"] == 1
+    assert (row["text_len_min"], row["text_len_max"]) == (2, 4)
+    assert abs(row["text_len_avg"] - 3.0) < 1e-9
+    approx = profile_approx_distinct(df, ["lang"]).first()
+    assert approx["lang_approx_distinct"] >= 1

@@ -53,6 +53,7 @@ DEMOTED_TAIL = {
     "ann_cosine_topk_lsh",
     "dedup_components",
     "documents_hash_sample",
+    "dedup_simhash",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
