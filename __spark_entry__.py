@@ -731,6 +731,29 @@ def _events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSONL_ROUNDTRIP_SQL = EVENTS_CSV_ROUNDTRIP_SQL
 
 
+def _events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over two bucketed event dimensions — the
+    data-skipping layout key (sorting by it clusters BOTH columns so parquet
+    min/max stats prune on either predicate). Pure shift/mask/or codegen;
+    oracle is the identical expression rendered to SQL."""
+    from polars_order_book_spark.functions.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            [F.col("user_id") % 1024, F.col("event_id") % 1024], bits=10
+        ).alias("zkey"),
+    )
+
+
+def _events_zorder_sql() -> str:
+    from polars_order_book_spark.functions.layout import zorder_key_sql
+
+    expr = zorder_key_sql(["(user_id % 1024)", "(event_id % 1024)"], bits=10)
+    return f"SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM events"
+
+
 def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass intake profile of the documents table: exact null counts
     per column, exact distinct counts for the bounded-cardinality columns,
@@ -1493,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "documents_profile": _documents_profile,
+        "events_zorder_key": _events_zorder_key,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1507,7 +1531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_pivot": hq.events_hourly_pivot,
         "orders_rolling_revenue": hq.orders_rolling_revenue,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
-        "events_user_distinct_approx": hq.events_user_distinct_approx,
         # --- pipeline operators ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1530,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "dedup_simhash": _dedup_simhash,
+        "events_user_distinct_approx": hq.events_user_distinct_approx,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1596,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "part_hconcat": PART_HCONCAT_SQL,
         "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
         "documents_profile": DOCUMENTS_PROFILE_SQL,
+        "events_zorder_key": _events_zorder_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

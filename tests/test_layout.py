@@ -1,0 +1,93 @@
+"""Z-order (Morton) layout: key correctness vs a Python reference, sort
+clustering, and argument validation."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.functions.layout import (
+    zorder_key,
+    zorder_key_sql,
+    zorder_sort,
+)
+
+
+def _morton_ref(vals, bits):
+    key = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * len(vals) + j)
+    return key
+
+
+def test_zorder_key_matches_reference(spark):
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 1024), rng.randrange(0, 1024)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {
+        r["id"]: r["zk"]
+        for r in df.select(
+            "id", zorder_key([F.col("x"), F.col("y")], bits=10).alias("zk")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _morton_ref([x, y], 10), (i, x, y)
+
+
+def test_zorder_key_sql_mirror_matches(spark):
+    """The SQL rendering must compute the identical key (oracle parity)."""
+    rows = [(i, i * 37 % 256, i * 91 % 256) for i in range(64)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    df.createOrReplaceTempView("zorder_probe")
+    expr = zorder_key_sql(["x", "y"], bits=8)
+    via_sql = {
+        r["id"]: r["zk"]
+        for r in spark.sql(
+            f"SELECT id, {expr} AS zk FROM zorder_probe"
+        ).collect()
+    }
+    via_col = {
+        r["id"]: r["zk"]
+        for r in df.select(
+            "id", zorder_key([F.col("x"), F.col("y")], bits=8).alias("zk")
+        ).collect()
+    }
+    assert via_sql == via_col
+
+
+def test_zorder_sort_clusters_both_dimensions(spark):
+    """After z-order layout, each partition's x-range AND y-range must be
+    much narrower than the global range (that's the data-skipping point);
+    a plain x-sort would leave y unclustered."""
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 256), rng.randrange(0, 256)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    laid = zorder_sort(df, ["x", "y"], bits=8, partitions=16)
+    spans = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8
+    avg_x = sum(r["xs"] for r in spans) / len(spans)
+    avg_y = sum(r["ys"] for r in spans) / len(spans)
+    # global span is 255; z-order partitions should average well under half
+    assert avg_x < 140, avg_x
+    assert avg_y < 140, avg_y
+    # and the data survives intact
+    assert sorted(map(tuple, laid.collect())) == sorted(rows)
+
+
+def test_zorder_validation():
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key([F.col("x")])
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+    with pytest.raises(ValueError):
+        zorder_key_sql(["x"], bits=8)
