@@ -42,6 +42,10 @@ HEADLINE = [
     "documents_domain_mix",
     "ob_consistency_n1_n2",
     "events_csv_roundtrip",
+    "documents_pack_sequences",
+    "embeddings_quantize_int8",
+    "documents_profile",
+    "events_zorder_key",
 ]
 
 
