@@ -1520,7 +1520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
-        "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
@@ -1528,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- host-engine query surface (SURVEY §2.3) ---
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q5_nation_revenue": hq.q5_nation_revenue,
+        "q10_returned_items": hq.q10_returned_items,
         "events_hourly_pivot": hq.events_hourly_pivot,
         "orders_rolling_revenue": hq.orders_rolling_revenue,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
@@ -1554,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hash_sample": _docs_hash_sample,
         "dedup_simhash": _dedup_simhash,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
+        "ob_mutations_top2": _ob_mutations(2),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1595,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": hq.Q1_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
+        "q10_returned_items": hq.Q10_SQL,
         "topk_orders_per_customer": hq.TOPK_ORDERS_SQL,
         "customers_without_orders": hq.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "part_categorize": hq.PART_CATEGORIZE_SQL,
