@@ -1520,7 +1520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
-        "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
@@ -1528,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q5_nation_revenue": hq.q5_nation_revenue,
         "q10_returned_items": hq.q10_returned_items,
+        "events_props_json": hq.events_props_json,
         "events_hourly_pivot": hq.events_hourly_pivot,
         "orders_rolling_revenue": hq.orders_rolling_revenue,
         "events_value_quantiles_approx": hq.events_value_quantiles_approx,
@@ -1555,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
         "ob_mutations_top2": _ob_mutations(2),
+        "ob_modify_top2": _ob_modify(2),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1597,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,
+        "events_props_json": hq.EVENTS_PROPS_JSON_SQL,
         "topk_orders_per_customer": hq.TOPK_ORDERS_SQL,
         "customers_without_orders": hq.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "part_categorize": hq.PART_CATEGORIZE_SQL,

@@ -656,3 +656,37 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+# --- JSON scalar surface over the props column ------------------------------
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the props JSON string with a typed
+    from_json schema (JVM-side, codegen — no UDF) and aggregate the extracted
+    field per event type. The schema-on-read pattern for event payloads at
+    scale; a malformed document yields null, counted explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("k_nulls"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS k_max,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
+FROM events
+GROUP BY event_type
+"""
