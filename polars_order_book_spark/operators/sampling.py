@@ -146,7 +146,11 @@ def domain_mix_sample(
     binding domain keeps everything, others downsample). Membership is the
     portable hash64 threshold — stable across runs, partitionings, engines,
     and appends, like every sampler here. Domains absent from ``weights``
-    are dropped.
+    are dropped. Conversely a WEIGHTED domain absent from the data is
+    ignored (T is computed over present domains only) — the strict reading
+    would force an empty result (cap 0); callers needing that guarantee
+    should validate domain presence first (``profile_table`` gives the
+    counts in one pass).
 
     Scale shape: one tiny groupBy(domain) count, the scalar T attached by a
     1-row broadcast cross join (scalar-normalizer shape), per-domain rates
