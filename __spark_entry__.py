@@ -754,6 +754,26 @@ def _events_zorder_sql() -> str:
     return f"SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM events"
 
 
+def _text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization cleanup over documents: control-char strip,
+    whitespace collapse, trim — all JVM regex codegen, byte-identical in
+    DuckDB (Java-regex ∩ RE2 pattern dialect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.clean_text(docs)
+
+
+TEXT_CLEAN_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g')) AS clean_text,
+       CAST(len(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+FROM documents
+"""
+
+
 def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass intake profile of the documents table: exact null counts
     per column, exact distinct counts for the bounded-cardinality columns,
@@ -1517,10 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "documents_profile": _documents_profile,
         "events_zorder_key": _events_zorder_key,
+        "text_clean": _text_clean,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
-        "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         # --- host-engine query surface (SURVEY §2.3) ---
@@ -1556,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_distinct_approx": hq.events_user_distinct_approx,
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
+        "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1625,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
         "documents_profile": DOCUMENTS_PROFILE_SQL,
         "events_zorder_key": _events_zorder_sql(),
+        "text_clean": TEXT_CLEAN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -404,3 +404,35 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col).alias("doc_id"), red.alias("redacted"), *counts)
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Pre-tokenization normalization — the first map of every text pipeline:
+    strip C0/C1 control characters (keeping \\t \\n), collapse runs of
+    whitespace to single spaces, trim, and optionally casefold. Pure JVM
+    regexp built-ins (whole-stage codegen, no Python); patterns restricted to
+    the Java-regex ∩ RE2 dialect so the DuckDB oracle agrees byte-for-byte
+    (same policy as redact_pii). Unicode NFC/NFKC normalization is
+    deliberately NOT attempted with built-ins — Spark has none, and a Python
+    UDF would silently tie results to the worker's unicodedata version.
+
+    Output: (id_col, clean_text, n_chars_clean).
+    """
+    c = F.col(text_col)
+    # control chars except tab/newline -> removed before whitespace collapse
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.select(
+        F.col(id_col),
+        c.alias("clean_text"),
+        F.length(c).cast("long").alias("n_chars_clean"),
+    )

@@ -57,6 +57,7 @@ DEMOTED_TAIL = {
     "events_user_distinct_approx",
     "ob_mutations_top2",
     "ob_modify_top2",
+    "ob_keyed_mutations_top2",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",

@@ -140,3 +140,24 @@ def test_ngram_contamination_counts_distinct_grams(spark):
     # distinct 4-grams of doc 1: {a b c d, b c d a, c d a b, d a b c}; only
     # "a b c d" is in the probe.
     assert row["n_matched"] == 1
+
+
+def test_clean_text_normalization(spark):
+    from polars_order_book_spark.operators.text import clean_text
+
+    rows = [
+        (1, "  Hello\t\tWorld \n\n x  "),
+        (2, "ctrl\x00\x07chars\x1fhere"),
+        (3, "AlreadyClean"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_chars_clean"])
+           for r in clean_text(df).collect()}
+    assert got[1] == ("Hello World x", 13)
+    assert got[2] == ("ctrlcharshere", 13)
+    assert got[3] == ("AlreadyClean", 12)
+    assert got[4] == ("", 0)
+    low = {r["doc_id"]: r["clean_text"]
+           for r in clean_text(df, lowercase=True).collect()}
+    assert low[3] == "alreadyclean"
