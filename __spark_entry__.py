@@ -754,6 +754,24 @@ def _events_zorder_sql() -> str:
     return f"SELECT event_id, CAST({expr} AS BIGINT) AS zkey FROM events"
 
 
+def _docs_category_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dictionary encoding of the lang column: dense ids by
+    sorted value order, dictionary broadcast back — the fact table never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.category_index(docs, "lang").select("doc_id", "lang", "lang_id")
+
+
+CATEGORY_INDEX_SQL = """
+SELECT d.doc_id, d.lang, CAST(dr.lang_id AS BIGINT) AS lang_id
+FROM documents d
+LEFT JOIN (
+    SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lang_id
+    FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+) dr USING (lang)
+"""
+
+
 def _text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenization cleanup over documents: control-char strip,
     whitespace collapse, trim — all JVM regex codegen, byte-identical in
@@ -1538,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": _documents_profile,
         "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
+        "documents_category_index": _docs_category_index,
         # --- core order-book operator family (fold strategy A) ---
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1545,7 +1564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         # --- host-engine query surface (SURVEY §2.3) ---
         "q1_pricing_summary": hq.q1_pricing_summary,
-        "q5_nation_revenue": hq.q5_nation_revenue,
         "q10_returned_items": hq.q10_returned_items,
         "events_props_json": hq.events_props_json,
         "events_hourly_pivot": hq.events_hourly_pivot,
@@ -1577,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_mutations_top2": _ob_mutations(2),
         "ob_modify_top2": _ob_modify(2),
         "ob_keyed_mutations_top2": _ob_keyed_mutations(2),
+        "q5_nation_revenue": hq.q5_nation_revenue,
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
@@ -1647,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_profile": DOCUMENTS_PROFILE_SQL,
         "events_zorder_key": _events_zorder_sql(),
         "text_clean": TEXT_CLEAN_SQL,
+        "documents_category_index": CATEGORY_INDEX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

@@ -252,3 +252,37 @@ def pack_sequences(
         F.expr(f"(__cum - n_tokens) div {int(seq_len_tokens)}").alias("seq_index"),
         F.pmod(start, F.lit(seq_len_tokens)).alias("start_offset"),
     )
+
+
+def category_index(
+    df: DataFrame,
+    col: str,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Deterministic dense integer ids for a BOUNDED-cardinality categorical
+    column (lang, source, label vocabularies) — the feature-encoding step
+    before training. Ids are assigned by sorted value order (nulls excluded,
+    id starts at 0), so the mapping is a pure function of the distinct value
+    set: stable across runs, partitionings, and engines, and append-stable
+    as long as appends don't introduce values that sort before existing ones
+    (use a frozen dictionary table for that regime).
+
+    Scale contract: the dictionary is built from ``distinct()`` of ONE
+    column — dimension-sized by assumption — ranked in a single-partition
+    window (fine for a dictionary; NOT for fact-sized data) and broadcast
+    back as an equi-join. The fact table never shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    out = out_col or f"{col}_id"
+    dictionary = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .withColumn(
+            out,
+            (F.row_number().over(W.orderBy(F.col(col))) - 1).cast("long"),
+        )
+    )
+    return df.join(F.broadcast(dictionary), on=col, how="left")

@@ -365,3 +365,16 @@ def test_profile_table_single_pass_and_values(spark):
     assert abs(row["text_len_avg"] - 3.0) < 1e-9
     approx = profile_approx_distinct(df, ["lang"]).first()
     assert approx["lang_approx_distinct"] >= 1
+
+
+def test_category_index_deterministic_dense(spark):
+    df = spark.createDataFrame(
+        [(1, "fr"), (2, "en"), (3, "de"), (4, "en"), (5, None)],
+        ["doc_id", "lang"],
+    )
+    got = {r["doc_id"]: r["lang_id"]
+           for r in sampling.category_index(df, "lang").collect()}
+    assert got == {1: 2, 2: 1, 3: 0, 4: 1, 5: None}  # sorted: de, en, fr
+    again = {r["doc_id"]: r["lang_id"]
+             for r in sampling.category_index(df.repartition(5), "lang").collect()}
+    assert again == got

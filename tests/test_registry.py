@@ -58,6 +58,7 @@ DEMOTED_TAIL = {
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",
+    "q5_nation_revenue",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
