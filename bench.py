@@ -50,6 +50,8 @@ def main() -> None:
         "text_docfreq_score",
         "orders_price_bands",
         "documents_domain_mix",
+        "documents_pack_sequences",
+        "embeddings_quantize_int8",
         "events_csv_roundtrip",
         "multimodal_features",
     ]
