@@ -21,14 +21,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
+def zorder_key(
+    cols: Sequence[Column], bits: int = 16, validate: bool = False
+) -> Column:
     """Morton key interleaving ``bits`` low bits of each column.
 
     Inputs must be non-negative integers < 2**bits (the caller normalizes —
-    e.g. bucket ids, ranks, or range-scaled values); values outside raise at
-    runtime via ANSI arithmetic only if they overflow long, so keep the
-    contract. With k columns the key has k*bits significant bits (≤ 62 to
-    stay in a signed long): bit i of column j lands at position i*k + j.
+    e.g. bucket ids, ranks, or range-scaled values). Values OUTSIDE that
+    range do not error by default: only the low ``bits`` bits are read, so
+    out-of-range values silently ALIAS (x and x + 2**bits interleave
+    identically) and clustering on that dimension quietly degrades. Pass
+    ``validate=True`` to raise per row instead (one extra branch per value).
+    With k columns the key has k*bits significant bits (≤ 62 to stay in a
+    signed long): bit i of column j lands at position i*k + j.
     """
     cols = list(cols)
     k = len(cols)
@@ -41,6 +46,16 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         lc = c.cast("long")
+        if validate:
+            lc = F.when(
+                (lc < 0) | (lc >= 2**bits),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"zorder_key: value out of [0, {2**bits}) range: "),
+                        lc.cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(lc)
         for i in range(bits):
             bit = F.shiftright(lc, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))

@@ -414,7 +414,9 @@ def clean_text(
     lowercase: bool = False,
 ) -> DataFrame:
     """Pre-tokenization normalization — the first map of every text pipeline:
-    strip C0/C1 control characters (keeping \\t \\n), collapse runs of
+    strip C0 control characters + DEL (keeping \\t \\n; C1 \\x80-\\x9F is
+    deliberately left alone — its bytes overlap UTF-8 continuations, so a
+    byte-class regex is not portable across engines), collapse runs of
     whitespace to single spaces, trim, and optionally casefold. Pure JVM
     regexp built-ins (whole-stage codegen, no Python); patterns restricted to
     the Java-regex ∩ RE2 dialect so the DuckDB oracle agrees byte-for-byte

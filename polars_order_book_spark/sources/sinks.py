@@ -31,7 +31,15 @@ def write_partitioned(
     """Write hive-partitioned parquet. ``max_records_per_file`` caps file size
     (small-file control is the other half: repartition on the partition cols
     first so each task writes few files)."""
-    writer = df.write.mode(mode).partitionBy(*partition_by)
+    # Per-write option (not session conf): under the default STATIC mode an
+    # overwrite deletes EVERY existing partition dir, including ones this
+    # write does not produce — dynamic mode replaces only written partitions,
+    # which is what makes re-runs idempotent backfills (pinned by test).
+    writer = (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+    )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)

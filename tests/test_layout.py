@@ -91,3 +91,16 @@ def test_zorder_validation():
         zorder_key([F.col("x"), F.col("y")], bits=32)
     with pytest.raises(ValueError):
         zorder_key_sql(["x"], bits=8)
+
+
+def test_zorder_validate_raises_on_out_of_range(spark):
+    from pyspark.sql.utils import PythonException
+    df = spark.createDataFrame([(5, 300)], ["x", "y"])
+    # default: silent aliasing (documented) — no error
+    ok = df.select(zorder_key([F.col("x"), F.col("y")], bits=8).alias("zk")).collect()
+    assert ok[0]["zk"] == _morton_ref([5, 300 % 256], 8)
+    # validate=True: loud per-row failure
+    with pytest.raises(Exception, match="out of"):
+        df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=8, validate=True).alias("zk")
+        ).collect()

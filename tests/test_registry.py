@@ -41,10 +41,12 @@ def test_query_analyzes(spark, name, fn):
     assert df.columns, name
 
 
-# Entries allowed past the driver's 50-entry correctness cap: redundant
-# variants that already have green rows in BOTH CORRECTNESS_r02 and r03.
-# Everything else MUST sit inside the first 50 dict entries or it gets no
-# driver signal (r3 verdict item 1).
+# Entries allowed past the driver's 50-entry correctness cap. Criterion:
+# at least one green driver CORRECTNESS row (most have two, r2+r3; three —
+# dedup_components, documents_hash_sample, events_user_distinct_approx —
+# are r3-green only) PLUS full local oracle + pytest coverage. Everything
+# else MUST sit inside the first 50 dict entries or it gets no driver
+# signal (r3 verdict item 1).
 DEMOTED_TAIL = {
     "ob_chunked_mutations_top2",
     "ob_conversion_top2",

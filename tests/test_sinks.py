@@ -51,6 +51,15 @@ def test_partitioned_overwrite_is_idempotent(spark):
         write_partitioned(df, path, partition_by=["part"])
         write_partitioned(df, path, partition_by=["part"])  # rerun
         assert read_partitioned(spark, path).count() == 10
+        # DYNAMIC overwrite contract (review finding, r4): rewriting only
+        # partition 'a' must leave partition 'b' intact — static mode would
+        # delete it. This is what makes partial backfills safe.
+        write_partitioned(
+            df.where(F.col("part") == "a"), path, partition_by=["part"]
+        )
+        left = read_partitioned(spark, path)
+        assert left.count() == 10
+        assert left.where(F.col("part") == "b").count() == 5
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
