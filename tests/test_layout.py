@@ -104,3 +104,51 @@ def test_zorder_validate_raises_on_out_of_range(spark):
         df.select(
             zorder_key([F.col("x"), F.col("y")], bits=8, validate=True).alias("zk")
         ).collect()
+
+
+def test_zorder_written_files_have_narrow_stats(spark, tmp_path):
+    """End-to-end data-skipping evidence: after zorder_sort + write, the
+    parquet FILE-level min/max footer stats (what scanners prune with) are
+    narrow on BOTH dimensions — a plain x-sort leaves y unprunable."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(0, 256), rng.randrange(0, 256)) for _ in range(6000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def file_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        mn, mx = col.statistics.min, col.statistics.max
+                        lo[name] = mn if lo[name] is None else min(lo[name], mn)
+                        hi[name] = mx if hi[name] is None else max(hi[name], mx)
+            spans.append((hi["x"] - lo["x"], hi["y"] - lo["y"]))
+        return spans
+
+    zpath = str(tmp_path / "z")
+    zorder_sort(df, ["x", "y"], bits=8, partitions=12).write.parquet(zpath)
+    z_spans = file_spans(zpath)
+    assert len(z_spans) >= 8
+    avg_zx = sum(s[0] for s in z_spans) / len(z_spans)
+    avg_zy = sum(s[1] for s in z_spans) / len(z_spans)
+
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(12, "x").sortWithinPartitions("x").write.parquet(xpath)
+    x_spans = file_spans(xpath)
+    avg_xy = sum(s[1] for s in x_spans) / len(x_spans)
+
+    # z-order: both dims clustered; x-sort: y stats span ~the whole domain
+    assert avg_zx < 140 and avg_zy < 140, (avg_zx, avg_zy)
+    assert avg_xy > 200, avg_xy
+    assert avg_zy < avg_xy / 2
