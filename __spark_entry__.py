@@ -1524,6 +1524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # redundant variants already green in BOTH CORRECTNESS_r02 and r03.
     # tests/test_registry.py pins the priority entries inside the first 50.
     return {
+        # --- new this round (r5): no driver signal yet ---
+        "q4_priority_count": hq.q4_priority_count,
+        "q7_volume_shipping": hq.q7_volume_shipping,
+        "q14_promo_revenue": hq.q14_promo_revenue,
+        "q18_large_orders": hq.q18_large_orders,
+        "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
+        "events_cohort_setops": hq.events_cohort_setops,
         # --- entries that have NEVER had a green driver row (r3 verdict #1) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -1635,6 +1642,12 @@ def oracle_sql() -> dict[str, str]:
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
         ),
         "q1_pricing_summary": hq.Q1_SQL,
+        "q4_priority_count": hq.Q4_SQL,
+        "q7_volume_shipping": hq.Q7_SQL,
+        "q14_promo_revenue": hq.Q14_SQL,
+        "q18_large_orders": hq.Q18_SQL,
+        "q19_disjunctive_revenue": hq.Q19_SQL,
+        "events_cohort_setops": hq.EVENTS_COHORT_SETOPS_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

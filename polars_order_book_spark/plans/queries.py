@@ -36,7 +36,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _dec(F.col("l_extendedprice"))
     qty = _dec(F.col("l_quantity"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-10-01").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
@@ -60,7 +60,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_price,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-10-01'
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -104,8 +104,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("2024-07-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.02, 0.06))
             & (F.col("l_quantity") < 24)
         )
@@ -122,8 +122,8 @@ Q6_SQL = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_effect,
        count(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-  AND l_shipdate < TIMESTAMP '2024-07-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.06
   AND l_quantity < 24
 """
@@ -689,4 +689,265 @@ SELECT event_type,
        CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
 FROM events
 GROUP BY event_type
+"""
+
+# --- q4-style priority check (EXISTS → left-semi join) ----------------------
+
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for orders having at least one high-quantity line
+    (TPC-H Q4 shape, adapted to this schema: the EXISTS predicate is
+    l_quantity > 45). Spark plans the EXISTS as a left-semi hash join — the
+    probe side streams, no duplication of orders rows — and the orderdate
+    range pushes into the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q7-style volume shipping between nation pairs --------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between supplier-nation and customer-nation pairs per ship
+    year (TPC-H Q7 shape). Both nation lookups broadcast (supplier and
+    customer sides), so the only shuffles are the two fact-fact equi-joins and
+    the final aggregate; the year comes from the pushed-down shipdate."""
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = ["NATION_1", "NATION_2"]
+    sup_n = sup.join(
+        F.broadcast(nation.where(F.col("n_name").isin(pair))),
+        sup["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation.where(F.col("n_name").isin(pair))),
+        cust["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(F.broadcast(sup_n), li["l_suppkey"] == sup_n["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+    AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q14-style promo revenue share ------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promotional parts in one ship month (TPC-H Q14
+    shape): conditional aggregation (CASE inside sum) over a broadcast join
+    with part — one shuffle total (the final 1-row agg), everything else
+    map-side."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(12,4)"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                             ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --- q18-style large-volume orders (agg → HAVING → semi-join back) ----------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who placed orders whose total quantity exceeds a threshold
+    (TPC-H Q18 shape). The inner groupBy-HAVING runs first and is tiny, so
+    Spark broadcasts it for the keys-join back to orders; the top-k is
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 120)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) > 120) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q19-style disjunctive predicate revenue --------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under three OR-ed brand/size/quantity predicate blocks (TPC-H
+    Q19 shape). Catalyst factors the common join key and pushes the
+    disjunction below the broadcast join; the whole filter+join stays in one
+    codegen stage."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    block1 = (
+        (F.col("p_brand") == "Brand#11")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    block2 = (
+        (F.col("p_brand") == "Brand#22")
+        & (F.col("p_size").between(1, 20))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    block3 = (
+        (F.col("p_brand") == "Brand#33")
+        & (F.col("p_size").between(1, 30))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return joined.where(block1 | block2 | block3).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Set operations: INTERSECT / EXCEPT over event cohorts -------------------
+
+def events_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra with INTERSECT/EXCEPT (distinct semantics): users
+    who purchased AND signed up, and users who purchased but never hit an
+    error. Both set ops plan as hash joins over the pre-aggregated distinct
+    key sets (tiny relative to the event stream), then one count each —
+    shuffle work is bounded by distinct users, not events."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select("user_id")
+
+    both = users("purchase").intersect(users("signup"))
+    clean = users("purchase").distinct().exceptAll(users("error").distinct())
+    return (
+        both.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("purchase_and_signup").alias("cohort"), "n")
+        .unionAll(
+            clean.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("purchase_no_error").alias("cohort"), "n"
+            )
+        )
+    )
+
+
+EVENTS_COHORT_SETOPS_SQL = """
+SELECT 'purchase_and_signup' AS cohort, count(*) AS n
+FROM (SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'signup')
+UNION ALL
+SELECT 'purchase_no_error' AS cohort, count(*) AS n
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
 """

@@ -160,3 +160,26 @@ def test_dimension_joins_never_shuffle(spark):
         plan = plan_of(qs[name](spark, SF_DIR))
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
+
+
+@needs_testdata
+def test_q4_exists_plans_left_semi(spark):
+    plan = plan_of(hq.q4_priority_count(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_q14_q19_broadcast_part(spark):
+    for fn in (hq.q14_promo_revenue, hq.q19_disjunctive_revenue):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+@needs_testdata
+def test_q18_broadcasts_having_agg(spark):
+    # the groupBy-HAVING inner agg is tiny → must broadcast back to orders
+    plan = plan_of(hq.q18_large_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

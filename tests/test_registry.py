@@ -48,6 +48,14 @@ def test_query_analyzes(spark, name, fn):
 # else MUST sit inside the first 50 dict entries or it gets no driver
 # signal (r3 verdict item 1).
 DEMOTED_TAIL = {
+    # displaced by the six r5 head additions; each has ≥2 green driver rows
+    # (r2/r3) plus local oracle + pytest coverage
+    "text_docfreq_score",
+    "text_redact_pii",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "dedup_embedding",
+    "text_quality",
     "ob_chunked_mutations_top2",
     "ob_conversion_top2",
     "text_fingerprint",

@@ -26,6 +26,12 @@ PARITY = [
     ("topk_orders_per_customer", hq.topk_orders_per_customer, hq.TOPK_ORDERS_SQL),
     ("customers_without_orders", hq.customers_without_orders, hq.CUSTOMERS_WITHOUT_ORDERS_SQL),
     ("part_categorize", hq.part_categorize, hq.PART_CATEGORIZE_SQL),
+    ("q4_priority_count", hq.q4_priority_count, hq.Q4_SQL),
+    ("q7_volume_shipping", hq.q7_volume_shipping, hq.Q7_SQL),
+    ("q14_promo_revenue", hq.q14_promo_revenue, hq.Q14_SQL),
+    ("q19_disjunctive_revenue", hq.q19_disjunctive_revenue, hq.Q19_SQL),
+    ("events_cohort_setops", hq.events_cohort_setops, hq.EVENTS_COHORT_SETOPS_SQL),
+    # q18 oracle uses DuckDB epoch_us(); not Spark-dialect portable.
 ]
 
 
