@@ -637,6 +637,49 @@ FROM documents
 """
 
 
+def _events_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming key dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): first arrival per (user_id, event_type)
+    survives; state rows evict once the watermark passes their arrival, so
+    recurring keys don't grow state forever. Driven availableNow -> append
+    memory sink. Only the key columns are emitted (which physical row
+    survives within a batch is not defined), so the oracle is SELECT
+    DISTINCT over the same keys."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.streaming.dedup_stream import (
+        drop_duplicates_within_watermark,
+    )
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    dd = drop_duplicates_within_watermark(
+        ev, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    ).select("user_id", "event_type")
+    name = f"dropdup_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dropdup_stream_ckpt_")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.table(name)
+
+
+EVENTS_STREAM_DROPDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def _events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-format ingestion round trip: events written to CSV (header +
     proper quoting for the free-text props column) and read back through
@@ -789,6 +832,66 @@ SELECT doc_id,
            regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
            '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
 FROM documents
+"""
+
+
+def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated k-token-span statistics (exact-substring
+    dedup measurement, Lee et al. 2022). k=10 per the paper's 50-token
+    analogue scaled to this corpus's ~30-token docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dup_span_stats(docs, k=10)
+
+
+def _gram10(base: str) -> str:
+    return "concat_ws(' ', " + ", ".join(f"{base}[i+{j + 1}]" for j in range(10)) + ")"
+
+
+TEXT_DUP_SPANS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5({_gram10('t')}), 1, 15)) AS BIGINT) AS h
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 10 AND i <= len(t) - 10
+),
+shared AS (SELECT h, count(DISTINCT doc_id) AS docs FROM grams GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+FROM grams JOIN shared USING (h)
+GROUP BY doc_id
+"""
+
+
+def _documents_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discrete-percentile length gate: drop each source's
+    shortest quartile; cutoffs learned per group, broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_filter(docs, q=0.25)
+
+
+DOCUMENTS_QUALITY_FILTER_SQL = """
+WITH base AS (
+    SELECT doc_id, source AS grp,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM base
+),
+cuts AS (
+    SELECT grp, max(CASE WHEN rn = CAST(ceil(0.25 * n) AS INT) THEN n_tokens END) AS cutoff
+    FROM ranked GROUP BY grp
+)
+SELECT doc_id, grp AS source, n_tokens, CAST(cutoff AS BIGINT) AS cutoff
+FROM base JOIN cuts USING (grp)
+WHERE n_tokens >= cutoff
 """
 
 
@@ -1531,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": hq.q18_large_orders,
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "events_cohort_setops": hq.events_cohort_setops,
+        "text_dup_spans": _text_dup_spans,
+        "documents_quality_filter": _documents_quality_filter,
+        "events_stream_dropdup": _events_stream_dropdup,
         # --- entries that have NEVER had a green driver row (r3 verdict #1) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -1648,6 +1754,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": hq.Q18_SQL,
         "q19_disjunctive_revenue": hq.Q19_SQL,
         "events_cohort_setops": hq.EVENTS_COHORT_SETOPS_SQL,
+        "text_dup_spans": TEXT_DUP_SPANS_SQL,
+        "documents_quality_filter": DOCUMENTS_QUALITY_FILTER_SQL,
+        "events_stream_dropdup": EVENTS_STREAM_DROPDUP_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -48,6 +48,10 @@ from polars_order_book_spark.operators.similarity import (
     dequantize_int8,
     quantize_int8,
 )
+from polars_order_book_spark.operators.text import (
+    dup_span_stats,
+    quality_filter,
+)
 from polars_order_book_spark.session import get_spark
 
 __all__ = [
@@ -72,6 +76,8 @@ __all__ = [
     "pack_sequences",
     "quantize_int8",
     "dequantize_int8",
+    "dup_span_stats",
+    "quality_filter",
     "get_spark",
 ]
 

@@ -438,3 +438,104 @@ def clean_text(
         c.alias("clean_text"),
         F.length(c).cast("long").alias("n_chars_clean"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics (the measurement half of
+    exact-substring train-data dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): hash every k-token window, count how
+    many windows of each document also occur in at least one OTHER document.
+    Returns (doc_id, n_windows, n_dup_windows, dup_fraction).
+
+    Distinct from :func:`repetition_features` (within-doc repeats) and
+    :func:`ngram_contamination` (probe-set membership): this is corpus-vs-
+    itself span sharing.
+
+    Scale shape: window hashes are map-only array transforms (no per-gram
+    shuffle until the count); one groupBy(hash) computes the distinct-doc
+    count per span; one shuffle join back on the hash distributes by span —
+    both shuffles are linear in total tokens, no all-pairs anywhere. All
+    counting is integer; the single double division happens once at the end,
+    so the output is bit-identical in the DuckDB oracle.
+    """
+    from polars_order_book_spark.functions.hashing import hash64
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    grams = base.select(
+        "doc_id", F.explode(_token_ngrams(F.col("__toks"), k)).alias("g")
+    ).select("doc_id", hash64(F.col("g")).alias("h"))
+    shared = grams.groupBy("h").agg(F.count_distinct("doc_id").alias("__docs"))
+    per_doc = (
+        grams.join(shared, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_fraction"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    q: float = 0.25,
+) -> DataFrame:
+    """Per-group percentile gate: keep documents whose token count reaches
+    their group's q-th percentile — the "drop the shortest quartile of every
+    source" curation rule, with the cutoff LEARNED per group rather than
+    hardcoded globally.
+
+    The cutoff is the discrete percentile (value at 1-based rank
+    ``ceil(q·n)`` under (n_tokens, doc_id) order) — pure integer selection,
+    no interpolation, so Spark and DuckDB agree bit-for-bit. q must be a
+    binary fraction (default 0.25) so ``q·n`` is FP-exact.
+
+    Scale shape: ranking is one shuffle by group (groups = sources, small
+    cardinality — skew-safe because rank windows stream within partitions);
+    the per-group cutoff table is tiny and broadcast back, so the fact table
+    is filtered map-side without a second shuffle. At extreme per-group
+    volumes swap the exact rank for approx_percentile and keep the same
+    broadcast-filter shape.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("grp").orderBy("n_tokens", "doc_id")
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("grp"))
+    )
+    cuts = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("int"),
+                F.col("n_tokens"),
+            )
+        ).alias("cutoff")
+    )
+    return (
+        base.join(F.broadcast(cuts), on="grp")
+        .where(F.col("n_tokens") >= F.col("cutoff"))
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.col("cutoff").cast("long").alias("cutoff"),
+        )
+    )

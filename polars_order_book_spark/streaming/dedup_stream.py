@@ -116,3 +116,21 @@ def dedup_stream_with_survivor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def drop_duplicates_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins key dedup with bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): unlike plain streaming
+    ``dropDuplicates`` — whose state grows forever when the event-time column
+    is not part of the key — this keeps one state row per key only until the
+    watermark passes the key's first arrival, then evicts. Use it when
+    duplicates arrive close together in event time (retries, at-least-once
+    sources) but keys recur forever (user ids): state is bounded by the
+    horizon, not by key cardinality. Emits each surviving row immediately
+    (append mode works without waiting for the watermark)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

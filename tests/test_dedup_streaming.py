@@ -62,3 +62,73 @@ def test_survivor_mapping_sticky_across_batches(spark):
     assert rows[3]["keep_id"] == 3 and rows[3]["is_first"]
     assert rows[5]["keep_id"] == 5 and rows[5]["is_first"]
     assert rows[1]["content_hash"] == rows[4]["content_hash"]
+
+
+def test_drop_duplicates_within_watermark_dedups_and_evicts(spark):
+    """Within the horizon duplicates are dropped; once the watermark passes a
+    key's arrival its state evicts, so a much-later recurrence re-emits."""
+    from pyspark.sql.types import TimestampType
+
+    from polars_order_book_spark.streaming.dedup_stream import (
+        drop_duplicates_within_watermark,
+    )
+    import datetime as dt
+
+    schema = StructType([
+        StructField("k", LongType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 0: key 1 twice (dup within horizon), key 2 once
+    # batch 1: key 3 at +3h advances the watermark PAST batch-0 state expiry
+    #          (the watermark updates at end-of-batch; state cleanup applies
+    #          it one batch later still, so eviction of key 1's batch-0 state
+    #          is visible from batch 3 on)
+    # batch 2: keeps the stream moving under the advanced watermark
+    # batch 3: key 1 recurs after eviction -> must re-emit
+    batches = [
+        [(1, m(0)), (1, m(5)), (2, m(1))],
+        [(3, m(180))],
+        [(4, m(190))],
+        [(1, m(195))],
+    ]
+    tmp = tempfile.mkdtemp(prefix="dropdup_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        for i, batch in enumerate(batches):
+            part = os.path.join(tmp, f"part_{i}")
+            spark.createDataFrame(batch, schema).coalesce(1).write.parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(part, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+            time.sleep(1.1)
+
+        stream_in = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        dd = drop_duplicates_within_watermark(stream_in, ["k"], ts_col="ts", watermark="1 hour")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("dropdup_wm")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = [(r["k"], r["ts"]) for r in spark.table("dropdup_wm").collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ks = sorted(k for k, _ in rows)
+    # key 1 emitted twice: first arrival, then the post-eviction recurrence
+    assert ks == [1, 1, 2, 3, 4], rows
+    assert (1, m(5)) not in rows  # the within-horizon duplicate was dropped
+    assert (1, m(195)) in rows  # re-emitted after state eviction

@@ -56,6 +56,9 @@ DEMOTED_TAIL = {
     "ann_cosine_topk_ivf",
     "dedup_embedding",
     "text_quality",
+    "dedup_ngram_jaccard",
+    "documents_budget_pack",
+    "documents_domain_mix",
     "ob_chunked_mutations_top2",
     "ob_conversion_top2",
     "text_fingerprint",

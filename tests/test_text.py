@@ -161,3 +161,39 @@ def test_clean_text_normalization(spark):
     low = {r["doc_id"]: r["clean_text"]
            for r in clean_text(df, lowercase=True).collect()}
     assert low[3] == "alreadyclean"
+
+
+def test_dup_span_stats_flags_cross_doc_spans_only(spark):
+    """A k-window duplicated across docs counts; a window repeated only
+    WITHIN one doc does not (that's repetition_features' job)."""
+    shared = "s1 s2 s3 s4"  # one shared 4-token window
+    rows = [
+        (1, "a b " + shared),            # windows: 3 total, 1 shared
+        (2, shared + " x y"),            # windows: 3 total, 1 shared
+        (3, "r1 r2 r3 r4 r1 r2 r3 r4"),  # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r.asDict() for r in text.dup_span_stats(df, k=4).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    assert abs(out[1]["dup_fraction"] - 1 / 3) < 1e-12
+
+
+def test_quality_filter_per_group_discrete_percentile(spark):
+    """Group g has lengths 1..8 -> q=0.25 cutoff is the rank-2 value (2);
+    docs with n_tokens >= 2 survive. Singleton group keeps its only doc."""
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ])
+    rows = [(i, " ".join(["t"] * i), "g") for i in range(1, 9)]
+    rows.append((100, "only doc", "solo"))
+    df = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r.asDict() for r in text.quality_filter(df, q=0.25).collect()}
+    assert set(out) == {2, 3, 4, 5, 6, 7, 8, 100}
+    assert out[2]["cutoff"] == 2
+    assert out[100]["cutoff"] == 2  # rank ceil(0.25*1)=1 -> its own length
