@@ -895,6 +895,90 @@ WHERE n_tokens >= cutoff
 """
 
 
+def _orders_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE over orders: a deterministic change batch (conflicting
+    updates resolved last-writer-wins by version, tombstone deletes, inserts)
+    applied with merge_upsert — broadcast change keys, one anti-join, no
+    base-table shuffle. The oracle replays the same MERGE in SQL."""
+    from polars_order_book_spark.operators.merge import merge_upsert
+
+    k = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority",
+    )
+    upd_hi = base.where(k % 10 == 3).select(
+        "*",
+        F.lit(2).alias("version"),
+        F.lit(False).alias("tombstone"),
+    ).withColumn("o_orderstatus", F.lit("U2")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    upd_lo = base.where(k % 20 == 3).select(
+        "*",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("tombstone"),
+    ).withColumn("o_orderstatus", F.lit("U1"))
+    dels = base.where(k % 10 == 7).select(
+        "*", F.lit(3).alias("version"), F.lit(True).alias("tombstone")
+    )
+    ins = base.where(k % 1000 == 1).select(
+        (k + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate_us",
+        "o_orderpriority",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("tombstone"),
+    )
+    changes = upd_hi.unionByName(upd_lo).unionByName(dels).unionByName(ins)
+    return merge_upsert(
+        base, changes, ["o_orderkey"], version_col="version", tombstone_col="tombstone"
+    )
+
+
+ORDERS_MERGE_APPLY_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, o_orderpriority
+    FROM orders
+),
+changes AS (
+    SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+           o_orderdate_us, o_orderpriority, 2 AS version, FALSE AS tombstone
+    FROM base WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U1', o_totalprice,
+           o_orderdate_us, o_orderpriority, 1, FALSE
+    FROM base WHERE o_orderkey % 20 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate_us, o_orderpriority, 3, TRUE
+    FROM base WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'I', o_totalprice,
+           o_orderdate_us, o_orderpriority, 1, FALSE
+    FROM base WHERE o_orderkey % 1000 = 1
+),
+latest AS (
+    SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+)
+SELECT b.* FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate_us, o_orderpriority
+FROM latest WHERE NOT tombstone
+"""
+
+
 def _documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass intake profile of the documents table: exact null counts
     per column, exact distinct counts for the bounded-cardinality columns,
@@ -1637,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": _text_dup_spans,
         "documents_quality_filter": _documents_quality_filter,
         "events_stream_dropdup": _events_stream_dropdup,
+        "orders_merge_apply": _orders_merge_apply,
         # --- entries that have NEVER had a green driver row (r3 verdict #1) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -1757,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_spans": TEXT_DUP_SPANS_SQL,
         "documents_quality_filter": DOCUMENTS_QUALITY_FILTER_SQL,
         "events_stream_dropdup": EVENTS_STREAM_DROPDUP_SQL,
+        "orders_merge_apply": ORDERS_MERGE_APPLY_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,
