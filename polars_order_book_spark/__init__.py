@@ -44,7 +44,9 @@ from polars_order_book_spark.operators.sampling import (
     hash_split,
     pack_sequences,
 )
+from polars_order_book_spark.operators.merge import latest_changes, merge_upsert
 from polars_order_book_spark.operators.similarity import (
+    centroid_outliers,
     dequantize_int8,
     quantize_int8,
 )
@@ -78,6 +80,9 @@ __all__ = [
     "dequantize_int8",
     "dup_span_stats",
     "quality_filter",
+    "merge_upsert",
+    "latest_changes",
+    "centroid_outliers",
     "get_spark",
 ]
 

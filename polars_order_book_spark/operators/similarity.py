@@ -511,3 +511,63 @@ def dequantize_int8(
             ).cast("float"),
         ),
     )
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-group embedding outliers: distance of every vector to its group's
+    component-wise MEDIAN centroid, top-k farthest per group — the screen for
+    mislabeled / poisoned / off-distribution examples before training.
+
+    Returns (group, vec_id, rank, dist) with rank 1 = farthest.
+
+    The centroid is the component-wise median, not the mean: a median is a
+    rank statistic, so it is independent of aggregation order (a mean over
+    doubles is partial-agg order-dependent and cannot be hash-checked across
+    engines) AND robust to the very outliers being hunted. The L2 distance
+    is one sequential left-to-right fold per vector (same contract as _dot),
+    bit-identical in the DuckDB oracle.
+
+    Scale shape: one explode to (group, pos, x) rows and a groupBy(group,
+    pos) exact median -- shuffle volume n·d, group count |groups|·d, each
+    group holding that group's n values (swap in approx_percentile at
+    extreme per-group counts; same plan shape). Centroids collapse to
+    |groups| array rows, broadcast back, so the distance pass never shuffles
+    the vector table. The final per-group top-k uses an exact rank window
+    (one shuffle by group); for huge skewed groups replace it with a
+    per-partition local top-k + re-rank (the BLAS ANN pattern).
+    """
+    v = vectors.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vv"),
+    )
+    comps = v.select("grp", "vec_id", F.posexplode("vv").alias("pos", "x"))
+    med = comps.groupBy("grp", "pos").agg(F.median("x").alias("m"))
+    cents = (
+        med.groupBy("grp")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("grp", F.transform("pm", lambda s: s["m"]).alias("cent"))
+    )
+    diff = F.zip_with(F.col("vv"), F.col("cent"), lambda a, b: a - b)
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = v.join(F.broadcast(cents), on="grp").select(
+        "grp", "vec_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            "dist",
+        )
+    )

@@ -41,52 +41,51 @@ def test_query_analyzes(spark, name, fn):
     assert df.columns, name
 
 
-# Entries allowed past the driver's 50-entry correctness cap. Criterion:
-# at least one green driver CORRECTNESS row (most have two, r2+r3; three —
-# dedup_components, documents_hash_sample, events_user_distinct_approx —
-# are r3-green only) PLUS full local oracle + pytest coverage. Everything
-# else MUST sit inside the first 50 dict entries or it gets no driver
-# signal (r3 verdict item 1).
+# Entries allowed past the driver's 50-entry correctness cap. r5 rotation
+# policy: entries whose LATEST green driver row is r4 (or that carry 3+
+# greens from r1-r3) wait in the tail; everything stale-since-r3, new, or
+# behavior-changed sits in the head. Criterion for the tail stands: at least
+# one green driver CORRECTNESS row PLUS full local oracle + pytest coverage.
 DEMOTED_TAIL = {
-    # displaced by the six r5 head additions; each has ≥2 green driver rows
-    # (r2/r3) plus local oracle + pytest coverage
+    "ob_updates_top1",
+    "ob_updates_top3",
+    "ob_stream_keyed_mutations_top2",
+    "ob_relational_mutations_top2",
+    "q10_returned_items",
+    "events_props_json",
+    "events_hourly_pivot",
+    "orders_rolling_revenue",
+    "events_value_quantiles_approx",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "documents_budget_pack",
+    "documents_domain_mix",
     "text_docfreq_score",
     "text_redact_pii",
     "ann_cosine_topk",
     "ann_cosine_topk_ivf",
     "dedup_embedding",
     "text_quality",
-    "dedup_ngram_jaccard",
-    "documents_budget_pack",
-    "documents_domain_mix",
-    "ob_chunked_mutations_top2",
-    "ob_conversion_top2",
-    "text_fingerprint",
-    "text_lang_id",
-    "ann_cosine_topk_lsh",
-    "dedup_components",
-    "documents_hash_sample",
-    "dedup_simhash",
-    "events_user_distinct_approx",
+    "events_sessionize",
+    "events_lead_lag",
+    "events_asof_purchase",
+    "events_sessionize_stream",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "text_vocabulary",
+    "text_tfidf",
+    "text_token_counts",
+    "supplier_nation_summary",
+    "dedup_components_star",  # redundant variant; dedup_components keeps head signal
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",
-    "q5_nation_revenue",
-    "ob_relational_updates_top3",
-    "ob_relational_modify_top2",
-    "ob_relational_keyed_mutations_top2",
     "q3_top_revenue_orders",
-    "events_hourly",
-    "topk_orders_per_customer",
-    "customers_without_orders",
+    "q5_nation_revenue",
     "part_categorize",
-    "events_user_running_total",
-    "events_rollup",
-    "events_value_quantiles",
-    "dedup_components_star",
-    "documents_deduped",
-    "ann_cosine_topk_blas",
-    "text_winnow_fingerprints",
 }
 
 

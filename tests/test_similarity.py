@@ -158,3 +158,40 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         bound = r["scale"] / 254 + 1e-6
         for x, xhat in zip(r["embedding"], r["dequantized"]):
             assert abs(x - xhat) <= bound, (vid, x, xhat, bound)
+
+
+def test_centroid_outliers_finds_planted_outlier(spark):
+    """A cluster at ~(1,0,...) with one planted far point: the plant must be
+    rank 1 and its distance must exceed every cluster member's."""
+    from pyspark.sql import functions as F
+    from polars_order_book_spark.operators.similarity import centroid_outliers
+
+    dim = 4
+    rows = []
+    for i in range(9):
+        v = [1.0 + (i % 3) * 0.01, 0.0, 0.0, 0.0]
+        rows.append((i, v, 0))
+    rows.append((99, [-5.0, 5.0, 0.0, 0.0], 0))       # planted outlier
+    rows.append((200, [0.0, 1.0, 0.0, 0.0], 1))       # second group, single member
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_outliers(df, top_k=3)
+    g0 = [r for r in out.orderBy("label", "rank").collect() if r["label"] == 0]
+    assert g0[0]["vec_id"] == 99 and g0[0]["rank"] == 1
+    assert g0[0]["dist"] > g0[1]["dist"]
+    g1 = [r for r in out.collect() if r["label"] == 1]
+    # singleton group: centroid == the vector, distance exactly 0
+    assert len(g1) == 1 and g1[0]["dist"] == 0.0
+
+
+def test_centroid_outliers_median_ignores_extreme(spark):
+    """Median centroid: with 5 cluster points and 1 extreme, the centroid
+    stays at the cluster (mean would be dragged toward the plant)."""
+    from polars_order_book_spark.operators.similarity import centroid_outliers
+
+    rows = [(i, [10.0, 10.0], 0) for i in range(5)] + [(9, [1e6, -1e6], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r["dist"] for r in centroid_outliers(df, top_k=6).collect()}
+    # cluster members sit ON the median centroid; only the plant is far
+    for i in range(5):
+        assert out[i] == 0.0
+    assert out[9] > 1e5
