@@ -895,13 +895,10 @@ WHERE n_tokens >= cutoff
 """
 
 
-def _orders_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch MERGE over orders: a deterministic change batch (conflicting
-    updates resolved last-writer-wins by version, tombstone deletes, inserts)
-    applied with merge_upsert — broadcast change keys, one anti-join, no
-    base-table shuffle. The oracle replays the same MERGE in SQL."""
-    from polars_order_book_spark.operators.merge import merge_upsert
-
+def _orders_merge_parts(spark: SparkSession, sf_dir: str):
+    """(base, changes) for the MERGE queries: a deterministic change batch —
+    conflicting updates resolved last-writer-wins by version, tombstone
+    deletes, inserts with synthesized keys."""
     k = F.col("o_orderkey")
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -937,9 +934,65 @@ def _orders_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("tombstone"),
     )
     changes = upd_hi.unionByName(upd_lo).unionByName(dels).unionByName(ins)
+    return base, changes
+
+
+def _orders_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE over orders applied with merge_upsert — broadcast change
+    keys, one anti-join, no base-table shuffle. The oracle replays the same
+    MERGE in SQL."""
+    from polars_order_book_spark.operators.merge import merge_upsert
+
+    base, changes = _orders_merge_parts(spark, sf_dir)
     return merge_upsert(
         base, changes, ["o_orderkey"], version_col="version", tombstone_col="tombstone"
     )
+
+
+def _orders_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the same change log split into two micro-batches
+    by key hash (a key's changes never straddle batches, so batch-wise LWW ==
+    global LWW), folded into a versioned parquet table via foreachBatch +
+    merge_upsert, marker-flipped per batch. The oracle is the single-shot
+    MERGE replay — the maintained table must converge to it exactly."""
+    import tempfile
+
+    from polars_order_book_spark.streaming.merge_stream import (
+        apply_changes_stream,
+        init_table,
+        read_current,
+    )
+
+    base, changes = _orders_merge_parts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="merge_stream_")
+    tbl = os.path.join(tmp, "table")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    init_table(base, tbl)
+    schema = changes.schema
+    for i in (0, 1):
+        part = changes.where(F.col("o_orderkey") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq_file = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(pdir, pq_file), os.path.join(in_dir, f"{i:03d}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = apply_changes_stream(
+        stream,
+        tbl,
+        ["o_orderkey"],
+        checkpoint=os.path.join(tmp, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming merge did not finish within 600s - refusing partial table"
+        )
+    return read_current(spark, tbl)
 
 
 ORDERS_MERGE_APPLY_SQL = """
@@ -1763,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dropdup": _events_stream_dropdup,
         "orders_merge_apply": _orders_merge_apply,
         "embeddings_outliers": _embeddings_outliers,
+        "orders_merge_stream": _orders_merge_stream,
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
@@ -1786,7 +1840,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
-        "ob_conversion_top2": _ob_conversion(2),
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
         "ann_cosine_topk_lsh": _ann_lsh,
@@ -1809,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6 ---
         "dedup_components_star": _dedup_components_star,
+        "ob_conversion_top2": _ob_conversion(2),
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
@@ -1881,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dropdup": EVENTS_STREAM_DROPDUP_SQL,
         "orders_merge_apply": ORDERS_MERGE_APPLY_SQL,
         "embeddings_outliers": EMBEDDINGS_OUTLIERS_SQL,
+        "orders_merge_stream": ORDERS_MERGE_APPLY_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

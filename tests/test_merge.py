@@ -94,3 +94,47 @@ def test_merge_broadcasts_change_keys(spark):
     out = merge_upsert(_base(spark), changes, ["id"], "version", "tombstone")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_apply_changes_stream_folds_batches_and_versions(spark, tmp_path):
+    """Two change micro-batches fold into the maintained table; each batch
+    leaves a version directory and the marker points at the last one."""
+    import os
+
+    from polars_order_book_spark.streaming.merge_stream import (
+        apply_changes_stream,
+        init_table,
+        read_current,
+    )
+
+    tbl = str(tmp_path / "table")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    init_table(_base(spark), tbl)
+
+    batches = [
+        [(2, "b2", 2.2, 1, False), (9, "ins", 9.0, 1, False)],  # update + insert
+        [(9, "ins-v2", 9.1, 2, False), (3, None, None, 1, True)],  # re-update + delete
+    ]
+    for i, rows in enumerate(batches):
+        pdir = tmp_path / f"part_{i}"
+        spark.createDataFrame(rows, CHANGE_SCHEMA).coalesce(1).write.parquet(str(pdir))
+        pq = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(str(pdir / pq), str(in_dir / f"{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = apply_changes_stream(stream, tbl, ["id"], checkpoint=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    rows = {r["id"]: r.asDict() for r in read_current(spark, tbl).collect()}
+    assert set(rows) == {1, 2, 4, 9}
+    assert rows[2]["val"] == "b2"
+    assert rows[9]["val"] == "ins-v2"  # batch-1 update of a batch-0 insert
+    assert os.path.exists(os.path.join(tbl, "_v0"))
+    assert os.path.exists(os.path.join(tbl, "_v1"))
+    with open(os.path.join(tbl, "_CURRENT"), encoding="utf-8") as f:
+        assert f.read().strip() == "_v1"

@@ -80,6 +80,7 @@ DEMOTED_TAIL = {
     "text_token_counts",
     "supplier_nation_summary",
     "dedup_components_star",  # redundant variant; dedup_components keeps head signal
+    "ob_conversion_top2",  # triple-green conversion variant; displaced by orders_merge_stream
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",

@@ -46,6 +46,16 @@ HEADLINE = [
     "embeddings_quantize_int8",
     "documents_profile",
     "events_zorder_key",
+    "q4_priority_count",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "events_cohort_setops",
+    "text_dup_spans",
+    "documents_quality_filter",
+    "orders_merge_apply",
+    "embeddings_outliers",
 ]
 
 
