@@ -1817,6 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_apply": _orders_merge_apply,
         "embeddings_outliers": _embeddings_outliers,
         "orders_merge_stream": _orders_merge_stream,
+        "q13_customer_distribution": hq.q13_customer_distribution,
+        "q15_top_supplier": hq.q15_top_supplier,
+        "q22_dormant_customers": hq.q22_dormant_customers,
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
@@ -1840,8 +1843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
-        "text_fingerprint": _text_fingerprint,
-        "text_lang_id": _text_lang,
         "ann_cosine_topk_lsh": _ann_lsh,
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
@@ -1850,7 +1851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
-        "events_hourly": hq.events_hourly,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
         "events_user_running_total": hq.events_user_running_total,
@@ -1862,6 +1862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6 ---
         "dedup_components_star": _dedup_components_star,
+        "text_fingerprint": _text_fingerprint,
+        "text_lang_id": _text_lang,
+        "events_hourly": hq.events_hourly,
         "ob_conversion_top2": _ob_conversion(2),
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
@@ -1936,6 +1939,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_merge_apply": ORDERS_MERGE_APPLY_SQL,
         "embeddings_outliers": EMBEDDINGS_OUTLIERS_SQL,
         "orders_merge_stream": ORDERS_MERGE_APPLY_SQL,
+        "q13_customer_distribution": hq.Q13_SQL,
+        "q15_top_supplier": hq.Q15_SQL,
+        "q22_dormant_customers": hq.Q22_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -951,3 +951,115 @@ FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
       EXCEPT
       SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
 """
+
+
+# --- q13-style customer order-count distribution ----------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer INCLUDING zero-order customers
+    (TPC-H Q13 shape): left outer join + two stacked aggregations. The
+    double agg is two shuffles on shrinking keys (custkey, then count) —
+    the canonical histogram-of-groups plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col) skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+# --- q15-style top supplier by period revenue -------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum period revenue (TPC-H Q15 shape):
+    per-supplier revenue aggregate, then a scalar-subquery max compared back
+    — Spark plans the 1-row max as a broadcast nested-loop against the tiny
+    aggregate (whitelisted shape: scalar normalizer), never against the fact
+    table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --- q22-style dormant high-balance customers -------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no RECENT orders
+    (TPC-H Q22 shape, recency-windowed: every customer has some order at
+    these scale factors, so plain NOT EXISTS would be vacuous): scalar-
+    subquery average (decimal-exact, order-independent) + anti join against
+    the recent-order key set, rolled up per market segment. The orderdate
+    filter pushes into the orders scan before the anti join's build side."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""

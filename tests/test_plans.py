@@ -113,6 +113,10 @@ _BNLJ_WHITELIST = {
     # 1-row feasible-total (T) broadcast cross join in the rates subtree;
     # the fact side is an equi-join on domain
     "documents_domain_mix",
+    # 1-row scalar normalizers (max revenue / avg balance) broadcast-crossed
+    # against small aggregates — never against a fact table
+    "q15_top_supplier",
+    "q22_dormant_customers",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

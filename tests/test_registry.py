@@ -81,6 +81,10 @@ DEMOTED_TAIL = {
     "supplier_nation_summary",
     "dedup_components_star",  # redundant variant; dedup_components keeps head signal
     "ob_conversion_top2",  # triple-green conversion variant; displaced by orders_merge_stream
+    # triple-green r1-era entries displaced by the q13/q15/q22 additions
+    "text_fingerprint",
+    "text_lang_id",
+    "events_hourly",
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",

@@ -31,6 +31,9 @@ PARITY = [
     ("q14_promo_revenue", hq.q14_promo_revenue, hq.Q14_SQL),
     ("q19_disjunctive_revenue", hq.q19_disjunctive_revenue, hq.Q19_SQL),
     ("events_cohort_setops", hq.events_cohort_setops, hq.EVENTS_COHORT_SETOPS_SQL),
+    ("q13_customer_distribution", hq.q13_customer_distribution, hq.Q13_SQL),
+    ("q15_top_supplier", hq.q15_top_supplier, hq.Q15_SQL),
+    ("q22_dormant_customers", hq.q22_dormant_customers, hq.Q22_SQL),
     # q18 oracle uses DuckDB epoch_us(); not Spark-dialect portable.
 ]
 
