@@ -1804,6 +1804,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest green driver rows sit in the head; multi-green entries wait in the
     # tail for the next rotation. tests/test_registry.py pins the split.
     return {
+        # --- new in r5 (second batch): no driver signal yet (9) ---
+        "q2_min_cost_supplier": hq.q2_min_cost_supplier,
+        "q8_market_share": hq.q8_market_share,
+        "q9_product_profit": hq.q9_product_profit,
+        "q11_important_parts": hq.q11_important_parts,
+        "q12_late_shipments": hq.q12_late_shipments,
+        "q16_supplier_variety": hq.q16_supplier_variety,
+        "q17_small_qty_revenue": hq.q17_small_qty_revenue,
+        "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
+        "q21_waiting_suppliers": hq.q21_waiting_suppliers,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -1846,21 +1856,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": _ann_lsh,
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
-        "dedup_simhash": _dedup_simhash,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
-        "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
+        "documents_deduped": _documents_deduped,
+        # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
+        # and/or multiple earlier rounds; rotate back in r6. The second q-batch
+        # displaced the 9 stale-r3 entries with the MOST prior greens
+        # (2-3 green rows each across r1-r3). ---
+        "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
         "events_user_running_total": hq.events_user_running_total,
         "events_rollup": hq.events_rollup,
         "events_value_quantiles": hq.events_value_quantiles,
-        "documents_deduped": _documents_deduped,
         "ann_cosine_topk_blas": _ann_blas,
         "text_winnow_fingerprints": _text_winnow,
-        # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
-        # and/or multiple earlier rounds; rotate back in r6 ---
+        "dedup_simhash": _dedup_simhash,
         "dedup_components_star": _dedup_components_star,
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
@@ -1942,6 +1954,15 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": hq.Q13_SQL,
         "q15_top_supplier": hq.Q15_SQL,
         "q22_dormant_customers": hq.Q22_SQL,
+        "q2_min_cost_supplier": hq.Q2_SQL,
+        "q8_market_share": hq.Q8_SQL,
+        "q9_product_profit": hq.Q9_SQL,
+        "q11_important_parts": hq.Q11_SQL,
+        "q12_late_shipments": hq.Q12_SQL,
+        "q16_supplier_variety": hq.Q16_SQL,
+        "q17_small_qty_revenue": hq.Q17_SQL,
+        "q20_concentrated_suppliers": hq.Q20_SQL,
+        "q21_waiting_suppliers": hq.Q21_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1063,3 +1063,461 @@ WHERE c_acctbal > (
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_mktsegment
 """
+
+
+# --- q2-style min-cost supplier per part (correlated min) --------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part within a region (TPC-H Q2 shape, reshaped:
+    the testdata has no partsupp table, so lineitem serves as the
+    part-supplier offer relation and unit price = l_extendedprice/l_quantity).
+    The correlated min is a per-part aggregate joined back on equality —
+    Spark plans both sides off ONE shuffle on l_partkey (exchange reuse);
+    supplier/nation/region dims broadcast. Unit price is a single IEEE double
+    division, bit-identical across engines, so the equality join is exact.
+    Ref semantics analogue: reference's nth-best/min-level selection
+    (book_side.rs nth-best contract) lifted to the relational surface."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    return (
+        offers.join(best, ["l_partkey"])
+        .where(F.col("unit_price") == F.col("best_price"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("unit_price").alias("min_unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH sup AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), offers AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+    FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price AS min_unit_price
+FROM offers
+JOIN part ON l_partkey = p_partkey
+JOIN sup ON l_suppkey = s_suppkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND unit_price = (SELECT min(o2.unit_price) FROM offers o2 WHERE o2.l_partkey = offers.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- q8-style national market share ------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one supplier nation's revenue among all sales into a region's
+    market, per order year (TPC-H Q8 shape). Two nation joins with distinct
+    roles (customer geography vs supplier origin) — all dims broadcast; the
+    only shuffle is the final tiny group-by-year. The share is a ratio of two
+    decimal-exact sums, computed as a conditional aggregate in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_in_market = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = sup.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    volume = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_in_market), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume)
+                      .otherwise(F.lit(0).cast("decimal(10,2)"))).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                     ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+"""
+
+
+# --- q9-style product-line profit by nation and year -------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier nation per ship year over one product line (TPC-H
+    Q9 shape, reshaped: no partsupp, so cost = p_retailprice * l_quantity).
+    amount = revenue - cost stays in exact decimal arithmetic end-to-end;
+    part filter prunes at the scan, both dims broadcast, one group-by
+    shuffle on (nation, year) — a key space of ~25 x 7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    amount = (
+        _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+        - _dec(F.col("p_retailprice")) * _dec(F.col("l_quantity"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                - CAST(p_retailprice AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+# --- q11-style important-parts concentration ----------------------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value through one nation's suppliers exceeds a
+    fixed fraction of that nation's total (TPC-H Q11 shape; lineitem stands
+    in for partsupp). The scalar threshold is a 1-row aggregate broadcast
+    against the per-part aggregate (never the fact table) — both aggregates
+    derive from the SAME shuffled child, so Catalyst reuses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")
+                        .where(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = _dec(F.col("l_extendedprice"))
+    per_part = (
+        li.join(F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).cast("double").alias("part_value"))
+    )
+    total = per_part.agg((F.sum(_dec(F.col("part_value"), 18, 2)).cast("double") * 0.001)
+                         .alias("__threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) * 0.001 FROM per_part)
+"""
+
+
+# --- q12-style late-shipment priority counts ----------------------------------
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders shipped late, bucketed by line status with critical-vs-other
+    priority counts (TPC-H Q12 shape; the testdata has no ship mode or
+    commit/receipt dates, so 'late' = shipped >= 90 days after the order
+    date). Timestamp arithmetic is exact integer micros in both engines.
+    One join shuffle on orderkey; conditional counts in a single agg pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("critical_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("other_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+# --- q16-style supplier variety per part attribute ----------------------------
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers able to provide each (brand, type, size) combo,
+    excluding a disqualified supplier set (TPC-H Q16 shape; negative account
+    balance stands in for the complaints predicate, lineitem for partsupp).
+    The anti join's build side is 6 rows — broadcast; count(DISTINCT) goes
+    through Spark's two-phase expand+agg, partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- q17-style small-quantity-order revenue -----------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20% of the
+    part's mean quantity) were not taken, for one brand (TPC-H Q17 shape).
+    The correlated per-part average is an aggregate joined back on partkey —
+    the brand filter prunes BOTH sides to ~4% of parts before any shuffle.
+    The mean uses a decimal-exact sum / count so the 0.2x threshold compares
+    bit-identically across engines."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * (
+        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(10,2))) AS DOUBLE) / count(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+# --- q20-style part-concentration suppliers -----------------------------------
+
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one region shipping an outsized share (>30%) of any
+    part's 1996 volume (TPC-H Q20 shape; lineitem quantity sums stand in for
+    partsupp availability). Per-(supplier, part) and per-part totals derive
+    from the same scan; the share test is an equi-join on partkey between
+    the two aggregates. Output is the distinct supplier list — a semi join,
+    so no duplicate-row blowup reaches the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sp_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("part_qty")
+    )
+    concentrated = (
+        per_sp.join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .where(F.col("sp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(concentrated, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+WITH per_sp AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+), per_part AS (
+    SELECT l_partkey AS pp_key,
+           CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS part_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+        SELECT l_suppkey FROM per_sp JOIN per_part ON l_partkey = pp_key
+        WHERE sp_qty > 0.3 * part_qty
+      )
+"""
+
+
+# --- q21-style sole-late-supplier count ----------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on finalized multi-supplier
+    orders (TPC-H Q21 shape; 'late' = shipped >60 days after order date since
+    the testdata has no commit/receipt dates). The EXISTS is a left-semi and
+    the NOT EXISTS a left-anti self-join, both equi-keyed on orderkey with
+    the supplier inequality as a residual — three shuffles on the same key,
+    AQE-coalesced; supplier dim broadcast at the end."""
+    orders_f = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    l1 = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

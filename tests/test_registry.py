@@ -81,6 +81,17 @@ DEMOTED_TAIL = {
     "supplier_nation_summary",
     "dedup_components_star",  # redundant variant; dedup_components keeps head signal
     "ob_conversion_top2",  # triple-green conversion variant; displaced by orders_merge_stream
+    # stale-r3 entries with the most prior greens (2-3 rows each), displaced
+    # by the q2/q8/q9/q11/q12/q16/q17/q20/q21 batch
+    "ob_relational_updates_top3",
+    "topk_orders_per_customer",
+    "customers_without_orders",
+    "events_user_running_total",
+    "events_rollup",
+    "events_value_quantiles",
+    "ann_cosine_topk_blas",
+    "text_winnow_fingerprints",
+    "dedup_simhash",
     # triple-green r1-era entries displaced by the q13/q15/q22 additions
     "text_fingerprint",
     "text_lang_id",
