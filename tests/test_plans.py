@@ -117,6 +117,8 @@ _BNLJ_WHITELIST = {
     # against small aggregates — never against a fact table
     "q15_top_supplier",
     "q22_dormant_customers",
+    # 1-row value-threshold normalizer crossed against the per-part aggregate
+    "q11_important_parts",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.
