@@ -245,6 +245,71 @@ def _events_sessionize_stream_append(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(out_dir).select("user_id", "n_events", "start_us", "end_us")
 
 
+def _events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase within 30 minutes AFTER a
+    click by the same user (click->purchase attribution pairs). Both sides
+    come from the same streaming source (a self-join); Spark plans a
+    StreamingSymmetricHashJoin shuffled on user_id with watermark-bounded
+    state on both sides. availableNow replays the table in one micro-batch,
+    where eviction never fires, so the append-mode output is the complete
+    pair set and gets the full batch-join oracle hash. In production the
+    7-day watermark bounds each side's buffered state; the range bound
+    additionally evicts clicks >30min past the right-side watermark."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+    from polars_order_book_spark.streaming import interval_join_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = interval_join_stream(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper="INTERVAL 30 MINUTES",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    name = f"attr_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="attr_stream_ckpt_")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us")
+
+
+EVENTS_ATTRIBUTION_STREAM_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def _ob_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's n1-vs-n2 consistency golden as an oracle query (ref:
     calculate_bbo.rs:372-519): the SAME stream computed at n=1 (fast path)
@@ -1814,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": hq.q17_small_qty_revenue,
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         "q21_waiting_suppliers": hq.q21_waiting_suppliers,
+        "events_attribution_stream": _events_attribution_stream,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -1857,7 +1923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
-        "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "documents_deduped": _documents_deduped,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
@@ -1865,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced the 9 stale-r3 entries with the MOST prior greens
         # (2-3 green rows each across r1-r3). ---
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
+        "ob_relational_modify_top2": _ob_modify_relational(2),
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
         "events_user_running_total": hq.events_user_running_total,
@@ -1963,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": hq.Q17_SQL,
         "q20_concentrated_suppliers": hq.Q20_SQL,
         "q21_waiting_suppliers": hq.Q21_SQL,
+        "events_attribution_stream": EVENTS_ATTRIBUTION_STREAM_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

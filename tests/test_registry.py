@@ -84,6 +84,7 @@ DEMOTED_TAIL = {
     # stale-r3 entries with the most prior greens (2-3 rows each), displaced
     # by the q2/q8/q9/q11/q12/q16/q17/q20/q21 batch
     "ob_relational_updates_top3",
+    "ob_relational_modify_top2",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
