@@ -661,6 +661,30 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15))
 """
 
 
+def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: 5 documents per (lang, source) stratum
+    in portable-hash order — balanced eval-set construction. One shuffle on
+    the strata key; rank within stratum is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, 5, strata=["lang", "source"]).select(
+        "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source, sample_rank FROM (
+    SELECT doc_id, lang, source,
+           CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15)) AS BIGINT),
+                        doc_id
+           ) AS BIGINT) AS sample_rank
+    FROM documents
+)
+WHERE sample_rank <= 5
+"""
+
+
 def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with survivor tagging (applyInPandasWithState
     keyed by content hash), driven to completion with availableNow -> update
@@ -1880,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         "q21_waiting_suppliers": hq.q21_waiting_suppliers,
         "events_attribution_stream": _events_attribution_stream,
+        "documents_stratified_sample": _docs_stratified_sample,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -1919,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
-        "ann_cosine_topk_lsh": _ann_lsh,
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
@@ -1931,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2-3 green rows each across r1-r3). ---
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
+        "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
         "events_user_running_total": hq.events_user_running_total,
@@ -2030,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_concentrated_suppliers": hq.Q20_SQL,
         "q21_waiting_suppliers": hq.Q21_SQL,
         "events_attribution_stream": EVENTS_ATTRIBUTION_STREAM_SQL,
+        "documents_stratified_sample": STRATIFIED_SAMPLE_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -43,6 +43,7 @@ from polars_order_book_spark.operators.sampling import (
     hash_sample,
     hash_split,
     pack_sequences,
+    stratified_sample,
 )
 from polars_order_book_spark.operators.merge import latest_changes, merge_upsert
 from polars_order_book_spark.operators.similarity import (
@@ -76,6 +77,7 @@ __all__ = [
     "budget_pack",
     "domain_mix_sample",
     "pack_sequences",
+    "stratified_sample",
     "quantize_int8",
     "dequantize_int8",
     "dup_span_stats",

@@ -254,6 +254,46 @@ def pack_sequences(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    *,
+    strata: "list[str]",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows from every stratum (fewer when the
+    stratum is smaller), chosen in portable hash order — the exact-count
+    counterpart to :func:`hash_sample`'s rate sampling. Balanced eval sets
+    ("5 docs per (lang, source)") need exact counts; a rate can't give them.
+
+    Membership = row_number over (stratum, ordered by hash64(id||salt), id)
+    <= n: a pure function of the data, stable across runs, partitionings,
+    and engines. Unlike the rate samplers it is NOT append-stable — a new row
+    hashing into the top-n evicts the old rank-n row; freeze the output when
+    append-stability matters.
+
+    Scale shape: one shuffle on the strata key; each stratum ranks in one
+    task. For very large strata, pre-thin with a PREFIX threshold on the
+    same ordering hash — ``hash64(concat(id, salt)) < tau`` — before ranking:
+    a prefix of the order can never change the top-n as long as >= n rows
+    per stratum survive (NOT ``hash_sample``, whose mod-bucket membership is
+    not an order prefix and would evict top-ranked rows).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be > 0, got {n_per_stratum}")
+    if not strata:
+        raise ValueError("strata must be non-empty")
+    from pyspark.sql import Window as W
+
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    win = W.partitionBy(*strata).orderBy(hash64(keyed), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
 def category_index(
     df: DataFrame,
     col: str,

@@ -378,3 +378,62 @@ def test_category_index_deterministic_dense(spark):
     again = {r["doc_id"]: r["lang_id"]
              for r in sampling.category_index(df.repartition(5), "lang").collect()}
     assert again == got
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    rows = [(i, f"lang{i % 3}", f"s{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = sampling.stratified_sample(df, 4, strata=["lang", "source"])
+    counts = {
+        (r["lang"], r["source"]): r["n"]
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    # 6 strata x 10 rows each -> every stratum yields exactly 4
+    assert counts == {(f"lang{i}", f"s{j}"): 4 for i in range(3) for j in range(2)}
+    # ranks are 1..4 within each stratum
+    assert set(r["sample_rank"] for r in out.collect()) == {1, 2, 3, 4}
+    # partitioning-invariant: same ids after a repartition
+    ids = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df.repartition(7), 4, strata=["lang", "source"]
+        ).collect()
+    }
+    assert ids == ids2
+
+
+def test_stratified_sample_small_stratum_and_prefilter_consistency(spark):
+    rows = [(i, "en") for i in range(3)] + [(100 + i, "de") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(df, 5, strata=["lang"])
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang == {"en": 3, "de": 5}  # small stratum keeps all its rows
+    # pre-thinning with a PREFIX threshold on the ordering hash preserves the
+    # top-n exactly (a prefix of the order can't evict top-ranked rows)
+    from polars_order_book_spark.functions.hashing import hash64
+
+    h = hash64(F.concat(F.col("doc_id").cast("string"), F.lit("")))
+    tau = sorted(
+        r[0] for r in df.where(F.col("lang") == "de").select(h).collect()
+    )[20]  # keeps 20 of 50 'de' rows — comfortably >= 5
+    thinned = df.where((F.col("lang") != "de") | (h < tau))
+    full = {r["doc_id"] for r in out.where(F.col("lang") == "de").collect()}
+    thin = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(thinned, 5, strata=["lang"])
+        .where(F.col("lang") == "de")
+        .collect()
+    }
+    assert thin == full
+
+
+def test_stratified_sample_validates_args(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, 0, strata=["lang"])
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, 3, strata=[])

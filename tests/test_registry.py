@@ -85,6 +85,7 @@ DEMOTED_TAIL = {
     # by the q2/q8/q9/q11/q12/q16/q17/q20/q21 batch
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
+    "ann_cosine_topk_lsh",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
