@@ -31,6 +31,9 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "q5_nation_revenue",
+        "q8_market_share",
+        "q9_product_profit",
+        "q21_waiting_suppliers",
         "topk_orders_per_customer",
         "events_hourly",
         "events_sessionize",

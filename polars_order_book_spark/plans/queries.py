@@ -1090,13 +1090,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sup.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
-    best = offers.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    # per-part min as a window over the SAME aggregate output — one scan, one
+    # agg; an agg-and-join-back formulation would recompute the offers subtree
+    # (verified: no ReusedExchange in the physical plan)
+    best_w = Window.partitionBy("l_partkey")
     return (
-        offers.join(best, ["l_partkey"])
+        offers.withColumn("best_price", F.min("unit_price").over(best_w))
         .where(F.col("unit_price") == F.col("best_price"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
