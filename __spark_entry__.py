@@ -1905,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": hq.q21_waiting_suppliers,
         "events_attribution_stream": _events_attribution_stream,
         "documents_stratified_sample": _docs_stratified_sample,
+        "events_value_deciles": hq.events_value_deciles,
+        "events_grouping_sets": hq.events_grouping_sets,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -1929,8 +1931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_csv_roundtrip": _events_csv_roundtrip,
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
-        "part_hconcat": _part_hconcat,
-        "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "documents_profile": _documents_profile,
         "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
@@ -1955,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2-3 green rows each across r1-r3). ---
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
+        "part_hconcat": _part_hconcat,
+        "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2056,6 +2058,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": hq.Q21_SQL,
         "events_attribution_stream": EVENTS_ATTRIBUTION_STREAM_SQL,
         "documents_stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "events_value_deciles": hq.EVENTS_DECILES_SQL,
+        "events_grouping_sets": hq.EVENTS_GROUPING_SETS_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1524,3 +1524,73 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """
+
+
+# --- analytic rank functions: deciles / percent_rank / cume_dist -------------
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value analytics with the three positional rank
+    functions in one window pass: ntile (equi-depth decile), percent_rank,
+    cume_dist. All three are pure functions of the within-partition ORDER —
+    the (value, event_id) tie-break makes that order total, so every output
+    is engine-deterministic. One shuffle on event_type; each partition ranks
+    in one task (bounded by events-per-type; shard by hash for skewed keys,
+    same answer as budget_pack's shards)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+EVENTS_DECILES_SQL = """
+SELECT event_id, event_type, value,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+# --- GROUPING SETS with grouping flags ---------------------------------------
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass via GROUPING SETS
+    ((type, hour), (type), ()) — the generalization of rollup/cube the
+    host engine exposes (events_rollup covers the rollup special case).
+    Spark plans a single Expand + hash aggregate: the scan is read once and
+    each row contributes to every set, partial-aggregated map-side; grouping
+    flags disambiguate the NULL-keyed super-aggregate rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("int").alias("hour")
+    return (
+        ev.select("event_type", hour, "value")
+        .groupingSets(
+            [["event_type", "hour"], ["event_type"], []],
+            "event_type",
+            "hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+        )
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(hour(ts)) AS INT) AS g_hour
+FROM events
+GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+"""

@@ -86,6 +86,9 @@ DEMOTED_TAIL = {
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ann_cosine_topk_lsh",
+    # r4-green helper round-trips displaced by deciles/grouping-sets
+    "part_hconcat",
+    "events_jsonl_roundtrip",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
