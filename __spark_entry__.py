@@ -685,6 +685,75 @@ WHERE sample_rank <= 5
 """
 
 
+def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the customer->supplier purchase graph
+    (distinct (o_custkey, l_suppkey) edges; supplier node ids offset so the
+    two key spaces can't collide): supplier centrality weighting, the
+    source-authority primitive of curation pipelines. Integer-scaled exact
+    arithmetic (operators/graph.py) so the oracle's unrolled 3 rounds hash
+    bit-identically. Output: top 25 suppliers by rank."""
+    from polars_order_book_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3)
+    return (
+        pr.where(F.col("node") >= 10_000_000)
+        .select(
+            (F.col("node") - 10_000_000).alias("s_suppkey"),
+            F.col("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+def _supplier_pagerank_sql() -> str:
+    scale = 1_000_000_000_000
+    head = f"""
+WITH e0 AS (
+    SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+    SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), deg AS (
+    SELECT src AS dnode, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+    SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank_scaled FROM nodes
+)"""
+    iters = ""
+    for i in range(3):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        iters += f""", c{i + 1} AS (
+    SELECT e.dst AS node, CAST(sum(r.rank_scaled // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.dnode
+    GROUP BY e.dst
+), {cur} AS (
+    SELECT nodes.node,
+           CAST((15 * {scale}) // (100 * (SELECT n FROM nn))
+                + (85 * COALESCE(c{i + 1}.s, 0)) // 100 AS BIGINT) AS rank_scaled
+    FROM nodes LEFT JOIN c{i + 1} ON nodes.node = c{i + 1}.node
+)"""
+    return head + iters + """
+SELECT CAST(node - 10000000 AS BIGINT) AS s_suppkey, rank_scaled
+FROM r3 WHERE node >= 10000000
+ORDER BY rank_scaled DESC, s_suppkey
+LIMIT 25
+"""
+
+
 def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with survivor tagging (applyInPandasWithState
     keyed by content hash), driven to completion with availableNow -> update
@@ -1907,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_stratified_sample": _docs_stratified_sample,
         "events_value_deciles": hq.events_value_deciles,
         "events_grouping_sets": hq.events_grouping_sets,
+        "supplier_pagerank": _supplier_pagerank,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -1943,7 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
-        "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
@@ -1957,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
+        "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2060,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_stratified_sample": STRATIFIED_SAMPLE_SQL,
         "events_value_deciles": hq.EVENTS_DECILES_SQL,
         "events_grouping_sets": hq.EVENTS_GROUPING_SETS_SQL,
+        "supplier_pagerank": _supplier_pagerank_sql(),
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -89,6 +89,9 @@ DEMOTED_TAIL = {
     # r4-green helper round-trips displaced by deciles/grouping-sets
     "part_hconcat",
     "events_jsonl_roundtrip",
+    # r3-green chunked variant displaced by supplier_pagerank (the base
+    # mutations fold keeps head signal via ob_relational_keyed/modify)
+    "ob_chunked_mutations_top2",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
