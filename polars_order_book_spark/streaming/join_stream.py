@@ -30,26 +30,47 @@ def interval_join_stream(
     upper: str = "INTERVAL 30 MINUTES",
     left_watermark: str | None = "7 days",
     right_watermark: str | None = "7 days",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two (possibly streaming) frames on an equality key where the
+    """Join two (possibly streaming) frames on an equality key where the
     right event lands in ``[left_ts, left_ts + upper)``.
+
+    ``how``: "inner" or "left_outer". Left-outer emits the unmatched left row
+    (right columns null) only once the watermark proves no match can still
+    arrive — so outer results trail the watermark delay, and Spark REQUIRES
+    watermarks on both sides for outer stream-stream joins (enforced here
+    rather than failing at runtime). On an availableNow replay Spark runs a
+    final no-data batch that advances the watermark to max(event time) -
+    delay, flushing unmatched rows whose join window closed before it; rows
+    inside the final watermark window stay buffered (exactly the continuous-
+    stream contract — a bounded replay is just a stream that stops getting
+    data, not one whose end is known to be THE end).
 
     Column-name contract: ``left_ts`` and ``right_ts`` must be distinct names
     (rename before calling); all other column names must not collide.
     Watermarks are REQUIRED for unbounded continuous streams (they bound the
-    join state); pass None only for bounded availableNow replays, where
+    join state); pass None only for bounded availableNow INNER replays, where
     eviction never fires inside the single micro-batch anyway. The same code
     runs unchanged on two batch frames — Catalyst plans it as an ordinary
     range-predicate equi-join.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lf, rf = left, right
     if lf.isStreaming and left_watermark is not None:
         lf = lf.withWatermark(left_ts, left_watermark)
     if rf.isStreaming and right_watermark is not None:
         rf = rf.withWatermark(right_ts, right_watermark)
+    if how == "left_outer" and lf.isStreaming and rf.isStreaming:
+        if left_watermark is None or right_watermark is None:
+            raise ValueError(
+                "stream-stream left_outer interval join requires watermarks "
+                "on both sides (unmatched rows emit only when the watermark "
+                "closes their join window)"
+            )
     cond = (
         (lf[on] == rf[on])
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) < F.col(left_ts) + F.expr(upper))
     )
-    return lf.join(rf, cond, "inner").drop(rf[on])
+    return lf.join(rf, cond, how).drop(rf[on])
