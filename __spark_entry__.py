@@ -685,6 +685,56 @@ WHERE sample_rank <= 5
 """
 
 
+def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user lifetime profile accumulator (count, exact
+    scaled-integer value sum, last-seen micros) — arbitrary stateful
+    processing with one fixed-width state row per key. impl='auto' uses
+    transformWithStateInPandas where the environment has protobuf and the
+    dependency-free applyInPandasWithState otherwise (same output contract,
+    parity-pinned). Update-mode memory sink re-emits a user's row each batch
+    it appears in; the monotone n_events picks the final profile per user,
+    making the harness multi-batch-robust."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+    from polars_order_book_spark.streaming import user_profile_stream
+
+    prof = user_profile_stream(load_table_stream(spark, sf_dir, "events"))
+    name = f"profile_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="profile_stream_ckpt_")
+    q = (
+        prof.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    final = F.max(F.struct("n_events", "value_sum_micros", "last_us")).alias("p")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select("user_id", "p.n_events", "p.value_sum_micros", "p.last_us")
+    )
+
+
+EVENTS_USER_PROFILE_STREAM_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_micros,
+       max(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY user_id
+"""
+
+
 def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the customer->supplier purchase graph
     (distinct (o_custkey, l_suppkey) edges; supplier node ids offset so the
@@ -1977,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_deciles": hq.events_value_deciles,
         "events_grouping_sets": hq.events_grouping_sets,
         "supplier_pagerank": _supplier_pagerank,
+        "events_user_profile_stream": _events_user_profile_stream,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2001,7 +2052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_csv_roundtrip": _events_csv_roundtrip,
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
-        "documents_profile": _documents_profile,
         "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
@@ -2027,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
+        "documents_profile": _documents_profile,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2131,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_deciles": hq.EVENTS_DECILES_SQL,
         "events_grouping_sets": hq.EVENTS_GROUPING_SETS_SQL,
         "supplier_pagerank": _supplier_pagerank_sql(),
+        "events_user_profile_stream": EVENTS_USER_PROFILE_STREAM_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

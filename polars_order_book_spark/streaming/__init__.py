@@ -6,6 +6,7 @@ from polars_order_book_spark.streaming.dedup_stream import (
     drop_exact_duplicates_stream,
 )
 from polars_order_book_spark.streaming.join_stream import interval_join_stream
+from polars_order_book_spark.streaming.profile_stream import user_profile_stream
 from polars_order_book_spark.streaming.merge_stream import (
     apply_changes_stream,
     init_table,
@@ -16,6 +17,7 @@ __all__ = [
     "top_n_levels_stream",
     "sessionize_stream",
     "interval_join_stream",
+    "user_profile_stream",
     "dedup_stream_with_survivor",
     "drop_exact_duplicates_stream",
     "drop_duplicates_within_watermark",

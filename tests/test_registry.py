@@ -92,6 +92,8 @@ DEMOTED_TAIL = {
     # r3-green chunked variant displaced by supplier_pagerank (the base
     # mutations fold keeps head signal via ob_relational_keyed/modify)
     "ob_chunked_mutations_top2",
+    # r4-green single-pass profiler displaced by events_user_profile_stream
+    "documents_profile",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
