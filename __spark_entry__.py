@@ -685,6 +685,58 @@ WHERE sample_rank <= 5
 """
 
 
+def _part_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/diff.py): the part table vs a
+    deterministically perturbed next version (keys %97 removed, names %13
+    rewritten, keys %101 re-added under offset ids) — the backfill-validation
+    primitive. One full-outer shuffle join on the key comparing ONE md5 row
+    fingerprint; output is churn-sized, never table-sized."""
+    from polars_order_book_spark.operators.diff import diff_snapshots
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    new = part.where(pk % 97 != 0).withColumn(
+        "p_name",
+        F.when(pk % 13 == 0, F.concat(F.col("p_name"), F.lit("*"))).otherwise(
+            F.col("p_name")
+        ),
+    )
+    adds = part.where(pk % 101 == 0).withColumn("p_partkey", pk + 1_000_000)
+    new = new.unionByName(adds)
+    return diff_snapshots(
+        part, new, ["p_partkey"], compare_cols=["p_name", "p_brand"]
+    )
+
+
+PART_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+    SELECT p_partkey,
+           md5(concat_ws(chr(31), coalesce(p_name, chr(0)), coalesce(p_brand, chr(0)))) AS old_fingerprint
+    FROM part
+), newv AS (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 13 = 0 THEN p_name || '*' ELSE p_name END AS p_name,
+           p_brand
+    FROM part WHERE p_partkey % 97 <> 0
+    UNION ALL
+    SELECT p_partkey + 1000000, p_name, p_brand FROM part WHERE p_partkey % 101 = 0
+), n AS (
+    SELECT p_partkey,
+           md5(concat_ws(chr(31), coalesce(p_name, chr(0)), coalesce(p_brand, chr(0)))) AS new_fingerprint
+    FROM newv
+)
+SELECT coalesce(o.p_partkey, n.p_partkey) AS p_partkey,
+       CASE WHEN o.p_partkey IS NULL THEN 'added'
+            WHEN n.p_partkey IS NULL THEN 'removed'
+            WHEN old_fingerprint <> new_fingerprint THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       old_fingerprint, new_fingerprint
+FROM o FULL OUTER JOIN n ON o.p_partkey = n.p_partkey
+WHERE NOT (o.p_partkey IS NOT NULL AND n.p_partkey IS NOT NULL
+           AND old_fingerprint = new_fingerprint)
+"""
+
+
 def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user lifetime profile accumulator (count, exact
     scaled-integer value sum, last-seen micros) — arbitrary stateful
@@ -2028,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": hq.events_grouping_sets,
         "supplier_pagerank": _supplier_pagerank,
         "events_user_profile_stream": _events_user_profile_stream,
+        "part_snapshot_diff": _part_snapshot_diff,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2050,7 +2103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _sink_roundtrip,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
-        "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
         "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
@@ -2078,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "documents_profile": _documents_profile,
+        "embeddings_quantize_int8": _embeddings_quantize,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2183,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": hq.EVENTS_GROUPING_SETS_SQL,
         "supplier_pagerank": _supplier_pagerank_sql(),
         "events_user_profile_stream": EVENTS_USER_PROFILE_STREAM_SQL,
+        "part_snapshot_diff": PART_SNAPSHOT_DIFF_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,
