@@ -310,6 +310,89 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def _events_attribution_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: attribution pairs PLUS clicks
+    that provably converted nothing (nulls) — the shape that feeds negative
+    training examples. Unmatched clicks emit only when the watermark closes
+    their 30-minute window; the oracle restricts its unmatched side to
+    exactly those (global watermark = min over both sides of ms-truncated
+    max-event-time minus the 1-minute delay — the same ms-precision modeling
+    the append-mode sessionizer oracle uses). Matched pairs emit on arrival
+    and are oracle-complete."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+    from polars_order_book_spark.streaming import interval_join_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = interval_join_stream(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper="INTERVAL 30 MINUTES",
+        left_watermark="1 minute",
+        right_watermark="1 minute",
+        how="left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    name = f"attro_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="attro_stream_ckpt_")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us")
+
+
+EVENTS_ATTRIBUTION_OUTER_SQL = """
+WITH c AS (
+    SELECT user_id, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), wm AS (
+    SELECT least(
+        (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase')
+    ) * 1000 - 60000000 AS wm_us
+), matched AS (
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(p.pts) - epoch_us(c.cts) AS gap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+)
+SELECT user_id, click_id, purchase_id, gap_us FROM matched
+UNION ALL
+SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+  AND epoch_us(c.cts) + 1800000000 <= wm.wm_us
+"""
+
+
 def _ob_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's n1-vs-n2 consistency golden as an oracle query (ref:
     calculate_bbo.rs:372-519): the SAME stream computed at n=1 (fast path)
@@ -2081,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_pagerank": _supplier_pagerank,
         "events_user_profile_stream": _events_user_profile_stream,
         "part_snapshot_diff": _part_snapshot_diff,
+        "events_attribution_stream_outer": _events_attribution_stream_outer,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2103,7 +2187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _sink_roundtrip,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
-        "documents_pack_sequences": _docs_pack_sequences,
         "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
@@ -2131,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
         "documents_profile": _documents_profile,
         "embeddings_quantize_int8": _embeddings_quantize,
+        "documents_pack_sequences": _docs_pack_sequences,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2237,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_pagerank": _supplier_pagerank_sql(),
         "events_user_profile_stream": EVENTS_USER_PROFILE_STREAM_SQL,
         "part_snapshot_diff": PART_SNAPSHOT_DIFF_SQL,
+        "events_attribution_stream_outer": EVENTS_ATTRIBUTION_OUTER_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

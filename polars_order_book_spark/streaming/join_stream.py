@@ -68,9 +68,16 @@ def interval_join_stream(
                 "on both sides (unmatched rows emit only when the watermark "
                 "closes their join window)"
             )
+    # Rename the right key before joining: both sides often derive from the
+    # SAME source (self-joins like clicks/purchases splits), where attribute
+    # references are ambiguous and drop(rf[on]) can silently keep the
+    # null-extended right column on outer joins. Distinct names are
+    # resolution-proof.
+    rkey = f"__{on}__right"
+    rf = rf.withColumnRenamed(on, rkey)
     cond = (
-        (lf[on] == rf[on])
+        (F.col(on) == F.col(rkey))
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) < F.col(left_ts) + F.expr(upper))
     )
-    return lf.join(rf, cond, how).drop(rf[on])
+    return lf.join(rf, cond, how).drop(rkey)

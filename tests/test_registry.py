@@ -97,6 +97,9 @@ DEMOTED_TAIL = {
     # r4-green quantizer displaced by part_snapshot_diff (reconstruction
     # error + value parity stay pinned by tests/test_similarity.py)
     "embeddings_quantize_int8",
+    # r4-green packer displaced by events_attribution_stream_outer (layout
+    # invariants stay pinned by hypothesis property tests)
+    "documents_pack_sequences",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
