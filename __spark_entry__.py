@@ -820,6 +820,67 @@ WHERE NOT (o.p_partkey IS NOT NULL AND n.p_partkey IS NOT NULL
 """
 
 
+def _ob_nbbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated cross-book best bid/offer (NBBO) over the 7-book keyed
+    stream: each book folds independently (the reference's multi-product
+    workflow), then operators/nbbo.py forward-fills every book's level-1
+    state over the global timeline and takes max-bid / min-ask with TOTAL
+    displayed size at the best price. Empty sides stop contributing via the
+    sentinel encode/decode (stale-quote hazard pinned by pytest)."""
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1)
+    return nbbo(snaps, books=list(range(7)))
+
+
+def _ob_nbbo_sql() -> str:
+    inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 1, "mutations", key="book")
+    books = range(7)
+    piv = ",\n           ".join(
+        f"max(CASE WHEN book = {b} THEN coalesce({src}, -1) END) AS {dst}{b}"
+        for b in books
+        for src, dst in (
+            ("bid_price_1", "rbp"), ("bid_qty_1", "rbq"),
+            ("ask_price_1", "rap"), ("ask_qty_1", "raq"),
+        )
+    )
+    fill = ",\n           ".join(
+        f"NULLIF(last_value(r{c}{b} IGNORE NULLS) OVER "
+        f"(ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS {c}{b}"
+        for b in books
+        for c in ("bp", "bq", "ap", "aq")
+    )
+    nbb = "greatest(" + ", ".join(f"bp{b}" for b in books) + ")"
+    nbo = "least(" + ", ".join(f"ap{b}" for b in books) + ")"
+    nbb_qty = " + ".join(f"CASE WHEN bp{b} = nbb_price THEN bq{b} ELSE 0 END" for b in books)
+    nbo_qty = " + ".join(f"CASE WHEN ap{b} = nbo_price THEN aq{b} ELSE 0 END" for b in books)
+    return f"""
+WITH ob AS ({inner}),
+piv AS (
+    SELECT seq,
+           {piv}
+    FROM ob GROUP BY seq
+),
+state AS (
+    SELECT seq,
+           {fill}
+    FROM piv
+),
+best AS (
+    SELECT seq, {nbb} AS nbb_price, {nbo} AS nbo_price,
+           bp0, bq0, bp1, bq1, bp2, bq2, bp3, bq3, bp4, bq4, bp5, bq5, bp6, bq6,
+           ap0, aq0, ap1, aq1, ap2, aq2, ap3, aq3, ap4, aq4, ap5, aq5, ap6, aq6
+    FROM state
+)
+SELECT seq, nbb_price,
+       CASE WHEN nbb_price IS NULL THEN NULL ELSE {nbb_qty} END AS nbb_qty,
+       nbo_price,
+       CASE WHEN nbo_price IS NULL THEN NULL ELSE {nbo_qty} END AS nbo_qty
+FROM best
+"""
+
+
 def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user lifetime profile accumulator (count, exact
     scaled-integer value sum, last-seen micros) — arbitrary stateful
@@ -2165,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_profile_stream": _events_user_profile_stream,
         "part_snapshot_diff": _part_snapshot_diff,
         "events_attribution_stream_outer": _events_attribution_stream_outer,
+        "ob_nbbo_keyed": _ob_nbbo,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2187,7 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _sink_roundtrip,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
-        "events_zorder_key": _events_zorder_key,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
         # --- first green row only in r4 (3) ---
@@ -2215,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": _documents_profile,
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
+        "events_zorder_key": _events_zorder_key,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2322,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_profile_stream": EVENTS_USER_PROFILE_STREAM_SQL,
         "part_snapshot_diff": PART_SNAPSHOT_DIFF_SQL,
         "events_attribution_stream_outer": EVENTS_ATTRIBUTION_OUTER_SQL,
+        "ob_nbbo_keyed": _ob_nbbo_sql(),
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

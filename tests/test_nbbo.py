@@ -1,0 +1,50 @@
+"""NBBO consolidation: cross-book best, consolidated size, stale-quote decode."""
+
+import pytest
+
+from polars_order_book_spark.operators.nbbo import nbbo
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "ask_price_1 long, ask_qty_1 long",
+    )
+
+
+def test_best_across_books_and_consolidated_size(spark):
+    snaps = _snaps(spark, [
+        (0, 1, 10, 5, 12, 3),
+        (1, 2, 11, 2, 13, 4),   # book 1 takes the bid lead
+        (0, 3, 11, 7, 12, 1),   # book 0 joins the 11 bid -> size consolidates
+    ])
+    out = {r["seq"]: r for r in nbbo(snaps, books=[0, 1]).collect()}
+    assert (out[1]["nbb_price"], out[1]["nbb_qty"]) == (10, 5)
+    assert (out[2]["nbb_price"], out[2]["nbb_qty"]) == (11, 2)
+    assert (out[3]["nbb_price"], out[3]["nbb_qty"]) == (11, 2 + 7)
+    # min ask wins; book 0's 12 stays best throughout
+    assert (out[3]["nbo_price"], out[3]["nbo_qty"]) == (12, 1)
+
+
+def test_emptied_side_stops_contributing(spark):
+    """Book 0's bid side empties at seq 2: a naive ignore-nulls fill would
+    keep quoting its stale 10 bid forever — the sentinel decode must not."""
+    snaps = _snaps(spark, [
+        (0, 1, 10, 5, None, None),
+        (0, 2, None, None, None, None),  # book 0 now fully empty
+        (1, 3, 8, 2, None, None),
+    ])
+    out = {r["seq"]: r for r in nbbo(snaps, books=[0, 1]).collect()}
+    assert (out[1]["nbb_price"], out[1]["nbb_qty"]) == (10, 5)
+    assert out[2]["nbb_price"] is None and out[2]["nbb_qty"] is None
+    assert (out[3]["nbb_price"], out[3]["nbb_qty"]) == (8, 2)
+
+
+def test_unseen_books_and_validation(spark):
+    snaps = _snaps(spark, [(0, 1, 10, 5, 12, 3)])
+    # declaring extra venues that never quote must not change the result
+    out = nbbo(snaps, books=[0, 1, 2, 3]).collect()
+    assert (out[0]["nbb_price"], out[0]["nbo_price"]) == (10, 12)
+    with pytest.raises(ValueError, match="books"):
+        nbbo(snaps, books=[])

@@ -100,6 +100,9 @@ DEMOTED_TAIL = {
     # r4-green packer displaced by events_attribution_stream_outer (layout
     # invariants stay pinned by hypothesis property tests)
     "documents_pack_sequences",
+    # r4-green zorder key displaced by ob_nbbo_keyed (key value + footer
+    # stats remain pinned by tests/test_layout.py)
+    "events_zorder_key",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
