@@ -881,6 +881,84 @@ FROM best
 """
 
 
+def _ob_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-book VWAP per 500-seq bucket over the keyed mutations stream —
+    exact BIGINT price*qty / qty sums, one map-side-partial groupBy."""
+    from polars_order_book_spark.operators.market import vwap_by_bucket
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    return vwap_by_bucket(stream, 500, by=["book"])
+
+
+OB_VWAP_SQL = f"""
+SELECT book, seq // 500 AS bucket,
+       CAST(CAST(sum(price * qty) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) AS vwap,
+       CAST(sum(qty) AS BIGINT) AS volume
+FROM ({bs.KEYED_MUTATIONS_STREAM_SQL})
+WHERE qty > 0
+GROUP BY book, seq // 500
+"""
+
+
+def _ob_l1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted spread / 2x mid / microprice per event from keyed level-1
+    snapshots — pure projection composed on the book operator (no extra
+    shuffle); 2x mid keeps every downstream aggregate integral."""
+    from polars_order_book_spark.operators.market import l1_metrics
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1)
+    return l1_metrics(snaps, by=["book"])
+
+
+def _ob_l1_metrics_sql() -> str:
+    inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 1, "mutations", key="book")
+    return f"""
+SELECT book, seq,
+       CASE WHEN bid_price_1 IS NOT NULL AND ask_price_1 IS NOT NULL
+            THEN ask_price_1 - bid_price_1 END AS spread,
+       CASE WHEN bid_price_1 IS NOT NULL AND ask_price_1 IS NOT NULL
+            THEN ask_price_1 + bid_price_1 END AS mid2,
+       CASE WHEN bid_price_1 IS NOT NULL AND ask_price_1 IS NOT NULL
+            THEN CAST(bid_price_1 * ask_qty_1 + ask_price_1 * bid_qty_1 AS DOUBLE)
+                 / CAST(bid_qty_1 + ask_qty_1 AS DOUBLE) END AS microprice
+FROM ({inner})
+"""
+
+
+def _ob_realized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized variance of the midprice per book per 500-seq bucket —
+    squared integer tick moves (2x-mid differences), exact sums, /4 as the
+    single final float step; no-quote events break the move chain."""
+    from polars_order_book_spark.operators.market import l1_metrics, realized_variance
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1)
+    return realized_variance(l1_metrics(snaps, by=["book"]), 500, by=["book"])
+
+
+def _ob_realized_variance_sql() -> str:
+    inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 1, "mutations", key="book")
+    return f"""
+WITH l1 AS (
+    SELECT book, seq,
+           CASE WHEN bid_price_1 IS NOT NULL AND ask_price_1 IS NOT NULL
+                THEN ask_price_1 + bid_price_1 END AS mid2
+    FROM ({inner})
+), moves AS (
+    SELECT book, seq // 500 AS bucket,
+           mid2 - lag(mid2) OVER (PARTITION BY book ORDER BY seq) AS dm
+    FROM l1
+)
+SELECT book, bucket,
+       CAST(CAST(sum(dm * dm) AS BIGINT) AS DOUBLE) / 4.0 AS rv_ticks2,
+       count(*) AS n_moves
+FROM moves WHERE dm IS NOT NULL
+GROUP BY book, bucket
+"""
+
+
 def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user lifetime profile accumulator (count, exact
     scaled-integer value sum, last-seen micros) — arbitrary stateful
@@ -2227,6 +2305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_snapshot_diff": _part_snapshot_diff,
         "events_attribution_stream_outer": _events_attribution_stream_outer,
         "ob_nbbo_keyed": _ob_nbbo,
+        "ob_vwap_buckets": _ob_vwap,
+        "ob_l1_metrics": _ob_l1_metrics,
+        "ob_realized_variance": _ob_realized_variance,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2246,11 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
-        "sink_roundtrip": _sink_roundtrip,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "events_csv_roundtrip": _events_csv_roundtrip,
-        "text_clean": _text_clean,
-        "documents_category_index": _docs_category_index,
         # --- first green row only in r4 (3) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -2277,6 +2355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize_int8": _embeddings_quantize,
         "documents_pack_sequences": _docs_pack_sequences,
         "events_zorder_key": _events_zorder_key,
+        "sink_roundtrip": _sink_roundtrip,
+        "text_clean": _text_clean,
+        "documents_category_index": _docs_category_index,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2385,6 +2466,9 @@ def oracle_sql() -> dict[str, str]:
         "part_snapshot_diff": PART_SNAPSHOT_DIFF_SQL,
         "events_attribution_stream_outer": EVENTS_ATTRIBUTION_OUTER_SQL,
         "ob_nbbo_keyed": _ob_nbbo_sql(),
+        "ob_vwap_buckets": OB_VWAP_SQL,
+        "ob_l1_metrics": _ob_l1_metrics_sql(),
+        "ob_realized_variance": _ob_realized_variance_sql(),
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1,0 +1,131 @@
+"""Market analytics over book event streams and level-1 snapshots.
+
+The reference computes the book itself; the questions asked OF a book —
+traded-volume-weighted price, quoted spread/midprice, short-horizon realized
+variance — are the downstream analytics layer. Everything here follows the
+repo's exactness discipline: prices and quantities are integer ticks, so
+every aggregate is an exact BIGINT sum (order-independent, engine-portable)
+with at most one final float division — the same reason q1 sums decimals.
+
+Scale shapes:
+* ``vwap_by_bucket`` — one groupBy((keys, bucket)): map-side partial agg,
+  shuffle sized by buckets x books.
+* ``l1_metrics`` — pure row-wise projection on snapshots; no shuffle.
+* ``realized_variance`` — one lag window per book (shuffle on keys, sort by
+  seq) + one groupBy((keys, bucket)); mid is carried as 2x mid (bid+ask) so
+  squared moves stay integers (no /2 rounding loss — divide by 4 at the end,
+  outside the sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vwap_by_bucket(
+    stream: DataFrame,
+    bucket_size: int,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+    price_col: str = "price",
+    qty_col: str = "qty",
+) -> DataFrame:
+    """Volume-weighted average price per seq bucket (and per ``by`` keys).
+
+    Negative quantities (deletes/trades in mutation streams) are excluded —
+    VWAP weights executed/added volume, and a signed mix would corrupt the
+    denominator. Sums are exact BIGINTs; ``vwap`` is the single final
+    float64 division (bit-identical cross-engine on identical sums).
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    keys = list(by)
+    pos = stream.where(F.col(qty_col) > 0)
+    return (
+        pos.groupBy(
+            *keys, F.expr(f"`{seq_col}` div {int(bucket_size)}").alias("bucket")
+        )
+        .agg(
+            F.sum(F.col(price_col) * F.col(qty_col)).alias("pv"),
+            F.sum(F.col(qty_col)).alias("volume"),
+        )
+        .select(
+            *keys,
+            "bucket",
+            (F.col("pv").cast("double") / F.col("volume").cast("double")).alias("vwap"),
+            "volume",
+        )
+    )
+
+
+def l1_metrics(
+    snapshots: DataFrame,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Quoted spread, 2x midprice, and microprice from level-1 snapshots.
+
+    ``mid2`` = bid + ask (twice the midprice) keeps the value integral — no
+    half-tick rounding enters any downstream integer aggregate; consumers
+    divide by 2 (or 4 for squared moves) at the very end. ``microprice`` is
+    the qty-weighted fair price (bid_price*ask_qty + ask_price*bid_qty) /
+    (bid_qty + ask_qty): exact integer numerator/denominator, one final
+    float division. Rows missing either side yield nulls (no quote, no
+    metric). Pure projection — composes onto any book output with no
+    shuffle.
+    """
+    bid_p, bid_q = F.col("bid_price_1"), F.col("bid_qty_1")
+    ask_p, ask_q = F.col("ask_price_1"), F.col("ask_qty_1")
+    both = bid_p.isNotNull() & ask_p.isNotNull()
+    return snapshots.select(
+        *by,
+        F.col(seq_col).alias("seq"),
+        F.when(both, ask_p - bid_p).alias("spread"),
+        F.when(both, ask_p + bid_p).alias("mid2"),
+        F.when(
+            both,
+            (bid_p * ask_q + ask_p * bid_q).cast("double")
+            / (bid_q + ask_q).cast("double"),
+        ).alias("microprice"),
+    )
+
+
+def realized_variance(
+    l1: DataFrame,
+    bucket_size: int,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+    mid2_col: str = "mid2",
+) -> DataFrame:
+    """Sum of squared midprice moves per seq bucket — the realized-variance
+    estimator at event resolution, in exact integer tick² units.
+
+    Input is ``l1_metrics`` output (or anything carrying 2x mid). Moves are
+    lag-differences within each ``by`` group ordered by seq; null mid2 rows
+    (one-sided books) break the chain explicitly (a move TO or FROM a no-
+    quote state is not a price move). ``rv_ticks2`` = sum((Δmid2)²)/4 as the
+    one final float division; ``n_moves`` counts the exact moves summed.
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    keys = list(by)
+    w = Window.partitionBy(*keys).orderBy(seq_col) if keys else Window.orderBy(seq_col)
+    d = F.col(mid2_col) - F.lag(mid2_col).over(w)
+    moves = l1.select(
+        *keys,
+        F.expr(f"`{seq_col}` div {int(bucket_size)}").alias("bucket"),
+        d.alias("dm"),
+    ).where(F.col("dm").isNotNull())
+    return (
+        moves.groupBy(*keys, "bucket")
+        .agg(
+            (F.sum(F.col("dm") * F.col("dm")).cast("double") / F.lit(4.0)).alias(
+                "rv_ticks2"
+            ),
+            F.count(F.lit(1)).alias("n_moves"),
+        )
+    )

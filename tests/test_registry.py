@@ -103,6 +103,12 @@ DEMOTED_TAIL = {
     # r4-green zorder key displaced by ob_nbbo_keyed (key value + footer
     # stats remain pinned by tests/test_layout.py)
     "events_zorder_key",
+    # r4-green sink/text/dictionary entries displaced by the market-analytics
+    # batch (ob_vwap/ob_l1_metrics/ob_realized_variance); all remain pinned
+    # by tests/test_sinks.py and tests/test_text.py
+    "sink_roundtrip",
+    "text_clean",
+    "documents_category_index",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
