@@ -56,6 +56,24 @@ HEADLINE = [
     "documents_quality_filter",
     "orders_merge_apply",
     "embeddings_outliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    "documents_stratified_sample",
+    "events_value_deciles",
+    "events_grouping_sets",
+    "supplier_pagerank",
+    "part_snapshot_diff",
+    "ob_nbbo_keyed",
+    "ob_vwap_buckets",
+    "ob_l1_metrics",
+    "ob_realized_variance",
 ]
 
 
