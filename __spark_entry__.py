@@ -2308,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_vwap_buckets": _ob_vwap,
         "ob_l1_metrics": _ob_l1_metrics,
         "ob_realized_variance": _ob_realized_variance,
+        "events_user_distinct_sketch_rollup": hq.events_user_distinct_sketch_rollup,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2339,7 +2340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
         "documents_hash_sample": _docs_hash_sample,
-        "events_user_distinct_approx": hq.events_user_distinct_approx,
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "documents_deduped": _documents_deduped,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
@@ -2358,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _sink_roundtrip,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
+        "events_user_distinct_approx": hq.events_user_distinct_approx,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2469,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_vwap_buckets": OB_VWAP_SQL,
         "ob_l1_metrics": _ob_l1_metrics_sql(),
         "ob_realized_variance": _ob_realized_variance_sql(),
+        "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -109,6 +109,9 @@ DEMOTED_TAIL = {
     "sink_roundtrip",
     "text_clean",
     "documents_category_index",
+    # r3-green single-level HLL displaced by the two-level sketch rollup
+    # (strictly wider coverage of the same surface)
+    "events_user_distinct_approx",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
