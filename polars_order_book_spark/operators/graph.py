@@ -52,17 +52,21 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    # localCheckpoint: sym/deg are read by EVERY iteration's join — without
+    # truncation each of the `iters` plans would recompute the distinct
+    # symmetrization from scratch (measured 14s -> ~8s at sf0.1, 3 iters).
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
             edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
