@@ -57,6 +57,10 @@ def main() -> None:
         "embeddings_quantize_int8",
         "events_csv_roundtrip",
         "multimodal_features",
+        "ob_vwap_buckets",
+        "ob_realized_variance",
+        "part_snapshot_diff",
+        "events_value_deciles",
     ]
     qs = E.queries()
 
