@@ -820,6 +820,56 @@ WHERE NOT (o.p_partkey IS NOT NULL AND n.p_partkey IS NOT NULL
 """
 
 
+def _orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/constraints.py): not-null /
+    range / uniqueness / referential-integrity rules over orders, all
+    row-level predicates folded into ONE aggregate pass, the FK as a
+    broadcast anti join. Output is rules-sized — the shape a scheduler gates
+    a 100 TB promotion on."""
+    from polars_order_book_spark.operators import constraints as C
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        C.not_null("custkey_not_null", "o_custkey"),
+        C.unique("orderkey_unique", "o_orderkey"),
+        C.predicate("totalprice_positive", "o_totalprice > 0"),
+        C.predicate("orderdate_min", "o_orderdate >= TIMESTAMP '1995-01-01'"),
+        C.foreign_key("custkey_fk", "o_custkey", "customer"),
+    ]
+    return C.check_constraints(
+        orders,
+        rules,
+        refs={"customer": customer.selectExpr("c_custkey AS o_custkey")},
+    )
+
+
+ORDERS_QUALITY_SQL = """
+SELECT 'custkey_not_null' AS rule, 'predicate' AS kind,
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       count(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', 'unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), count(*)
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive', 'predicate',
+       CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT), count(*)
+FROM orders
+UNION ALL
+SELECT 'orderdate_min', 'predicate',
+       CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' THEN 0 ELSE 1 END) AS BIGINT), count(*)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk', 'foreign_key',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       count(*)
+FROM orders
+"""
+
+
 def _ob_nbbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated cross-book best bid/offer (NBBO) over the 7-book keyed
     stream: each book folds independently (the reference's multi-product
@@ -2309,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_l1_metrics": _ob_l1_metrics,
         "ob_realized_variance": _ob_realized_variance,
         "events_user_distinct_sketch_rollup": hq.events_user_distinct_sketch_rollup,
+        "orders_quality_report": _orders_quality_report,
+        "events_funnel": hq.events_funnel,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2329,7 +2381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
         "dedup_stream_survivors": _dedup_stream_survivors,
-        "events_csv_roundtrip": _events_csv_roundtrip,
         # --- first green row only in r4 (3) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -2339,7 +2390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
-        "documents_hash_sample": _docs_hash_sample,
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "documents_deduped": _documents_deduped,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
@@ -2359,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
         "events_user_distinct_approx": hq.events_user_distinct_approx,
+        "events_csv_roundtrip": _events_csv_roundtrip,
+        "documents_hash_sample": _docs_hash_sample,
         "ann_cosine_topk_lsh": _ann_lsh,
         "topk_orders_per_customer": hq.topk_orders_per_customer,
         "customers_without_orders": hq.customers_without_orders,
@@ -2471,6 +2523,8 @@ def oracle_sql() -> dict[str, str]:
         "ob_l1_metrics": _ob_l1_metrics_sql(),
         "ob_realized_variance": _ob_realized_variance_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
+        "orders_quality_report": ORDERS_QUALITY_SQL,
+        "events_funnel": hq.EVENTS_FUNNEL_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1,0 +1,126 @@
+"""Declarative data-quality constraints evaluated in one pass.
+
+A 100 TB ingest needs its invariants CHECKED, not assumed: key uniqueness,
+non-null columns, value ranges, referential integrity. This is the
+expectations layer (the deequ/dbt-test shape) as plain DataFrame algebra:
+
+* row-level predicates (not-null, range, custom boolean SQL) fold into ONE
+  conditional aggregate pass over the table — one scan, map-side partials,
+  no matter how many rules;
+* ``unique`` rules need a distinct count — same scan feeds a grouped count;
+* ``foreign_key`` rules are left-anti joins against the referenced key set
+  (broadcast when the referenced side is dimension-sized).
+
+Output: one row per rule — (rule, kind, n_violations, n_checked) — so the
+report is rules-sized, never data-sized, and a scheduler can gate a pipeline
+on ``max(n_violations) == 0``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One constraint. ``kind``: 'predicate' (expr must hold on every row),
+    'unique' (cols must be a key), or 'foreign_key' (cols must exist in
+    ``ref`` — pass the referenced DataFrame via check_constraints' refs)."""
+
+    name: str
+    kind: str
+    expr: str = ""
+    cols: "tuple[str, ...]" = field(default_factory=tuple)
+    ref: str = ""
+
+
+def not_null(name: str, col: str) -> Rule:
+    return Rule(name, "predicate", expr=f"`{col}` IS NOT NULL")
+
+
+def in_range(name: str, col: str, lo, hi) -> Rule:
+    return Rule(name, "predicate", expr=f"`{col}` BETWEEN {lo} AND {hi}")
+
+
+def predicate(name: str, expr: str) -> Rule:
+    return Rule(name, "predicate", expr=expr)
+
+
+def unique(name: str, *cols: str) -> Rule:
+    return Rule(name, "unique", cols=tuple(cols))
+
+
+def foreign_key(name: str, col: str, ref: str) -> Rule:
+    return Rule(name, "foreign_key", cols=(col,), ref=ref)
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: "list[Rule]",
+    *,
+    refs: "dict[str, DataFrame] | None" = None,
+    broadcast_refs: bool = True,
+) -> DataFrame:
+    """Evaluate every rule; return (rule, kind, n_violations, n_checked).
+
+    All predicate rules share ONE aggregate pass. A 'unique' violation count
+    is (rows - distinct keys): 0 for a perfect key, and each extra copy of a
+    duplicated key counts once. Foreign-key violation count = rows whose key
+    has no match in the referenced frame (nulls violate, as in a mandatory
+    relationship). ``n_checked`` is the table's row count for every rule —
+    the denominator a quality dashboard normalizes by.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    refs = refs or {}
+    preds = [r for r in rules if r.kind == "predicate"]
+    uniqs = [r for r in rules if r.kind == "unique"]
+    fks = [r for r in rules if r.kind == "foreign_key"]
+    unknown = [r.name for r in rules if r.kind not in ("predicate", "unique", "foreign_key")]
+    if unknown:
+        raise ValueError(f"unknown rule kinds for: {unknown}")
+    missing = [r.name for r in fks if r.ref not in refs]
+    if missing:
+        raise ValueError(f"foreign_key rules missing refs entries: {missing}")
+
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for r in preds:
+        aggs.append(
+            F.sum(F.when(F.expr(r.expr), 0).otherwise(1)).alias(f"__v_{r.name}")
+        )
+    for r in uniqs:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in r.cols])).alias(
+                f"__v_{r.name}"
+            )
+        )
+    base = df.agg(*aggs)
+
+    out = None
+    for r in preds + uniqs:
+        row = base.select(
+            F.lit(r.name).alias("rule"),
+            F.lit(r.kind).alias("kind"),
+            F.col(f"__v_{r.name}").cast("long").alias("n_violations"),
+            F.col("__n").cast("long").alias("n_checked"),
+        )
+        out = row if out is None else out.unionByName(row)
+    for r in fks:
+        ref_df = refs[r.ref].select(*[F.col(c) for c in r.cols]).distinct()
+        if broadcast_refs:
+            ref_df = F.broadcast(ref_df)
+        viol = df.join(ref_df, list(r.cols), "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        )
+        row = viol.crossJoin(F.broadcast(base.select(F.col("__n").cast("long").alias("n_checked")))).select(
+            F.lit(r.name).alias("rule"),
+            F.lit(r.kind).alias("kind"),
+            "n_violations",
+            "n_checked",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

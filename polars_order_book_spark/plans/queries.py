@@ -1624,3 +1624,66 @@ EVENTS_SKETCH_ROLLUP_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS merged_in_tol
 FROM events GROUP BY event_type
 """
+
+
+# --- ordered funnel analysis -------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel: a user advances a stage
+    only with an event AT OR AFTER their previous stage's first event (first
+    matching occurrence per stage). Three shrinking per-user aggregates —
+    each stage joins the (tiny) qualified-user set back to events broadcast,
+    so the event table is scanned, never shuffled on user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage("1_signup", s)
+        .unionByName(stage("2_click_after_signup", c))
+        .unionByName(stage("3_purchase_after_click", p))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+    GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, count(*) AS users FROM s
+UNION ALL
+SELECT '2_click_after_signup', count(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', count(*) FROM p
+"""

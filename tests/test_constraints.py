@@ -1,0 +1,62 @@
+"""Data-quality constraint checker: rule kinds, single-pass fold, counts."""
+
+import pytest
+
+from polars_order_book_spark.operators import constraints as C
+
+
+def test_all_rule_kinds_count_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 100), (2, -5.0, 100), (2, 3.0, None), (4, 0.5, 999)],
+        "id long, amount double, ref_id long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "ref_id long")
+    out = {r["rule"]: r for r in C.check_constraints(
+        df,
+        [
+            C.not_null("ref_not_null", "ref_id"),
+            C.unique("id_unique", "id"),
+            C.predicate("amount_positive", "amount > 0"),
+            C.in_range("amount_range", "amount", 0, 100),
+            C.foreign_key("ref_fk", "ref_id", "ref"),
+        ],
+        refs={"ref": ref},
+    ).collect()}
+    assert all(r["n_checked"] == 4 for r in out.values())
+    assert out["ref_not_null"]["n_violations"] == 1
+    assert out["id_unique"]["n_violations"] == 1          # id=2 twice
+    assert out["amount_positive"]["n_violations"] == 1    # -5
+    assert out["amount_range"]["n_violations"] == 1       # -5 (0.5, 3, 10 in range)
+    # 999 unmatched + NULL violates a mandatory relationship
+    assert out["ref_fk"]["n_violations"] == 2
+
+
+def test_clean_table_reports_zero(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double")
+    out = C.check_constraints(
+        df, [C.unique("u", "id"), C.predicate("p", "v > 0")]
+    )
+    assert [r["n_violations"] for r in out.collect()] == [0, 0]
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        C.check_constraints(df, [])
+    with pytest.raises(ValueError, match="missing refs"):
+        C.check_constraints(df, [C.foreign_key("fk", "id", "nope")])
+    with pytest.raises(ValueError, match="unknown rule kinds"):
+        C.check_constraints(df, [C.Rule("x", "bogus")])
+
+
+def test_predicates_fold_into_one_aggregate(spark):
+    """All row-level rules must share one scan: the plan contains exactly one
+    aggregate source scan of the input, not one per rule."""
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    out = C.check_constraints(
+        df,
+        [C.predicate("a", "v > 0"), C.predicate("b", "v < 10"),
+         C.not_null("c", "id"), C.unique("d", "id")],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") <= 2  # base agg reused across rule rows

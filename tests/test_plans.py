@@ -119,6 +119,9 @@ _BNLJ_WHITELIST = {
     "q22_dormant_customers",
     # 1-row value-threshold normalizer crossed against the per-part aggregate
     "q11_important_parts",
+    # quality report: the FK row cross-joins the 1-row violation count with
+    # the 1-row n_checked aggregate — both sides single-row by construction
+    "orders_quality_report",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -112,6 +112,11 @@ DEMOTED_TAIL = {
     # r3-green single-level HLL displaced by the two-level sketch rollup
     # (strictly wider coverage of the same surface)
     "events_user_distinct_approx",
+    # displaced by orders_quality_report / events_funnel: csv round trip is
+    # r4-green (jsonl sibling already in tail), hash_sample is r3-green with
+    # the same portable-hash logic pinned via stratified/budget_pack + pytest
+    "events_csv_roundtrip",
+    "documents_hash_sample",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
