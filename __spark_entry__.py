@@ -2361,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_distinct_sketch_rollup": hq.events_user_distinct_sketch_rollup,
         "orders_quality_report": _orders_quality_report,
         "events_funnel": hq.events_funnel,
+        "events_retention_cohorts": hq.events_retention_cohorts,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2390,7 +2391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
-        "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "documents_deduped": _documents_deduped,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6. The second q-batch
@@ -2398,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2-3 green rows each across r1-r3). ---
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
+        "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2525,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,
+        "events_retention_cohorts": hq.EVENTS_RETENTION_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

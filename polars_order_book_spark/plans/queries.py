@@ -1687,3 +1687,41 @@ SELECT '2_click_after_signup', count(*) FROM c
 UNION ALL
 SELECT '3_purchase_after_click', count(*) FROM p
 """
+
+
+# --- retention cohort matrix -------------------------------------------------
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week (cohort),
+    counted per later activity week. Two shrinking aggregates — per-user
+    first week (shuffle on user), then distinct (user, week) activity pairs
+    joined back broadcast — and a final tiny (cohort, week) count. Both
+    engines truncate weeks to Monday (ISO), so the keys agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.unix_micros(F.date_trunc("week", F.min("ts"))).alias("cohort_week_us")
+    )
+    activity = (
+        ev.select(
+            "user_id", F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("week_us")
+        )
+        .distinct()
+    )
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week_us", "week_us")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_week_us
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us FROM events
+)
+SELECT cohort_week_us, week_us, count(*) AS n_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week_us, week_us
+"""

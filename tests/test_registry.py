@@ -117,6 +117,8 @@ DEMOTED_TAIL = {
     # the same portable-hash logic pinned via stratified/budget_pack + pytest
     "events_csv_roundtrip",
     "documents_hash_sample",
+    # r2+r3-green relational variant displaced by events_retention_cohorts
+    "ob_relational_keyed_mutations_top2",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
