@@ -2336,7 +2336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest green driver rows sit in the head; multi-green entries wait in the
     # tail for the next rotation. tests/test_registry.py pins the split.
     return {
-        # --- new in r5 (second batch): no driver signal yet (9) ---
+        # --- new in r5 (session 2): no driver signal yet (25: the nine
+        # remaining TPC-H shapes, streaming attribution inner/outer, the
+        # market-analytics trio, pagerank/diff/profile/funnel/retention/
+        # quality/sketch-rollup/stratified/deciles/grouping-sets/NBBO) ---
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,

@@ -161,6 +161,10 @@ def test_dimension_joins_never_shuffle(spark):
         "supplier_nation_summary",
         "customers_without_orders",
         "topk_orders_per_customer",
+        # new pure fact-with-dims joins (q8/q20/q21 also shuffle fact-fact
+        # sides, which IS the correct shape — not asserted here)
+        "q9_product_profit",
+        "q16_supplier_variety",
     ]
     import __spark_entry__ as entry
 
