@@ -393,6 +393,111 @@ WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
 """
 
 
+def _events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation — THE canonical Structured
+    Streaming operator (window + watermark + append mode + file sink):
+    per-hour event counts and decimal-exact value sums, each window emitted
+    exactly once when the watermark passes its end; state = open windows
+    only. Oracle restricts to watermark-closed windows with the same
+    ms-truncated arithmetic as the append-mode sessionizer."""
+    import tempfile
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="hourly_append_") + "/hours"
+    ckpt = tempfile.mkdtemp(prefix="hourly_append_ckpt_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.read.parquet(out_dir).select("hour_start_us", "n_events", "sum_value")
+
+
+EVENTS_HOURLY_STREAM_APPEND_SQL = """
+WITH wm AS (
+    SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events, wm
+GROUP BY epoch_us(date_trunc('hour', ts)), wm.wm_us
+HAVING hour_start_us + 3600000000 <= wm.wm_us
+"""
+
+
+def _events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joined to
+    the bounded customer dimension (user -> synthetic custkey mapping), then
+    aggregated per market segment. The static side re-resolves per
+    micro-batch (picking up dim updates) and broadcasts — the stream never
+    shuffles on the join key. Update-mode memory sink; final counts taken
+    as max per segment (monotone under accumulation)."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.withColumn(
+        "c_custkey", F.col("user_id") % 1500 + 1
+    ).join(F.broadcast(cust), "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="enrich_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+EVENTS_ENRICHED_STREAM_SQL = """
+SELECT c_mktsegment, count(*) AS n_events
+FROM events JOIN customer ON user_id % 1500 + 1 = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _ob_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's n1-vs-n2 consistency golden as an oracle query (ref:
     calculate_bbo.rs:372-519): the SAME stream computed at n=1 (fast path)
@@ -2365,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quality_report": _orders_quality_report,
         "events_funnel": hq.events_funnel,
         "events_retention_cohorts": hq.events_retention_cohorts,
+        "events_hourly_stream_append": _events_hourly_stream_append,
+        "events_enriched_stream": _events_enriched_stream,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2389,9 +2496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
         "orders_price_bands": _orders_price_bands,
-        # --- date constants re-anchored to the 1995-2001 testdata this round (2) ---
-        "q1_pricing_summary": hq.q1_pricing_summary,
-        "q6_forecast_revenue": hq.q6_forecast_revenue,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
         "documents_deduped": _documents_deduped,
@@ -2402,6 +2506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_updates_top3": _ob_relational(3, "updates"),
         "ob_relational_modify_top2": _ob_modify_relational(2),
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
+        "q1_pricing_summary": hq.q1_pricing_summary,
+        "q6_forecast_revenue": hq.q6_forecast_revenue,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2530,6 +2636,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,
         "events_retention_cohorts": hq.EVENTS_RETENTION_SQL,
+        "events_hourly_stream_append": EVENTS_HOURLY_STREAM_APPEND_SQL,
+        "events_enriched_stream": EVENTS_ENRICHED_STREAM_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -119,6 +119,10 @@ DEMOTED_TAIL = {
     "documents_hash_sample",
     # r2+r3-green relational variant displaced by events_retention_cohorts
     "ob_relational_keyed_mutations_top2",
+    # re-anchored in r4 and r4-green (q1 also carries r1-r3 greens + bench
+    # signal); displaced by the streaming hourly/enrichment pair
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
