@@ -498,6 +498,46 @@ GROUP BY c_mktsegment
 """
 
 
+def _bookgen_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DSv2-Python): the deterministic
+    bookgen event generator read through spark.read.format("bookgen") with
+    a seq-range predicate PUSHED INTO the source (pushFilters narrows the
+    generated domain before any row exists), aggregated per book with exact
+    integer sums. The DuckDB oracle regenerates the same rows from the same
+    modular formulas over generate_series."""
+    from polars_order_book_spark.sources import bookgen
+
+    bookgen.register(spark)
+    df = (
+        spark.read.format("bookgen")
+        .option("n_events", 20000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.where(F.col("seq") <= 14999)
+        .groupBy("book")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price") * F.col("qty")).alias("pv"),
+            F.sum(F.when(F.col("is_bid"), F.col("qty")).otherwise(0)).alias("bid_qty"),
+        )
+    )
+
+
+def _bookgen_source_agg_sql() -> str:
+    from polars_order_book_spark.sources import bookgen
+
+    return f"""
+SELECT book, count(*) AS n,
+       CAST(sum(price * qty) AS BIGINT) AS pv,
+       CAST(sum(CASE WHEN is_bid THEN qty ELSE 0 END) AS BIGINT) AS bid_qty
+FROM ({bookgen.oracle_sql(20000)})
+WHERE seq <= 14999
+GROUP BY book
+"""
+
+
 def _ob_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's n1-vs-n2 consistency golden as an oracle query (ref:
     calculate_bbo.rs:372-519): the SAME stream computed at n=1 (fast path)
@@ -2472,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": hq.events_retention_cohorts,
         "events_hourly_stream_append": _events_hourly_stream_append,
         "events_enriched_stream": _events_enriched_stream,
+        "bookgen_source_agg": _bookgen_source_agg,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2491,7 +2532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
-        "dedup_stream_survivors": _dedup_stream_survivors,
         # --- first green row only in r4 (3) ---
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
@@ -2508,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_keyed_mutations_top2": _ob_relational_keyed(2),
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q6_forecast_revenue": hq.q6_forecast_revenue,
+        "dedup_stream_survivors": _dedup_stream_survivors,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2638,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": hq.EVENTS_RETENTION_SQL,
         "events_hourly_stream_append": EVENTS_HOURLY_STREAM_APPEND_SQL,
         "events_enriched_stream": EVENTS_ENRICHED_STREAM_SQL,
+        "bookgen_source_agg": _bookgen_source_agg_sql(),
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

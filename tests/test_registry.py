@@ -123,6 +123,10 @@ DEMOTED_TAIL = {
     # signal); displaced by the streaming hourly/enrichment pair
     "q1_pricing_summary",
     "q6_forecast_revenue",
+    # r4-green stateful-dedup harness displaced by bookgen_source_agg
+    # (applyInPandasWithState survivor logic stays pinned by
+    # tests/test_dedup_streaming.py)
+    "dedup_stream_survivors",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
