@@ -2513,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream_append": _events_hourly_stream_append,
         "events_enriched_stream": _events_enriched_stream,
         "bookgen_source_agg": _bookgen_source_agg,
+        "documents_sentences": hq.documents_sentences,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2538,7 +2539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_bands": _orders_price_bands,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
-        "documents_deduped": _documents_deduped,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6. The second q-batch
         # displaced the 9 stale-r3 entries with the MOST prior greens
@@ -2549,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": hq.q1_pricing_summary,
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         "dedup_stream_survivors": _dedup_stream_survivors,
+        "documents_deduped": _documents_deduped,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2680,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream_append": EVENTS_HOURLY_STREAM_APPEND_SQL,
         "events_enriched_stream": EVENTS_ENRICHED_STREAM_SQL,
         "bookgen_source_agg": _bookgen_source_agg_sql(),
+        "documents_sentences": hq.DOCUMENTS_SENTENCES_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1725,3 +1725,40 @@ SELECT cohort_week_us, week_us, count(*) AS n_users
 FROM activity JOIN firsts USING (user_id)
 GROUP BY cohort_week_us, week_us
 """
+
+
+# --- sentence segmentation (array HOF + posexplode surface) ------------------
+
+def documents_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment documents into sentence rows with ordinal + trimmed text +
+    length — the row-expansion step before per-sentence dedup/scoring. Pure
+    JVM path: regexp_extract_all (sentence-shaped spans, no lookbehind — the
+    pattern must behave identically under Java regex and DuckDB's RE2) +
+    posexplode. Map-only: expansion happens where the row lives; the only
+    shuffle is whatever the consumer adds."""
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = F.expr(r"regexp_extract_all(text, '[^.!?]+[.!?]?', 0)")
+    return (
+        docs.select("doc_id", F.posexplode(sentences).alias("sentence_idx", "raw"))
+        .select(
+            "doc_id",
+            "sentence_idx",
+            F.trim(F.col("raw")).alias("sentence"),
+            F.length(F.trim(F.col("raw"))).alias("n_chars"),
+        )
+        .where(F.length(F.col("sentence")) > 0)
+    )
+
+
+DOCUMENTS_SENTENCES_SQL = """
+SELECT doc_id,
+       CAST(idx - 1 AS INT) AS sentence_idx,
+       trim(raw) AS sentence,
+       CAST(length(trim(raw)) AS INT) AS n_chars
+FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')) AS raw,
+           generate_subscripts(regexp_extract_all(text, '[^.!?]+[.!?]?'), 1) AS idx
+    FROM documents
+)
+WHERE length(trim(raw)) > 0
+"""

@@ -127,6 +127,9 @@ DEMOTED_TAIL = {
     # (applyInPandasWithState survivor logic stays pinned by
     # tests/test_dedup_streaming.py)
     "dedup_stream_survivors",
+    # r3-green dedup apply step displaced by documents_sentences
+    # (dedup_components keeps the family's head signal)
+    "documents_deduped",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
