@@ -2514,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched_stream": _events_enriched_stream,
         "bookgen_source_agg": _bookgen_source_agg,
         "documents_sentences": hq.documents_sentences,
+        "events_props_variant": hq.events_props_variant,
+        "events_pseudonymize": hq.events_pseudonymize,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2533,9 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
-        # --- first green row only in r4 (3) ---
-        "text_repetition": _text_repetition,
-        "text_contamination": _text_contamination,
+        # --- first green row only in r4 (1) ---
         "orders_price_bands": _orders_price_bands,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
@@ -2550,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": hq.q6_forecast_revenue,
         "dedup_stream_survivors": _dedup_stream_survivors,
         "documents_deduped": _documents_deduped,
+        "text_repetition": _text_repetition,
+        "text_contamination": _text_contamination,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2682,6 +2684,8 @@ def oracle_sql() -> dict[str, str]:
         "events_enriched_stream": EVENTS_ENRICHED_STREAM_SQL,
         "bookgen_source_agg": _bookgen_source_agg_sql(),
         "documents_sentences": hq.DOCUMENTS_SENTENCES_SQL,
+        "events_props_variant": hq.EVENTS_PROPS_VARIANT_SQL,
+        "events_pseudonymize": hq.EVENTS_PSEUDONYMIZE_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

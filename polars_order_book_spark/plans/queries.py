@@ -1762,3 +1762,68 @@ FROM (
 )
 WHERE length(trim(raw)) > 0
 """
+
+
+# --- VARIANT semi-structured extraction (Spark 4 type surface) ---------------
+
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json ONCE
+    into a binary variant, then typed variant_get extractions — the
+    schema-on-read path for payloads too heterogeneous for a fixed
+    from_json schema (events_props_json covers the fixed-schema path).
+    Aggregated per extracted-k decile so the oracle compares values, not
+    variant binaries."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr("variant_get(parse_json(props), '$.absent', 'bigint')")
+    return (
+        ev.select(k.alias("k"), missing.alias("m"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN props->>'$.absent' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY CAST(props->>'$.k' AS BIGINT) % 10
+"""
+
+
+# --- deterministic pseudonymization ------------------------------------------
+
+def events_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization of user identifiers: sha2-256 over
+    salt||id gives a stable opaque token (same user -> same token, so joins
+    and aggregations still work downstream) while the raw id never leaves
+    the pipeline — the privacy step next to redact_pii's content scrubbing.
+    Map-only codegen; token space makes reversal infeasible without the
+    salt. Output sampled deterministically (seq % filter) to keep the
+    oracle row set small."""
+    ev = load_table(spark, sf_dir, "events")
+    token = F.sha2(F.concat(F.lit("pepper-2024:"), F.col("user_id").cast("string")), 256)
+    return (
+        ev.where(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            token.alias("user_token"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+EVENTS_PSEUDONYMIZE_SQL = """
+SELECT event_id,
+       sha256('pepper-2024:' || CAST(user_id AS VARCHAR)) AS user_token,
+       event_type, value
+FROM events
+WHERE event_id % 97 = 0
+"""

@@ -130,6 +130,10 @@ DEMOTED_TAIL = {
     # r3-green dedup apply step displaced by documents_sentences
     # (dedup_components keeps the family's head signal)
     "documents_deduped",
+    # r4-green gopher-repetition / contamination displaced by the VARIANT +
+    # pseudonymization pair (both pinned by tests/test_text.py)
+    "text_repetition",
+    "text_contamination",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
