@@ -57,6 +57,30 @@ def foreign_key(name: str, col: str, ref: str) -> Rule:
     return Rule(name, "foreign_key", cols=(col,), ref=ref)
 
 
+def observe_quality(df: DataFrame, rules: "list[Rule]", name: str = "quality"):
+    """Attach predicate-rule violation counters to a DataFrame as OBSERVED
+    metrics: the counts are computed INSIDE whatever job the caller runs on
+    the returned frame — zero extra scans, the way a 100 TB pipeline gets
+    its quality numbers for free while writing its real output.
+
+    Only row-level 'predicate' rules qualify (unique/foreign_key need their
+    own shuffles — use :func:`check_constraints` for a full report).
+    Returns ``(df_with_observation, observation)``; after ANY action on the
+    returned frame, ``observation.get`` yields ``{rule_name: violations,
+    __n: rows}``. Metrics are exact for batch queries (computed once per
+    row regardless of task retries — Spark's observe contract)."""
+    preds = [r for r in rules if r.kind == "predicate"]
+    if not preds or len(preds) != len(rules):
+        raise ValueError("observe_quality takes only 'predicate' rules (>=1)")
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [
+        F.sum(F.when(F.expr(r.expr), 0).otherwise(1)).alias(r.name) for r in preds
+    ] + [F.count(F.lit(1)).alias("__n")]
+    return df.observe(obs, *exprs), obs
+
+
 def check_constraints(
     df: DataFrame,
     rules: "list[Rule]",

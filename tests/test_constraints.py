@@ -60,3 +60,26 @@ def test_predicates_fold_into_one_aggregate(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LocalRelation") <= 2  # base agg reused across rule rows
+
+
+def test_observe_quality_piggybacks_on_the_job(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0)], "id long, v double"
+    )
+    observed, obs = C.observe_quality(
+        df, [C.predicate("v_positive", "v > 0"), C.not_null("id_nn", "id")]
+    )
+    # the caller's real action drives the metrics — no separate quality scan
+    assert observed.where("v > -100").count() == 3
+    got = obs.get
+    assert got["v_positive"] == 2  # -5 and 0
+    assert got["id_nn"] == 0
+    assert got["__n"] == 3
+
+
+def test_observe_quality_rejects_non_predicate_rules(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="predicate"):
+        C.observe_quality(df, [C.unique("u", "id")])
+    with pytest.raises(ValueError, match="predicate"):
+        C.observe_quality(df, [])
