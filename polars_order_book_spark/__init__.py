@@ -45,7 +45,19 @@ from polars_order_book_spark.operators.sampling import (
     pack_sequences,
     stratified_sample,
 )
+from polars_order_book_spark.operators.constraints import (
+    check_constraints,
+    observe_quality,
+)
+from polars_order_book_spark.operators.diff import diff_snapshots
+from polars_order_book_spark.operators.graph import pagerank
+from polars_order_book_spark.operators.market import (
+    l1_metrics,
+    realized_variance,
+    vwap_by_bucket,
+)
 from polars_order_book_spark.operators.merge import latest_changes, merge_upsert
+from polars_order_book_spark.operators.nbbo import nbbo
 from polars_order_book_spark.operators.similarity import (
     centroid_outliers,
     dequantize_int8,
@@ -85,6 +97,14 @@ __all__ = [
     "merge_upsert",
     "latest_changes",
     "centroid_outliers",
+    "pagerank",
+    "diff_snapshots",
+    "nbbo",
+    "vwap_by_bucket",
+    "l1_metrics",
+    "realized_variance",
+    "check_constraints",
+    "observe_quality",
     "get_spark",
 ]
 
