@@ -100,3 +100,57 @@ def test_book_stream_rocksdb_matches_default(spark):
         else:
             spark.conf.set(key, prev)
     assert rocks == base
+
+
+@needs_testdata
+def test_interval_join_rocksdb_matches_default(spark):
+    """Stream-stream interval join parity under the RocksDB provider — the
+    symmetric join buffers BOTH sides in the state store, so backend parity
+    matters more here than for any aggregation."""
+    from pyspark.sql import functions as F
+    import uuid
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+    from polars_order_book_spark.streaming import interval_join_stream
+
+    def run() -> set:
+        ev = load_table_stream(spark, SF_DIR, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        pairs = interval_join_stream(
+            clicks, purchases, on="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+        ).select("click_id", "purchase_id")
+        name = f"ij_ss_{uuid.uuid4().hex[:8]}"
+        q = (
+            pairs.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ij_ss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    base = run()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = run()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks == base
