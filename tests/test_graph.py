@@ -46,3 +46,54 @@ def test_validation_and_empty(spark):
         pagerank(e, damping_pct=100)
     empty = pagerank(_edges(spark, []), iters=2)
     assert empty.count() == 0
+
+
+# --- differential: random graphs vs a pure-Python integer-arithmetic model ---
+
+from hypothesis import HealthCheck, given, settings as hsettings, strategies as st
+
+
+def _pagerank_py(edges, iters=3, damping_pct=85):
+    """Reference model: same integer arithmetic as operators/graph.py."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({s for s, _ in sym})
+    if not nodes:
+        return {}
+    out = {}
+    for s, d in sym:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    base = (15 * SCALE) // (100 * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s in nodes:
+            c = rank[s] // len(out[s])
+            for d in out[s]:
+                contrib[d] += c
+        rank = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    return rank
+
+
+@hsettings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_matches_python_model(spark, edges, iters):
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(_edges(spark, edges), iters=iters).collect()
+    }
+    assert got == _pagerank_py(edges, iters=iters)

@@ -48,3 +48,55 @@ def test_unseen_books_and_validation(spark):
     assert (out[0]["nbb_price"], out[0]["nbo_price"]) == (10, 12)
     with pytest.raises(ValueError, match="books"):
         nbbo(snaps, books=[])
+
+
+# --- differential: random snapshot streams vs a brute-force simulator --------
+
+from hypothesis import HealthCheck, given, settings as hsettings, strategies as st
+
+
+def _nbbo_py(rows, books):
+    """Brute-force model: replay snapshots, track each book's l1, emit best."""
+    state = {b: (None, None, None, None) for b in books}
+    out = {}
+    for book, seq, bp, bq, ap, aq in sorted(rows, key=lambda r: r[1]):
+        state[book] = (bp, bq, ap, aq)
+        bids = [(s[0], s[1]) for s in state.values() if s[0] is not None]
+        asks = [(s[2], s[3]) for s in state.values() if s[2] is not None]
+        nbb = max((p for p, _ in bids), default=None)
+        nbo = min((p for p, _ in asks), default=None)
+        nbb_q = sum(q for p, q in bids if p == nbb) if nbb is not None else None
+        nbo_q = sum(q for p, q in asks if p == nbo) if nbo is not None else None
+        out[seq] = (nbb, nbb_q, nbo, nbo_q)
+    return out
+
+
+@hsettings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                        # book
+            st.one_of(st.none(), st.integers(1, 9)),  # bid price (None = empty)
+            st.integers(1, 5),                        # bid qty
+            st.one_of(st.none(), st.integers(1, 9)),  # ask price
+            st.integers(1, 5),                        # ask qty
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_nbbo_matches_bruteforce(spark, rows):
+    data = [
+        (book, seq, bp, (bq if bp is not None else None),
+         ap, (aq if ap is not None else None))
+        for seq, (book, bp, bq, ap, aq) in enumerate(rows)
+    ]
+    got = {
+        r["seq"]: (r["nbb_price"], r["nbb_qty"], r["nbo_price"], r["nbo_qty"])
+        for r in nbbo(_snaps(spark, data), books=[0, 1, 2]).collect()
+    }
+    assert got == _nbbo_py(data, [0, 1, 2])
