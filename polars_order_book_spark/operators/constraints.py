@@ -92,10 +92,13 @@ def check_constraints(
 
     All predicate rules share ONE aggregate pass. A 'unique' violation count
     is (rows - distinct keys): 0 for a perfect key, and each extra copy of a
-    duplicated key counts once. Foreign-key violation count = rows whose key
-    has no match in the referenced frame (nulls violate, as in a mandatory
-    relationship). ``n_checked`` is the table's row count for every rule —
-    the denominator a quality dashboard normalizes by.
+    duplicated key counts once. NULL-keyed rows count as violations of a
+    'unique' rule (count_distinct excludes them from the distinct side) —
+    a real key admits no nulls; pair with not_null when you want the null
+    count attributed separately. Foreign-key violation count = rows whose
+    key has no match in the referenced frame (nulls violate, as in a
+    mandatory relationship). ``n_checked`` is the table's row count for
+    every rule — the denominator a quality dashboard normalizes by.
     """
     if not rules:
         raise ValueError("rules must be non-empty")

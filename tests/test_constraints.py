@@ -83,3 +83,12 @@ def test_observe_quality_rejects_non_predicate_rules(spark):
         C.observe_quality(df, [C.unique("u", "id")])
     with pytest.raises(ValueError, match="predicate"):
         C.observe_quality(df, [])
+
+
+def test_unique_counts_null_keys_as_violations(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (None,)], "id long"
+    )
+    out = C.check_constraints(df, [C.unique("u", "id")]).collect()[0]
+    # 3 rows - 1 distinct non-null key = 2: both null-keyed rows violate
+    assert out["n_violations"] == 2
