@@ -1572,6 +1572,62 @@ WHERE n_tokens >= cutoff
 """
 
 
+def _documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline composing three registered operators:
+    per-source quality gate (drop each source's shortest quartile) -> text
+    cleanup (control-strip + whitespace normalization) -> exact dedup
+    survivor selection (min doc id per content hash of the CLEANED text).
+    One registry entry proving the operators compose — the per-stage
+    invariants are each pinned by their own oracle rows; this checks the
+    chain end-to-end against one composed SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = text.quality_filter(docs, q=0.25).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    cleaned = text.clean_text(kept)
+    return (
+        cleaned.groupBy(F.md5(F.col("clean_text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars_clean").alias("n_chars_clean"),
+        )
+    )
+
+
+DOCUMENTS_CURATION_PIPELINE_SQL = r"""
+WITH base AS (
+    SELECT doc_id, source AS grp,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM base
+),
+cuts AS (
+    SELECT grp, max(CASE WHEN rn = CAST(ceil(0.25 * n) AS INT) THEN n_tokens END) AS cutoff
+    FROM ranked GROUP BY grp
+),
+kept AS (
+    SELECT b.doc_id FROM base b JOIN cuts USING (grp) WHERE b.n_tokens >= cutoff
+),
+cleaned AS (
+    SELECT d.doc_id,
+           trim(regexp_replace(
+               regexp_replace(d.text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) AS clean_text
+    FROM documents d JOIN kept USING (doc_id)
+)
+SELECT md5(clean_text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       CAST(min(len(clean_text)) AS BIGINT) AS n_chars_clean
+FROM cleaned
+GROUP BY md5(clean_text)
+"""
+
+
 def _orders_merge_parts(spark: SparkSession, sf_dir: str):
     """(base, changes) for the MERGE queries: a deterministic change batch —
     conflicting updates resolved last-writer-wins by version, tombstone
@@ -2516,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_sentences": hq.documents_sentences,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
+        "documents_curation_pipeline": _documents_curation_pipeline,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2535,8 +2592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4: one green driver row (13) ---
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
-        # --- first green row only in r4 (1) ---
-        "orders_price_bands": _orders_price_bands,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
@@ -2552,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_deduped": _documents_deduped,
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
+        "orders_price_bands": _orders_price_bands,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2686,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_sentences": hq.DOCUMENTS_SENTENCES_SQL,
         "events_props_variant": hq.EVENTS_PROPS_VARIANT_SQL,
         "events_pseudonymize": hq.EVENTS_PSEUDONYMIZE_SQL,
+        "documents_curation_pipeline": DOCUMENTS_CURATION_PIPELINE_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

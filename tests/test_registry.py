@@ -134,6 +134,9 @@ DEMOTED_TAIL = {
     # pseudonymization pair (both pinned by tests/test_text.py)
     "text_repetition",
     "text_contamination",
+    # r4-green bucketed range join displaced by documents_curation_pipeline
+    # (bucket machinery pinned by tests/test_ranges.py)
+    "orders_price_bands",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
