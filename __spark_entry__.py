@@ -2024,6 +2024,84 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click/view's NEXT purchase (per user,
+    at-or-after its timestamp) — time-to-conversion labeling. DuckDB's
+    native ASOF supports only the backward direction, so the oracle derives
+    the forward match explicitly (min qualifying ts + equi-join back), which
+    also independently re-derives the operator's semantics."""
+    from polars_order_book_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"],
+        direction="forward", right_on_as="purchase_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "next_purchase_value",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH l AS (
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'view')
+),
+r AS (
+    SELECT user_id, ts, max(value) AS next_purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+m AS (
+    SELECT l.event_id, min(r.ts) AS nts
+    FROM l JOIN r ON r.user_id = l.user_id AND r.ts >= l.ts
+    GROUP BY l.event_id
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+       r.next_purchase_value, epoch_us(m.nts) AS purchase_ts_us
+FROM l
+LEFT JOIN m USING (event_id)
+LEFT JOIN r ON r.user_id = l.user_id AND r.ts = m.nts
+"""
+
+
+def _part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide metric columns to long (metric, value) rows,
+    the inverse of the pivot surface (events_hourly_pivot) and Polars'
+    ``melt``. Spark plans one Expand (same operator grouping sets use):
+    map-only row expansion, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+PART_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
 def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2573,6 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
         "documents_curation_pipeline": _documents_curation_pipeline,
+        "events_asof_next_purchase": _events_asof_forward,
+        "part_unpivot_metrics": _part_unpivot,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2589,9 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": hq.q13_customer_distribution,
         "q15_top_supplier": hq.q15_top_supplier,
         "q22_dormant_customers": hq.q22_dormant_customers,
-        # --- new in r4: one green driver row (13) ---
-        "events_sessionize_stream_append": _events_sessionize_stream_append,
-        "ob_consistency_n1_n2": _ob_consistency,
         # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
         "dedup_components": _dedup_components,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
@@ -2608,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_contamination": _text_contamination,
         "orders_price_bands": _orders_price_bands,
+        "events_sessionize_stream_append": _events_sessionize_stream_append,
+        "ob_consistency_n1_n2": _ob_consistency,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2743,6 +2822,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_variant": hq.EVENTS_PROPS_VARIANT_SQL,
         "events_pseudonymize": hq.EVENTS_PSEUDONYMIZE_SQL,
         "documents_curation_pipeline": DOCUMENTS_CURATION_PIPELINE_SQL,
+        "events_asof_next_purchase": EVENTS_ASOF_FORWARD_SQL,
+        "part_unpivot_metrics": PART_UNPIVOT_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -137,6 +137,12 @@ DEMOTED_TAIL = {
     # r4-green bucketed range join displaced by documents_curation_pipeline
     # (bucket machinery pinned by tests/test_ranges.py)
     "orders_price_bands",
+    # r4-green streaming sessionizer + fastpath-consistency golden displaced
+    # by the forward as-of / unpivot pair (append sessionizer pinned by
+    # tests/test_session_streaming.py, consistency by
+    # tests/test_order_book_fastpath.py's differential)
+    "events_sessionize_stream_append",
+    "ob_consistency_n1_n2",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
