@@ -2653,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_curation_pipeline": _documents_curation_pipeline,
         "events_asof_next_purchase": _events_asof_forward,
         "part_unpivot_metrics": _part_unpivot,
+        "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
@@ -2669,8 +2670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": hq.q13_customer_distribution,
         "q15_top_supplier": hq.q15_top_supplier,
         "q22_dormant_customers": hq.q22_dormant_customers,
-        # --- stale since r3 (last driver green in CORRECTNESS_r03): rotated in (22) ---
-        "dedup_components": _dedup_components,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6. The second q-batch
         # displaced the 9 stale-r3 entries with the MOST prior greens
@@ -2687,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_bands": _orders_price_bands,
         "events_sessionize_stream_append": _events_sessionize_stream_append,
         "ob_consistency_n1_n2": _ob_consistency,
+        "dedup_components": _dedup_components,
         "part_hconcat": _part_hconcat,
         "events_jsonl_roundtrip": _events_jsonl_roundtrip,
         "ob_chunked_mutations_top2": _ob_chunked_mutations(2, seq_chunks=4),
@@ -2824,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_curation_pipeline": DOCUMENTS_CURATION_PIPELINE_SQL,
         "events_asof_next_purchase": EVENTS_ASOF_FORWARD_SQL,
         "part_unpivot_metrics": PART_UNPIVOT_SQL,
+        "events_user_type_profile": hq.EVENTS_USER_TYPE_PROFILE_SQL,
         "q3_top_revenue_orders": hq.Q3_SQL,
         "q5_nation_revenue": hq.Q5_SQL,
         "q10_returned_items": hq.Q10_SQL,

@@ -1827,3 +1827,32 @@ SELECT event_id,
 FROM events
 WHERE event_id % 97 = 0
 """
+
+
+# --- array aggregation surface ------------------------------------------------
+
+def events_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile via array aggregation: the user's distinct
+    event types as a SORTED, comma-joined string (collect_set is
+    partition-order nondeterministic; sort_array + array_join make the value
+    canonical and hashable cross-engine), plus counts by profile. One
+    per-user shuffle, then a tiny profile rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    profile = F.array_join(
+        F.sort_array(F.collect_set("event_type")), ","
+    ).alias("type_profile")
+    per_user = ev.groupBy("user_id").agg(profile)
+    return per_user.groupBy("type_profile").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+EVENTS_USER_TYPE_PROFILE_SQL = """
+SELECT type_profile, count(*) AS n_users
+FROM (
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_profile
+    FROM events GROUP BY user_id
+)
+GROUP BY type_profile
+"""

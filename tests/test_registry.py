@@ -143,6 +143,9 @@ DEMOTED_TAIL = {
     # tests/test_order_book_fastpath.py's differential)
     "events_sessionize_stream_append",
     "ob_consistency_n1_n2",
+    # r3-green label-prop components displaced by events_user_type_profile
+    # (components pinned by tests/test_dedup.py; star variant already tail)
+    "dedup_components",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
