@@ -93,6 +93,104 @@ def l1_metrics(
     )
 
 
+def order_flow_imbalance(
+    l1: DataFrame,
+    bucket_size: int,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Order-flow imbalance (Cont/Kukanov/Stoikov) per seq bucket from L1
+    snapshots — the standard microstructure driver of short-horizon price
+    moves.
+
+    Per-event contribution, with (bp, bq, ap, aq) the level-1 snapshot and
+    primes the previous event's values::
+
+        e = [bp >= bp']*bq - [bp <= bp']*bq' - [ap <= ap']*aq + [ap >= ap']*aq'
+
+    Every term is an integer tick/qty product of indicator*qty, so the
+    bucket sum ``ofi`` is an exact BIGINT — order-independent and
+    engine-portable with no float step at all. Events where either side of
+    the current OR previous snapshot is absent (one-sided book) break the
+    chain: their contribution is null and excluded, the same discipline as
+    ``realized_variance`` (a flow into or out of a no-quote state is not a
+    measurable imbalance).
+
+    Scale shape: one lag window per book (shuffle on ``by``, sort by seq)
+    then one map-side-partial groupBy((by, bucket)) — identical to
+    ``realized_variance``; the two share the window shuffle when composed.
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    keys = list(by)
+    w = Window.partitionBy(*keys).orderBy(seq_col) if keys else Window.orderBy(seq_col)
+    bp, bq = F.col("bid_price_1"), F.col("bid_qty_1")
+    ap, aq = F.col("ask_price_1"), F.col("ask_qty_1")
+    pbp, pbq = F.lag("bid_price_1").over(w), F.lag("bid_qty_1").over(w)
+    pap, paq = F.lag("ask_price_1").over(w), F.lag("ask_qty_1").over(w)
+    contrib = (
+        F.when(bp >= pbp, bq).otherwise(F.lit(0))
+        - F.when(bp <= pbp, pbq).otherwise(F.lit(0))
+        - F.when(ap <= pap, aq).otherwise(F.lit(0))
+        + F.when(ap >= pap, paq).otherwise(F.lit(0))
+    )
+    # Comparisons with null operands are null; F.when(null, x).otherwise(0)
+    # takes the otherwise-branch, which would silently treat a no-quote
+    # boundary as zero flow. Gate explicitly: all 8 inputs present or null.
+    complete = (
+        bp.isNotNull() & ap.isNotNull() & pbp.isNotNull() & pap.isNotNull()
+    )
+    rows = l1.select(
+        *keys,
+        F.expr(f"`{seq_col}` div {int(bucket_size)}").alias("bucket"),
+        F.when(complete, contrib).alias("e"),
+    ).where(F.col("e").isNotNull())
+    return rows.groupBy(*keys, "bucket").agg(
+        F.sum("e").alias("ofi"), F.count(F.lit(1)).alias("n_flows")
+    )
+
+
+def ohlc_bars(
+    l1: DataFrame,
+    bucket_size: int,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+    mid2_col: str = "mid2",
+) -> DataFrame:
+    """Open/high/low/close bars of the (2x) midprice per seq bucket — the
+    canonical downsample of an event-resolution quote stream to fixed bars.
+
+    open/close are argmin/argmax-by-seq (``min_by``/``max_by``: one agg
+    pass, no rank-then-filter second shuffle); high/low are plain min/max.
+    All four stay in integral 2x-mid ticks (callers divide by 2 at the
+    edge), so the whole row is exact BIGINTs. No-quote events (null mid2)
+    are excluded — a bar summarizes quotes that existed. seq is unique per
+    book, so every argmin is deterministic.
+
+    Scale shape: ONE map-side-partial groupBy((by, bucket)); output is
+    bars-sized, not events-sized. This is the operator to feed dashboards /
+    downstream models instead of shipping raw snapshots.
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    keys = list(by)
+    quotes = l1.where(F.col(mid2_col).isNotNull()).select(
+        *keys,
+        F.expr(f"`{seq_col}` div {int(bucket_size)}").alias("bucket"),
+        F.col(seq_col).alias("_seq"),
+        F.col(mid2_col).alias("_m"),
+    )
+    return quotes.groupBy(*keys, "bucket").agg(
+        F.min_by("_m", "_seq").alias("open2"),
+        F.max("_m").alias("high2"),
+        F.min("_m").alias("low2"),
+        F.max_by("_m", "_seq").alias("close2"),
+        F.count(F.lit(1)).alias("n_quotes"),
+    )
+
+
 def realized_variance(
     l1: DataFrame,
     bucket_size: int,
