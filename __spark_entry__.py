@@ -2694,6 +2694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 (session 3): no driver signal yet ---
         "ob_ofi": _ob_ofi,
         "ob_ohlc_bars": _ob_ohlc,
+        "events_ols_trend": hq.events_ols_trend,
+        "events_markov_transitions": hq.events_markov_transitions,
+        "events_anomaly_zscore": hq.events_anomaly_zscore,
+        "events_interpolate_daily": hq.events_interpolate_daily,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2713,7 +2717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_stream_outer": _events_attribution_stream_outer,
         "ob_nbbo_keyed": _ob_nbbo,
         "ob_vwap_buckets": _ob_vwap,
-        "ob_l1_metrics": _ob_l1_metrics,
         "ob_realized_variance": _ob_realized_variance,
         "events_user_distinct_sketch_rollup": hq.events_user_distinct_sketch_rollup,
         "orders_quality_report": _orders_quality_report,
@@ -2723,8 +2726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched_stream": _events_enriched_stream,
         "bookgen_source_agg": _bookgen_source_agg,
         "documents_sentences": hq.documents_sentences,
-        "events_props_variant": hq.events_props_variant,
-        "events_pseudonymize": hq.events_pseudonymize,
         "documents_curation_pipeline": _documents_curation_pipeline,
         "events_asof_next_purchase": _events_asof_forward,
         "part_unpivot_metrics": _part_unpivot,
@@ -2738,18 +2739,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_setops": hq.events_cohort_setops,
         "text_dup_spans": _text_dup_spans,
         "documents_quality_filter": _documents_quality_filter,
-        "events_stream_dropdup": _events_stream_dropdup,
         "orders_merge_apply": _orders_merge_apply,
         "embeddings_outliers": _embeddings_outliers,
         "q13_customer_distribution": hq.q13_customer_distribution,
         "q15_top_supplier": hq.q15_top_supplier,
-        # --- zero-signal overflow (52 zero-signal entries, 50 slots): these
-        # two wait one round, FIRST into the r5 head. orders_merge_stream is
-        # parity-pinned against its head sibling orders_merge_apply (same
-        # oracle SQL, tests/test_merge.py); q22's shape is pinned by
-        # tools/check_correctness.py (green this session) + test_sql_parity.
+        # --- zero-signal overflow (56 zero-signal entries, 50 slots): these
+        # wait one round and rotate FIRST into the r5 head, in this order.
+        # Each is pinned meanwhile by the local oracle gate (green this
+        # session) + pytest: orders_merge_stream parity vs head sibling
+        # orders_merge_apply (tests/test_merge.py); ob_l1_metrics is
+        # exercised transitively by the in-head ob_realized_variance /
+        # ob_ohlc_bars oracles which recompute it; props_variant mirrors
+        # multi-green events_props_json; pseudonymize/dropdup are pinned by
+        # test_sql_parity / test_dedup_streaming.
         "orders_merge_stream": _orders_merge_stream,
         "q22_dormant_customers": hq.q22_dormant_customers,
+        "ob_l1_metrics": _ob_l1_metrics,
+        "events_props_variant": hq.events_props_variant,
+        "events_pseudonymize": hq.events_pseudonymize,
+        "events_stream_dropdup": _events_stream_dropdup,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): entries green in r4
         # and/or multiple earlier rounds; rotate back in r6. The second q-batch
         # displaced the 9 stale-r3 entries with the MOST prior greens
@@ -2893,6 +2901,10 @@ def oracle_sql() -> dict[str, str]:
         "ob_realized_variance": _ob_realized_variance_sql(),
         "ob_ofi": _ob_ofi_sql(),
         "ob_ohlc_bars": _ob_ohlc_sql(),
+        "events_ols_trend": hq.EVENTS_OLS_TREND_SQL,
+        "events_markov_transitions": hq.EVENTS_MARKOV_SQL,
+        "events_anomaly_zscore": hq.EVENTS_ANOMALY_SQL,
+        "events_interpolate_daily": hq.EVENTS_INTERPOLATE_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

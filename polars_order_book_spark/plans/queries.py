@@ -1856,3 +1856,263 @@ FROM (
 )
 GROUP BY type_profile
 """
+
+
+# --- per-type OLS trend: regr via exact integer/decimal sums -----------------
+
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope per
+    second, intercept at 2024-01-01), computed from EXACT sums: x = epoch
+    seconds offset to a fixed base (BIGINT), y = value as DECIMAL(10,2).
+    Sx/Sy/Sxy/Sxx are order-independent decimal sums; the closed-form
+    slope/intercept is one fused double expression over their casts —
+    bit-identical on any IEEE engine (no libm). Same single-pass shape as
+    the built-in regr_slope/regr_intercept, which float-accumulate and are
+    NOT portable — that is why the sums are decimal here.
+
+    Scale: one map-side-partial groupBy(event_type); output is types-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("decimal(20,0)")
+    y = _dec(F.col("value"))
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_sec"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+EVENTS_OLS_TREND_SQL = """
+WITH sums AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200
+                    AS DECIMAL(20,0))) AS sx,
+           sum(CAST(value AS DECIMAL(10,2))) AS sy,
+           sum(CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200
+                    AS DECIMAL(20,0))
+               * CAST(value AS DECIMAL(10,2))) AS sxy,
+           sum(CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200
+                    AS DECIMAL(20,0))
+               * CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200
+                     AS DECIMAL(20,0))) AS sxx
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_sec,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM sums
+"""
+
+
+# --- Markov transition matrix of user event sequences ------------------------
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each user's
+    event sequence ordered by (ts, event_id) — the behavioral-model /
+    next-event-prediction feature table. One lag window per user (shuffle
+    on user_id) + one tiny groupBy((prev,cur)); probability is the single
+    final division of two exact BIGINTs. Each user's first event has no
+    predecessor and is excluded (standard chain convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_tot).cast("double")
+        ).alias("prob"),
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+           event_type AS next_type
+    FROM events
+), counts AS (
+    SELECT prev_type, next_type, count(*) AS n_transitions
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+       / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM counts
+"""
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 sample standard deviations from the mean
+    of the SAME USER's previous 20 observations (min 10 for a stable
+    estimate) — the classic streaming-friendly outlier gate.
+
+    The rolling mean/std come from exact DECIMAL sums over the trailing
+    frame (sum, sum-of-squares: DECIMAL(10,2)² is exact DECIMAL(21,4));
+    z is one fused double expression (sqrt is IEEE-correctly-rounded on
+    both engines), so the filter boundary is engine-portable. One window
+    pass per user (shuffle on user_id); output is anomalies-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    y = _dec(F.col("value"))
+    s1 = F.sum(y).over(w)
+    s2 = F.sum(y * y).over(w)
+    cnt = F.count(y).over(w)
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+        cnt.alias("_n"),
+    ).where(F.col("_n") >= 10)
+    n = F.col("_n").cast("double")
+    s1d, s2d = F.col("_s1").cast("double"), F.col("_s2").cast("double")
+    mean = s1d / n
+    var = (s2d - s1d * s1d / n) / (n - F.lit(1.0))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.where(var > 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            mean.alias("window_mean"),
+            z.alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > 3.0)
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH stats AS (
+    SELECT event_id, user_id, value,
+           sum(CAST(value AS DECIMAL(10,2))) OVER w AS s1,
+           sum(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2)))
+               OVER w AS s2,
+           count(CAST(value AS DECIMAL(10,2))) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), scored AS (
+    SELECT event_id, user_id, value,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS window_mean,
+           (value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS zscore
+    FROM stats
+    WHERE n >= 10
+      AND (CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) - 1.0) > 0
+)
+SELECT event_id, user_id, value, window_mean, zscore
+FROM scored WHERE abs(zscore) > 3.0
+"""
+
+
+# --- daily gap-fill + linear interpolation -----------------------------------
+
+def events_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's mean daily value densified to EVERY day in their active
+    range, holes linearly interpolated between nearest observed days —
+    the regular-grid feature table a model consumes instead of the raw
+    sparse stream. Daily mean = exact decimal sum / count; the grid and
+    interpolation run in ``operators.timeseries.gap_fill_linear`` (one
+    sequence+explode, one co-partitioned join, one window pass per
+    direction)."""
+    from polars_order_book_spark.operators.timeseries import gap_fill_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        (F.sum(_dec(F.col("value"))).cast("double") / F.count(F.lit(1)))
+        .alias("day_value")
+    )
+    out = gap_fill_linear(daily, by=["user_id"], idx_col="day", value_col="day_value")
+    return out.select(
+        "user_id", "day", "day_value", F.col("is_observed").cast("boolean")
+    )
+
+
+EVENTS_INTERPOLATE_SQL = """
+WITH daily AS (
+    SELECT user_id,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS v
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id
+), grid AS (
+    SELECT b.user_id, gs.day
+    FROM bounds b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi)) AS day) gs
+), dense AS (
+    SELECT g.user_id, g.day, d.v
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+), filled AS (
+    SELECT user_id, day, v,
+           last_value(v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wp AS pi,
+           first_value(v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wn AS ni
+    FROM dense
+    WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(day - pi AS DOUBLE)
+                                   / CAST(ni - pi AS DOUBLE))
+            WHEN pv IS NOT NULL THEN pv
+            ELSE nv END AS day_value,
+       v IS NOT NULL AS is_observed
+FROM filled
+"""

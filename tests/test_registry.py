@@ -53,6 +53,10 @@ DEMOTED_TAIL = {
     # oracle gate + test_sql_parity.
     "orders_merge_stream",
     "q22_dormant_customers",
+    "ob_l1_metrics",
+    "events_props_variant",
+    "events_pseudonymize",
+    "events_stream_dropdup",
     "ob_updates_top1",
     "ob_updates_top3",
     "ob_stream_keyed_mutations_top2",
