@@ -889,6 +889,58 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '')), 1, 15))
 """
 
 
+def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 weighted sample of documents, selection probability
+    proportional to n_chars without replacement (Efraimidis-Spirakis rank
+    u^(1/w) with the portable-hash uniform) — deterministic, partitioning-
+    independent, engine-portable; global top-k runs as per-partition
+    TakeOrderedAndProject."""
+    from polars_order_book_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", 50, salt="ws1")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _docs_weighted_sample_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR) || 'ws1'")
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY pow(({h} + 1) / 1152921504606846977.0,
+             1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+LIMIT 50
+"""
+
+
+def _docs_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs over documents: blocked on
+    (lang, 64-char length bucket +/- 1), triangle-salted self-join inside
+    blocks, banded levenshtein(<=10) verify on 64-char normalized prefixes
+    — the record-linkage dedup flavor that catches typo-level mutations."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_duplicate_pairs(docs, block_cols=["lang"])
+
+
+DOCS_FUZZY_PAIRS_SQL = """
+WITH rows AS (
+    SELECT doc_id, lang,
+           substr(lower(trim(text)), 1, 64) AS pfx,
+           CAST(floor(length(lower(trim(text))) / 64) AS BIGINT) AS lb
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM rows a JOIN rows b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.lb - b.lb) <= 1
+WHERE levenshtein(a.pfx, b.pfx) <= 10
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sample: 5 documents per (lang, source) stratum
     in portable-hash order — balanced eval-set construction. One shuffle on
@@ -2698,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": hq.events_markov_transitions,
         "events_anomaly_zscore": hq.events_anomaly_zscore,
         "events_interpolate_daily": hq.events_interpolate_daily,
+        "documents_weighted_sample": _docs_weighted_sample,
+        "documents_fuzzy_pairs": _docs_fuzzy_pairs,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2716,7 +2770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_snapshot_diff": _part_snapshot_diff,
         "events_attribution_stream_outer": _events_attribution_stream_outer,
         "ob_nbbo_keyed": _ob_nbbo,
-        "ob_vwap_buckets": _ob_vwap,
         "ob_realized_variance": _ob_realized_variance,
         "events_user_distinct_sketch_rollup": hq.events_user_distinct_sketch_rollup,
         "orders_quality_report": _orders_quality_report,
@@ -2742,7 +2795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_apply": _orders_merge_apply,
         "embeddings_outliers": _embeddings_outliers,
         "q13_customer_distribution": hq.q13_customer_distribution,
-        "q15_top_supplier": hq.q15_top_supplier,
         # --- zero-signal overflow (56 zero-signal entries, 50 slots): these
         # wait one round and rotate FIRST into the r5 head, in this order.
         # Each is pinned meanwhile by the local oracle gate (green this
@@ -2754,6 +2806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_sql_parity / test_dedup_streaming.
         "orders_merge_stream": _orders_merge_stream,
         "q22_dormant_customers": hq.q22_dormant_customers,
+        # ob_vwap_buckets: book+bucket machinery exercised in-head by
+        # ob_ofi/ob_ohlc_bars/ob_realized_variance; vwap arithmetic pinned
+        # by tests/test_market.py. q15: scalar-threshold shape overlaps
+        # in-head q2; pinned by the local oracle gate.
+        "ob_vwap_buckets": _ob_vwap,
+        "q15_top_supplier": hq.q15_top_supplier,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -2905,6 +2963,8 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": hq.EVENTS_MARKOV_SQL,
         "events_anomaly_zscore": hq.EVENTS_ANOMALY_SQL,
         "events_interpolate_daily": hq.EVENTS_INTERPOLATE_SQL,
+        "documents_weighted_sample": _docs_weighted_sample_sql(),
+        "documents_fuzzy_pairs": DOCS_FUZZY_PAIRS_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -621,3 +621,87 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def fuzzy_duplicate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: "list[str] | None" = None,
+    length_block: int = 64,
+    prefix_len: int = 64,
+    max_dist: int = 10,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Near-duplicate pairs by EDIT DISTANCE on normalized text prefixes,
+    with blocking — the record-linkage flavor of dedup (catches small
+    insertions/typos that shingle-Jaccard dilutes and exact-hash misses).
+
+    Candidate generation is blocked, never all-pairs: two rows compare only
+    if they agree on ``block_cols`` (default: none) AND their byte lengths
+    fall in the same ``length_block`` bucket OR adjacent buckets — a true
+    near-dup within ``max_dist`` edits can differ in length by at most
+    ``max_dist``, so comparing bucket b against {b, b+1} (via a second
+    join, not an inequality join) is exhaustive for length_block >=
+    max_dist while keeping the join a pure equi-join. Within oversized
+    blocks the self-join goes through ``salted_pair_join`` (triangle
+    salting caps per-task pair work at ~bucket_cap²).
+
+    Verification is ``levenshtein(prefix_a, prefix_b)`` on the first
+    ``prefix_len`` chars of lower(trim(text)) — banded by Spark's threshold
+    variant JVM-side; O(prefix_len * max_dist) per pair, independent of
+    document size. Emits (id_a < id_b, dist). Compose with
+    ``neardup_components`` + ``apply_dedup`` for survivors, exactly like
+    the LSH pipeline.
+    """
+    if length_block < max_dist:
+        raise ValueError(
+            f"length_block ({length_block}) must be >= max_dist ({max_dist}) "
+            "or adjacent-bucket blocking misses true pairs"
+        )
+    blocks = list(block_cols or [])
+    norm = F.lower(F.trim(F.col(text_col)))
+    rows = df.select(
+        F.col(id_col),
+        *blocks,
+        F.substring(norm, 1, prefix_len).alias("_pfx"),
+        (F.length(norm) / F.lit(length_block)).cast("long").alias("_lb"),
+    )
+
+    from polars_order_book_spark.functions.skew import salted_pair_join
+
+    def pairs_on(key_expr):
+        keyed = rows.withColumn("_blk", key_expr)
+        p = salted_pair_join(
+            keyed, [*blocks, "_blk"], id_col, "id_a", "id_b", bucket_cap
+        )
+        return p
+
+    same = pairs_on(F.col("_lb"))
+    # bucket b vs b+1: shift the LEFT copy's bucket up; the pair meets once.
+    below = rows.withColumn("_blk", F.col("_lb") + 1)
+    above = rows.withColumn("_blk", F.col("_lb"))
+    adjacent = (
+        below.select(*blocks, "_blk", F.col(id_col).alias("id_a"))
+        .join(above.select(*blocks, "_blk", F.col(id_col).alias("id_b")),
+              on=[*blocks, "_blk"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
+    )
+    cand = same.select("id_a", "id_b").unionByName(adjacent).distinct()
+
+    pfx = rows.select(F.col(id_col), F.col("_pfx"))
+    joined = (
+        cand.join(pfx.select(F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pa")),
+                  on="id_a")
+        .join(pfx.select(F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pb")),
+              on="id_b")
+    )
+    dist = F.levenshtein(F.col("_pa"), F.col("_pb"), max_dist)
+    return (
+        joined.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long"))
+    )

@@ -326,3 +326,42 @@ def category_index(
         )
     )
     return df.join(F.broadcast(dictionary), on=col, how="left")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly
+    min(k, n) rows: Efraimidis-Spirakis A-ES with the uniform draw replaced
+    by the portable hash (u = (hash64(key||salt)+1) / (2^60+1) ∈ (0,1)),
+    rank key = u^(1/w). P(row selected) is proportional-to-weight without
+    replacement — the sampling step of quality-weighted data curation
+    (upweight high-quality sources, never duplicate a document).
+
+    Same determinism contract as ``hash_sample``: a pure function of the
+    key set, independent of partitioning, run, or engine; ``salt`` yields
+    independent samples. Rows with weight <= 0 or null are excluded (zero
+    mass). Ties are impossible up to hash collisions; ``key_col`` breaks
+    even those.
+
+    Scale shape: map-only scoring + global top-k — Catalyst turns
+    orderBy+limit into per-partition TakeOrderedAndProject, so only k rows
+    per partition reach the driver-side merge; nothing fact-sized moves.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    u = (hash64(keyed) + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    rank_key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", rank_key)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+        .drop("sample_key")
+    )

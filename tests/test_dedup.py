@@ -205,3 +205,53 @@ def test_star_components_null_and_self_edges_ignored(spark):
     got = {(r["doc_id"], r["component"]) for r in out}
     # self-edge keeps node 3 as its own component; null endpoints drop the row
     assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+# --- fuzzy (edit-distance) dedup ---------------------------------------------
+
+def test_fuzzy_pairs_finds_typo_neardups_and_blocks_by_length(spark):
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base.replace("quick", "qwick"), "en"),     # 1 edit -> pair
+            (3, "a completely different sentence altogether xyz", "en"),
+            (4, base, "de"),                               # other block
+            (5, base + "x" * 500, "en"),                   # far length bucket
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["dist"]
+             for r in fuzzy_duplicate_pairs(docs, block_cols=["lang"]).collect()}
+    # "quick" appears twice inside the 64-char prefix (the base repeats), so
+    # the replace-all typo costs 2 edits.
+    assert pairs[(1, 2)] == 2
+    assert (1, 4) not in pairs          # lang block separates identical text
+    assert all(5 not in p for p in pairs)  # length blocking prunes
+    assert (1, 3) not in pairs          # verified out by distance
+
+
+def test_fuzzy_pairs_adjacent_length_buckets_still_compared(spark):
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    # 63 vs 65 chars: different 64-buckets but true near-dups (2 edits).
+    a = "z" * 63
+    b = "z" * 65
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en")], "doc_id long, text string, lang string"
+    )
+    out = fuzzy_duplicate_pairs(docs, block_cols=["lang"]).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_fuzzy_pairs_guardrail(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    docs = spark.createDataFrame([(1, "x", "en")],
+                                 "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError):
+        fuzzy_duplicate_pairs(docs, length_block=5, max_dist=10)

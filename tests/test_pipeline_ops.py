@@ -437,3 +437,39 @@ def test_stratified_sample_validates_args(spark):
         sampling.stratified_sample(df, 0, strata=["lang"])
     with pytest.raises(ValueError):
         sampling.stratified_sample(df, 3, strata=[])
+
+
+# --- weighted sampling (A-ES) ------------------------------------------------
+
+def test_weighted_sample_exact_k_deterministic_and_weight_sensitive(spark):
+    from polars_order_book_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 90 else 10_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out1 = sorted(r["id"] for r in weighted_sample(df, "id", "w", 20).collect())
+    out2 = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "id", "w", 20).collect()
+    )
+    assert out1 == out2 and len(out1) == 20  # partitioning-independent
+    # the 10 heavy keys (10000x weight) should essentially always be chosen
+    assert sum(1 for i in out1 if i >= 90) == 10
+    # different salt -> different light-key selection
+    out3 = sorted(
+        r["id"] for r in weighted_sample(df, "id", "w", 20, salt="b").collect()
+    )
+    assert out1 != out3
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)], "id long, w long"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", 10).collect()]
+    assert got == [1]
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)

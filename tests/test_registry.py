@@ -54,6 +54,8 @@ DEMOTED_TAIL = {
     "orders_merge_stream",
     "q22_dormant_customers",
     "ob_l1_metrics",
+    "ob_vwap_buckets",
+    "q15_top_supplier",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
