@@ -1328,6 +1328,50 @@ GROUP BY user_id
 """
 
 
+def _part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-order graph (parts are adjacent
+    when some order contains both) — exactly-once enumeration via the
+    degree-ordered orientation (wedge work bounded O(m^1.5) regardless of
+    hub skew); exact BIGINT counts."""
+    from polars_order_book_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(y, "l_orderkey").where(
+        F.col("x.l_partkey") != F.col("y.l_partkey")
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+PART_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS u,
+                  greatest(x.l_partkey, y.l_partkey) AS v
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+), both_dirs AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT u AS n, count(*) AS d FROM both_dirs GROUP BY u),
+oriented AS (
+  SELECT b.u, b.v FROM both_dirs b
+  JOIN deg du ON b.u = du.n JOIN deg dv ON b.v = dv.n
+  WHERE du.d < dv.d OR (du.d = dv.d AND b.u < b.v)
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b AS node FROM tris
+  UNION ALL SELECT c AS node FROM tris
+)
+SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
+
 def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the customer->supplier purchase graph
     (distinct (o_custkey, l_suppkey) edges; supplier node ids offset so the
@@ -2752,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interpolate_daily": hq.events_interpolate_daily,
         "documents_weighted_sample": _docs_weighted_sample,
         "documents_fuzzy_pairs": _docs_fuzzy_pairs,
+        "part_triangle_counts": _part_triangles,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2778,7 +2823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream_append": _events_hourly_stream_append,
         "events_enriched_stream": _events_enriched_stream,
         "bookgen_source_agg": _bookgen_source_agg,
-        "documents_sentences": hq.documents_sentences,
         "documents_curation_pipeline": _documents_curation_pipeline,
         "events_asof_next_purchase": _events_asof_forward,
         "part_unpivot_metrics": _part_unpivot,
@@ -2812,6 +2856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-head q2; pinned by the local oracle gate.
         "ob_vwap_buckets": _ob_vwap,
         "q15_top_supplier": hq.q15_top_supplier,
+        # documents_sentences: pure built-in regexp projection, pinned by
+        # the local oracle gate + test_sql_parity.
+        "documents_sentences": hq.documents_sentences,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -2965,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interpolate_daily": hq.EVENTS_INTERPOLATE_SQL,
         "documents_weighted_sample": _docs_weighted_sample_sql(),
         "documents_fuzzy_pairs": DOCS_FUZZY_PAIRS_SQL,
+        "part_triangle_counts": PART_TRIANGLES_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -61,6 +61,17 @@ def main() -> None:
         "ob_realized_variance",
         "part_snapshot_diff",
         "events_value_deciles",
+        # r4 session-3 additions (part_triangle_counts deliberately excluded:
+        # the sf0.1 co-order graph is dense and the O(m^1.5) wedge bound is
+        # ~30s of real work — measured and documented in SCALE.md)
+        "ob_ofi",
+        "ob_ohlc_bars",
+        "events_ols_trend",
+        "events_markov_transitions",
+        "events_anomaly_zscore",
+        "events_interpolate_daily",
+        "documents_weighted_sample",
+        "documents_fuzzy_pairs",
     ]
     qs = E.queries()
 

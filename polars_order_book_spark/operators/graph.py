@@ -88,3 +88,68 @@ def pagerank(
             ).cast("long").alias("rank_scaled"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (community density, link-spam detection, dedup-
+    cluster quality) computed with the degree-ordered orientation that
+    makes distributed triangle enumeration tractable.
+
+    Input edges may be directed, duplicated, or self-looped; they are
+    canonicalized (undirected distinct, loops dropped) first. Each edge is
+    then ORIENTED from its lower-ranked to higher-ranked endpoint, rank =
+    (degree, node id) lexicographic. Every triangle {u,v,w} survives as
+    exactly one path u→v→w plus the closing edge u→w, so a wedge self-join
+    + one semi-join-like equi-join counts each triangle once — no /6
+    correction, no double counting.
+
+    Why orientation matters at scale: wedge work is Σ outdeg(n)², and
+    degree-ordering bounds outdegree by O(√m) even when raw degrees are
+    power-law — the hub's million neighbors generate wedges at the LOW-
+    degree endpoints instead. This is the standard MR triangle algorithm
+    (Suri & Vassilvitskii's partition variant shares the bound).
+
+    Output: (node, n_triangles) for every node in ≥1 triangle, exact
+    BIGINTs. Three shuffles: degree agg, wedge join on the middle node,
+    closing-edge join on (u,w) — all equi-joins, salting-free by the
+    orientation bound.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    undirected = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    both_dirs = undirected.unionByName(
+        undirected.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both_dirs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranked = (
+        both_dirs.join(deg.withColumnRenamed("u", "n").withColumnRenamed("d", "du"),
+                       F.col("u") == F.col("n")).drop("n")
+        .join(deg.withColumnRenamed("u", "n").withColumnRenamed("d", "dv"),
+              F.col("v") == F.col("n")).drop("n")
+    )
+    oriented = ranked.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, on="b").where(F.col("a") != F.col("c"))
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closing, on=["a", "c"])
+
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return per_node.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -97,3 +97,36 @@ def test_pagerank_matches_python_model(spark, edges, iters):
         for r in pagerank(_edges(spark, edges), iters=iters).collect()
     }
     assert got == _pagerank_py(edges, iters=iters)
+
+
+# --- triangle counting -------------------------------------------------------
+
+def test_triangle_count_k4_minus_edge(spark):
+    from polars_order_book_spark.operators.graph import triangle_count
+
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_ignores_duplicates_direction_and_loops(spark):
+    from polars_order_book_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_triangle_free_graph_is_empty(spark):
+    from polars_order_book_spark.operators.graph import triangle_count
+
+    # 4-cycle: no triangles.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert triangle_count(edges).collect() == []

@@ -56,6 +56,7 @@ DEMOTED_TAIL = {
     "ob_l1_metrics",
     "ob_vwap_buckets",
     "q15_top_supplier",
+    "documents_sentences",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
