@@ -1278,6 +1278,68 @@ GROUP BY book, seq // 500
 """
 
 
+def _ob_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible depth + book imbalance over the top-3 levels per event per
+    book — row-wise projection composed directly on the keyed book output
+    (no extra shuffle); absent levels contribute zero, empty sides stay
+    null, imbalance is the single final double division."""
+    from polars_order_book_spark.operators.market import depth_profile
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=3)
+    return depth_profile(snaps, 3, by=["book"])
+
+
+def _ob_depth_profile_sql() -> str:
+    inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 3, "mutations", key="book")
+    return f"""
+WITH s AS ({inner}),
+d AS (
+    SELECT book, seq,
+           CASE WHEN bid_qty_1 IS NOT NULL
+                THEN bid_qty_1 + COALESCE(bid_qty_2, 0) + COALESCE(bid_qty_3, 0)
+           END AS bid_depth,
+           CASE WHEN ask_qty_1 IS NOT NULL
+                THEN ask_qty_1 + COALESCE(ask_qty_2, 0) + COALESCE(ask_qty_3, 0)
+           END AS ask_depth
+    FROM s
+)
+SELECT book, seq, bid_depth, ask_depth,
+       CASE WHEN bid_depth IS NOT NULL AND ask_depth IS NOT NULL
+            THEN CAST(bid_depth AS DOUBLE) / CAST(bid_depth + ask_depth AS DOUBLE)
+       END AS imbalance
+FROM d
+"""
+
+
+def _supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pairs with Jaccard >= 0.12 over their distinct part sets —
+    exact set-similarity self-join through the inverted part index
+    (triangle-salted; pair multiplicity = intersection size, one groupBy
+    finishes it); jaccard is one division of exact BIGINTs."""
+    from polars_order_book_spark.operators.similarity import jaccard_similarity_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return jaccard_similarity_pairs(
+        li, entity_col="l_suppkey", item_col="l_partkey", threshold=0.12
+    )
+
+
+SUPPLIER_SIMILARITY_SQL = """
+WITH ps AS (SELECT DISTINCT l_suppkey AS e, l_partkey AS i FROM lineitem),
+sizes AS (SELECT e, count(*) AS n FROM ps GROUP BY e),
+inter AS (
+    SELECT a.e AS entity_a, b.e AS entity_b, count(*) AS n_shared
+    FROM ps a JOIN ps b ON a.i = b.i AND a.e < b.e
+    GROUP BY a.e, b.e
+)
+SELECT entity_a, entity_b, n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
+FROM inter JOIN sizes x ON entity_a = x.e JOIN sizes y ON entity_b = y.e
+WHERE CAST(n_shared AS DOUBLE) / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.12
+"""
+
+
 def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user lifetime profile accumulator (count, exact
     scaled-integer value sum, last-seen micros) — arbitrary stateful
@@ -2797,11 +2859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_weighted_sample": _docs_weighted_sample,
         "documents_fuzzy_pairs": _docs_fuzzy_pairs,
         "part_triangle_counts": _part_triangles,
+        "ob_depth_profile": _ob_depth_profile,
+        "supplier_similarity": _supplier_similarity,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
         "q11_important_parts": hq.q11_important_parts,
-        "q12_late_shipments": hq.q12_late_shipments,
         "q16_supplier_variety": hq.q16_supplier_variety,
         "q17_small_qty_revenue": hq.q17_small_qty_revenue,
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
@@ -2830,7 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: no driver signal yet (10) ---
         "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
-        "q14_promo_revenue": hq.q14_promo_revenue,
         "q18_large_orders": hq.q18_large_orders,
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "events_cohort_setops": hq.events_cohort_setops,
@@ -2859,6 +2921,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents_sentences: pure built-in regexp projection, pinned by
         # the local oracle gate + test_sql_parity.
         "documents_sentences": hq.documents_sentences,
+        # q12/q14: conditional-aggregation family; the shape keeps head
+        # signal via q8 (conditional share) and q19 (disjunctive filter),
+        # values pinned by the local oracle gate.
+        "q12_late_shipments": hq.q12_late_shipments,
+        "q14_promo_revenue": hq.q14_promo_revenue,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3013,6 +3080,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_weighted_sample": _docs_weighted_sample_sql(),
         "documents_fuzzy_pairs": DOCS_FUZZY_PAIRS_SQL,
         "part_triangle_counts": PART_TRIANGLES_SQL,
+        "ob_depth_profile": _ob_depth_profile_sql(),
+        "supplier_similarity": SUPPLIER_SIMILARITY_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -191,6 +191,52 @@ def ohlc_bars(
     )
 
 
+def depth_profile(
+    snapshots: DataFrame,
+    n: int,
+    *,
+    by: "list[str]" = (),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Aggregate visible depth and book imbalance over the top-``n`` levels
+    of each snapshot row — the standard liquidity features derived from a
+    top-N feed (imbalance over the visible book predicts short-horizon
+    drift; depth gates order sizing).
+
+    ``bid_depth``/``ask_depth`` sum the present levels' quantities (absent
+    levels contribute nothing — a 2-level book has the depth of 2 levels,
+    not null); sides with NO levels at all yield null depth, preserving
+    the no-quote/zero-quote distinction. ``imbalance`` = bid/(bid+ask) as
+    the single final double division, null unless both sides quote.
+
+    Pure row-wise projection over the snapshot columns — composes onto any
+    book output with zero extra shuffle, exactly like ``l1_metrics``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bid_qs = [F.col(f"bid_qty_{i}") for i in range(1, n + 1)]
+    ask_qs = [F.col(f"ask_qty_{i}") for i in range(1, n + 1)]
+
+    def total(cols):
+        some = cols[0].isNotNull()  # levels fill best-first: level 1 null => side empty
+        s = cols[0]
+        for c in cols[1:]:
+            s = s + F.coalesce(c, F.lit(0))
+        return F.when(some, s)
+
+    bid_d, ask_d = total(bid_qs), total(ask_qs)
+    both = bid_d.isNotNull() & ask_d.isNotNull()
+    return snapshots.select(
+        *by,
+        F.col(seq_col).alias("seq"),
+        bid_d.alias("bid_depth"),
+        ask_d.alias("ask_depth"),
+        F.when(
+            both, bid_d.cast("double") / (bid_d + ask_d).cast("double")
+        ).alias("imbalance"),
+    )
+
+
 def realized_variance(
     l1: DataFrame,
     bucket_size: int,

@@ -571,3 +571,63 @@ def centroid_outliers(
             "dist",
         )
     )
+
+
+def jaccard_similarity_pairs(
+    relation: DataFrame,
+    *,
+    entity_col: str,
+    item_col: str,
+    threshold: float = 0.1,
+    item_cap: int = 2000,
+) -> DataFrame:
+    """All entity pairs whose ITEM SETS overlap with Jaccard >= threshold —
+    set-similarity self-join over a sparse (entity, item) relation
+    (supplier↔part, user↔page, doc↔shingle), the relational cousin of the
+    MinHash pipeline but EXACT, for when the relation is already materialized
+    and |items per entity| is modest.
+
+    Candidate generation is the inverted index: pairs are emitted only
+    through shared items (never all-pairs), via the triangle-salted
+    self-join so a viral item (one shared by a huge share of entities)
+    cannot concentrate its |entities|² pair work in one task. The pair
+    multiplicity across items IS the intersection size, so one
+    groupBy((a,b)) count finishes it; set sizes join back from an
+    entity-sized aggregate (broadcast when small). jaccard =
+    i / (|A| + |B| - i): exact BIGINTs, one final double division —
+    engine-portable bit-for-bit.
+
+    Output: (entity_a < entity_b, n_shared, jaccard). Cost is inherently
+    Σ_item (entities-per-item choose 2); ``item_cap`` bounds per-task work,
+    and callers should pre-drop stopword-like items (appearing in ~every
+    entity) the same way text dedup drops stopword shingles.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from polars_order_book_spark.functions.skew import salted_pair_join
+
+    ps = relation.select(
+        F.col(entity_col).alias("_e"), F.col(item_col).alias("_i")
+    ).distinct()
+    sizes = ps.groupBy("_e").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        salted_pair_join(ps, ["_i"], "_e", "entity_a", "entity_b", item_cap)
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_e").alias("entity_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_e").alias("entity_b"), F.col("_n").alias("_nb"))
+    # No forced broadcast: sizes is entity-sized and may be huge; AQE picks
+    # broadcast automatically whenever the aggregate lands under the
+    # threshold, and falls back to a safe shuffle join when it doesn't.
+    out = (
+        inter.join(sa, "entity_a")
+        .join(sb, "entity_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("entity_a", "entity_b", "n_shared", "jaccard")

@@ -101,3 +101,28 @@ def test_realized_variance_breaks_chain_at_null(spark):
     # moves: 24-20=4 (rv 16/4=4); 3->None and None->4 dropped; 30-30=0
     assert out[0]["rv_ticks2"] == pytest.approx((4 * 4 + 0) / 4.0)
     assert out[0]["n_moves"] == 2
+
+
+def test_depth_profile_partial_levels_and_empty_side(spark):
+    from polars_order_book_spark.operators.market import depth_profile
+
+    snaps = spark.createDataFrame(
+        [
+            # full book: depths 4+2+1 vs 3+5+7
+            (0, 1, 10, 4, 9, 2, 8, 1, 12, 3, 13, 5, 14, 7),
+            # only 1 bid level, no asks at all
+            (0, 2, 10, 4, None, None, None, None, None, None, None, None, None, None),
+        ],
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "bid_price_2 long, bid_qty_2 long, bid_price_3 long, bid_qty_3 long, "
+        "ask_price_1 long, ask_qty_1 long, ask_price_2 long, ask_qty_2 long, "
+        "ask_price_3 long, ask_qty_3 long",
+    )
+    out = {r["seq"]: r for r in depth_profile(snaps, 3, by=["book"]).collect()}
+    assert out[1]["bid_depth"] == 7 and out[1]["ask_depth"] == 15
+    assert out[1]["imbalance"] == pytest.approx(7 / 22)
+    assert out[2]["bid_depth"] == 4          # partial book still has depth
+    assert out[2]["ask_depth"] is None       # empty side is null, not zero
+    assert out[2]["imbalance"] is None
+    with pytest.raises(ValueError):
+        depth_profile(snaps, 0)

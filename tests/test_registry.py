@@ -57,6 +57,8 @@ DEMOTED_TAIL = {
     "ob_vwap_buckets",
     "q15_top_supplier",
     "documents_sentences",
+    "q12_late_shipments",
+    "q14_promo_revenue",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",

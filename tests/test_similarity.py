@@ -195,3 +195,42 @@ def test_centroid_outliers_median_ignores_extreme(spark):
     for i in range(5):
         assert out[i] == 0.0
     assert out[9] > 1e5
+
+
+# --- exact set-similarity join -----------------------------------------------
+
+def test_jaccard_similarity_pairs_exact_values(spark):
+    from polars_order_book_spark.operators.similarity import (
+        jaccard_similarity_pairs,
+    )
+
+    rel = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3),
+         ("b", 2), ("b", 3), ("b", 4),
+         ("c", 9),
+         ("a", 2)],  # duplicate row must not inflate intersection
+        "s string, p long",
+    )
+    out = {(r["entity_a"], r["entity_b"]): r
+           for r in jaccard_similarity_pairs(
+               rel, entity_col="s", item_col="p", threshold=0.1).collect()}
+    assert list(out) == [("a", "b")]           # c shares nothing
+    assert out[("a", "b")]["n_shared"] == 2
+    assert out[("a", "b")]["jaccard"] == pytest.approx(2 / 4)
+
+
+def test_jaccard_similarity_threshold_filters_and_guardrail(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.similarity import (
+        jaccard_similarity_pairs,
+    )
+
+    rel = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "s string, p long"
+    )
+    # jaccard(a,b) = 1/3
+    assert jaccard_similarity_pairs(
+        rel, entity_col="s", item_col="p", threshold=0.5).collect() == []
+    with _pytest.raises(ValueError):
+        jaccard_similarity_pairs(rel, entity_col="s", item_col="p", threshold=0)
