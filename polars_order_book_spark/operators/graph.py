@@ -136,10 +136,19 @@ def triangle_count(
         .join(deg.withColumnRenamed("u", "n").withColumnRenamed("d", "dv"),
               F.col("v") == F.col("n")).drop("n")
     )
-    oriented = ranked.where(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    # localCheckpoint: `oriented` feeds THREE join instances (two wedge
+    # sides + the closing edge). Without lineage truncation Spark re-derives
+    # the whole canonicalize+degree+orient subtree per instance (~9x
+    # recomputation, measured as a 150-join physical plan); checkpointing
+    # computes it once and the joins read the materialized partitions.
+    oriented = (
+        ranked.where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
 
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -147,9 +156,9 @@ def triangle_count(
     closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = wedges.join(closing, on=["a", "c"])
 
-    per_node = (
-        tris.select(F.col("a").alias("node"))
-        .unionByName(tris.select(F.col("b").alias("node")))
-        .unionByName(tris.select(F.col("c").alias("node")))
+    # explode instead of a 3-way self-union: one pass over the triangle
+    # relation instead of three re-evaluations of the two-join subtree.
+    per_node = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return per_node.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -606,9 +606,14 @@ def jaccard_similarity_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from polars_order_book_spark.functions.skew import salted_pair_join
 
-    ps = relation.select(
-        F.col(entity_col).alias("_e"), F.col(item_col).alias("_i")
-    ).distinct()
+    # localCheckpoint: `ps` feeds the size aggregate AND both sides of the
+    # salted pair join (plus its hot-key probe) — four evaluations of the
+    # distinct without lineage truncation.
+    ps = (
+        relation.select(F.col(entity_col).alias("_e"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = ps.groupBy("_e").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         salted_pair_join(ps, ["_i"], "_e", "entity_a", "entity_b", item_cap)

@@ -74,6 +74,17 @@ HEADLINE = [
     "ob_vwap_buckets",
     "ob_l1_metrics",
     "ob_realized_variance",
+    "ob_ofi",
+    "ob_ohlc_bars",
+    "ob_depth_profile",
+    "events_ols_trend",
+    "events_markov_transitions",
+    "events_anomaly_zscore",
+    "events_interpolate_daily",
+    "documents_weighted_sample",
+    "documents_fuzzy_pairs",
+    "part_triangle_counts",
+    "supplier_similarity",
 ]
 
 
