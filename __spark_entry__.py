@@ -1334,7 +1334,9 @@ inter AS (
     GROUP BY a.e, b.e
 )
 SELECT entity_a, entity_b, n_shared,
-       CAST(n_shared AS DOUBLE) / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
+       CAST(n_shared AS DOUBLE) / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard,
+       CAST(n_shared AS DOUBLE) / CAST(x.n AS DOUBLE) AS containment_a,
+       CAST(n_shared AS DOUBLE) / CAST(y.n AS DOUBLE) AS containment_b
 FROM inter JOIN sizes x ON entity_a = x.e JOIN sizes y ON entity_b = y.e
 WHERE CAST(n_shared AS DOUBLE) / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.12
 """
@@ -2413,6 +2415,32 @@ WHERE rank <= 10
 """
 
 
+def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH index against the exact brute-force neighbors,
+    per query — the accuracy half of the ANN speed/accuracy trade, as a
+    first-class query (tune n_planes until this clears the bar, then ship
+    the cheap index). Exact counts, one co-partitioned join."""
+    return similarity.topk_recall(
+        _ann_lsh(spark, sf_dir), _ann_bruteforce(spark, sf_dir)
+    )
+
+
+ANN_RECALL_LSH_SQL = f"""
+WITH approx AS ({ANN_LSH_SQL}),
+exact AS ({ANN_SQL}),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2861,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangle_counts": _part_triangles,
         "ob_depth_profile": _ob_depth_profile,
         "supplier_similarity": _supplier_similarity,
+        "ann_recall_lsh": _ann_recall_lsh,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2891,7 +2920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot_metrics": _part_unpivot,
         "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
-        "q4_priority_count": hq.q4_priority_count,
         "q7_volume_shipping": hq.q7_volume_shipping,
         "q18_large_orders": hq.q18_large_orders,
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
@@ -2926,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # values pinned by the local oracle gate.
         "q12_late_shipments": hq.q12_late_shipments,
         "q14_promo_revenue": hq.q14_promo_revenue,
+        "q4_priority_count": hq.q4_priority_count,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3082,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangle_counts": PART_TRIANGLES_SQL,
         "ob_depth_profile": _ob_depth_profile_sql(),
         "supplier_similarity": SUPPLIER_SIMILARITY_SQL,
+        "ann_recall_lsh": ANN_RECALL_LSH_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

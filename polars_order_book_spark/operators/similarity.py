@@ -635,4 +635,57 @@ def jaccard_similarity_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out.select("entity_a", "entity_b", "n_shared", "jaccard")
+    # Containment (|A∩B|/|A|) alongside Jaccard: the asymmetric measure that
+    # catches subset relations Jaccard dilutes (a doc fully contained in a
+    # 10x-larger one has jaccard ~0.1 but containment 1.0).
+    return out.select(
+        "entity_a",
+        "entity_b",
+        "n_shared",
+        "jaccard",
+        (F.col("n_shared").cast("double") / F.col("_na").cast("double")).alias(
+            "containment_a"
+        ),
+        (F.col("n_shared").cast("double") / F.col("_nb").cast("double")).alias(
+            "containment_b"
+        ),
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one — the eval harness every ANN deployment needs before trading
+    accuracy for speed (tune n_planes / nprobe until recall@k clears the
+    product bar, THEN ship the cheap index).
+
+    Both inputs are (query, neighbor[, ...]) top-k tables, e.g. the outputs
+    of ``cosine_topk_lsh`` and ``cosine_topk_bruteforce`` on the same query
+    set. recall = |approx ∩ exact| / |exact| per query (exact-set size, not
+    a fixed k, so truncated result sets score honestly). One co-partitioned
+    equi-join on (query, neighbor) + one queries-sized groupBy; exact
+    BIGINT counts, one final division.
+    """
+    a = approx.select(F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n"))
+    e = exact.select(F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n"))
+    hits = a.join(e, ["_q", "_n"]).groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        totals.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.col("n_exact"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

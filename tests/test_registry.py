@@ -59,6 +59,7 @@ DEMOTED_TAIL = {
     "documents_sentences",
     "q12_late_shipments",
     "q14_promo_revenue",
+    "q4_priority_count",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",

@@ -217,6 +217,8 @@ def test_jaccard_similarity_pairs_exact_values(spark):
     assert list(out) == [("a", "b")]           # c shares nothing
     assert out[("a", "b")]["n_shared"] == 2
     assert out[("a", "b")]["jaccard"] == pytest.approx(2 / 4)
+    assert out[("a", "b")]["containment_a"] == pytest.approx(2 / 3)
+    assert out[("a", "b")]["containment_b"] == pytest.approx(2 / 3)
 
 
 def test_jaccard_similarity_threshold_filters_and_guardrail(spark):
@@ -234,3 +236,18 @@ def test_jaccard_similarity_threshold_filters_and_guardrail(spark):
         rel, entity_col="s", item_col="p", threshold=0.5).collect() == []
     with _pytest.raises(ValueError):
         jaccard_similarity_pairs(rel, entity_col="s", item_col="p", threshold=0)
+
+
+def test_topk_recall_counts_and_misses(spark):
+    from polars_order_book_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 33)], "query_id long, neighbor_id long"
+    )
+    out = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["n_exact"] == 2
+    assert out[1]["recall"] == pytest.approx(0.5)
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0  # total miss row kept
