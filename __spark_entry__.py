@@ -2890,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_depth_profile": _ob_depth_profile,
         "supplier_similarity": _supplier_similarity,
         "ann_recall_lsh": _ann_recall_lsh,
+        "events_winsorize": hq.events_winsorize,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2920,7 +2921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot_metrics": _part_unpivot,
         "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
-        "q7_volume_shipping": hq.q7_volume_shipping,
         "q18_large_orders": hq.q18_large_orders,
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "events_cohort_setops": hq.events_cohort_setops,
@@ -2955,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_shipments": hq.q12_late_shipments,
         "q14_promo_revenue": hq.q14_promo_revenue,
         "q4_priority_count": hq.q4_priority_count,
+        # q7: two-role nation-join family keeps head signal via q8
+        "q7_volume_shipping": hq.q7_volume_shipping,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3112,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_depth_profile": _ob_depth_profile_sql(),
         "supplier_similarity": SUPPLIER_SIMILARITY_SQL,
         "ann_recall_lsh": ANN_RECALL_LSH_SQL,
+        "events_winsorize": hq.EVENTS_WINSORIZE_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -2116,3 +2116,58 @@ SELECT user_id, day,
        v IS NOT NULL AS is_observed
 FROM filled
 """
+
+
+# --- percentile winsorization -------------------------------------------------
+
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type P5/P95 winsorization report — the outlier-clamping step of
+    feature normalization, as clamp-and-aggregate (the clamped COLUMN is
+    what a pipeline materializes; the per-type report is what the driver
+    can hash). Exact interpolated percentiles (same engine-parity contract
+    as events_value_quantiles) join back onto the facts; at bounded type
+    cardinality AQE broadcasts the 5-row bounds relation, so the fact side
+    never shuffles. Clamped sums are decimal-exact.
+
+    At 100 TB: swap percentile() for approx_percentile() and accept an
+    epsilon bound shift — the clamp join and aggregate shapes are unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.05D, 0.95D))")
+    bounds = ev.groupBy("event_type").agg(
+        qs[0].alias("_lo"), qs[1].alias("_hi")
+    )
+    clamped = ev.join(bounds, "event_type").select(
+        "event_type",
+        "value",
+        "_lo",
+        "_hi",
+        F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias("_w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") < F.col("_lo")).cast("long")).alias("n_clamped_low"),
+        F.sum((F.col("value") > F.col("_hi")).cast("long")).alias("n_clamped_high"),
+        F.min("_lo").alias("p05"),
+        F.min("_hi").alias("p95"),
+        F.sum(_dec(F.col("_w"), 18, 6)).cast("double").alias("sum_winsorized"),
+    )
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type
+), clamped AS (
+    SELECT e.event_type, e.value, b.lo, b.hi,
+           least(greatest(e.value, b.lo), b.hi) AS w
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+       min(lo) AS p05, min(hi) AS p95,
+       CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+FROM clamped GROUP BY event_type
+"""

@@ -145,3 +145,66 @@ def test_property_modify_a_equals_b(spark, rows, n):
     b = by_seq(top_n_levels_relational(deltas, n=n, variant="mutations"), cols)
     assert set(a) == set(b)  # every input seq must appear in both
     assert a == b
+
+
+# --- triangle counting vs brute force ---------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_property_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from polars_order_book_spark.operators.graph import triangle_count
+
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in adj for n in e})
+    expected = {}
+    for u, v, w in combinations(nodes, 3):
+        if ((u, v) in adj and (u, w) in adj and (v, w) in adj):
+            for n in (u, v, w):
+                expected[n] = expected.get(n, 0) + 1
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"  # empty-list schema workaround
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == expected
+
+
+# --- gap-fill invariants ------------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    obs=st.dictionaries(
+        st.integers(0, 12), st.integers(-50, 50), min_size=1, max_size=6
+    )
+)
+def test_property_gap_fill_monotone_between_neighbors(spark, obs):
+    """Filled values are exact at observations, and every hole lies within
+    [min(prev, next), max(prev, next)] of its bracketing observations."""
+    from polars_order_book_spark.operators.timeseries import gap_fill_linear
+
+    rows = [("k", i, float(v)) for i, v in obs.items()]
+    df = spark.createDataFrame(rows, "k string, idx long, value double")
+    out = sorted(
+        gap_fill_linear(df, by=["k"], idx_col="idx", value_col="value").collect(),
+        key=lambda r: r["idx"],
+    )
+    lo, hi = min(obs), max(obs)
+    assert [r["idx"] for r in out] == list(range(lo, hi + 1))
+    sorted_obs = sorted(obs.items())
+    for r in out:
+        if r["idx"] in obs:
+            assert r["is_observed"] and r["value"] == float(obs[r["idx"]])
+        else:
+            prev = max((i, v) for i, v in sorted_obs if i < r["idx"])
+            nxt = min((i, v) for i, v in sorted_obs if i > r["idx"])
+            lo_v, hi_v = sorted((prev[1], nxt[1]))
+            assert lo_v - 1e-9 <= r["value"] <= hi_v + 1e-9
+            assert not r["is_observed"]

@@ -60,6 +60,7 @@ DEMOTED_TAIL = {
     "q12_late_shipments",
     "q14_promo_revenue",
     "q4_priority_count",
+    "q7_volume_shipping",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
