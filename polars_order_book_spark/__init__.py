@@ -44,24 +44,31 @@ from polars_order_book_spark.operators.sampling import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    weighted_sample,
 )
 from polars_order_book_spark.operators.constraints import (
     check_constraints,
     observe_quality,
 )
 from polars_order_book_spark.operators.diff import diff_snapshots
-from polars_order_book_spark.operators.graph import pagerank
+from polars_order_book_spark.operators.graph import pagerank, triangle_count
 from polars_order_book_spark.operators.market import (
+    depth_profile,
     l1_metrics,
+    ohlc_bars,
+    order_flow_imbalance,
     realized_variance,
     vwap_by_bucket,
 )
+from polars_order_book_spark.operators.timeseries import gap_fill_linear
 from polars_order_book_spark.operators.merge import latest_changes, merge_upsert
 from polars_order_book_spark.operators.nbbo import nbbo
 from polars_order_book_spark.operators.similarity import (
     centroid_outliers,
     dequantize_int8,
+    jaccard_similarity_pairs,
     quantize_int8,
+    topk_recall,
 )
 from polars_order_book_spark.operators.text import (
     dup_span_stats,
@@ -103,6 +110,14 @@ __all__ = [
     "vwap_by_bucket",
     "l1_metrics",
     "realized_variance",
+    "order_flow_imbalance",
+    "ohlc_bars",
+    "depth_profile",
+    "triangle_count",
+    "gap_fill_linear",
+    "weighted_sample",
+    "jaccard_similarity_pairs",
+    "topk_recall",
     "check_constraints",
     "observe_quality",
     "get_spark",
