@@ -585,6 +585,36 @@ SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
 """
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: the columnar format Spark supports natively besides
+    parquet (warehouse interop — Hive/Trino estates are ORC-heavy). Write
+    the orders table to ORC (zlib, the ORC default), read it back, hash
+    against DuckDB reading the ORIGINAL parquet — proves type fidelity
+    (BIGINT/DOUBLE/VARCHAR/TIMESTAMP) across the format boundary. ORC
+    timestamps round-trip as TIMESTAMP under the session's UTC pin; the
+    epoch-seconds export keeps the oracle encoding-agnostic."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/orders"
+    orders.write.mode("overwrite").format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("o_date_epoch"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_date_epoch
+FROM orders
+"""
+
+
 EVENTS_SESSIONS_STREAM_SQL = f"""
 WITH flagged AS (
     SELECT user_id, event_id, ts,
@@ -2891,12 +2921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_similarity": _supplier_similarity,
         "ann_recall_lsh": _ann_recall_lsh,
         "events_winsorize": hq.events_winsorize,
+        "orders_orc_roundtrip": _orc_roundtrip,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
         "q11_important_parts": hq.q11_important_parts,
         "q16_supplier_variety": hq.q16_supplier_variety,
-        "q17_small_qty_revenue": hq.q17_small_qty_revenue,
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         "q21_waiting_suppliers": hq.q21_waiting_suppliers,
         "events_attribution_stream": _events_attribution_stream,
@@ -2957,6 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_count": hq.q4_priority_count,
         # q7: two-role nation-join family keeps head signal via q8
         "q7_volume_shipping": hq.q7_volume_shipping,
+        # q17: correlated-aggregate family keeps head signal via q2/q20
+        "q17_small_qty_revenue": hq.q17_small_qty_revenue,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3115,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_similarity": SUPPLIER_SIMILARITY_SQL,
         "ann_recall_lsh": ANN_RECALL_LSH_SQL,
         "events_winsorize": hq.EVENTS_WINSORIZE_SQL,
+        "orders_orc_roundtrip": ORC_ROUNDTRIP_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -61,6 +61,7 @@ DEMOTED_TAIL = {
     "q14_promo_revenue",
     "q4_priority_count",
     "q7_volume_shipping",
+    "q17_small_qty_revenue",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
