@@ -196,3 +196,27 @@ def test_q18_broadcasts_having_agg(spark):
     plan = plan_of(hq.q18_large_orders(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@needs_testdata
+def test_weighted_sample_uses_take_ordered_not_global_sort(spark):
+    """orderBy+limit must compile to per-partition TakeOrderedAndProject —
+    a global Sort+Exchange would move the whole table for k rows."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["documents_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+@needs_testdata
+def test_triangle_count_plan_is_checkpoint_compact(spark):
+    """The oriented relation is lineage-truncated: the physical plan must
+    not re-derive the canonicalize+degree subtree per join instance (the
+    unchecked plan had ~150 joins; the compact one has a handful)."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["part_triangle_counts"](spark, SF_DIR))
+    joins = plan.count("Join")
+    assert joins <= 20, f"triangle plan re-derives lineage: {joins} joins"
+    assert "CartesianProduct" not in plan
