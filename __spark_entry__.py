@@ -2922,12 +2922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": _ann_recall_lsh,
         "events_winsorize": hq.events_winsorize,
         "orders_orc_roundtrip": _orc_roundtrip,
+        "events_pattern_3grams": hq.events_pattern_3grams,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
         "q11_important_parts": hq.q11_important_parts,
         "q16_supplier_variety": hq.q16_supplier_variety,
-        "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         "q21_waiting_suppliers": hq.q21_waiting_suppliers,
         "events_attribution_stream": _events_attribution_stream,
         "documents_stratified_sample": _docs_stratified_sample,
@@ -2987,8 +2987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_count": hq.q4_priority_count,
         # q7: two-role nation-join family keeps head signal via q8
         "q7_volume_shipping": hq.q7_volume_shipping,
-        # q17: correlated-aggregate family keeps head signal via q2/q20
+        # q17/q20: correlated-aggregate family keeps head signal via q2
         "q17_small_qty_revenue": hq.q17_small_qty_revenue,
+        "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3148,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_lsh": ANN_RECALL_LSH_SQL,
         "events_winsorize": hq.EVENTS_WINSORIZE_SQL,
         "orders_orc_roundtrip": ORC_ROUNDTRIP_SQL,
+        "events_pattern_3grams": hq.EVENTS_PATTERN_3GRAMS_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

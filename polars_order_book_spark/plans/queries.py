@@ -2171,3 +2171,70 @@ SELECT event_type, count(*) AS n,
        CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
 FROM clamped GROUP BY event_type
 """
+
+
+# --- frequent behavioral sequence patterns -----------------------------------
+
+def events_pattern_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-3 event-type sequences per user stream (sliding, not
+    tumbling: every consecutive triple counts) with support = fraction of
+    users exhibiting the pattern — the sequence-mining feature behind
+    funnel discovery. Two lag columns from ONE window pass (same sort),
+    distinct per (user, pattern) before support so a user looping a pattern
+    counts once; counts exact, support one final division by the exact
+    user total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    pat = triples.select(
+        "user_id", F.concat_ws(">", "t1", "t2", "t3").alias("pattern")
+    )
+    per_user = pat.distinct()
+    # Lazy total via a 1-row broadcast (the whitelisted normalizer-BNLJ
+    # pattern, same as orders_quality_report) — no eager job at
+    # construction time.
+    total = ev.agg(F.count_distinct("user_id").alias("__nu"))
+    counts = pat.groupBy("pattern").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    users = per_user.groupBy("pattern").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        counts.join(users, "pattern")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pattern",
+            "n_occurrences",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("__nu").cast("double")).alias(
+                "user_support"
+            ),
+        )
+        .where(F.col("n_users") >= 2)
+    )
+
+
+EVENTS_PATTERN_3GRAMS_SQL = """
+WITH triples AS (
+    SELECT user_id,
+           lag(event_type, 2) OVER w AS t1,
+           lag(event_type, 1) OVER w AS t2,
+           event_type AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pat AS (
+    SELECT user_id, concat_ws('>', t1, t2, t3) AS pattern
+    FROM triples WHERE t1 IS NOT NULL
+), counts AS (
+    SELECT pattern, count(*) AS n_occurrences FROM pat GROUP BY pattern
+), users AS (
+    SELECT pattern, count(*) AS n_users
+    FROM (SELECT DISTINCT user_id, pattern FROM pat) GROUP BY pattern
+), tot AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+SELECT c.pattern, c.n_occurrences, u.n_users,
+       CAST(u.n_users AS DOUBLE) / CAST(tot.nu AS DOUBLE) AS user_support
+FROM counts c JOIN users u ON c.pattern = u.pattern, tot
+WHERE u.n_users >= 2
+"""

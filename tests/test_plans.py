@@ -122,6 +122,12 @@ _BNLJ_WHITELIST = {
     # quality report: the FK row cross-joins the 1-row violation count with
     # the 1-row n_checked aggregate — both sides single-row by construction
     "orders_quality_report",
+    # inherits ann_cosine_topk's whitelisted broadcast-query cross join on
+    # its exact (denominator) side; the approx side stays bucketed
+    "ann_recall_lsh",
+    # 1-row distinct-user-total normalizer crossed against the pattern
+    # aggregate (the orders_quality_report pattern)
+    "events_pattern_3grams",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -62,6 +62,7 @@ DEMOTED_TAIL = {
     "q4_priority_count",
     "q7_volume_shipping",
     "q17_small_qty_revenue",
+    "q20_concentrated_suppliers",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
