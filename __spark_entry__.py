@@ -971,6 +971,22 @@ WHERE levenshtein(a.pfx, b.pfx) <= 10
 """
 
 
+def _docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 128-char windows advancing by 96 (32 overlap) per
+    document — map-only JVM expansion (sequence+explode+substr), chunk
+    count in exact integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_text(docs, size=128, overlap=32)
+
+
+DOCS_CHUNKS_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_no, CAST(i * 96 AS BIGINT) AS char_start,
+       substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk
+FROM documents,
+     LATERAL (SELECT unnest(range(0, greatest(1, (length(text) - 32 + 95) // 96))) AS i) t
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sample: 5 documents per (lang, source) stratum
     in portable-hash order — balanced eval-set construction. One shuffle on
@@ -2923,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorize": hq.events_winsorize,
         "orders_orc_roundtrip": _orc_roundtrip,
         "events_pattern_3grams": hq.events_pattern_3grams,
+        "documents_chunks": _docs_chunks,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2951,7 +2968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot_metrics": _part_unpivot,
         "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
-        "q18_large_orders": hq.q18_large_orders,
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "events_cohort_setops": hq.events_cohort_setops,
         "text_dup_spans": _text_dup_spans,
@@ -2990,6 +3006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q17/q20: correlated-aggregate family keeps head signal via q2
         "q17_small_qty_revenue": hq.q17_small_qty_revenue,
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
+        # q18: group-filter (HAVING) family keeps head signal via q16/q21
+        "q18_large_orders": hq.q18_large_orders,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3150,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorize": hq.EVENTS_WINSORIZE_SQL,
         "orders_orc_roundtrip": ORC_ROUNDTRIP_SQL,
         "events_pattern_3grams": hq.EVENTS_PATTERN_3GRAMS_SQL,
+        "documents_chunks": DOCS_CHUNKS_SQL,
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -539,3 +539,50 @@ def quality_filter(
             F.col("cutoff").cast("long").alias("cutoff"),
         )
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the retrieval-indexing
+    (RAG) layout step: each document becomes ceil((len-overlap)/stride)
+    windows of ``size`` chars advancing by stride = size - overlap, so
+    every position is covered and chunk boundaries overlap enough that a
+    span split by one boundary is whole in a neighbor.
+
+    Chunk count is pure INTEGER arithmetic ((len - overlap + stride - 1)
+    div stride, min 1), so the expansion is engine-exact; the text never
+    leaves the JVM (sequence + explode + substr — no UDF). Short documents
+    yield exactly one chunk. Downstream: embed chunks, ANN-index them, and
+    as-of/equi-join hits back to (doc_id, char_start) provenance.
+
+    Scale shape: map-only expansion, output ~len/stride rows per doc — the
+    same multiplier everywhere, no shuffle at all.
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    text = F.col(text_col)
+    n = F.greatest(
+        F.lit(1),
+        F.expr(f"(length(`{text_col}`) - {overlap} + {stride - 1}) div {stride}"),
+    )
+    start = F.col("chunk_no") * F.lit(stride)
+    return (
+        df.select(
+            F.col(id_col),
+            text,
+            F.explode(F.sequence(F.lit(0), (n - 1).cast("long"))).alias("chunk_no"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            start.alias("char_start"),
+            text.substr(start + 1, F.lit(size)).alias("chunk"),
+        )
+    )

@@ -63,6 +63,7 @@ DEMOTED_TAIL = {
     "q7_volume_shipping",
     "q17_small_qty_revenue",
     "q20_concentrated_suppliers",
+    "q18_large_orders",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",

@@ -197,3 +197,41 @@ def test_quality_filter_per_group_discrete_percentile(spark):
     assert set(out) == {2, 3, 4, 5, 6, 7, 8, 100}
     assert out[2]["cutoff"] == 2
     assert out[100]["cutoff"] == 2  # rank ceil(0.25*1)=1 -> its own length
+
+
+# --- RAG chunking ------------------------------------------------------------
+
+def test_chunk_text_overlap_and_coverage(spark):
+    from polars_order_book_spark.operators.text import chunk_text
+
+    txt = "".join(chr(ord("a") + i % 26) for i in range(300))
+    df = spark.createDataFrame([(1, txt), (2, "tiny")], "doc_id long, text string")
+    out = sorted(
+        chunk_text(df, size=128, overlap=32).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_no"]),
+    )
+    one = [r for r in out if r["doc_id"] == 1]
+    # ceil((300-32)/96) = 3 chunks at starts 0, 96, 192
+    assert [r["char_start"] for r in one] == [0, 96, 192]
+    assert one[0]["chunk"] == txt[0:128]
+    assert one[1]["chunk"] == txt[96:224]      # 32-char overlap with chunk 0
+    assert one[2]["chunk"] == txt[192:300]     # tail chunk may be short
+    # every character position is covered
+    covered = set()
+    for r in one:
+        covered.update(range(r["char_start"], r["char_start"] + len(r["chunk"])))
+    assert covered == set(range(300))
+    tiny = [r for r in out if r["doc_id"] == 2]
+    assert len(tiny) == 1 and tiny[0]["chunk"] == "tiny"
+
+
+def test_chunk_text_guardrails(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_text(df, size=0)
+    with _pytest.raises(ValueError):
+        chunk_text(df, size=64, overlap=64)
