@@ -586,3 +586,31 @@ def chunk_text(
             text.substr(start + 1, F.lit(size)).alias("chunk"),
         )
     )
+
+
+def chunk_text_udtf_class(size: int = 128, overlap: int = 32):
+    """Python-UDTF chunker — the ESCAPE-HATCH formulation of
+    :func:`chunk_text`, for chunking policies builtins can't express
+    (sentence-boundary snapping, tokenizer-aware splits, per-row adaptive
+    sizes). Returns a class for ``spark.udtf.register`` /
+    ``F.udtf``; output contract matches chunk_text exactly
+    (chunk_no, char_start, chunk), pinned by a parity test.
+
+    Production guidance stays in chunk_text's docstring: when the policy IS
+    expressible with sequence+explode+substr, the JVM path wins (no Python
+    workers in the loop); the UDTF is for when it is not.
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+
+    class ChunkUDTF:
+        def eval(self, text: str):  # noqa: D102 — UDTF contract
+            if text is None:
+                return
+            n = max(1, -(-(len(text) - overlap) // stride))
+            for i in range(n):
+                start = i * stride
+                yield i, start, text[start:start + size]
+
+    return ChunkUDTF

@@ -235,3 +235,29 @@ def test_chunk_text_guardrails(spark):
         chunk_text(df, size=0)
     with _pytest.raises(ValueError):
         chunk_text(df, size=64, overlap=64)
+
+
+def test_chunk_udtf_parity_with_builtin_chunker(spark):
+    """The Python-UDTF escape hatch must reproduce the JVM chunker exactly."""
+    from pyspark.sql.functions import udtf
+
+    from polars_order_book_spark.operators.text import (
+        chunk_text,
+        chunk_text_udtf_class,
+    )
+
+    rows = [(1, "".join(chr(ord("a") + i % 26) for i in range(300))),
+            (2, "tiny"), (3, "x" * 128), (4, "y" * 129)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cls = udtf(chunk_text_udtf_class(128, 32),
+               returnType="chunk_no: bigint, char_start: bigint, chunk: string")
+    spark.udtf.register("chunk_udtf_test", cls)
+    df.createOrReplaceTempView("chunk_docs_test")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.char_start, c.chunk "
+        "FROM chunk_docs_test d, LATERAL chunk_udtf_test(d.text) c"
+    )
+    builtin = chunk_text(df, size=128, overlap=32)
+    assert sorted(map(tuple, via_udtf.collect()), key=lambda t: t[:2]) == \
+           sorted(map(tuple, builtin.select("doc_id", "chunk_no", "char_start", "chunk").collect()), key=lambda t: t[:2])
