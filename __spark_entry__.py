@@ -987,6 +987,64 @@ FROM documents,
 """
 
 
+def _docs_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained retrieval pipeline with ZERO model weights: documents
+    → feature-hashing embeddings (64-dim L2-normalized token-count
+    buckets, text.hash_embed) → exact cosine top-5 neighbors for the first
+    3 docs. Composes the text encoder straight into the ANN operator —
+    the oracle re-derives the whole pipeline in SQL."""
+    from polars_order_book_spark.operators.text import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embed(docs).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+def _docs_hash_embed_knn_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("tok")
+    return f"""
+WITH tk AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+), bc AS (
+    SELECT doc_id, {h} % 64 AS d, count(*) AS c
+    FROM tk WHERE tok <> '' GROUP BY 1, 2
+), ids AS (SELECT DISTINCT doc_id FROM documents),
+grid AS (SELECT ids.doc_id, gs.d FROM ids, (SELECT unnest(range(0, 64)) AS d) gs),
+dense AS (
+    SELECT g.doc_id, g.d, CAST(COALESCE(bc.c, 0) AS DOUBLE) AS c
+    FROM grid g LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.d = bc.d
+), vecs AS (
+    SELECT doc_id, list(c ORDER BY d) AS v FROM dense GROUP BY doc_id
+), unit AS (
+    SELECT doc_id,
+           CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                ELSE v END AS v
+    FROM vecs
+), sim AS (
+    SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+           list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cosine
+    FROM unit n CROSS JOIN (SELECT * FROM unit WHERE doc_id < 3) q
+    WHERE n.doc_id <> q.doc_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sim
+)
+WHERE rank <= 5
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sample: 5 documents per (lang, source) stratum
     in portable-hash order — balanced eval-set construction. One shuffle on
@@ -2940,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_orc_roundtrip": _orc_roundtrip,
         "events_pattern_3grams": hq.events_pattern_3grams,
         "documents_chunks": _docs_chunks,
+        "documents_hash_embed_knn": _docs_hash_embed_knn,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -2969,7 +3028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
-        "events_cohort_setops": hq.events_cohort_setops,
         "text_dup_spans": _text_dup_spans,
         "documents_quality_filter": _documents_quality_filter,
         "orders_merge_apply": _orders_merge_apply,
@@ -3008,6 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_concentrated_suppliers": hq.q20_concentrated_suppliers,
         # q18: group-filter (HAVING) family keeps head signal via q16/q21
         "q18_large_orders": hq.q18_large_orders,
+        # cohort set-ops: INTERSECT/EXCEPT shapes pinned by the local gate
+        "events_cohort_setops": hq.events_cohort_setops,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3169,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_orc_roundtrip": ORC_ROUNDTRIP_SQL,
         "events_pattern_3grams": hq.EVENTS_PATTERN_3GRAMS_SQL,
         "documents_chunks": DOCS_CHUNKS_SQL,
+        "documents_hash_embed_knn": _docs_hash_embed_knn_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

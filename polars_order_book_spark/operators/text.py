@@ -614,3 +614,67 @@ def chunk_text_udtf_class(size: int = 128, overlap: int = 32):
                 yield i, start, text[start:start + size]
 
     return ChunkUDTF
+
+
+def hash_embed(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing embeddings: each token's portable hash picks one of
+    ``dim`` buckets, the vector is per-bucket token counts (optionally
+    L2-normalized) — a REAL text→vector encoder with zero model weights
+    (the classic hashing trick), deterministic across runs, partitionings,
+    and engines. The output plugs straight into the ANN / embedding-dedup
+    operators: chunk → hash_embed → LSH/IVF index is a complete,
+    self-contained retrieval pipeline.
+
+    All JVM built-ins: explode tokens → one groupBy((id, bucket)) count →
+    one groupBy(id) map assembly → dense vector via
+    transform(sequence, map lookup). Counts are exact BIGINTs;
+    normalization is each component / sqrt(Σc²) — IEEE-deterministic.
+    Rows whose text has no tokens yield the all-zero (unnormalized)
+    vector rather than disappearing.
+
+    Scale shape: two shuffles (both keyed by id after the token expansion);
+    output is docs × dim — the same footprint as any embedding column.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0, got {dim}")
+    from polars_order_book_spark.functions.hashing import hash64
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).where(F.col("_tok") != "")
+    counts = (
+        toks.select(id_col, F.pmod(hash64(F.col("_tok")), F.lit(dim)).alias("_d"))
+        .groupBy(id_col, "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    maps = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_d", "_c"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("_m"), d.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    out = (
+        df.select(id_col)
+        .distinct()
+        .join(maps, id_col, "left")
+        .select(F.col(id_col), dense.alias("_v"))
+    )
+    if not normalize:
+        return out.select(id_col, F.col("_v").alias("embedding"))
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.when(
+        norm > 0, F.transform(F.col("_v"), lambda x: x / norm)
+    ).otherwise(F.col("_v"))
+    return out.select(id_col, unit.alias("embedding"))

@@ -64,6 +64,7 @@ DEMOTED_TAIL = {
     "q17_small_qty_revenue",
     "q20_concentrated_suppliers",
     "q18_large_orders",
+    "events_cohort_setops",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",

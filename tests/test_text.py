@@ -261,3 +261,33 @@ def test_chunk_udtf_parity_with_builtin_chunker(spark):
     builtin = chunk_text(df, size=128, overlap=32)
     assert sorted(map(tuple, via_udtf.collect()), key=lambda t: t[:2]) == \
            sorted(map(tuple, builtin.select("doc_id", "chunk_no", "char_start", "chunk").collect()), key=lambda t: t[:2])
+
+
+def test_hash_embed_unit_norm_and_partition_invariance(spark):
+    from polars_order_book_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha alpha"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, dim=16).collect()}
+    assert len(out) == 3 and all(len(v) == 16 for v in out.values())
+    # L2 norm 1 for docs with tokens; all-zero for the blank doc
+    assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-12
+    assert all(x == 0.0 for x in out[3])
+    # doubled token doubles the pre-norm component: beta bucket dominates
+    assert max(out[1]) == sorted(out[1])[-1]
+    # partitioning must not change a single bit
+    out2 = {r["doc_id"]: r["embedding"]
+            for r in hash_embed(df.repartition(5), dim=16).collect()}
+    assert out == out2
+
+
+def test_hash_embed_same_tokens_same_vector(spark):
+    from polars_order_book_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "z  y   x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, dim=8).collect()}
+    assert out[1] == out[2]  # bag-of-words: order/whitespace-insensitive
