@@ -2545,6 +2545,51 @@ FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 """
 
 
+def _embeddings_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact distributed Lloyd iteration over the embeddings table from
+    the 8 deterministic md5-derived init centroids — map-only assignment
+    against constant-folded literals, ONE groupBy(cell) with exact decimal
+    per-dimension sums; long-form (cell, d, centroid, n_members) output
+    hashes bit-for-bit."""
+    from polars_order_book_spark.operators.similarity import (
+        centroid_component,
+        kmeans_step,
+    )
+
+    cents = [[centroid_component(c, j) for j in range(64)] for c in range(8)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, cents)
+
+
+def _embeddings_kmeans_step_sql() -> str:
+    from polars_order_book_spark.operators.similarity import centroid_component
+
+    cents = [[centroid_component(c, j) for j in range(64)] for c in range(8)]
+
+    def clit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    def dist(c):
+        diff = f"list_transform(list_zip(v, {clit(c)}), x -> x[1] - x[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    dists = ",\n           ".join(dist(c) for c in cents)
+    return f"""
+WITH vecs AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT v, [{dists}] AS ds FROM vecs),
+a AS (SELECT v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d),
+e AS (
+    SELECT a.cell, gs.d, a.v[gs.d + 1] AS x
+    FROM a, (SELECT unnest(range(0, 64)) AS d) gs
+)
+SELECT cell, CAST(d AS INT) AS d,
+       round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS centroid,
+       count(*) AS n_members
+FROM e GROUP BY cell, d
+"""
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2999,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pattern_3grams": hq.events_pattern_3grams,
         "documents_chunks": _docs_chunks,
         "documents_hash_embed_knn": _docs_hash_embed_knn,
+        "embeddings_kmeans_step": _embeddings_kmeans_step,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -3027,7 +3073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_unpivot_metrics": _part_unpivot,
         "events_user_type_profile": hq.events_user_type_profile,
         # --- new in r5: no driver signal yet (10) ---
-        "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "text_dup_spans": _text_dup_spans,
         "documents_quality_filter": _documents_quality_filter,
         "orders_merge_apply": _orders_merge_apply,
@@ -3068,6 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": hq.q18_large_orders,
         # cohort set-ops: INTERSECT/EXCEPT shapes pinned by the local gate
         "events_cohort_setops": hq.events_cohort_setops,
+        # q19: complex disjunctive predicate pinned by the local gate
+        "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3230,6 +3277,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pattern_3grams": hq.EVENTS_PATTERN_3GRAMS_SQL,
         "documents_chunks": DOCS_CHUNKS_SQL,
         "documents_hash_embed_knn": _docs_hash_embed_knn_sql(),
+        "embeddings_kmeans_step": _embeddings_kmeans_step_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -689,3 +689,80 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: "list[list[float]]",
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One EXACT distributed Lloyd iteration: assign every vector to its
+    nearest centroid (squared-L2, first-index tie-break) and emit the new
+    centroids in long form (cell, d, centroid, n_members) — the cluster-
+    scale complement to :func:`train_ivf_centroids` (which k-means a
+    driver-side SAMPLE). Chain calls for full k-means; the assignment and
+    per-dimension means are engine-reproducible: distances are fused IEEE
+    double expressions over literal centroids (argmin via array_position
+    of the min — deterministic first occurrence), and each new component
+    is an exact DECIMAL(30,12) sum of per-dimension values divided by the
+    exact member count, so an oracle hashes the step bit-for-bit.
+
+    Scale shape: assignment is a map-only projection against constant-
+    folded centroid literals (no shuffle, no Python); the update is ONE
+    map-side-partial groupBy(cell) with dim sum columns. Empty cells
+    simply emit no rows (standard Lloyd: caller re-seeds or drops).
+
+    Long-form output (cells × dim rows of scalars) rather than an array
+    column keeps downstream hashing/diffing trivial.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("all centroids must share one dimensionality")
+    v = _as_double(F.col(vec_col))
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ])
+    assigned = vectors.select(
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        v.alias("__v"),
+    )
+    sums = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.sum(F.col("__v")[d].cast("decimal(30,12)")).alias(f"__s{d}")
+            for d in range(dim)
+        ],
+    )
+    # Reported centroids round to 6 decimals: the per-element DECIMAL(30,12)
+    # cast can hit an exact tie when a float32 input is an odd multiple of
+    # 2^-13 (its decimal expansion ends ...5 exactly at digit 13), and
+    # HALF_UP (Spark) vs round-half-even engines then differ by 1e-12 in
+    # ONE element's cast — observed once in 32k elements on the driver
+    # corpus. Rounding the mean at 1e-6, eight orders above the tie noise,
+    # makes the emitted value engine-stable while n_members and the
+    # assignment remain bit-exact.
+    parts = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.round(
+                F.col(f"__s{d}").cast("double") / F.col("n_members").cast("double"),
+                6,
+            ).alias("centroid"),
+        )
+        for d in range(dim)
+    ])
+    return sums.select(
+        "cell", F.explode(parts).alias("p"), "n_members"
+    ).select("cell", F.col("p.d").alias("d"), F.col("p.centroid").alias("centroid"), "n_members")

@@ -65,6 +65,7 @@ DEMOTED_TAIL = {
     "q20_concentrated_suppliers",
     "q18_large_orders",
     "events_cohort_setops",
+    "q19_disjunctive_revenue",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",

@@ -251,3 +251,33 @@ def test_topk_recall_counts_and_misses(spark):
     assert out[1]["n_hits"] == 1 and out[1]["n_exact"] == 2
     assert out[1]["recall"] == pytest.approx(0.5)
     assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0  # total miss row kept
+
+
+def test_kmeans_step_moves_centroids_to_cluster_means(spark):
+    from polars_order_book_spark.operators.similarity import kmeans_step
+
+    # two planted clusters around (0,0) and (10,10); inits off-center
+    rows = [(i, [0.0 + i * 0.1, 0.0]) for i in range(3)] + \
+           [(10 + i, [10.0, 10.0 + i * 0.2]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_step(df, [[1.0, 1.0], [9.0, 9.0]]).collect()
+    got = {(r["cell"], r["d"]): r for r in out}
+    assert got[(0, 0)]["n_members"] == 3 and got[(1, 0)]["n_members"] == 4
+    assert got[(0, 0)]["centroid"] == pytest.approx(0.1)   # mean of 0,.1,.2
+    assert got[(0, 1)]["centroid"] == 0.0
+    assert got[(1, 0)]["centroid"] == 10.0
+    assert got[(1, 1)]["centroid"] == pytest.approx(10.3)  # mean of 10..10.6
+
+
+def test_kmeans_step_tie_breaks_to_first_centroid_and_guards(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.similarity import kmeans_step
+
+    df = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<double>")
+    out = kmeans_step(df, [[4.0], [6.0]]).collect()  # equidistant
+    assert out[0]["cell"] == 0  # first index wins deterministically
+    with _pytest.raises(ValueError):
+        kmeans_step(df, [])
+    with _pytest.raises(ValueError):
+        kmeans_step(df, [[1.0], [1.0, 2.0]])
