@@ -996,7 +996,14 @@ def _docs_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_order_book_spark.operators.text import hash_embed
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = hash_embed(docs).withColumnRenamed("doc_id", "vec_id")
+    # localCheckpoint: the embedding relation feeds BOTH the vector scan and
+    # the (broadcast) query side — truncate lineage so the token-explode +
+    # two-aggregate subtree runs once, not per branch.
+    emb = (
+        hash_embed(docs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -72,6 +72,11 @@ def main() -> None:
         "events_interpolate_daily",
         "documents_weighted_sample",
         "documents_fuzzy_pairs",
+        "events_winsorize",
+        "events_pattern_3grams",
+        "documents_chunks",
+        "documents_hash_embed_knn",
+        "embeddings_kmeans_step",
     ]
     qs = E.queries()
 

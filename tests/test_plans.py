@@ -128,6 +128,9 @@ _BNLJ_WHITELIST = {
     # 1-row distinct-user-total normalizer crossed against the pattern
     # aggregate (the orders_quality_report pattern)
     "events_pattern_3grams",
+    # composes ann_cosine_topk's whitelisted broadcast-query cross join
+    # over the hash-embedded vectors
+    "documents_hash_embed_knn",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

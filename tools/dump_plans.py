@@ -85,6 +85,13 @@ HEADLINE = [
     "documents_fuzzy_pairs",
     "part_triangle_counts",
     "supplier_similarity",
+    "events_winsorize",
+    "events_pattern_3grams",
+    "documents_chunks",
+    "documents_hash_embed_knn",
+    "embeddings_kmeans_step",
+    "ann_recall_lsh",
+    "orders_orc_roundtrip",
 ]
 
 
