@@ -208,3 +208,91 @@ def test_property_gap_fill_monotone_between_neighbors(spark, obs):
             lo_v, hi_v = sorted((prev[1], nxt[1]))
             assert lo_v - 1e-9 <= r["value"] <= hi_v + 1e-9
             assert not r["is_observed"]
+
+
+# --- OFI vs a pure-Python replay ---------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.tuples(st.integers(1, 5), st.integers(1, 9))),
+            st.one_of(st.none(), st.tuples(st.integers(6, 10), st.integers(1, 9))),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_property_ofi_matches_python_model(spark, rows):
+    from polars_order_book_spark.operators.market import order_flow_imbalance
+
+    data = []
+    for i, (bid, ask) in enumerate(rows):
+        bp, bq = bid if bid else (None, None)
+        ap, aq = ask if ask else (None, None)
+        data.append((0, i, bp, bq, ap, aq))
+
+    expected = 0
+    n_flows = 0
+    prev = None
+    for _, _, bp, bq, ap, aq in data:
+        if prev is not None:
+            pbp, pbq, pap, paq = prev
+            if None not in (bp, ap, pbp, pap):
+                e = ((bq if bp >= pbp else 0) - (pbq if bp <= pbp else 0)
+                     - (aq if ap <= pap else 0) + (paq if ap >= pap else 0))
+                expected += e
+                n_flows += 1
+        prev = (bp, bq, ap, aq)
+
+    df = spark.createDataFrame(
+        data or [(0, 0, None, None, None, None)],
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "ask_price_1 long, ask_qty_1 long",
+    )
+    got = order_flow_imbalance(df, 10_000, by=["book"]).collect()
+    if n_flows == 0:
+        assert got == []
+    else:
+        assert len(got) == 1
+        assert got[0]["ofi"] == expected and got[0]["n_flows"] == n_flows
+
+
+# --- fuzzy dedup completeness -------------------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12), min_size=2, max_size=8
+    )
+)
+def test_property_fuzzy_pairs_complete_within_block(spark, texts):
+    """Every pair whose normalized-prefix edit distance <= max_dist MUST be
+    reported when blocking cannot separate it (single lang, length_block
+    wide enough that all docs share bucket 0)."""
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    docs = [(i, t, "en") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_duplicate_pairs(
+               df, block_cols=["lang"], length_block=64, prefix_len=64,
+               max_dist=3).collect()}
+    expected = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = lev(texts[i].strip().lower(), texts[j].strip().lower())
+            if d <= 3:
+                expected[(i, j)] = d
+    assert got == expected
