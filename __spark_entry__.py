@@ -1192,6 +1192,18 @@ def _ob_nbbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nbbo(snaps, books=list(range(7)))
 
 
+def _ob_nbbo_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NBBO with the segmented-scan forward fill (seq_chunks=2000): the
+    scale path — per-chunk fills run in parallel, one tiny chunks-sized
+    prefix scan supplies carry-ins. Same oracle as ob_nbbo_keyed; equality
+    with the global-window plan also pinned by tests/test_nbbo.py."""
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1)
+    return nbbo(snaps, books=list(range(7)), seq_chunks=2000)
+
+
 def _ob_nbbo_sql() -> str:
     inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 1, "mutations", key="book")
     books = range(7)
@@ -3052,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_chunks": _docs_chunks,
         "documents_hash_embed_knn": _docs_hash_embed_knn,
         "embeddings_kmeans_step": _embeddings_kmeans_step,
+        "ob_nbbo_keyed_chunked": _ob_nbbo_chunked,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -3061,7 +3074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_stream": _events_attribution_stream,
         "documents_stratified_sample": _docs_stratified_sample,
         "events_value_deciles": hq.events_value_deciles,
-        "events_grouping_sets": hq.events_grouping_sets,
         "supplier_pagerank": _supplier_pagerank,
         "events_user_profile_stream": _events_user_profile_stream,
         "part_snapshot_diff": _part_snapshot_diff,
@@ -3122,6 +3134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_setops": hq.events_cohort_setops,
         # q19: complex disjunctive predicate pinned by the local gate
         "q19_disjunctive_revenue": hq.q19_disjunctive_revenue,
+        # grouping-sets Expand shape pinned by the local gate
+        "events_grouping_sets": hq.events_grouping_sets,
         "ob_l1_metrics": _ob_l1_metrics,
         "events_props_variant": hq.events_props_variant,
         "events_pseudonymize": hq.events_pseudonymize,
@@ -3285,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_chunks": DOCS_CHUNKS_SQL,
         "documents_hash_embed_knn": _docs_hash_embed_knn_sql(),
         "embeddings_kmeans_step": _embeddings_kmeans_step_sql(),
+        "ob_nbbo_keyed_chunked": _ob_nbbo_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -100,3 +100,51 @@ def test_nbbo_matches_bruteforce(spark, rows):
         for r in nbbo(_snaps(spark, data), books=[0, 1, 2]).collect()
     }
     assert got == _nbbo_py(data, [0, 1, 2])
+
+
+def test_nbbo_chunked_equals_global(spark):
+    """Segmented-scan fill (seq_chunks) must reproduce the single-window
+    result exactly, including carries across silent chunks and sentinel
+    re-emptying."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for seq in range(1, 161):
+        book = rng.choice([0, 1, 2])
+        bid_empty = rng.random() < 0.2
+        ask_empty = rng.random() < 0.2
+        rows.append((
+            book, seq,
+            None if bid_empty else rng.randint(90, 110),
+            None if bid_empty else rng.randint(1, 9),
+            None if ask_empty else rng.randint(111, 130),
+            None if ask_empty else rng.randint(1, 9),
+        ))
+    snaps = spark.createDataFrame(
+        rows,
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "ask_price_1 long, ask_qty_1 long",
+    )
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    base = sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect()))
+    for chunk in (7, 40, 1000):
+        chunked = sorted(
+            map(tuple, nbbo(snaps, [0, 1, 2], seq_chunks=chunk).collect())
+        )
+        assert chunked == base, f"seq_chunks={chunk}"
+
+
+def test_nbbo_chunked_guardrail(spark):
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    snaps = spark.createDataFrame(
+        [(0, 1, 10, 1, 12, 1)],
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "ask_price_1 long, ask_qty_1 long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nbbo(snaps, [0], seq_chunks=0)

@@ -66,6 +66,7 @@ DEMOTED_TAIL = {
     "q18_large_orders",
     "events_cohort_setops",
     "q19_disjunctive_revenue",
+    "events_grouping_sets",
     "events_props_variant",
     "events_pseudonymize",
     "events_stream_dropdup",
