@@ -1193,15 +1193,16 @@ def _ob_nbbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ob_nbbo_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NBBO with the segmented-scan forward fill (seq_chunks=2000): the
-    scale path — per-chunk fills run in parallel, one tiny chunks-sized
-    prefix scan supplies carry-ins. Same oracle as ob_nbbo_keyed; equality
-    with the global-window plan also pinned by tests/test_nbbo.py."""
+    """NBBO with the segmented-scan forward fill (chunk_size=2000 seq
+    units): the scale path — per-chunk fills run in parallel, one tiny
+    chunks-sized prefix scan supplies carry-ins. Same oracle as
+    ob_nbbo_keyed; equality with the global-window plan also pinned by
+    tests/test_nbbo.py."""
     from polars_order_book_spark.operators.nbbo import nbbo
 
     stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
     snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1)
-    return nbbo(snaps, books=list(range(7)), seq_chunks=2000)
+    return nbbo(snaps, books=list(range(7)), chunk_size=2000)
 
 
 def _ob_nbbo_sql() -> str:

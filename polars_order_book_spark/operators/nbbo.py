@@ -21,10 +21,10 @@ decodes after (prices must exceed ``empty_sentinel``; the default -1 suits
 positive integer ticks).
 
 Scale contract: the book count B is venue-bounded (dimension-sized — tens,
-not millions), so the pivot is 4·B columns wide. The forward fill is ONE
-global ordered window — the NBBO timeline is inherently sequential, the same
-single-task bound as an unkeyed book fold; shard by seq ranges (fold's
-``seq_chunks`` recipe) when one task cannot hold the timeline.
+not millions), so the pivot is 4·B columns wide. The forward fill defaults
+to ONE global ordered window — the NBBO timeline is inherently sequential,
+the same single-task bound as an unkeyed book fold; pass ``chunk_size`` to
+switch to the segmented-scan fill when one task cannot hold the timeline.
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ def nbbo(
     book_col: str = "book",
     seq_col: str = "seq",
     empty_sentinel: int = -1,
-    seq_chunks: int | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Consolidate keyed level-1 snapshots into the cross-book NBBO.
 
@@ -50,26 +50,28 @@ def nbbo(
     id list (venue universe = static configuration, keeping the plan fully
     lazy; ids absent from the data simply never contribute).
 
-    ``seq_chunks``: None keeps the single global ordered window (simplest
-    plan; one task holds the timeline). A chunk size turns the forward fill
-    into the SEGMENTED SCAN: (1) fill within each ``seq div seq_chunks``
-    range in parallel, (2) summarize each chunk's final per-column state
+    ``chunk_size``: None keeps the single global ordered window (simplest
+    plan; one task holds the timeline). A size turns the forward fill into
+    the SEGMENTED SCAN: (1) fill within each ``seq div chunk_size`` range
+    in parallel, (2) summarize each chunk's final per-column state
     (``max_by`` over non-null rows — chunks-sized relation), (3) prefix-scan
     the summaries in one tiny window and join each chunk's carry-in back.
     Identical output (pinned by a differential test + the shared driver
-    oracle); parallelism rises from 1 task to #chunks with one extra
-    chunks-sized shuffle — the same escape hatch as the fold's seq_chunks.
+    oracle). NOTE the unit: this is a chunk SIZE in seq units, NOT the
+    fold operators' ``seq_chunks`` chunk COUNT — named differently on
+    purpose so a tuned value can't silently port between the two.
 
     Measured honestly (sf0.1, 100k events, local[32], best-of-3): the
-    global window wins, 2.5s vs 4.9s — below one task's capacity the
-    chunked plan's extra shuffle + carry join costs more than the lost
-    parallelism. Chunk only when one task can no longer hold the pivoted
-    timeline; the crossover is a memory bound, not a speed bound.
+    global window wins, 2.5s vs 4.0s (the checkpointed pivot removed 0.9s
+    of double computation; the rest is the extra window pass + carry
+    join). Below one task's capacity chunking costs more than the lost
+    parallelism buys — chunk only when one task can no longer hold the
+    pivoted timeline; the crossover is a memory bound, not a speed bound.
     """
     if not books:
         raise ValueError("books must be non-empty")
-    if seq_chunks is not None and seq_chunks <= 0:
-        raise ValueError(f"seq_chunks must be > 0, got {seq_chunks}")
+    if chunk_size is not None and chunk_size <= 0:
+        raise ValueError(f"chunk_size must be > 0, got {chunk_size}")
     sent = F.lit(empty_sentinel)
     enc = snapshots.select(
         F.col(seq_col).alias("seq"),
@@ -95,7 +97,7 @@ def nbbo(
     def decode(col):
         return F.when(col == empty_sentinel, F.lit(None)).otherwise(col)
 
-    if seq_chunks is None:
+    if chunk_size is None:
         w = Window.orderBy("seq").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -107,7 +109,12 @@ def nbbo(
             ],
         )
     else:
-        chunked = piv.withColumn("__ck", F.expr(f"seq div {int(seq_chunks)}"))
+        # localCheckpoint: the chunked pivot feeds BOTH the within-chunk
+        # fill and the summary aggregate — without lineage truncation the
+        # events-sized pivot shuffle runs twice per action.
+        chunked = piv.withColumn(
+            "__ck", F.expr(f"seq div {int(chunk_size)}")
+        ).localCheckpoint(eager=False)
         w_in = (
             Window.partitionBy("__ck")
             .orderBy("seq")

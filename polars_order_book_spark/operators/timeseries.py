@@ -41,18 +41,21 @@ def gap_fill_linear(
     """Densify ``observed`` (one row per (by, idx), idx integer) to every
     idx in each key's [min(idx), max(idx)] and linearly interpolate nulls.
 
-    Returns ``by + [idx_col, value_col, "is_observed"]``. Grid points
-    before the first / after the last observation cannot occur (the grid
-    spans observed bounds). Observed rows pass through exactly; only holes
-    get the interpolated double. Rows whose ``value_col`` is null in the
-    input count as holes, not observations.
+    Returns ``by + [idx_col, value_col, "is_observed"]``. The grid spans
+    each key's [min, max] index OVER NON-NULL OBSERVATIONS — null-valued
+    input rows count as holes (interpolated if interior) and never extend
+    the range, so leading/trailing extrapolation points cannot occur and
+    every emitted hole really is bracketed by observations. A key with no
+    non-null value at all yields no rows.
     """
     keys = list(by)
     if not keys:
         raise ValueError("gap_fill_linear requires at least one key column")
 
-    bounds = observed.groupBy(*keys).agg(
-        F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi")
+    bounds = (
+        observed.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi"))
     )
     grid = bounds.select(
         *keys, F.explode(F.sequence("_lo", "_hi")).alias(idx_col)

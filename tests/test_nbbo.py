@@ -131,9 +131,9 @@ def test_nbbo_chunked_equals_global(spark):
     base = sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect()))
     for chunk in (7, 40, 1000):
         chunked = sorted(
-            map(tuple, nbbo(snaps, [0, 1, 2], seq_chunks=chunk).collect())
+            map(tuple, nbbo(snaps, [0, 1, 2], chunk_size=chunk).collect())
         )
-        assert chunked == base, f"seq_chunks={chunk}"
+        assert chunked == base, f"chunk_size={chunk}"
 
 
 def test_nbbo_chunked_guardrail(spark):
@@ -147,4 +147,4 @@ def test_nbbo_chunked_guardrail(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        nbbo(snaps, [0], seq_chunks=0)
+        nbbo(snaps, [0], chunk_size=0)

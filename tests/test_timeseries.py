@@ -26,6 +26,13 @@ def test_null_observation_is_a_hole_not_a_value(spark):
     assert not got[("a", 1)]["is_observed"]
 
 
+def test_null_edge_rows_do_not_extend_the_grid(spark):
+    # null at idx 0 and 9 must not create extrapolated leading/trailing rows
+    got = _run(spark, [("a", 0, None), ("a", 3, 1.0), ("a", 5, 3.0), ("a", 9, None)])
+    assert sorted(i for (_, i) in got) == [3, 4, 5]
+    assert got[("a", 4)]["value"] == pytest.approx(2.0)
+
+
 def test_keys_are_independent_and_single_point_passes_through(spark):
     got = _run(spark, [("a", 0, 1.0), ("a", 2, 3.0), ("b", 7, 99.0)])
     assert got[("a", 1)]["value"] == pytest.approx(2.0)
@@ -33,9 +40,9 @@ def test_keys_are_independent_and_single_point_passes_through(spark):
     assert len([k for k in got if k[0] == "b"]) == 1  # b's grid is just idx 7
 
 
-def test_all_null_key_yields_null_values(spark):
+def test_all_null_key_yields_no_rows(spark):
     got = _run(spark, [("a", 0, None), ("a", 2, None)])
-    assert got[("a", 1)]["value"] is None
+    assert got == {}  # no observations -> no grid (nulls never extend bounds)
 
 
 def test_requires_key(spark):
