@@ -2273,7 +2273,7 @@ rates AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN rates USING (source)
 WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '')), 1, 15)) AS BIGINT)
-      % 1000000 < CAST(floor(r * 1000000) AS BIGINT)
+      % 1000000 < CAST(floor(r * 1000000 + 1e-6) AS BIGINT)
 """
 
 

@@ -648,6 +648,10 @@ def fuzzy_duplicate_pairs(
     blocks the self-join goes through ``salted_pair_join`` (triangle
     salting caps per-task pair work at ~bucket_cap²).
 
+    The bucket-b-vs-b+1 candidate join is salt-split the same way
+    (``salted_probe_join``), so boundary-straddling hot bucket pairs are
+    also bounded by ~bucket_cap per task.
+
     Verification is ``levenshtein(prefix_a, prefix_b)`` on the first
     ``prefix_len`` chars of lower(trim(text)) — banded by Spark's threshold
     variant JVM-side; O(prefix_len * max_dist) per pair, independent of
@@ -680,12 +684,20 @@ def fuzzy_duplicate_pairs(
 
     same = pairs_on(F.col("_lb"))
     # bucket b vs b+1: shift the LEFT copy's bucket up; the pair meets once.
-    below = rows.withColumn("_blk", F.col("_lb") + 1)
-    above = rows.withColumn("_blk", F.col("_lb"))
+    # This A-vs-B join goes through salted_probe_join so a boundary-
+    # straddling hot pair of buckets (fixed-template boilerplate at lengths
+    # L and L+length_block) cannot put all its candidates in one task —
+    # the same cap contract as the same-bucket triangle salting.
+    from polars_order_book_spark.functions.skew import salted_probe_join
+
+    below = rows.withColumn("_blk", F.col("_lb") + 1).select(
+        *blocks, "_blk", F.col(id_col).alias("id_a")
+    )
+    above = rows.withColumn("_blk", F.col("_lb")).select(
+        *blocks, "_blk", F.col(id_col).alias("id_b")
+    )
     adjacent = (
-        below.select(*blocks, "_blk", F.col(id_col).alias("id_a"))
-        .join(above.select(*blocks, "_blk", F.col(id_col).alias("id_b")),
-              on=[*blocks, "_blk"])
+        salted_probe_join(below, above, [*blocks, "_blk"], "id_a", bucket_cap)
         .where(F.col("id_a") != F.col("id_b"))
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"))

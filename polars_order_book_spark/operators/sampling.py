@@ -71,6 +71,31 @@ def hash_split(
     return out
 
 
+def _hash_ordered_layout(df, by, text_col, id_col, shards):
+    """Shared layout base for budget_pack / pack_sequences: per (group,
+    hash shard), documents carry their token count and running token total
+    in portable-hash order. ONE definition — the append-stability contract
+    both packers document depends on this exact ordering and shard rule, so
+    it must not drift between them. Returns the frame with columns
+    (doc_id, <by>, n_tokens, __h, pack_shard, __cum)."""
+    from pyspark.sql import Window as W
+
+    from polars_order_book_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash64(F.col(id_col)).alias("__h"),
+    ).withColumn("pack_shard", F.pmod(F.col("__h"), F.lit(shards)).cast("long"))
+    win = (
+        W.partitionBy(by, "pack_shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return base.withColumn("__cum", F.sum("n_tokens").over(win))
+
+
 def budget_pack(
     df: DataFrame,
     budget_tokens: int,
@@ -102,26 +127,13 @@ def budget_pack(
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    from pyspark.sql import Window as W
-
-    from polars_order_book_spark.operators.text import token_count
-
     shard_budget = budget_tokens // shards
     if shard_budget <= 0:
         raise ValueError("budget_tokens // shards must be > 0")
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(by),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-        hash64(F.col(id_col)).alias("__h"),
-    ).withColumn("pack_shard", F.pmod(F.col("__h"), F.lit(shards)).cast("long"))
-    win = (
-        W.partitionBy(by, "pack_shard")
-        .orderBy("__h", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = _hash_ordered_layout(df, by, text_col, id_col, shards).withColumnRenamed(
+        "__cum", "cum_tokens"
     )
-    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(win))
     return cum.where(F.col("cum_tokens") - F.col("n_tokens") < shard_budget).select(
         "doc_id", by, "pack_shard", "n_tokens", "cum_tokens"
     )
@@ -190,7 +202,13 @@ def domain_mix_sample(
     return (
         df.where(F.col(domain_col).isin(*weights))
         .join(F.broadcast(rates), on=domain_col)
-        .where(bucket < F.floor(F.col("__r") * _BUCKETS).cast("long"))
+        # +1e-6 epsilon before floor: the binding domain's exact rate 1.0
+        # can compute as 0.9999999999999999 (w*T/n in float), and a bare
+        # floor would then exclude the top hash bucket — dropping ~1 ppm of
+        # binding-domain rows and violating the keep-everything contract.
+        # The nudge absorbs ~1e-10 float error; a true threshold within
+        # 1e-6 of an integer would need r accurate to 1e-12 to matter.
+        .where(bucket < F.floor(F.col("__r") * _BUCKETS + F.lit(1e-6)).cast("long"))
         .drop("__r")
     )
 
@@ -225,22 +243,7 @@ def pack_sequences(
         raise ValueError(f"seq_len_tokens must be > 0, got {seq_len_tokens}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    from pyspark.sql import Window as W
-
-    from polars_order_book_spark.operators.text import token_count
-
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(by),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-        hash64(F.col(id_col)).alias("__h"),
-    ).withColumn("pack_shard", F.pmod(F.col("__h"), F.lit(shards)).cast("long"))
-    win = (
-        W.partitionBy(by, "pack_shard")
-        .orderBy("__h", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = base.withColumn("__cum", F.sum("n_tokens").over(win))
+    cum = _hash_ordered_layout(df, by, text_col, id_col, shards)
     start = F.col("__cum") - F.col("n_tokens")
     # integer div, not float: cumulative token counts near 2^53 would round
     # a double quotient across a bin boundary (same guard as the nanos path)

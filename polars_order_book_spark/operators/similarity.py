@@ -35,6 +35,26 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("__norm", F.sqrt(_dot(v, v)))
 
 
+def _topk(sim: DataFrame, k: int) -> DataFrame:
+    """Shared top-k epilogue: rank per query by (cosine desc, neighbor id)
+    and keep k. ONE definition so the tie-break rule — which the
+    cross-engine determinism contract and topk_recall comparisons depend
+    on — cannot drift between the exact and approximate paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -67,12 +87,7 @@ def cosine_topk_bruteforce(
             (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
-    )
+    return _topk(sim, k)
 
 
 def plane_component(p: int, j: int) -> float:
@@ -137,7 +152,10 @@ def neardup_embedding_pairs(
     degenerate bucket (e.g. all-identical embeddings) cannot concentrate the
     pair space in a single task; None restores the plain join.
     """
-    assert n_planes % band_size == 0
+    if n_planes % band_size != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_size ({band_size})"
+        )
     n_bands = n_planes // band_size
     b = signed_projection_buckets(
         vectors, vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim
@@ -332,12 +350,7 @@ def cosine_topk_ivf(
     )
     # No dedup needed: each vector lives in exactly one cell, so a
     # (query, neighbor) pair meets in at most one probed cell.
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
-    )
+    return _topk(sim, k)
 
 
 def cosine_topk_blas(
@@ -365,10 +378,21 @@ def cosine_topk_blas(
     higher-order functions, so cosines can differ from the built-in path by
     ~1e-15; ``round_digits`` (e.g. 9) quantizes the output for cross-engine
     comparison.
+
+    Contract narrowing vs the built-in path: ids must be INTEGER (the
+    numpy id arrays and the fixed 'long' output schema assume it) — a
+    non-integer id raises immediately rather than miscomparing.
     """
     import numpy as np
     import pandas as pd
 
+    for df_, col_, side in ((vectors, id_col, "vectors"), (queries, query_id_col, "queries")):
+        dt = dict(df_.dtypes)[col_]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"cosine_topk_blas requires integer ids; {side}.{col_} is {dt} "
+                "(use cosine_topk_bruteforce for non-integer id types)"
+            )
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -401,12 +425,7 @@ def cosine_topk_blas(
     local = vectors.select(id_col, vec_col).mapInPandas(
         topk_batches, schema="query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    out = (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
-    )
+    out = _topk(local, k)
     if round_digits is not None:
         out = out.withColumn("cosine", F.round("cosine", round_digits))
     return out
@@ -445,12 +464,7 @@ def cosine_topk_lsh(
             (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
-    )
+    return _topk(sim, k)
 
 
 def quantize_int8(

@@ -172,15 +172,7 @@ def repetition_features(
     toks = F.col("__toks")
 
     def grams_col(n: int) -> Column:
-        idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
+        return _token_ngrams(toks, n)
 
     stats = base.select(
         "doc_id",
