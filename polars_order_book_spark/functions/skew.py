@@ -108,3 +108,70 @@ def salted_probe_join(
         .drop(_N)
     )
     return b.join(p, on=[*keys, "__salt__"]).drop("__salt__")
+
+
+def salted_bipartite_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_id_col: str,
+    right_id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Equi-join ``left`` ⋈ ``right`` on ``keys`` with BOTH sides salt-split:
+    per join group, left rows hash into S_L = ceil(n_L/cap) cells and right
+    rows into S_R = ceil(n_R/cap); each left row replicates across the
+    right side's cells and vice versa, so a pair meets exactly once in cell
+    (salt_L, salt_R) and per-task pair work is bounded by ~cap² no matter
+    WHICH side the hot group is on (``salted_probe_join`` bounds only the
+    build side — use it when the probe side is known small, this when
+    neither side is). Replication cost: each row duplicates by the OTHER
+    side's salt count — paid only inside groups that are actually hot.
+    Returns the joined frame minus the salt plumbing.
+    """
+    keys = list(keys)
+    hot_l = left.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    hot_r = right.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    sl_of = F.coalesce(_salt_count(cap), F.lit(1))
+
+    l = (
+        left.join(F.broadcast(hot_l), on=keys, how="left")
+        .withColumn("__sl", F.pmod(F.xxhash64(F.col(left_id_col)), sl_of).cast("int"))
+        .drop(_N)
+        .join(F.broadcast(hot_r.withColumnRenamed(_N, "__nr")), on=keys, how="left")
+        .withColumn(
+            "__sr",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(
+                        F.greatest(F.lit(1), F.ceil(F.col("__nr") / F.lit(cap))).cast("int"),
+                        F.lit(1),
+                    )
+                    - 1,
+                )
+            ),
+        )
+        .drop("__nr")
+    )
+    r = (
+        right.join(F.broadcast(hot_r), on=keys, how="left")
+        .withColumn("__sr", F.pmod(F.xxhash64(F.col(right_id_col)), sl_of).cast("int"))
+        .drop(_N)
+        .join(F.broadcast(hot_l.withColumnRenamed(_N, "__nl")), on=keys, how="left")
+        .withColumn(
+            "__sl",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(
+                        F.greatest(F.lit(1), F.ceil(F.col("__nl") / F.lit(cap))).cast("int"),
+                        F.lit(1),
+                    )
+                    - 1,
+                )
+            ),
+        )
+        .drop("__nl")
+    )
+    return l.join(r, on=[*keys, "__sl", "__sr"]).drop("__sl", "__sr")

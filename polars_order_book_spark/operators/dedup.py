@@ -684,11 +684,12 @@ def fuzzy_duplicate_pairs(
 
     same = pairs_on(F.col("_lb"))
     # bucket b vs b+1: shift the LEFT copy's bucket up; the pair meets once.
-    # This A-vs-B join goes through salted_probe_join so a boundary-
-    # straddling hot pair of buckets (fixed-template boilerplate at lengths
-    # L and L+length_block) cannot put all its candidates in one task —
-    # the same cap contract as the same-bucket triangle salting.
-    from polars_order_book_spark.functions.skew import salted_probe_join
+    # This A-vs-B join goes through salted_bipartite_join — BOTH sides are
+    # salt-split, so the hot bucket of a boundary-straddling pair (fixed-
+    # template boilerplate at lengths L and L+length_block) is bounded
+    # whether it sits below or above the boundary; build-side-only salting
+    # (salted_probe_join) would miss a hot upper bucket.
+    from polars_order_book_spark.functions.skew import salted_bipartite_join
 
     below = rows.withColumn("_blk", F.col("_lb") + 1).select(
         *blocks, "_blk", F.col(id_col).alias("id_a")
@@ -697,7 +698,9 @@ def fuzzy_duplicate_pairs(
         *blocks, "_blk", F.col(id_col).alias("id_b")
     )
     adjacent = (
-        salted_probe_join(below, above, [*blocks, "_blk"], "id_a", bucket_cap)
+        salted_bipartite_join(
+            below, above, [*blocks, "_blk"], "id_a", "id_b", bucket_cap
+        )
         .where(F.col("id_a") != F.col("id_b"))
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"))

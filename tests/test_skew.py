@@ -114,3 +114,29 @@ def test_salted_probe_join_pairs_meet_once(spark):
     # every (query, build) pair in the same cell appears exactly once
     assert out.count() == 40 * 2 + 3
     assert out.select("neighbor_id", "query_id").distinct().count() == out.count()
+
+
+def test_salted_bipartite_join_equals_plain_join_under_tiny_cap(spark):
+    """Forcing salting on BOTH sides (cap=2) must reproduce the plain join
+    exactly — every cross pair once, including hot-left, hot-right, and
+    mixed groups."""
+    from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+    left = spark.createDataFrame(
+        [("k1", i) for i in range(7)] + [("k2", i) for i in range(2)]
+        + [("k3", 0)],
+        "k string, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 100 + i) for i in range(3)] + [("k2", 200 + i) for i in range(9)],
+        "k string, rid long",
+    )
+    got = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in salted_bipartite_join(left, right, ["k"], "lid", "rid", 2).collect()
+    )
+    expected = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in left.join(right, on="k").collect()
+    )
+    assert got == expected and len(expected) == 7 * 3 + 2 * 9
