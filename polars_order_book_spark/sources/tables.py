@@ -104,7 +104,9 @@ def load_event_csv(
     is declarative, so column pruning reaches the source like parquet
     (predicate pushdown over CSV is format-limited by nature).
     """
-    reader = spark.read.options(header="true", **options)
+    # Defaults merge UNDER caller options: header='false' in **options must
+    # override, not raise "multiple values for keyword argument".
+    reader = spark.read.options(**{"header": "true", **options})
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -166,6 +166,21 @@ def top_n_levels_stream(
                         f"event seq {min(too_late)} arrived later than the "
                         f"reorder horizon {horizon} (watermark {wm})"
                     )
+                # Duplicate seqs are a contract violation and must fail
+                # LOUDLY: a copy of a still-pending seq would pass the
+                # too-late check and be folded twice, silently corrupting
+                # the book (qty deltas applied twice).
+                seen = set(pend[0])
+                dups = []
+                for s in new_seq:
+                    if s in seen:
+                        dups.append(s)
+                    seen.add(s)
+                if dups:
+                    raise OrderBookError(
+                        f"duplicate event seq {min(dups)} within the reorder "
+                        "horizon — seqs must be unique per book"
+                    )
                 pend[0] += new_seq
                 pend[1] += [None if b is None else int(bool(b)) for b in _as_list(pdf[is_bid])]
                 pend[2] += _as_list(pdf[price])

@@ -50,11 +50,19 @@ def drop_exact_duplicates_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Built-in streaming dedup: keep the first arrival of each distinct text
-    within the watermark horizon. State size = distinct hashes per horizon."""
+    within the watermark horizon. State size = distinct hashes per horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` — with plain ``dropDuplicates``
+    the watermark does NOT evict state unless the event-time column is part
+    of the dedup subset, so state would grow one entry per distinct hash
+    FOREVER (the exact pitfall :func:`drop_duplicates_within_watermark`
+    documents). The horizon is the semantic contract either way: a
+    duplicate arriving later than ``watermark`` after the original is a
+    new document by declaration."""
     return (
         df.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )
 
 

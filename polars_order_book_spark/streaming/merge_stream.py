@@ -83,6 +83,17 @@ def apply_changes_stream(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vdir_this = f"_v{batch_id}"
+        marker = os.path.join(base_path, _CURRENT)
+        # Replay safety: if the driver died between writing the marker and
+        # committing the streaming checkpoint, the retried batch would read
+        # from _v{batch_id} while overwriting that same path (AnalysisException,
+        # wedged query). The marker already naming this batch's version means
+        # the merge fully completed — make the retry a no-op.
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                if f.read().strip() == vdir_this:
+                    return
         current = read_current(spark, base_path)
         merged = merge_upsert(
             current,
@@ -91,10 +102,9 @@ def apply_changes_stream(
             version_col=version_col,
             tombstone_col=tombstone_col,
         )
-        vdir = f"_v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(base_path, vdir))
-        with open(os.path.join(base_path, _CURRENT), "w", encoding="utf-8") as f:
-            f.write(vdir)
+        merged.write.mode("overwrite").parquet(os.path.join(base_path, vdir_this))
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(vdir_this)
 
     writer = changes.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint is not None:

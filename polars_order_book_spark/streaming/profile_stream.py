@@ -64,6 +64,42 @@ _STATE_SCHEMA = "n BIGINT, v BIGINT, last_us BIGINT"
 _OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, value_sum_micros BIGINT, last_us BIGINT"
 
 
+def _fold_profile(rows, prior):
+    """Shared accumulator for both state backends: fold the micro-batch's
+    rows into (n, v_micros, last_us) on top of the prior state tuple (or
+    None). ONE definition — the tws processor and the applyInPandasWithState
+    fallback must never drift (their parity test assumes identical
+    arithmetic). Returns None when the batch carried no rows for the key."""
+    n = v = 0
+    last = None
+    for pdf in rows:
+        if pdf.empty:
+            continue
+        n += int(len(pdf))
+        v += int(pdf["v_micros"].sum())
+        m = int(pdf["ts_us"].max())
+        last = m if last is None else max(last, m)
+    if n == 0:
+        return None
+    if prior is not None:
+        pn, pv, plast = prior
+        n, v = n + int(pn), v + int(pv)
+        last = max(last, int(plast))
+    return n, v, last
+
+
+def _profile_row(key, acc):
+    n, v, last = acc
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [n],
+            "value_sum_micros": [v],
+            "last_us": [last],
+        }
+    )
+
+
 class _ProfileProcessor(StatefulProcessor):
     def __init__(self, ttl_ms: "int | None" = None):
         self._ttl_ms = ttl_ms
@@ -74,30 +110,12 @@ class _ProfileProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
     ) -> Iterator[pd.DataFrame]:
-        n = v = 0
-        last = None
-        for pdf in rows:
-            if pdf.empty:
-                continue
-            n += int(len(pdf))
-            v += int(pdf["v_micros"].sum())
-            m = int(pdf["ts_us"].max())
-            last = m if last is None else max(last, m)
-        if n == 0:
+        prior = self._state.get() if self._state.exists() else None
+        acc = _fold_profile(rows, prior)
+        if acc is None:
             return
-        if self._state.exists():
-            pn, pv, plast = self._state.get()
-            n, v = n + int(pn), v + int(pv)
-            last = max(last, int(plast))
-        self._state.update((n, v, last))
-        yield pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_events": [n],
-                "value_sum_micros": [v],
-                "last_us": [last],
-            }
-        )
+        self._state.update(acc)
+        yield _profile_row(key, acc)
 
     def close(self) -> None:
         pass
@@ -162,30 +180,12 @@ def user_profile_stream(
         pdfs: "Iterable[pd.DataFrame]",
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n = v = 0
-        last = None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            n += int(len(pdf))
-            v += int(pdf["v_micros"].sum())
-            m = int(pdf["ts_us"].max())
-            last = m if last is None else max(last, m)
-        if n == 0:
+        prior = state.get if state.exists else None
+        acc = _fold_profile(pdfs, prior)
+        if acc is None:
             return
-        if state.exists:
-            pn, pv, plast = state.get
-            n, v = n + int(pn), v + int(pv)
-            last = max(last, int(plast))
-        state.update((n, v, last))
-        yield pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_events": [n],
-                "value_sum_micros": [v],
-                "last_us": [last],
-            }
-        )
+        state.update(acc)
+        yield _profile_row(key, acc)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         update,

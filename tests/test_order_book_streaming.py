@@ -348,3 +348,18 @@ def test_stream_reorder_horizon_zero_equals_in_order_contract(spark):
     for s, exp in golden.items():
         for c in snap_cols:
             assert got[s][c] == exp[c]
+
+
+def test_stream_reorder_duplicate_pending_seq_fails_loudly(spark):
+    """A duplicate of a still-pending seq must raise, not be folded twice:
+    the too-late check alone would admit it and silently double-apply the
+    qty delta."""
+    batches = [
+        [("A", 1, True, 10, 3), ("A", 2, True, 10, 2)],
+        [("A", 2, True, 10, 2), ("A", 3, True, 10, 1)],  # seq 2 again
+    ]
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="duplicate event seq 2"):
+        _run_stream_batches(spark, batches, "reorder_dup_sink", horizon=100)
