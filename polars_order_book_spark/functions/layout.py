@@ -91,5 +91,10 @@ def zorder_key_sql(cols: Sequence[str], bits: int = 16) -> str:
     terms = []
     for j, c in enumerate(cols):
         for i in range(bits):
-            terms.append(f"((({c} >> {i}) & 1) << {i * k + j})")
+            # CAST to BIGINT mirrors zorder_key's long cast: without it a
+            # 32-bit column overflows DuckDB's left shift at position >= 31
+            # (bits=16, k=2 reaches 31).
+            terms.append(
+                f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * k + j})"
+            )
     return " | ".join(terms)

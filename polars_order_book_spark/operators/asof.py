@@ -71,8 +71,6 @@ def asof_join(
         raise ValueError(f"right payload columns collide with left: {clash}")
     if right_on_as is not None and right_on_as in left.columns:
         raise ValueError(f"right_on_as {right_on_as!r} collides with a left column")
-
-    out_pay = list(payload) + ([right_on_as] if right_on_as else [])
     # Right rows carry their payload (plus their own `on`) in ONE struct —
     # never null for a right row — so the window fill cannot skip past a
     # right row whose individual payload value is null.

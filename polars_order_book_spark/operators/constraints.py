@@ -42,7 +42,17 @@ def not_null(name: str, col: str) -> Rule:
 
 
 def in_range(name: str, col: str, lo, hi) -> Rule:
-    return Rule(name, "predicate", expr=f"`{col}` BETWEEN {lo} AND {hi}")
+    def lit(v):
+        # Quote non-numeric bounds: a raw '2024-01-01' would parse as
+        # integer subtraction (2024-1-1 = 2022) and silently corrupt the
+        # predicate. Strings/dates/timestamps render as SQL string
+        # literals, which Spark coerces against the column's type.
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            escaped = str(v).replace("'", "''")
+            return f"'{escaped}'"
+        return repr(v)
+
+    return Rule(name, "predicate", expr=f"`{col}` BETWEEN {lit(lo)} AND {lit(hi)}")
 
 
 def predicate(name: str, expr: str) -> Rule:
@@ -113,7 +123,6 @@ def check_constraints(
     if missing:
         raise ValueError(f"foreign_key rules missing refs entries: {missing}")
 
-    spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("__n")]
     for r in preds:
         aggs.append(

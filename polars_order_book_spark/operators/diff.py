@@ -74,7 +74,10 @@ def diff_snapshots(
     )
     cond = None
     for k in key_cols:
-        eq = o[f"__ok_{k}"] == n[f"__nk_{k}"]
+        # eqNullSafe: a null key must match its counterpart — plain equality
+        # is null for null keys, the full-outer join then never pairs them,
+        # and an unchanged null-keyed row would report as removed AND added.
+        eq = o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"])
         cond = eq if cond is None else (cond & eq)
     change = (
         F.when(F.col("old_fingerprint").isNull(), F.lit("added"))

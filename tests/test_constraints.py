@@ -92,3 +92,19 @@ def test_unique_counts_null_keys_as_violations(spark):
     out = C.check_constraints(df, [C.unique("u", "id")]).collect()[0]
     # 3 rows - 1 distinct non-null key = 2: both null-keyed rows violate
     assert out["n_violations"] == 2
+
+
+def test_in_range_quotes_string_bounds(spark):
+    from polars_order_book_spark.operators.constraints import check_constraints, in_range
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-06-15",), ("2025-06-15",)], "d string"
+    ).select(F.col("d").cast("timestamp").alias("d"))
+    report = {r["rule"]: r for r in check_constraints(
+        df, [in_range("d_in_2024", "d", "2024-01-01", "2024-12-31")]
+    ).collect()}
+    # the raw interpolation bug parsed 2024-01-01 as integer arithmetic and
+    # flagged every row; properly quoted bounds flag exactly the 2025 row
+    assert report["d_in_2024"]["n_violations"] == 1

@@ -63,3 +63,16 @@ def test_row_fingerprint_is_order_sensitive(spark):
     f1 = df.select(row_fingerprint(["a", "b"]).alias("f")).first()["f"]
     f2 = df.select(row_fingerprint(["b", "a"]).alias("f")).first()["f"]
     assert f1 != f2
+
+
+def test_diff_null_keys_match_null_safely(spark):
+    from polars_order_book_spark.operators.diff import diff_snapshots
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    new = spark.createDataFrame([(None, "x"), (1, "b")], "k long, v string")
+    out = {r["k"]: r["change_type"]
+           for r in diff_snapshots(old, new, ["k"], compare_cols=["v"]).collect()}
+    # identical null-keyed row must NOT churn as removed+added — with
+    # unchanged rows dropped (default) it must simply be absent
+    assert None not in out
+    assert out == {1: "changed"}

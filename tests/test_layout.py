@@ -152,3 +152,23 @@ def test_zorder_written_files_have_narrow_stats(spark, tmp_path):
     assert avg_zx < 140 and avg_zy < 140, (avg_zx, avg_zy)
     assert avg_xy > 200, avg_xy
     assert avg_zy < avg_xy / 2
+
+
+def test_zorder_sql_parity_at_default_bits_with_int_columns(spark):
+    """bits=16 drives shift positions past 31 — the SQL mirror must cast to
+    BIGINT like the Spark side or DuckDB overflows on 32-bit columns."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from polars_order_book_spark.functions.layout import zorder_key, zorder_key_sql
+
+    rows = [(i, (i * 2654435761) % 60000, (i * 40503) % 60000) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, x int, y int")
+    got = {r["id"]: r["zk"] for r in df.select(
+        "id", zorder_key([F.col("x"), F.col("y")], bits=16).alias("zk")).collect()}
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = zorder_key_sql(["x", "y"], bits=16)
+    want = {i: z for i, z in con.execute(f"SELECT id, {sql} FROM t").fetchall()}
+    assert got == want
