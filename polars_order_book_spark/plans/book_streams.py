@@ -33,10 +33,10 @@ def updates_stream(events: DataFrame) -> DataFrame:
     )
 
 
-UPDATES_STREAM_SQL = """
+UPDATES_STREAM_SQL = f"""
     SELECT event_id AS seq,
            user_id % 2 = 0 AS is_bid,
-           user_id % 20 + 1 AS price,
+           user_id % {N_PRICES} + 1 AS price,
            CAST(floor(value) AS BIGINT) % 7 AS qty
     FROM events
 """
@@ -52,10 +52,10 @@ def mutations_stream(events: DataFrame) -> DataFrame:
     )
 
 
-MUTATIONS_STREAM_SQL = """
+MUTATIONS_STREAM_SQL = f"""
     SELECT event_id AS seq,
            user_id % 2 = 0 AS is_bid,
-           user_id % 20 + 1 AS price,
+           user_id % {N_PRICES} + 1 AS price,
            CAST(floor(value) AS BIGINT) % 5 + 1 AS qty
     FROM events
 """
@@ -82,7 +82,7 @@ def modify_stream(events: DataFrame) -> DataFrame:
     )
 
 
-MODIFY_STREAM_SQL = """
+MODIFY_STREAM_SQL = f"""
     SELECT seq, is_bid, price, qty,
            lag(price) OVER w AS prev_price,
            CASE WHEN lag(price) OVER w IS NOT NULL THEN CAST(1 AS BIGINT) END AS prev_qty
@@ -90,7 +90,7 @@ MODIFY_STREAM_SQL = """
         SELECT event_id AS seq,
                user_id,
                user_id % 2 = 0 AS is_bid,
-               (user_id + event_id) % 20 + 1 AS price,
+               (user_id + event_id) % {N_PRICES} + 1 AS price,
                CAST(1 AS BIGINT) AS qty
         FROM events
     )
@@ -110,11 +110,11 @@ def keyed_mutations_stream(events: DataFrame) -> DataFrame:
     )
 
 
-KEYED_MUTATIONS_STREAM_SQL = """
+KEYED_MUTATIONS_STREAM_SQL = f"""
     SELECT user_id % 7 AS book,
            event_id AS seq,
            user_id % 2 = 0 AS is_bid,
-           user_id % 20 + 1 AS price,
+           user_id % {N_PRICES} + 1 AS price,
            CAST(floor(value) AS BIGINT) % 5 + 1 AS qty
     FROM events
 """
@@ -131,8 +131,10 @@ def conversion_raw_stream(events: DataFrame) -> DataFrame:
         F.col("user_id"),
     )
     occ = F.row_number().over(w) - 1
-    pair = F.expr("occ div 2")
-    base = base.withColumn("occ", occ).withColumn("pair", pair)
+    base = base.withColumn("occ", occ)
+    # occ is a non-negative int, so floor-div by 2 is exact; a column
+    # expression (not a string expr) keeps resolution order-independent.
+    base = base.withColumn("pair", F.floor(F.col("occ") / 2).cast("long"))
     return base.select(
         "seq",
         F.when(F.col("user_id") % 2 == 0, F.lit("BID")).otherwise(F.lit("ASK")).alias("side"),
@@ -142,10 +144,10 @@ def conversion_raw_stream(events: DataFrame) -> DataFrame:
     )
 
 
-CONVERSION_RAW_SQL = """
+CONVERSION_RAW_SQL = f"""
     SELECT seq,
            CASE WHEN user_id % 2 = 0 THEN 'BID' ELSE 'ASK' END AS side,
-           ((user_id + (occ // 2)) % 20 + 1) * 0.5 AS price_f,
+           ((user_id + (occ // 2)) % {N_PRICES} + 1) * 0.5 AS price_f,
            CASE WHEN occ % 2 = 1 THEN 'Trade' ELSE 'Add' END AS message_type,
            CAST((user_id + (occ // 2)) % 3 + 1 AS BIGINT) AS qty
     FROM (

@@ -928,7 +928,10 @@ def events_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ev.where(F.col("event_type") == kind).select("user_id")
 
     both = users("purchase").intersect(users("signup"))
-    clean = users("purchase").distinct().exceptAll(users("error").distinct())
+    # subtract() IS Spark's EXCEPT DISTINCT — one-to-one with the oracle's
+    # EXCEPT (the previous distinct().exceptAll(distinct()) spelling was
+    # only equivalent because both inputs were pre-distincted).
+    clean = users("purchase").subtract(users("error"))
     return (
         both.agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("purchase_and_signup").alias("cohort"), "n")
