@@ -655,8 +655,6 @@ def _apply_fold(
         return res
 
     result = df.groupBy(*by).applyInPandas(fold, schema=schema)
-    if drop_book:
-        by = None
     if output_struct:
         keep = [f.name for f in out_fields]
         result = result.select(*keep, F.struct(*snap_cols).alias(output_struct))

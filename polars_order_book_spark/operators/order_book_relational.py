@@ -58,8 +58,24 @@ def modify_to_mutations(
         pp.isNotNull() & pq.isNotNull() & (q != 0), F.struct(p.alias("d_price"), q.alias("d_qty"))
     ).when(pp.isNull() & pq.isNull(), F.struct(p.alias("d_price"), q.alias("d_qty")))
     other = [c for c in df.columns if c not in (price, qty, prev_price, prev_qty)]
+    # A row matching NO branch of the decision table (e.g. prev_price set
+    # with prev_qty null, or a qty-shrink with q < 0) must FAIL like
+    # strategy A's fold (ref update.rs:158-159), not silently vanish —
+    # silent dropping also breaks the one-snapshot-row-per-event contract
+    # and hides the row from the post-explosion validator. assert_true
+    # fused into the explode input cannot be pruned away.
+    invalid = delta_del.isNull() & delta_add.isNull()
+    guard = F.assert_true(
+        ~invalid,
+        F.concat(
+            F.lit("invalid modify event at seq "),
+            F.col(seq).cast("string"),
+            F.lit(": matches no branch of the modify decision table"),
+        ),
+    )
+    arr = F.when(guard.isNull(), F.array(delta_del, delta_add))
     exploded = df.select(
-        *other, F.explode(F.array(delta_del, delta_add)).alias("__d")
+        *other, F.explode(arr).alias("__d")
     ).where(F.col("__d").isNotNull())
     # Zero-delta rows (pure no-op q=0, qty-only modify with q == prev_qty) are
     # kept: they don't move the running sum, but their seq must still appear in
@@ -109,7 +125,18 @@ def _segmented_running_levels(
         width = max(1, (mx - mn) // n_buckets + 1)
 
         def bkt_of(rel: DataFrame) -> DataFrame:
-            return rel.withColumn("__bkt", F.expr(f"(`{seq}` - {mn}) div {width}"))
+            # Clamp: caller-supplied bounds narrower than the data would put
+            # seqs outside [0, n_buckets] where the carry join has no domain
+            # row, silently nulling their levels. Any weakly-monotone-in-seq
+            # assignment is correct, so clamping to the edge buckets keeps
+            # results exact (same guard as the chunked fold's F.least).
+            return rel.withColumn(
+                "__bkt",
+                F.expr(
+                    f"least(greatest((`{seq}` - {mn}) div {width}, 0L), "
+                    f"CAST({n_buckets} AS BIGINT))"
+                ),
+            )
     else:
         bounds = source.agg(
             F.min(F.col(seq)).alias("__mn"), F.max(F.col(seq)).alias("__mx")
@@ -269,6 +296,26 @@ def top_n_levels_relational(
     kc = [F.col(k) for k in keys]
     if seq_buckets is None:
         seq_buckets = 0 if keys else 32
+
+    # Contract divergence, enforced loudly: the relational path's equi-joins
+    # (grid, deltas, segmented carries, final snapshot join) drop null join
+    # keys, so a null-key book would come back as silent all-null snapshots
+    # where strategy A computes real ones (it joins eqNullSafe). Fail the
+    # plan per offending ROW instead — the guard rides the events relation,
+    # which every output row descends from, so it cannot be pruned.
+    if keys:
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        key_guard = F.assert_true(
+            nn,
+            F.lit(
+                "top_n_levels_relational requires non-null `by` keys; "
+                "null-key books are supported by the fold strategy "
+                "(top_n_levels_from_price_*)"
+            ),
+        )
+        df = df.withColumn(seq, F.when(key_guard.isNull(), F.col(seq)))
 
     events = df.select(*keys, seq).distinct()
     levels = df.select(*keys, is_bid, price).distinct()

@@ -203,3 +203,47 @@ def test_construction_triggers_zero_jobs(spark):
     a = by_seq(top_n_levels_from_price_mutations(df, n=2), snapshot_columns(2))
     b = by_seq(out, snapshot_columns(2))
     assert a == b
+
+
+def test_relational_null_by_key_fails_loudly(spark):
+    """Strategy B's equi-joins drop null keys; rather than return silent
+    all-null snapshots (diverging from strategy A's eqNullSafe books), the
+    plan must fail per offending row."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("A", 1, True, 10, 5), (None, 2, True, 11, 3)],
+        "book string, seq long, is_bid boolean, price long, qty long",
+    )
+    out = top_n_levels_relational(df, variant="mutations", by=["book"], n=1)
+    with _pytest.raises(SparkRuntimeException, match="non-null"):
+        out.collect()
+
+
+def test_modify_to_mutations_invalid_row_fails_loudly(spark):
+    """A modify row matching no decision-table branch (prev_price set,
+    prev_qty null) must raise like strategy A, not silently vanish."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, True, 10, 5, 9, None)],
+        "seq long, is_bid boolean, price long, qty long, "
+        "prev_price long, prev_qty long",
+    )
+    with _pytest.raises(SparkRuntimeException, match="invalid modify event at seq 1"):
+        modify_to_mutations(df).collect()
+
+
+def test_relational_narrow_seq_bounds_clamp_exact(spark):
+    """seq_bounds narrower than the data must still give exact snapshots:
+    out-of-range seqs clamp to the edge buckets (weakly monotone), they
+    must not silently lose levels."""
+    rows = [(s, s % 2 == 0, 10 + s % 3, 1) for s in range(1, 41)]
+    df = spark.createDataFrame(rows, "seq long, is_bid boolean, price long, qty long")
+    full = top_n_levels_relational(df, variant="mutations", n=2, seq_buckets=4)
+    narrow = top_n_levels_relational(
+        df, variant="mutations", n=2, seq_buckets=4, seq_bounds=(1, 10)
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, narrow.collect()))
