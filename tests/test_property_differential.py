@@ -296,3 +296,36 @@ def test_property_fuzzy_pairs_complete_within_block(spark, texts):
             if d <= 3:
                 expected[(i, j)] = d
     assert got == expected
+
+
+# --- chunked NBBO fill vs global window --------------------------------------
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # book
+            st.one_of(st.none(), st.tuples(st.integers(90, 99), st.integers(1, 9))),
+            st.one_of(st.none(), st.tuples(st.integers(100, 109), st.integers(1, 9))),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    chunk=st.sampled_from([1, 3, 7, 1000]),
+)
+def test_property_nbbo_chunked_equals_global(spark, rows, chunk):
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    data = []
+    for i, (book, bid, ask) in enumerate(rows):
+        bp, bq = bid if bid else (None, None)
+        ap, aq = ask if ask else (None, None)
+        data.append((book, i + 1, bp, bq, ap, aq))
+    snaps = spark.createDataFrame(
+        data,
+        "book long, seq long, bid_price_1 long, bid_qty_1 long, "
+        "ask_price_1 long, ask_qty_1 long",
+    )
+    base = sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect()))
+    chunked = sorted(map(tuple, nbbo(snaps, [0, 1, 2], chunk_size=chunk).collect()))
+    assert chunked == base
