@@ -30,6 +30,30 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+# -- SQL-string expression builders ----------------------------------------
+# Constant-heavy expressions (n_cells/n_planes × dim literal components) are
+# assembled as ONE SQL string handed to F.expr instead of thousands of
+# F.lit/F.array py4j calls: building the IVF assignment via Column objects
+# costs ~1.9 s of driver time per query (measured, STATUS.md r5) while the
+# identical expression parses JVM-side in milliseconds. The parsed tree is
+# the same Catalyst expression, so results stay bit-identical.
+
+
+def _sql_const_array(vals) -> str:
+    """SQL double-array literal. repr() round-trips Python floats exactly and
+    Spark parses to nearest double, so components match F.lit bit-for-bit."""
+    return "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-fold dot product — textual twin of :func:`_dot` (same IEEE order)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _sql_as_double(col_name: str) -> str:
+    return f"transform(`{col_name}`, x -> CAST(x AS DOUBLE))"
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = _as_double(F.col(vec_col))
     return df.withColumn("__norm", F.sqrt(_dot(v, v)))
@@ -101,10 +125,6 @@ def plane_component(p: int, j: int) -> float:
     return (h % 1000) / 1000.0 - 0.5
 
 
-def _plane_literal(p: int, dim: int):
-    return F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
-
-
 def signed_projection_buckets(
     vectors: DataFrame,
     *,
@@ -115,14 +135,17 @@ def signed_projection_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign pattern of n_planes pseudo-random
     projections. Plane vectors are precomputed literals (no per-row hashing on
-    executors — at 100 TB the planes are a constant folded into the plan)."""
-    v = _as_double(F.col(vec_col))
+    executors — at 100 TB the planes are a constant folded into the plan).
+    The whole bucket expression is one parsed SQL string (see
+    ``_sql_const_array``) — n_planes × dim Column objects would otherwise
+    dominate driver-side plan-build time."""
+    v = _sql_as_double(vec_col)
     bits = []
     for p in range(n_planes):
-        proj = _dot(v, _plane_literal(p, dim))
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        pl = _sql_const_array(plane_component(p, j) for j in range(dim))
+        bits.append(f"CASE WHEN {_sql_dot(v, pl)} >= 0 THEN '1' ELSE '0' END")
     return vectors.select(
-        F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket")
+        F.col(id_col).alias("vec_id"), F.expr("concat(" + ",".join(bits) + ")").alias("bucket")
     )
 
 
@@ -216,10 +239,6 @@ def centroid_component(c: int, j: int) -> float:
     return (h % 1000) / 1000.0 - 0.5
 
 
-def _centroid_literal(c: int, dim: int):
-    return F.array(*[F.lit(centroid_component(c, j)) for j in range(dim)])
-
-
 def train_ivf_centroids(
     vectors: DataFrame,
     *,
@@ -266,24 +285,26 @@ def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
                      top: int, centroids: list | None = None) -> DataFrame:
     """(id, cell) pairs: the ``top`` nearest coarse centroids per vector by
     cosine. Assignment is a pure projection (argmax over n_cells dot products
-    against literal centroids — constant-folded, no shuffle, no Python)."""
-    v = _as_double(F.col("__v"))
+    against literal centroids — constant-folded, no shuffle, no Python).
+    Built as ONE parsed SQL expression (see ``_sql_const_array``)."""
+    v = _sql_as_double("__v")
     sims = []
     for c in range(n_cells):
-        if centroids is not None:
-            cl = F.array(*[F.lit(float(x)) for x in centroids[c]])
-        else:
-            cl = _centroid_literal(c, dim)
+        comps = centroids[c] if centroids is not None else [
+            centroid_component(c, j) for j in range(dim)
+        ]
+        cl = _sql_const_array(comps)
         # |v| is a common positive factor across cells — dropping it leaves
         # the cosine ranking (and thus the assignment) unchanged while
         # skipping n_cells redundant self-dot folds per row.
-        sim = _dot(v, cl) / F.sqrt(_dot(cl, cl))
         # struct sorts lexicographically: (sim desc, cell asc) via negated cell
-        sims.append(F.struct(sim.alias("s"), F.lit(-c).alias("nc")))
-    ranked = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, top)
+        sims.append(
+            f"named_struct('s', {_sql_dot(v, cl)} / sqrt({_sql_dot(cl, cl)}), 'nc', {-c})"
+        )
+    ranked = f"slice(reverse(array_sort(array({','.join(sims)}))), 1, {top})"
     return vec_df.select(
         F.col(id_name),
-        F.explode(F.transform(ranked, lambda x: -x["nc"])).alias("cell"),
+        F.explode(F.expr(f"transform({ranked}, x -> -x.nc)")).alias("cell"),
     )
 
 
@@ -735,27 +756,25 @@ def kmeans_step(
     dim = len(centroids[0])
     if any(len(c) != dim for c in centroids):
         raise ValueError("all centroids must share one dimensionality")
-    v = _as_double(F.col(vec_col))
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # All three per-dimension expression families below are single parsed SQL
+    # strings (see _sql_const_array): k × dim literals built as Column objects
+    # cost seconds of driver plan-build time, the parsed twin is milliseconds.
+    v = _sql_as_double(vec_col)
+    dists = "array(" + ",".join(
+        f"aggregate(zip_with({v}, {_sql_const_array(c)}, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
         for c in centroids
-    ])
+    ) + ")"
     assigned = vectors.select(
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
-        v.alias("__v"),
+        F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        ).alias("cell"),
+        F.expr(v).alias("__v"),
     )
     sums = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         *[
-            F.sum(F.col("__v")[d].cast("decimal(30,12)")).alias(f"__s{d}")
+            F.expr(f"sum(CAST(__v[{d}] AS DECIMAL(30,12)))").alias(f"__s{d}")
             for d in range(dim)
         ],
     )
@@ -767,16 +786,11 @@ def kmeans_step(
     # corpus. Rounding the mean at 1e-6, eight orders above the tie noise,
     # makes the emitted value engine-stable while n_members and the
     # assignment remain bit-exact.
-    parts = F.array(*[
-        F.struct(
-            F.lit(d).alias("d"),
-            F.round(
-                F.col(f"__s{d}").cast("double") / F.col("n_members").cast("double"),
-                6,
-            ).alias("centroid"),
-        )
+    parts = F.expr("array(" + ",".join(
+        f"named_struct('d', {d}, 'centroid',"
+        f" round(CAST(__s{d} AS DOUBLE) / CAST(n_members AS DOUBLE), 6))"
         for d in range(dim)
-    ])
+    ) + ")")
     return sums.select(
         "cell", F.explode(parts).alias("p"), "n_members"
     ).select("cell", F.col("p.d").alias("d"), F.col("p.centroid").alias("centroid"), "n_members")
