@@ -80,14 +80,18 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> D
     rows for an explode-by-seed formulation — a 16x shuffle reduction that
     dominates at scale."""
     hbase = hash64(F.col("shingle")) % MINHASH_PRIME
+    # Permutation aggs parse from SQL strings — one py4j call per seed instead
+    # of ~8 Column-builder calls each (driver plan-build time, STATUS.md r5).
     aggs = [
-        F.min((F.lit(2 * s + 1) * hbase + F.lit(10007 * s + 1)) % MINHASH_PRIME).alias(f"mh_{s}")
+        F.expr(
+            f"min(({2 * s + 1}L * __hb + {10007 * s + 1}L) % {MINHASH_PRIME}L)"
+        ).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
     # No distinct(): min is invariant under duplicate shingles, so the single
     # groupBy (with map-side partial agg) replaces a distinct+groupBy double
     # shuffle.
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.withColumn("__hb", hbase).groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(sig: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
@@ -385,21 +389,26 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     groupBy(doc, bit), a ``bits``-fold shuffle reduction. The md5 is common-
     subexpression-eliminated across the 32 vote expressions by codegen."""
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.md5(F.col("tok"))
 
-    def bit(b: int):
+    # Vote and signature expressions parse from SQL strings — the per-bit
+    # Column-builder formulation cost ~0.5 s of driver plan-build per query
+    # (measured, STATUS.md r5); the parsed Catalyst trees are identical.
+    def bit_sql(b: int) -> str:
         # nibble (b // 4) of md5, little-endian within nibble: (v div 2^(b%4)) % 2
-        nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
-        return F.floor(nib / F.lit(2 ** (b % 4))).cast("int") % 2
+        nib = f"CAST(conv(substring(md5(tok), {b // 4 + 1}, 1), 16, 10) AS INT)"
+        return f"CAST(FLOOR({nib} / {2 ** (b % 4)}) AS INT) % 2"
 
     votes = tok.groupBy("doc_id").agg(
-        *[F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)]
+        *[
+            F.expr(f"sum(CASE WHEN {bit_sql(b)} = 1 THEN 1 ELSE -1 END)").alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return votes.select("doc_id", sig.alias("simhash"))
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return votes.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int,
