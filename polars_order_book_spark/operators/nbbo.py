@@ -21,10 +21,13 @@ decodes after (prices must exceed ``empty_sentinel``; the default -1 suits
 positive integer ticks).
 
 Scale contract: the book count B is venue-bounded (dimension-sized — tens,
-not millions), so the pivot is 4·B columns wide. The forward fill defaults
-to ONE global ordered window — the NBBO timeline is inherently sequential,
-the same single-task bound as an unkeyed book fold; pass ``chunk_size`` to
-switch to the segmented-scan fill when one task cannot hold the timeline.
+not millions), so the pivot is 4·B columns wide. The forward fill DEFAULTS
+to the segmented scan ("auto"): fill within seq-range chunks in parallel,
+prefix-scan the chunks-sized summaries, join the carry back. The only
+unpartitioned window in the default plan runs over the chunk summaries —
+a bounded relation — never over the event timeline, so the plan survives a
+100× scale-up without silently serializing into one task (r5 default flip;
+the old single-window behavior remains via ``chunk_size=None``).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def nbbo(
     book_col: str = "book",
     seq_col: str = "seq",
     empty_sentinel: int = -1,
-    chunk_size: int | None = None,
+    chunk_size: "int | None | str" = "auto",
 ) -> DataFrame:
     """Consolidate keyed level-1 snapshots into the cross-book NBBO.
 
@@ -50,27 +53,34 @@ def nbbo(
     id list (venue universe = static configuration, keeping the plan fully
     lazy; ids absent from the data simply never contribute).
 
-    ``chunk_size``: None keeps the single global ordered window (simplest
-    plan; one task holds the timeline). A size turns the forward fill into
-    the SEGMENTED SCAN: (1) fill within each ``seq div chunk_size`` range
-    in parallel, (2) summarize each chunk's final per-column state
-    (``max_by`` over non-null rows — chunks-sized relation), (3) prefix-scan
-    the summaries in one tiny window and join each chunk's carry-in back.
-    Identical output (pinned by a differential test + the shared driver
-    oracle). NOTE the unit: this is a chunk SIZE in seq units, NOT the
-    fold operators' ``seq_chunks`` chunk COUNT — named differently on
-    purpose so a tuned value can't silently port between the two.
+    ``chunk_size`` selects the forward-fill strategy:
 
-    Measured honestly (sf0.1, 100k events, local[32], best-of-3): the
-    global window wins, 2.5s vs 4.0s (the checkpointed pivot removed 0.9s
-    of double computation; the rest is the extra window pass + carry
-    join). Below one task's capacity chunking costs more than the lost
-    parallelism buys — chunk only when one task can no longer hold the
-    pivoted timeline; the crossover is a memory bound, not a speed bound.
+    * ``"auto"`` (default) — SEGMENTED SCAN with chunk boundaries derived
+      lazily from the seq bounds (one tiny broadcast agg, same pattern as
+      the chunked book fold): the timeline splits into ~shuffle-partitions
+      equal seq ranges, (1) fill within each chunk in parallel, (2)
+      summarize each chunk's final per-column state (``max_by`` over
+      non-null rows — chunks-sized relation), (3) prefix-scan the summaries
+      in one tiny window and join each chunk's carry-in back. No
+      events-sized single-task window anywhere in the plan.
+    * an ``int`` — same segmented scan with a fixed chunk WIDTH in seq
+      units (``seq div chunk_size``). NOTE the unit: a chunk SIZE, NOT the
+      fold operators' ``seq_chunks`` chunk COUNT — named differently on
+      purpose so a tuned value can't silently port between the two.
+    * ``None`` — ONE global ordered window (single task holds the whole
+      timeline). Simplest plan and ~1.5x faster at sf0.1 (measured
+      best-of-3: 2.5s vs 4.0s — below one task's capacity, chunking costs
+      more than the lost parallelism buys), but it serializes at scale;
+      opt in only when the timeline is known small.
+
+    All three produce identical output (pinned by differential tests + the
+    shared driver oracle).
     """
     if not books:
         raise ValueError("books must be non-empty")
-    if chunk_size is not None and chunk_size <= 0:
+    if isinstance(chunk_size, str) and chunk_size != "auto":
+        raise ValueError(f"chunk_size must be an int, None, or 'auto', got {chunk_size!r}")
+    if isinstance(chunk_size, int) and chunk_size <= 0:
         raise ValueError(f"chunk_size must be > 0, got {chunk_size}")
     sent = F.lit(empty_sentinel)
     enc = snapshots.select(
@@ -109,12 +119,32 @@ def nbbo(
             ],
         )
     else:
+        if chunk_size == "auto":
+            # Lazy equal-width chunking into ~shuffle-partitions ranges: the
+            # bounds relation is ONE row, broadcast, so the plan stays fully
+            # lazy and never collects driver-side.
+            n_chunks = int(
+                snapshots.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            bounds = piv.agg(
+                F.min("seq").alias("__smin"), F.max("seq").alias("__smax")
+            )
+            span = F.col("__smax") - F.col("__smin") + F.lit(1)
+            ck = F.least(
+                F.lit(n_chunks - 1),
+                F.floor((F.col("seq") - F.col("__smin")) * F.lit(n_chunks) / span),
+            )
+            with_ck = (
+                piv.join(F.broadcast(bounds))
+                .withColumn("__ck", F.coalesce(ck, F.lit(0)).cast("long"))
+                .drop("__smin", "__smax")
+            )
+        else:
+            with_ck = piv.withColumn("__ck", F.expr(f"seq div {int(chunk_size)}"))
         # localCheckpoint: the chunked pivot feeds BOTH the within-chunk
         # fill and the summary aggregate — without lineage truncation the
         # events-sized pivot shuffle runs twice per action.
-        chunked = piv.withColumn(
-            "__ck", F.expr(f"seq div {int(chunk_size)}")
-        ).localCheckpoint(eager=False)
+        chunked = with_ck.localCheckpoint(eager=False)
         w_in = (
             Window.partitionBy("__ck")
             .orderBy("seq")

@@ -128,12 +128,31 @@ def test_nbbo_chunked_equals_global(spark):
     )
     from polars_order_book_spark.operators.nbbo import nbbo
 
-    base = sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect()))
-    for chunk in (7, 40, 1000):
+    base = sorted(map(tuple, nbbo(snaps, [0, 1, 2], chunk_size=None).collect()))
+    for chunk in (7, 40, 1000, "auto"):
         chunked = sorted(
             map(tuple, nbbo(snaps, [0, 1, 2], chunk_size=chunk).collect())
         )
         assert chunked == base, f"chunk_size={chunk}"
+    # the default IS the auto segmented scan
+    assert sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect())) == base
+
+
+def test_nbbo_default_plan_has_no_global_timeline_window(spark):
+    """Scale pin (r5 default flip): the DEFAULT plan must never forward-fill
+    through ONE unpartitioned events-sized window — only the chunks-sized
+    carry prefix-scan may be unpartitioned. An unpartitioned timeline window
+    shows up as windowspecdefinition(seq ASC ...) with no partition columns;
+    the within-chunk fill partitions by __ck first."""
+    snaps = _snaps(spark, [(0, 1, 10, 1, 12, 1), (1, 2, 11, 2, 13, 2)])
+    plan = nbbo(snaps, books=[0, 1])._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(seq#" not in plan, plan
+    # opt-out keeps the single global window
+    plan_global = (
+        nbbo(snaps, books=[0, 1], chunk_size=None)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "windowspecdefinition(seq#" in plan_global, plan_global
 
 
 def test_nbbo_chunked_guardrail(spark):
