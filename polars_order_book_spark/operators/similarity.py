@@ -383,6 +383,7 @@ def cosine_topk_blas(
     query_id_col: str = "query_id",
     k: int = 10,
     round_digits: int | None = None,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Exact top-k cosine via Arrow-batched numpy GEMM (the wide-vector fast
     path; same contract as :func:`cosine_topk_bruteforce`).
@@ -403,6 +404,12 @@ def cosine_topk_blas(
     Contract narrowing vs the built-in path: ids must be INTEGER (the
     numpy id arrays and the fixed 'long' output schema assume it) — a
     non-integer id raises immediately rather than miscomparing.
+
+    ``max_queries`` bounds the driver-side collect: above the cap the call
+    fails fast with a clear error (one cheap limit(cap+1) probe) instead of
+    a driver OOM deep inside collect(). Raise it only with the driver heap
+    to match; for unbounded query sets use :func:`cosine_topk_bruteforce`
+    (broadcast) or the bucketed LSH/IVF paths.
     """
     import numpy as np
     import pandas as pd
@@ -414,6 +421,13 @@ def cosine_topk_blas(
                 f"cosine_topk_blas requires integer ids; {side}.{col_} is {dt} "
                 "(use cosine_topk_bruteforce for non-integer id types)"
             )
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"cosine_topk_blas collects the query set driver-side; it has more "
+            f"than max_queries={max_queries} rows. Use cosine_topk_bruteforce / "
+            "cosine_topk_lsh / cosine_topk_ivf for large query sets, or raise "
+            "max_queries along with the driver heap."
+        )
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)

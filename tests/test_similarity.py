@@ -281,3 +281,16 @@ def test_kmeans_step_tie_breaks_to_first_centroid_and_guards(spark):
         kmeans_step(df, [])
     with _pytest.raises(ValueError):
         kmeans_step(df, [[1.0], [1.0, 2.0]])
+
+
+def test_blas_topk_query_cap_fails_fast(spark):
+    """The driver-side query collect is bounded: |Q| > max_queries must raise
+    a clear error BEFORE any collect-sized allocation (r5 hardening)."""
+    rows = _vectors(n=20, dim=4)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_blas(df, queries, k=3, max_queries=10)
+    # at exactly the cap it proceeds
+    out = similarity.cosine_topk_blas(df, queries, k=3, max_queries=20)
+    assert out.count() == 20 * 3
