@@ -38,6 +38,27 @@ def _import_optional(name: str):
         return None
 
 
+# Ship this module inside UDF closures (pickle-by-value) so executors don't
+# need the package on their PYTHONPATH — same contract as operators/
+# order_book.py. Without this, mapInPandas closures referencing module-level
+# decode_* fail with ModuleNotFoundError on workers (caught by the /verify
+# outside-repo recipe, r5).
+def _register_self_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_register_self_by_value()
+
+
 # Detected once at import; decode functions accept an explicit module handle
 # so both branches are unit-testable in a codec-less container.
 _PIL_IMAGE = _import_optional("PIL.Image")
@@ -93,24 +114,86 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+# PNG color type -> band count, exactly PIL's getbands() for each mode:
+# 0 grayscale (L), 2 truecolor (RGB), 3 palette (P -> 1 band), 4 gray+alpha
+# (LA), 6 truecolor+alpha (RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png_header(b: bytes) -> "dict | None":
+    """Pure-Python PNG IHDR parse — (width, height, channels) straight from
+    the header bytes, no codec library. Layout (PNG spec §5.2/§11.2.2):
+    8-byte signature, then the IHDR chunk (4-byte length, 'IHDR', width u32be,
+    height u32be, bit depth u8, color type u8). Returns None when the payload
+    is not a well-formed PNG head."""
+    import struct
+
+    if len(b) < 26 or not b.startswith(b"\x89PNG\r\n\x1a\n") or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", b[16:24])
+    color_type = b[25]
+    if color_type not in _PNG_CHANNELS:
+        return None
+    return {"width": width, "height": height, "channels": _PNG_CHANNELS[color_type]}
+
+
+def parse_wav_header(b: bytes) -> "dict | None":
+    """Pure-Python RIFF/WAVE parse — sample rate / channels / frame count from
+    the fmt and data chunk headers, no codec library. Walks the RIFF chunk
+    list (4-byte id, u32le size, payload padded to even). Returns None when
+    the payload is not a well-formed WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, block_align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            channels, rate, _byte_rate, block_align = struct.unpack(
+                "<HIIH", b[pos + 10:pos + 22]
+            )
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)
+    if rate is None or not channels or not block_align:
+        return None
+    frames = (data_size // block_align) if data_size is not None else 0
+    return {"sample_rate": rate, "channels": channels, "frames": frames}
+
+
 def decode_image(payload: bytes, image_module=_DETECT) -> dict:
-    """Import-try-gated image decode.
+    """Import-try-gated image decode with a header-parse fallback.
 
     Real-format payloads (PNG/JPEG/GIF/BMP/RIFF magic) decode through PIL when
-    it is importable — emitting REAL width/height/channels in the same columns
-    — and raise ``NotImplementedError`` when it is not. Everything else takes
-    the deterministic stub. ``image_module`` overrides the detected codec
-    (tests inject a fake PIL, or None to simulate its absence).
+    it is importable — emitting REAL width/height/channels in the same columns.
+    Without PIL, PNG payloads fall back to the pure-Python IHDR parse (same
+    real dimensions, zero dependencies); other real formats raise
+    ``NotImplementedError``. Everything else takes the deterministic stub.
+    ``image_module`` overrides the detected codec (tests inject a fake PIL,
+    or None to simulate its absence).
     """
     mod = _PIL_IMAGE if image_module is _DETECT else image_module
-    if _has_magic(payload, _IMAGE_MAGIC):
+    b = bytes(payload)
+    if _has_magic(b, _IMAGE_MAGIC):
         if mod is None:
-            raise NotImplementedError(
-                "real image payload but no codec available (install Pillow)"
-            )
+            hdr = parse_png_header(b)
+            if hdr is None:
+                raise NotImplementedError(
+                    "real image payload but no codec available (install Pillow; "
+                    "only PNG parses codec-free)"
+                )
+            return {
+                "n_bytes": len(b),
+                "first_byte": b[0] if b else 0,
+                "fake_width": hdr["width"],
+                "fake_height": hdr["height"],
+                "fake_channels": hdr["channels"],
+            }
         import io
 
-        img = mod.open(io.BytesIO(bytes(payload)))
+        img = mod.open(io.BytesIO(b))
         width, height = img.size
         return {
             "n_bytes": len(payload),
@@ -131,9 +214,20 @@ def decode_audio(payload: bytes, audio_module=_DETECT) -> dict:
     n = len(b)
     if _has_magic(b, _AUDIO_MAGIC):
         if mod is None:
-            raise NotImplementedError(
-                "real audio payload but no codec available (install soundfile)"
-            )
+            hdr = parse_wav_header(b)
+            if hdr is None:
+                raise NotImplementedError(
+                    "real audio payload but no codec available (install "
+                    "soundfile; only WAV parses codec-free)"
+                )
+            rate = hdr["sample_rate"]
+            return {
+                "n_bytes": n,
+                "fake_sample_rate": rate,
+                "fake_duration_ms": int(hdr["frames"] * 1000 // rate) if rate else 0,
+                "fake_channels": hdr["channels"],
+                "rms_proxy": sum(b) // n if n else 0,
+            }
         import io
 
         info = mod.info(io.BytesIO(b))

@@ -143,3 +143,72 @@ def test_binary_magic_still_routes_to_codec():
     assert mm._has_magic(PNG_MAGIC, mm._IMAGE_MAGIC)       # non-ASCII sig
     assert mm._has_magic(WAV_MAGIC, mm._AUDIO_MAGIC)       # RIFF + NUL bytes
     assert mm._has_magic(b"\xff\xd8\xff\xe1EXIF", mm._IMAGE_MAGIC)  # JPEG/EXIF
+
+
+def _tiny_png(width=320, height=200, color_type=6):
+    import struct
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def _tiny_wav(rate=44100, channels=2, bits=16, n_frames=100):
+    import struct
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = b"\x00" * (n_frames * block)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_png_header_parse_codec_free():
+    """Real PNG bytes yield REAL dimensions without PIL (r5: pure-Python
+    IHDR parse replaces NotImplementedError for this format)."""
+    out = mm.decode_image(_tiny_png(320, 200, color_type=6), image_module=None)
+    assert (out["fake_width"], out["fake_height"], out["fake_channels"]) == (320, 200, 4)
+    # band counts per color type match PIL's getbands()
+    for ctype, bands in ((0, 1), (2, 3), (3, 1), (4, 2), (6, 4)):
+        assert mm.decode_image(_tiny_png(7, 9, ctype), image_module=None)[
+            "fake_channels"
+        ] == bands
+    # truncated / non-IHDR heads still refuse honestly
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nnot-an-ihdr-chunk", image_module=None)
+
+
+def test_wav_header_parse_codec_free():
+    """Real WAV bytes yield REAL rate/channels/duration without soundfile."""
+    out = mm.decode_audio(_tiny_wav(rate=8000, channels=1, n_frames=4000),
+                          audio_module=None)
+    assert out["fake_sample_rate"] == 8000
+    assert out["fake_channels"] == 1
+    assert out["fake_duration_ms"] == 500
+    # fmt chunk after an unknown chunk still found (RIFF walk, not offsets)
+    import struct
+    wav = _tiny_wav()
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    walked = wav[:12] + extra + wav[12:]
+    assert mm.decode_audio(walked, audio_module=None)["fake_sample_rate"] == 44100
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF\x10\x00\x00\x00WAVEtrunc", audio_module=None)
+
+
+def test_real_png_payload_through_spark_pipeline(spark):
+    """End-to-end mapInPandas over a REAL PNG payload in a codec-less
+    container: the header-parse branch runs on executors."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("payload", BinaryType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(_tiny_png(64, 48, 2))), (2, bytearray(TEXT_PAYLOAD))], schema
+    )
+    by_id = {r["doc_id"]: r for r in mm.extract_image_features(df).collect()}
+    assert (by_id[1]["fake_width"], by_id[1]["fake_height"], by_id[1]["fake_channels"]) == (64, 48, 3)
+    assert by_id[2]["fake_width"] == 64 + len(TEXT_PAYLOAD) % 512  # stub path intact
