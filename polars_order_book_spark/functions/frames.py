@@ -32,10 +32,15 @@ def hconcat(
 
     ``left_order``/``right_order``: when there is no shared id, align by ROW
     POSITION under each side's explicit ordering (``right_order`` defaults to
-    ``left_order`` if the column exists on both sides). Positional alignment
-    needs a global row_number — a single-partition sort per side — so it is
-    for moderate frames only; give the data a real key for 100 TB work, like
-    the reference's own examples join on "id" (ref: test_calculate_bbo.py:60).
+    ``left_order`` if the column exists on both sides). Positions come from a
+    SEGMENTED rank (r5, replacing two single-task global sorts): each side is
+    range-partitioned on its order columns, row_number runs per partition in
+    parallel, and partition-count prefix offsets (a partitions-sized relation,
+    broadcast back) make the ids global — the only unpartitioned window in
+    the plan orders the per-partition counts, never the data. Prefer a real
+    key (`on`) anyway for 100 TB work, like the reference's own examples join
+    on "id" (ref: test_calculate_bbo.py:60): positional semantics still need
+    a total order to be well-defined.
     The positional path EAGERLY counts both sides and raises ValueError on a
     length mismatch (Polars' horizontal concat errors too; a silent inner-join
     truncation would mask the caller's off-by-one). The `on` path stays lazy.
@@ -69,7 +74,35 @@ def hconcat(
             f"hconcat positional alignment needs equal lengths: "
             f"left={counts['l']} right={counts['r']} (Polars raises here too)"
         )
-    lnum = left.withColumn(_POS, F.row_number().over(Window.orderBy(*lo)))
-    rnum = right.withColumn(_POS, F.row_number().over(Window.orderBy(*ro)))
+    lnum = _with_positions(left, lo)
+    rnum = _with_positions(right, ro)
     dup = [c for c in rnum.columns if c in lnum.columns and c != _POS]
     return lnum.join(rnum.drop(*dup), on=_POS).drop(_POS)
+
+
+def _with_positions(df: DataFrame, order: "list[str]") -> DataFrame:
+    """Global 1-based row positions under ``order`` without a global sort:
+    range-partition on the order columns (partition i's keys all precede
+    partition i+1's), rank within each partition in parallel, then add each
+    partition's exclusive prefix count — derived from a partitions-sized
+    aggregate, broadcast back. localCheckpoint truncates lineage so the
+    range-shuffled relation feeds both the ranking and the counts once."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__local", F.row_number().over(w_local))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(_POS, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -206,3 +206,36 @@ def test_event_csv_roundtrip_with_embedded_newlines(spark):
     )
     got = sorted((r["id"], r["text"], r["v"]) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_hconcat_positional_plan_has_no_global_data_window(spark):
+    """Scale pin (r5): positional alignment must not rank the DATA through an
+    unpartitioned window — only the partitions-sized count prefix-scan may be
+    unpartitioned. A data-sized global window would show as
+    windowspecdefinition(<order col> ASC...) with no partition spec."""
+    left = spark.createDataFrame([(3, "c"), (1, "a")], ["k", "x"])
+    right = spark.createDataFrame([(30, 300), (10, 100)], ["j", "y"])
+    plan = (
+        hconcat(left, right, left_order="k", right_order="j")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "windowspecdefinition(k#" not in plan, plan
+    assert "windowspecdefinition(j#" not in plan, plan
+
+
+def test_hconcat_positional_larger_roundtrip(spark):
+    """500 rows across many partitions: segmented positions must align the
+    sides exactly (pos i on the left meets pos i on the right)."""
+    import random
+
+    rng = random.Random(11)
+    ks = rng.sample(range(10_000), 500)
+    left = spark.createDataFrame([(k, f"L{k}") for k in ks], ["k", "x"]).repartition(13)
+    right = spark.createDataFrame(
+        [(k * 2, f"R{k}") for k in ks], ["j", "y"]
+    ).repartition(7)
+    out = hconcat(left, right, left_order="k", right_order="j").collect()
+    assert len(out) == 500
+    for r in out:
+        assert r["j"] == r["k"] * 2, (r["k"], r["j"])
+        assert r["x"] == f"L{r['k']}" and r["y"] == f"R{r['k']}"
