@@ -41,7 +41,9 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ByteType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType,
+)
 
 MAX_LEVELS = 20  # reference guardrail, ref: calculate_bbo.rs:120-123
 _BOOK_COL = "__book__"
@@ -592,6 +594,23 @@ def _apply_fold_chunked(
     return union.select(*keep, *snap_cols)
 
 
+def _validate_tick_dtype(dtype, col: str):
+    """Accept the reference generic core's PriceLike surface
+    (ref: order_book_core/src/price_level.rs:8-44): any integral tick, plus
+    integer-valued decimals that fit i64. Floats must be pre-scaled by the
+    caller (the reference README's own recipe) — a silent int() truncation
+    here would corrupt books, so it raises instead."""
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return
+    if isinstance(dtype, DecimalType) and dtype.scale == 0 and dtype.precision <= 18:
+        return
+    raise OrderBookError(
+        f"unsupported tick dtype {dtype.simpleString()} for column {col!r}: "
+        "use an integer type or DECIMAL(<=18, 0); scale float ticks to "
+        "integers first (ref: README.md:131-162 conversion recipe)"
+    )
+
+
 def _apply_fold(
     df: DataFrame,
     variant: str,
@@ -616,6 +635,33 @@ def _apply_fold(
     prev_price, prev_qty = named["prev_price"], named["prev_qty"]
     snap_cols = snapshot_columns(n)
 
+    # Non-i64 ticks (ref generic core, price_level.rs:8-44): validate, cast to
+    # long through temp columns for the fold, and cast snapshot PRICE columns
+    # back to the input price dtype on the way out. Qty snapshots stay long:
+    # mutations aggregate qtys, and a sum must not inherit a narrow input
+    # type's overflow (the same promotion Polars applies to sums).
+    price_dt = df.schema[price].dataType
+    for logical, col in (("price", price), ("qty", qty),
+                         ("prev_price", prev_price), ("prev_qty", prev_qty)):
+        if col is None:
+            continue
+        dt = df.schema[col].dataType
+        _validate_tick_dtype(dt, col)
+        if not isinstance(dt, LongType):
+            tmp = f"__tick_{logical}"
+            df = df.withColumn(tmp, F.col(col).cast("long"))
+            temps.append(tmp)
+            if logical == "price":
+                price = tmp
+            elif logical == "qty":
+                qty = tmp
+            elif logical == "prev_price":
+                prev_price = tmp
+            else:
+                prev_qty = tmp
+    price_snap_cast = None if isinstance(price_dt, LongType) else price_dt
+    price_snap_cols = [c for c in snap_cols if "_price_" in c]
+
     drop_book = False
     if not by:
         df = df.withColumn(_BOOK_COL, F.lit(0))
@@ -630,31 +676,34 @@ def _apply_fold(
             df, variant, price, qty, is_bid, seq, by, n, prev_price, prev_qty,
             snap_cols, out_fields, seq_chunks,
         )
-        if output_struct:
-            keep = [f.name for f in out_fields]
-            result = result.select(*keep, F.struct(*snap_cols).alias(output_struct))
-        return result
-
-    schema = StructType(out_fields + [StructField(c, LongType(), True) for c in snap_cols])
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq, kind="mergesort", ignore_index=True)
-        out, mask, _, _ = _fold_arrays(
-            variant,
-            n,
-            pdf[seq].to_numpy(),
-            _as_list(pdf[is_bid]),
-            _as_list(pdf[price]),
-            _as_list(pdf[qty]),
-            _as_list(pdf[prev_price]) if prev_price else None,
-            _as_list(pdf[prev_qty]) if prev_qty else None,
+    else:
+        schema = StructType(
+            out_fields + [StructField(c, LongType(), True) for c in snap_cols]
         )
-        res = pdf.drop(columns=drop_cols, errors="ignore")
-        for j, c in enumerate(snap_cols):
-            res[c] = pd.arrays.IntegerArray(out[j], mask[j])
-        return res
 
-    result = df.groupBy(*by).applyInPandas(fold, schema=schema)
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(seq, kind="mergesort", ignore_index=True)
+            out, mask, _, _ = _fold_arrays(
+                variant,
+                n,
+                pdf[seq].to_numpy(),
+                _as_list(pdf[is_bid]),
+                _as_list(pdf[price]),
+                _as_list(pdf[qty]),
+                _as_list(pdf[prev_price]) if prev_price else None,
+                _as_list(pdf[prev_qty]) if prev_qty else None,
+            )
+            res = pdf.drop(columns=drop_cols, errors="ignore")
+            for j, c in enumerate(snap_cols):
+                res[c] = pd.arrays.IntegerArray(out[j], mask[j])
+            return res
+
+        result = df.groupBy(*by).applyInPandas(fold, schema=schema)
+
+    if price_snap_cast is not None:
+        result = result.withColumns(
+            {c: F.col(c).cast(price_snap_cast) for c in price_snap_cols}
+        )
     if output_struct:
         keep = [f.name for f in out_fields]
         result = result.select(*keep, F.struct(*snap_cols).alias(output_struct))

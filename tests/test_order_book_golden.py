@@ -255,3 +255,89 @@ def test_output_struct_mode(spark):
     flat = out.select("seq", "bbo.*")
     r = flat.collect()[0]
     assert (r["bid_price_1"], r["bid_qty_1"]) == (5, 50)
+
+
+def test_int32_ticks_accepted_with_original_price_dtype_out(spark):
+    """Generic-tick parity (ref: order_book_core/src/price_level.rs:8-44):
+    int32 price/qty fold exactly like i64, snapshot PRICE columns come back
+    as the input price dtype; qty snapshots promote to long (sums)."""
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("seq", LongType()),
+        StructField("is_bid", BooleanType()),
+        StructField("price", IntegerType()),
+        StructField("qty", IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, True, 100, 5), (2, True, 101, 3), (3, False, 105, 2), (4, True, 101, 4)],
+        schema,
+    )
+    out = top_n_levels_from_price_mutations(df, n=2)
+    dts = dict(out.dtypes)
+    assert dts["bid_price_1"] == "int" and dts["ask_price_2"] == "int"
+    assert dts["bid_qty_1"] == "bigint"
+    assert dts["price"] == "int"  # passthrough column untouched
+    rows = {r["seq"]: r for r in out.collect()}
+    assert (rows[4]["bid_price_1"], rows[4]["bid_qty_1"]) == (101, 7)
+    assert (rows[4]["bid_price_2"], rows[4]["bid_qty_2"]) == (100, 5)
+    assert (rows[4]["ask_price_1"], rows[4]["ask_qty_1"]) == (105, 2)
+
+
+def test_decimal_ticks_accepted(spark):
+    """DECIMAL(12,0) ticks fold via the validated i64 cast and come back as
+    DECIMAL(12,0) prices."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    schema = StructType([
+        StructField("seq", LongType()),
+        StructField("is_bid", BooleanType()),
+        StructField("price", DecimalType(12, 0)),
+        StructField("qty", LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, True, Decimal(100), 5), (2, False, Decimal(105), 2)], schema
+    )
+    out = top_n_levels_from_price_updates(df, n=1)
+    assert dict(out.dtypes)["bid_price_1"] == "decimal(12,0)"
+    rows = {r["seq"]: r for r in out.collect()}
+    assert rows[2]["bid_price_1"] == Decimal(100)
+    assert rows[2]["ask_price_1"] == Decimal(105)
+
+
+def test_float_ticks_rejected_loudly(spark):
+    """Float ticks must raise (silent truncation corrupts books); the
+    reference README's own recipe scales floats to ints first."""
+    from polars_order_book_spark.operators.order_book import OrderBookError
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType([
+        StructField("seq", LongType()),
+        StructField("is_bid", BooleanType()),
+        StructField("price", DoubleType()),
+        StructField("qty", LongType()),
+    ])
+    df = spark.createDataFrame([(1, True, 100.5, 5)], schema)
+    with pytest.raises(OrderBookError, match="unsupported tick dtype"):
+        top_n_levels_from_price_updates(df, n=1)
+
+
+def test_int32_ticks_chunked_matches_unchunked(spark):
+    """The seq-chunked path shares the tick-cast plumbing."""
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("seq", LongType()),
+        StructField("is_bid", BooleanType()),
+        StructField("price", IntegerType()),
+        StructField("qty", IntegerType()),
+    ])
+    rows = [(i, i % 2 == 0, 100 + i % 5, 1 + i % 3) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, schema)
+    base = sorted(map(tuple, top_n_levels_from_price_mutations(df, n=2).collect()))
+    chunked = sorted(
+        map(tuple, top_n_levels_from_price_mutations(df, n=2, seq_chunks=4).collect())
+    )
+    assert chunked == base
