@@ -47,128 +47,69 @@ def test_query_analyzes(spark, name, fn):
 # behavior-changed sits in the head. Criterion for the tail stands: at least
 # one green driver CORRECTNESS row PLUS full local oracle + pytest coverage.
 DEMOTED_TAIL = {
-    # zero-signal overflow (52 zero-signal entries vs the 50-slot window):
-    # wait one round, FIRST into the r5 head. merge_stream is parity-pinned
-    # against head sibling orders_merge_apply; q22 is pinned by the local
-    # oracle gate + test_sql_parity.
-    "orders_merge_stream",
-    "q22_dormant_customers",
-    "ob_l1_metrics",
-    "ob_vwap_buckets",
-    "q15_top_supplier",
-    "documents_sentences",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q4_priority_count",
-    "q7_volume_shipping",
-    "q17_small_qty_revenue",
-    "q20_concentrated_suppliers",
-    "q18_large_orders",
-    "events_cohort_setops",
-    "q19_disjunctive_revenue",
-    "events_grouping_sets",
-    "events_props_variant",
-    "events_pseudonymize",
-    "events_stream_dropdup",
-    "ob_updates_top1",
-    "ob_updates_top3",
-    "ob_stream_keyed_mutations_top2",
-    "ob_relational_mutations_top2",
-    "q10_returned_items",
-    "events_props_json",
-    "events_hourly_pivot",
-    "orders_rolling_revenue",
-    "events_value_quantiles_approx",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "documents_budget_pack",
-    "documents_domain_mix",
-    "text_docfreq_score",
-    "text_redact_pii",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "dedup_embedding",
-    "text_quality",
-    "events_sessionize",
-    "events_lead_lag",
-    "events_asof_purchase",
-    "events_sessionize_stream",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_audio_features",
-    "text_vocabulary",
-    "text_tfidf",
-    "text_token_counts",
-    "supplier_nation_summary",
-    "dedup_components_star",  # redundant variant; dedup_components keeps head signal
-    "ob_conversion_top2",  # triple-green conversion variant; displaced by orders_merge_stream
-    # stale-r3 entries with the most prior greens (2-3 rows each), displaced
-    # by the q2/q8/q9/q11/q12/q16/q17/q20/q21 batch
+    # r5 rotation: the head 50 = the 38 never-driver-sampled entries, the 9
+    # whose latest green row is r2, and 3 r5-behavior-changed entries
+    # (ob_nbbo_keyed / ann_cosine_topk_ivf / dedup_simhash). Everything here
+    # carries a green r3/r4 driver row AND full local-gate + pytest coverage.
+    "ob_ofi",
+    "ob_ohlc_bars",
+    "events_ols_trend",
+    "events_markov_transitions",
+    "events_anomaly_zscore",
+    "events_interpolate_daily",
+    "documents_weighted_sample",
+    "documents_fuzzy_pairs",
+    "part_triangle_counts",
+    "ob_depth_profile",
+    "supplier_similarity",
+    "ann_recall_lsh",
+    "events_winsorize",
+    "orders_orc_roundtrip",
+    "events_pattern_3grams",
+    "documents_chunks",
+    "documents_hash_embed_knn",
+    "embeddings_kmeans_step",
+    "ob_nbbo_keyed_chunked",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "events_attribution_stream",
+    "documents_stratified_sample",
+    "events_value_deciles",
+    "supplier_pagerank",
+    "events_user_profile_stream",
+    "part_snapshot_diff",
+    "events_attribution_stream_outer",
+    "ob_realized_variance",
+    "events_user_distinct_sketch_rollup",
+    "orders_quality_report",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_hourly_stream_append",
+    "events_enriched_stream",
+    "bookgen_source_agg",
+    "documents_curation_pipeline",
+    "events_asof_next_purchase",
+    "part_unpivot_metrics",
+    "events_user_type_profile",
+    "text_dup_spans",
+    "documents_quality_filter",
+    "orders_merge_apply",
+    "embeddings_outliers",
+    "q13_customer_distribution",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
-    "ann_cosine_topk_lsh",
-    # r4-green helper round-trips displaced by deciles/grouping-sets
-    "part_hconcat",
-    "events_jsonl_roundtrip",
-    # r3-green chunked variant displaced by supplier_pagerank (the base
-    # mutations fold keeps head signal via ob_relational_keyed/modify)
-    "ob_chunked_mutations_top2",
-    # r4-green single-pass profiler displaced by events_user_profile_stream
-    "documents_profile",
-    # r4-green quantizer displaced by part_snapshot_diff (reconstruction
-    # error + value parity stay pinned by tests/test_similarity.py)
-    "embeddings_quantize_int8",
-    # r4-green packer displaced by events_attribution_stream_outer (layout
-    # invariants stay pinned by hypothesis property tests)
-    "documents_pack_sequences",
-    # r4-green zorder key displaced by ob_nbbo_keyed (key value + footer
-    # stats remain pinned by tests/test_layout.py)
-    "events_zorder_key",
-    # r4-green sink/text/dictionary entries displaced by the market-analytics
-    # batch (ob_vwap/ob_l1_metrics/ob_realized_variance); all remain pinned
-    # by tests/test_sinks.py and tests/test_text.py
-    "sink_roundtrip",
-    "text_clean",
-    "documents_category_index",
-    # r3-green single-level HLL displaced by the two-level sketch rollup
-    # (strictly wider coverage of the same surface)
-    "events_user_distinct_approx",
-    # displaced by orders_quality_report / events_funnel: csv round trip is
-    # r4-green (jsonl sibling already in tail), hash_sample is r3-green with
-    # the same portable-hash logic pinned via stratified/budget_pack + pytest
-    "events_csv_roundtrip",
-    "documents_hash_sample",
-    # r2+r3-green relational variant displaced by events_retention_cohorts
     "ob_relational_keyed_mutations_top2",
-    # re-anchored in r4 and r4-green (q1 also carries r1-r3 greens + bench
-    # signal); displaced by the streaming hourly/enrichment pair
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    # r4-green stateful-dedup harness displaced by bookgen_source_agg
-    # (applyInPandasWithState survivor logic stays pinned by
-    # tests/test_dedup_streaming.py)
-    "dedup_stream_survivors",
-    # r3-green dedup apply step displaced by documents_sentences
-    # (dedup_components keeps the family's head signal)
     "documents_deduped",
-    # r4-green gopher-repetition / contamination displaced by the VARIANT +
-    # pseudonymization pair (both pinned by tests/test_text.py)
-    "text_repetition",
-    "text_contamination",
-    # r4-green bucketed range join displaced by documents_curation_pipeline
-    # (bucket machinery pinned by tests/test_ranges.py)
-    "orders_price_bands",
-    # r4-green streaming sessionizer + fastpath-consistency golden displaced
-    # by the forward as-of / unpivot pair (append sessionizer pinned by
-    # tests/test_session_streaming.py, consistency by
-    # tests/test_order_book_fastpath.py's differential)
-    "events_sessionize_stream_append",
-    "ob_consistency_n1_n2",
-    # r3-green label-prop components displaced by events_user_type_profile
-    # (components pinned by tests/test_dedup.py; star variant already tail)
     "dedup_components",
+    "ob_chunked_mutations_top2",
+    "events_user_distinct_approx",
+    "documents_hash_sample",
+    "ann_cosine_topk_lsh",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
@@ -176,11 +117,31 @@ DEMOTED_TAIL = {
     "events_value_quantiles",
     "ann_cosine_topk_blas",
     "text_winnow_fingerprints",
-    "dedup_simhash",
-    # triple-green r1-era entries displaced by the q13/q15/q22 additions
+    "dedup_components_star",
     "text_fingerprint",
     "text_lang_id",
     "events_hourly",
+    "ob_conversion_top2",
+    "ob_updates_top1",
+    "ob_updates_top3",
+    "ob_stream_keyed_mutations_top2",
+    "ob_relational_mutations_top2",
+    "events_hourly_pivot",
+    "orders_rolling_revenue",
+    "events_value_quantiles_approx",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "documents_budget_pack",
+    "text_docfreq_score",
+    "text_redact_pii",
+    "ann_cosine_topk",
+    "dedup_embedding",
+    "text_quality",
+    "events_sessionize",
+    "events_lead_lag",
+    "events_asof_purchase",
+    "events_sessionize_stream",
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",
