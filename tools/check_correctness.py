@@ -75,6 +75,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None,
+                    help="also write per-query results to this JSON file "
+                         "(the committed CORRECTNESS_LOCAL_r{N} artifact)")
     args = ap.parse_args()
 
     import __spark_entry__ as E
@@ -95,6 +98,7 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = 0
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,15 +108,18 @@ def main() -> int:
             spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "error": f"spark: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "error": f"duckdb: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
@@ -122,10 +129,21 @@ def main() -> int:
             print(f"FAIL {name} ({dt:.1f}s, {len(spark_pdf)} rows):")
             for p in problems[:5]:
                 print(f"    {p}")
+            results[name] = {"status": "fail", "rows": len(spark_pdf),
+                             "sec": round(dt, 1), "problems": problems[:5]}
         else:
             n_pass += 1
             print(f"PASS {name} ({dt:.1f}s, {len(spark_pdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(spark_pdf),
+                             "sec": round(dt, 1)}
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({"sf": args.sf, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if n_fail else 0
 
