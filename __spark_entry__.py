@@ -2565,6 +2565,30 @@ FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 """
 
 
+def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent users (count ≥ 0.75% of events) via the Misra-Gries
+    sketch-prune + exact-verify operator (operators/frequency.py): map-only
+    mergeable summaries bound per-task state at O(k), a broadcast semi-join
+    verifies candidates exactly, so NO one-row-per-distinct-item shuffle.
+    Output is exact (no-false-negative guarantee pinned by adversarial
+    pytest), hence the plain GROUP BY/HAVING oracle."""
+    from polars_order_book_spark.operators.frequency import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", support=0.0075)
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+t AS (SELECT count(*) AS total FROM nn)
+SELECT user_id, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS support
+FROM nn, t
+GROUP BY user_id, t.total
+HAVING count(*) >= CEIL(0.0075 * t.total)
+"""
+
+
 def _embeddings_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact distributed Lloyd iteration over the embeddings table from
     the 8 deterministic md5-derived init centroids — map-only assignment
@@ -3099,8 +3123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rebuilt as parsed SQL expressions ---
         "ob_nbbo_keyed": _ob_nbbo,
         "ann_cosine_topk_ivf": _ann_ivf,
-        "dedup_simhash": _dedup_simhash,
+        # --- new in r5: Misra-Gries heavy hitters (sketch-prune +
+        # exact-verify; no driver signal yet) ---
+        "events_heavy_hitters": _events_heavy_hitters,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
+        # dedup_simhash: r5 rewrote its vote expressions as parsed SQL (same
+        # Catalyst tree); r1-r3 triple-green + local gate cover it, demoted
+        # to make room for the genuinely-new heavy-hitters entry.
+        "dedup_simhash": _dedup_simhash,
         # has at least one green driver row from r3/r4 plus local-gate + pytest
         # coverage; rotate stale ones back per round ---
         "ob_ofi": _ob_ofi,
@@ -3279,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans_step": _embeddings_kmeans_step_sql(),
         "ob_nbbo_keyed_chunked": _ob_nbbo_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
+        "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,
         "events_retention_cohorts": hq.EVENTS_RETENTION_SQL,

@@ -1,0 +1,142 @@
+"""Frequent-items (heavy hitters) over unbounded-cardinality columns.
+
+Completes the sketch family (HLL distinct counts, approx quantiles already
+registered): find every item whose frequency is at least ``support`` of the
+rows, WITHOUT shuffling one row per distinct item.
+
+Shape — sketch-prune + exact-verify (the same pattern the ANN operators use):
+
+1. **Prune** (mapInPandas): each partition builds a mergeable Misra-Gries
+   summary of at most k counters (Agarwal et al., "Mergeable Summaries",
+   PODS'12): per Arrow batch, add the batch's exact value_counts, then if
+   more than k counters remain subtract the (k+1)-th largest count from all
+   and drop the non-positives. The classic guarantee survives batching: the
+   per-partition undercount is at most n_p/(k+1), so with
+   k = ceil(1/support)+1 every item whose GLOBAL count ≥ support·N must, by
+   pigeonhole, exceed the error bound in at least one partition and therefore
+   survives into the candidate set. Candidates ≤ partitions·k — tiny,
+   broadcastable — versus a full groupBy's one-row-per-distinct-item shuffle.
+2. **Verify** (exact): broadcast-semi-join the rows to the candidate set,
+   one exact groupBy count over candidate rows only, keep count ≥
+   ceil(support·N). Output is EXACT (the sketch can only over-admit, never
+   lose a qualifying item — pinned by an adversarial property test), so the
+   DuckDB oracle is a plain GROUP BY/HAVING.
+
+Null items are excluded up front (documented; N counts non-null rows) — the
+candidate equi-join would silently drop them anyway, and a silent
+null-vs-excluded ambiguity is worse than a stated rule.
+
+At 100 TB: stage 1 is map-only with O(k) state per task; stage 2 shuffles
+only candidate-matching rows (≤ N but concentrated on few keys — the
+groupBy's map-side partial agg collapses them before the exchange). The
+skew objection to per-key shuffles does not apply: partial aggregation
+reduces each partition's contribution to ≤ |candidates| rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+# Ship by value: the mapInPandas closure references module-level _mg_merge
+# (same contract as operators/order_book.py).
+def _register_self_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_register_self_by_value()
+
+
+def _mg_merge(summary: "pd.Series | None", batch_counts: pd.Series, k: int) -> pd.Series:
+    """Merge exact batch counts into a Misra-Gries summary of ≤ k counters.
+
+    Mergeable-summaries rule: sum counters, then subtract the (k+1)-th
+    largest value from every counter and drop the non-positive ones. The
+    total subtracted across a partition's merges is the undercount bound
+    n_p/(k+1)."""
+    merged = batch_counts if summary is None else summary.add(batch_counts, fill_value=0)
+    if len(merged) > k:
+        cut = merged.nlargest(k + 1).iloc[k]
+        merged = merged - cut
+        merged = merged[merged > 0]
+    return merged
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    *,
+    support: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact heavy hitters: every non-null item with count ≥ ceil(support·N).
+
+    Returns (item_col, n long, support double) — support = n / N over the
+    non-null rows. ``k`` RAISES the sketch width above the guarantee minimum
+    ceil(1/support)+1 (more counters → fewer over-admitted candidates to
+    verify); values below the minimum are clamped up, because a narrower
+    summary could prune a qualifying item and silently break exactness. The
+    plan is fully lazy — N rides along as a one-row broadcast, no
+    driver-side count.
+    """
+    if not (0 < support <= 1):
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    import math
+
+    kk = max(k or 0, math.ceil(1.0 / support) + 1)
+
+    items = df.select(F.col(item_col).alias("__item")).where(
+        F.col("__item").isNotNull()
+    )
+    item_field = items.schema["__item"]
+    summary_schema = StructType(
+        [StructField("__item", item_field.dataType, True),
+         StructField("__lb", LongType(), False)]
+    )
+
+    def sketch(batches):
+        summary = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts = pdf["__item"].value_counts(sort=False)
+            summary = _mg_merge(summary, counts, kk)
+        if summary is not None and len(summary):
+            yield pd.DataFrame(
+                {"__item": summary.index, "__lb": summary.to_numpy().astype("int64")}
+            )
+
+    candidates = (
+        items.mapInPandas(sketch, summary_schema)
+        .groupBy("__item")
+        .agg(F.sum("__lb").alias("__lb"))
+        .select("__item")
+    )
+    total = items.agg(F.count(F.lit(1)).alias("__N"))
+    exact = (
+        items.join(F.broadcast(candidates), on="__item", how="left_semi")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.ceil(F.lit(support) * F.col("__N")))
+        .select(
+            F.col("__item").alias(item_col),
+            F.col("n"),
+            (F.col("n").cast("double") / F.col("__N").cast("double")).alias("support"),
+        )
+    )

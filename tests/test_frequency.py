@@ -1,0 +1,93 @@
+"""Heavy hitters: exactness vs brute force, the no-false-negative sketch
+guarantee under adversarial partition spreads, and edge semantics."""
+
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polars_order_book_spark.operators.frequency import _mg_merge, heavy_hitters
+
+
+def _brute(values, support):
+    c = Counter(v for v in values if v is not None)
+    n = sum(c.values())
+    thr = math.ceil(support * n)
+    return {k: v for k, v in c.items() if v >= thr}
+
+
+def test_matches_bruteforce_skewed(spark):
+    import random
+
+    rng = random.Random(3)
+    # Zipf-ish: a few hot users over a long tail
+    vals = [rng.choice([1, 1, 1, 2, 2, rng.randint(3, 400)]) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long").repartition(16)
+    got = {r["user_id"]: r["n"] for r in heavy_hitters(df, "user_id", support=0.05).collect()}
+    assert got == _brute(vals, 0.05)
+
+
+def test_adversarial_spread_across_partitions(spark):
+    """A barely-qualifying item diluted evenly across every partition among
+    per-partition-dominant decoys — the case where a naive per-partition
+    top-k (NOT Misra-Gries) loses it."""
+    rows = []
+    n_parts = 8
+    # target: 160 occurrences of item 0 (support 0.02 of 8000), spread thin
+    for i in range(8000):
+        if i % 50 == 0:
+            rows.append((0,))
+        else:
+            rows.append((1000 + (i % n_parts) * 100 + (i % 37),))  # partition-local decoys
+    df = spark.createDataFrame(rows, "item long").repartition(n_parts)
+    got = {r["item"] for r in heavy_hitters(df, "item", support=0.02).collect()}
+    exact = set(_brute([r[0] for r in rows], 0.02))
+    assert got == exact
+    assert 0 in got
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    st.sampled_from([0.02, 0.1, 0.3]),
+)
+def test_property_exact_vs_bruteforce(spark, vals, support):
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(5)
+    got = {r["x"]: r["n"] for r in heavy_hitters(df, "x", support=support).collect()}
+    assert got == _brute(vals, support)
+
+
+def test_nulls_excluded_and_support_fraction(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,), (None,)], "x long"
+    )
+    out = {r["x"]: (r["n"], r["support"]) for r in
+           heavy_hitters(df, "x", support=0.5).collect()}
+    # N = 4 non-null rows; only item 1 (3/4) clears support 0.5
+    assert out == {1: (3, 0.75)}
+
+
+def test_small_k_clamped_stays_exact(spark):
+    vals = [1] * 60 + list(range(100, 1000))
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(7)
+    got = {r["x"] for r in heavy_hitters(df, "x", support=0.05, k=1).collect()}
+    assert got == set(_brute(vals, 0.05))
+
+
+def test_bad_support_raises(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, "x", support=0.0)
+
+
+def test_mg_merge_error_bound():
+    """Unit pin of the mergeable rule: ≤ k counters survive and the
+    subtracted mass per merge is the (k+1)-th largest count."""
+    s = _mg_merge(None, pd.Series({1: 10, 2: 8, 3: 5, 4: 1}), k=2)
+    assert len(s) <= 2
+    assert s.to_dict() == {1: 5, 2: 3}  # cut = 5 (3rd largest)
+    s2 = _mg_merge(s, pd.Series({3: 6, 1: 1}), k=2)
+    assert len(s2) <= 2 and s2[1] == 3  # 6 - cut(3) == 3
