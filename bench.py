@@ -77,6 +77,12 @@ def main() -> None:
         "documents_chunks",
         "documents_hash_embed_knn",
         "embeddings_kmeans_step",
+        # r5 additions: NBBO pair tracks the segmented-fill default flip
+        # (keyed n=1 fold -> cross-book consolidation); heavy hitters tracks
+        # the sketch-prune + exact-verify shape.
+        "ob_nbbo_keyed",
+        "ob_nbbo_keyed_chunked",
+        "events_heavy_hitters",
     ]
     qs = E.queries()
 
