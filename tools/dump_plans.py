@@ -92,6 +92,11 @@ HEADLINE = [
     "embeddings_kmeans_step",
     "ann_recall_lsh",
     "orders_orc_roundtrip",
+    # r5: segmented default fills + sketch-prune heavy hitters
+    "ob_nbbo_keyed_chunked",
+    "part_hconcat",
+    "events_heavy_hitters",
+    "ann_cosine_topk_lsh",
 ]
 
 
