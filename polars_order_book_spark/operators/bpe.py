@@ -1,0 +1,208 @@
+"""BPE tokenizer training over a distributed corpus.
+
+The missing piece between the text-quality operators and a training run: learn
+a byte-pair-encoding merge table FROM the corpus and tokenize WITH it. The
+scale split follows the classic Sennrich et al. (2016) observation that BPE
+trains on the word-frequency table, not the corpus:
+
+1. ``word_frequencies`` — the 100 TB part: one distributed explode + count
+   (map-side partial agg; shuffle = one row per distinct word). Exact,
+   oracle-able.
+2. ``learn_bpe_merges`` — driver-side merge learning over that (bounded)
+   table, guarded by an explicit row cap exactly like ``cosine_topk_blas``'s
+   query cap: vocabularies are ~1e5-1e7 rows regardless of corpus size, and a
+   corpus whose DISTINCT-word table exceeds the cap fails fast instead of
+   OOMing the driver. Deterministic: ties break on the lexicographically
+   smallest pair.
+3. ``apply_bpe`` — distributed tokenization with the learned ranks
+   (mapInPandas; the merge table ships in the closure). Each Arrow batch
+   deduplicates its words first, so the greedy merge loop runs once per
+   DISTINCT word per batch, not once per token.
+4. ``bpe_pair_counts`` — the first learning step as a standalone relational
+   query (char-level adjacent-pair counts weighted by word frequency) — fully
+   SQL-expressible, so the driver oracle can hash-check the training math.
+
+End-of-word handling: the classic "</w>" sentinel marks word-final symbols so
+merges distinguish "er" inside a word from "er" at the end. The sentinel is
+one SYMBOL (never splittable); pair keys render it literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _register_self_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_register_self_by_value()
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace-tokenized lowercased text — the exact,
+    distributed input to BPE training. One explode + one counted groupBy."""
+    from polars_order_book_spark.operators.text import tokens
+
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent symbol-pair counts of the FIRST BPE iteration (char-level
+    segmentation, end-of-word sentinel), weighted by word frequency —
+    relational end to end: transform(sequence) emits each word's pairs
+    JVM-side, one groupBy sums. Returns (sym_left, sym_right, pair_freq).
+
+    This is the training step the SQL oracle can re-derive; the full
+    iterative loop lives in :func:`learn_bpe_merges` (driver-side over the
+    bounded word table, like every published BPE trainer).
+    """
+    wf = word_frequencies(df, text_col)
+    # substring is 1-based; position i pairs char i with char i+1, and the
+    # last char pairs with the end-of-word sentinel. One parsed expression.
+    pair_expr = (
+        "transform(sequence(1, length(word)), i -> named_struct("
+        "'l', substring(word, i, 1), "
+        f"'r', CASE WHEN i = length(word) THEN '{EOW}' "
+        "ELSE substring(word, i + 1, 1) END))"
+    )
+    return (
+        wf.select(F.col("freq"), F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.l").alias("sym_left"), F.col("p.r").alias("sym_right"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def learn_bpe_merges(
+    word_freqs: DataFrame,
+    n_merges: int,
+    *,
+    max_vocab_rows: int = 1_000_000,
+) -> "list[tuple[str, str]]":
+    """Learn ``n_merges`` BPE merges from a (word, freq) table.
+
+    The table is collected driver-side — the documented contract of every
+    BPE trainer (vocab size is corpus-independent); ``max_vocab_rows`` fails
+    fast above the cap instead of OOMing (same pattern as
+    ``cosine_topk_blas``). Deterministic: the best pair is
+    (max pair_freq, then lexicographically smallest (left, right)).
+    Returns the ordered merge list usable by :func:`apply_bpe`.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be > 0, got {n_merges}")
+    if word_freqs.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        raise ValueError(
+            f"word-frequency table exceeds max_vocab_rows={max_vocab_rows}; "
+            "BPE training needs the distinct-word table driver-side — raise "
+            "the cap with the driver heap, or pre-prune rare words "
+            "(freq filter) first."
+        )
+    rows = word_freqs.collect()
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        w, f = r[0], int(r[1])
+        if w:
+            vocab[tuple(w) + (EOW,)] = vocab.get(tuple(w) + (EOW,), 0) + f
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # deterministic: highest freq, ties to the lexicographically smallest pair
+        top_freq = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top_freq)
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize text with a learned merge list → (id_col, bpe_tokens
+    array<string>, n_bpe_tokens long). mapInPandas; each batch deduplicates
+    words so the greedy merge loop runs per DISTINCT word, then rebuilds each
+    document from the word→pieces map."""
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> "list[str]":
+        sym = list(word) + [EOW]
+        while len(sym) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return sym
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            cache: dict = {}
+            toks_out, counts = [], []
+            for t in texts:
+                words = str(t).lower().split()
+                doc: list = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w)
+                        cache[w] = enc
+                    doc.extend(enc)
+                toks_out.append(doc)
+                counts.append(len(doc))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bpe_tokens": toks_out,
+                    "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    out_schema = f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -1,0 +1,86 @@
+"""BPE training/tokenization: hand-computed merges, greedy-apply rank order,
+pair-count parity with the trainer's first iteration, round-trip, cap guard."""
+
+from collections import Counter
+
+import pytest
+
+from polars_order_book_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    bpe_pair_counts,
+    learn_bpe_merges,
+    word_frequencies,
+)
+
+# the classic Sennrich et al. toy corpus: low x5, lower x2, newest x6, widest x3
+CORPUS = ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3]
+
+
+def _docs(spark, texts=CORPUS):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_word_frequencies_exact(spark):
+    wf = {r["word"]: r["freq"] for r in word_frequencies(_docs(spark)).collect()}
+    assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_learn_bpe_hand_computed(spark):
+    """First merges on the toy corpus: 'es' (9 = newest 6 + widest 3), then
+    'est' (9), then 'est</w>' (9), then 'lo' (7 = low 5 + lower 2)."""
+    wf = word_frequencies(_docs(spark))
+    merges = learn_bpe_merges(wf, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")]
+
+
+def test_pair_counts_match_trainer_first_iteration(spark):
+    """The relational bpe_pair_counts must equal the driver trainer's first
+    pair-count pass exactly (same EOW handling, same weights)."""
+    docs = _docs(spark)
+    got = {
+        (r["sym_left"], r["sym_right"]): r["pair_freq"]
+        for r in bpe_pair_counts(docs).collect()
+    }
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    exp: Counter = Counter()
+    for w, f in wf.items():
+        sym = list(w) + [EOW]
+        for a, b in zip(sym, sym[1:]):
+            exp[(a, b)] += f
+    assert got == dict(exp)
+
+
+def test_apply_bpe_greedy_rank_order_and_roundtrip(spark):
+    wf = word_frequencies(_docs(spark))
+    merges = learn_bpe_merges(wf, 6)
+    out = {r["doc_id"]: r for r in apply_bpe(_docs(spark), merges).collect()}
+    for r in out.values():
+        toks = r["bpe_tokens"]
+        assert r["n_bpe_tokens"] == len(toks)
+        # round-trip: pieces concatenate back to the original words
+        rebuilt = "".join(toks).replace(EOW, " ").split()
+        # doc 0 = low x5 lower x2; doc 1 = newest x6 widest x3
+    assert "".join(out[0]["bpe_tokens"]).replace(EOW, " ").split() == (
+        ["low"] * 5 + ["lower"] * 2
+    )
+    # 'newest' must tokenize using the highest-rank merges: est</w> learned
+    toks1 = out[1]["bpe_tokens"]
+    assert "est" + EOW in toks1
+
+
+def test_apply_bpe_no_merges_chars_out(spark):
+    out = apply_bpe(_docs(spark, ["ab"]), []).collect()[0]
+    assert list(out["bpe_tokens"]) == ["a", "b", EOW]
+
+
+def test_vocab_cap_fails_fast(spark):
+    wf = word_frequencies(_docs(spark))
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        learn_bpe_merges(wf, 2, max_vocab_rows=2)
+
+
+def test_bad_n_merges(spark):
+    wf = word_frequencies(_docs(spark))
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(wf, 0)
