@@ -377,6 +377,80 @@ def minhash_lsh_duplicates(
     return jaccard_verify(pairs, sh, threshold)
 
 
+def minhash_lsh_incremental_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """Incremental near-dup check: NEW batch vs EXISTING corpus only.
+
+    The production crawl loop — "is this freshly-scraped document a
+    near-duplicate of anything already in the training set?" — must not pay
+    for corpus×corpus pairs it already adjudicated. Candidates here come
+    from a BIPARTITE band join (new buckets × corpus buckets), so pair
+    volume is O(new-side collisions), not O((new+corpus)² collisions);
+    within-new and within-corpus pairs are never generated (run the batch
+    pipeline on the new slice separately if within-batch dups matter).
+
+    Same signatures/bands/verify as :func:`minhash_lsh_duplicates` — a doc
+    pair scores identically whichever entry point meets it (pinned by test).
+    ``bucket_cap`` salt-splits hot buckets on BOTH sides
+    (:func:`functions.skew.salted_bipartite_join`); a doc id present on both
+    sides pairs with itself and is filtered. Returns
+    (new_id, corpus_id, n_inter, jaccard) for pairs ≥ threshold.
+    """
+    sh_new = shingles(new, text_col, id_col, k)
+    sh_corpus = shingles(corpus, text_col, id_col, k)
+    b_new = lsh_band_buckets(minhash_signatures(sh_new, num_hashes), band_rows)
+    b_corpus = lsh_band_buckets(minhash_signatures(sh_corpus, num_hashes), band_rows)
+    ln = b_new.select("band", "band_hash", F.col("doc_id").alias("new_id"))
+    rc = b_corpus.select("band", "band_hash", F.col("doc_id").alias("corpus_id"))
+    if bucket_cap:
+        from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+        met = salted_bipartite_join(
+            ln, rc, ["band", "band_hash"], "new_id", "corpus_id", bucket_cap
+        )
+    else:
+        met = ln.join(rc, on=["band", "band_hash"])
+    cands = (
+        met.where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    dn = sh_new.distinct()
+    dc = sh_corpus.distinct()
+    sizes_n = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_c = dc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cands.join(dn.withColumnRenamed("doc_id", "new_id"), on="new_id")
+        .join(
+            dc.withColumnRenamed("doc_id", "corpus_id"),
+            on=["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_n.withColumnRenamed("doc_id", "new_id"), on="new_id")
+        .join(sizes_c.withColumnRenamed("doc_id", "corpus_id"), on="corpus_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "n_inter", "jaccard")
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 32) -> DataFrame:
     """Per-doc SimHash: majority vote over token-hash bits, weights = token

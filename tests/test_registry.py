@@ -47,6 +47,7 @@ def test_query_analyzes(spark, name, fn):
 # behavior-changed sits in the head. Criterion for the tail stands: at least
 # one green driver CORRECTNESS row PLUS full local oracle + pytest coverage.
 DEMOTED_TAIL = {
+    "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
     # r5 rotation: the head 50 = the 38 never-driver-sampled entries, the 9
