@@ -87,8 +87,10 @@ def _with_positions(df: DataFrame, order: "list[str]") -> DataFrame:
     partition's exclusive prefix count — derived from a partitions-sized
     aggregate, broadcast back. localCheckpoint truncates lineage so the
     range-shuffled relation feeds both the ranking and the counts once."""
+    from polars_order_book_spark.functions.runtime import shuffle_partitions
+
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(spark, fallback_df=df)
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order])
         .withColumn("__pid", F.spark_partition_id())

@@ -163,9 +163,16 @@ def apply_bpe(
     array<string>, n_bpe_tokens long). mapInPandas; each batch deduplicates
     words so the greedy merge loop runs per DISTINCT word, then rebuilds each
     document from the word→pieces map."""
+    import re
+
     import pandas as pd
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # Match word_frequencies' tokenizer EXACTLY: Spark's split(lower(trim(x)),
+    # '\\s+') uses Java \s = [ \t\n\x0B\f\r] (ASCII only). Python str.split()
+    # splits on ALL Unicode whitespace (NBSP, ideographic space, ...), so a
+    # text with U+00A0 would produce apply-time words the trainer never saw.
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode_word(word: str) -> "list[str]":
         sym = list(word) + [EOW]
@@ -186,7 +193,10 @@ def apply_bpe(
             cache: dict = {}
             toks_out, counts = [], []
             for t in texts:
-                words = str(t).lower().split()
+                # .strip(" ") not .strip(): Spark's trim removes only the
+                # space character, and Python's bare strip() would also eat
+                # Unicode whitespace that Spark keeps inside the first word.
+                words = [w for w in java_ws.split(str(t).strip(" ").lower()) if w]
                 doc: list = []
                 for w in words:
                     enc = cache.get(w)
@@ -204,5 +214,15 @@ def apply_bpe(
                 }
             )
 
-    out_schema = f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    # Keep the caller's id dtype (string UUIDs, ints, ...) instead of
+    # hardcoding long.
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("bpe_tokens", ArrayType(StringType()), True),
+            StructField("n_bpe_tokens", LongType(), True),
+        ]
+    )
     return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -91,6 +91,14 @@ def heavy_hitters(
     summary could prune a qualifying item and silently break exactness. The
     plan is fully lazy — N rides along as a one-row broadcast, no
     driver-side count.
+
+    Rounding rule: the threshold is ceil(support · N) computed in EXACT
+    decimal arithmetic — ``support`` is rendered via its shortest decimal
+    string (0.0075 stays 0.0075, never the binary-double neighbour), so
+    e.g. support=0.07, N=100 thresholds at exactly 7, where binary-double
+    0.07*100 = 7.000000000000001 would have rounded up to 8 and dropped a
+    true 7-count hitter. DuckDB's decimal literals make the oracle take the
+    same exact path.
     """
     if not (0 < support <= 1):
         raise ValueError(f"support must be in (0, 1], got {support}")
@@ -131,9 +139,12 @@ def heavy_hitters(
         .groupBy("__item")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    from decimal import Decimal
+
+    support_dec = Decimal(str(support))
     return (
         exact.crossJoin(F.broadcast(total))
-        .where(F.col("n") >= F.ceil(F.lit(support) * F.col("__N")))
+        .where(F.col("n") >= F.ceil(F.lit(support_dec) * F.col("__N")))
         .select(
             F.col("__item").alias(item_col),
             F.col("n"),

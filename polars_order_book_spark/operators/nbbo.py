@@ -123,16 +123,22 @@ def nbbo(
             # Lazy equal-width chunking into ~shuffle-partitions ranges: the
             # bounds relation is ONE row, broadcast, so the plan stays fully
             # lazy and never collects driver-side.
-            n_chunks = int(
-                snapshots.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
+            from polars_order_book_spark.functions.runtime import shuffle_partitions
+
+            n_chunks = shuffle_partitions(snapshots.sparkSession, fallback_df=piv)
             bounds = piv.agg(
                 F.min("seq").alias("__smin"), F.max("seq").alias("__smax")
             )
             span = F.col("__smax") - F.col("__smin") + F.lit(1)
+            # Divide BEFORE multiplying, in double: (seq - smin) * n_chunks as
+            # a long multiply overflows (and wraps) once the seq span exceeds
+            # 2^63/n_chunks, silently breaking chunk-id monotonicity. The
+            # double path loses only low-bit precision, and the least() cap +
+            # coalesce keep ids in [0, n_chunks).
+            frac = (F.col("seq") - F.col("__smin")).cast("double") / span.cast("double")
             ck = F.least(
                 F.lit(n_chunks - 1),
-                F.floor((F.col("seq") - F.col("__smin")) * F.lit(n_chunks) / span),
+                F.floor(frac * F.lit(float(n_chunks))),
             )
             with_ck = (
                 piv.join(F.broadcast(bounds))

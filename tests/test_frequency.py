@@ -77,6 +77,17 @@ def test_small_k_clamped_stays_exact(spark):
     assert got == set(_brute(vals, 0.05))
 
 
+def test_threshold_exact_decimal_rounding(spark):
+    """support=0.07 over N=100 must threshold at exactly 7: binary-double
+    0.07*100 = 7.000000000000001 ceils to 8 and silently drops a true
+    7-count hitter. The decimal threshold keeps it."""
+    vals = [7] * 7 + list(range(100, 193))
+    assert len(vals) == 100
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(4)
+    got = {r["x"]: r["n"] for r in heavy_hitters(df, "x", support=0.07).collect()}
+    assert got == {7: 7}
+
+
 def test_bad_support_raises(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="support"):

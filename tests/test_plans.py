@@ -131,6 +131,10 @@ _BNLJ_WHITELIST = {
     # composes ann_cosine_topk's whitelisted broadcast-query cross join
     # over the hash-embedded vectors
     "documents_hash_embed_knn",
+    # same 1-row corpus-total broadcast cross join as text_tfidf: the exact
+    # verify stage attaches the one-row count(*) aggregate (__N) to the
+    # candidate counts (operators/frequency.py heavy_hitters)
+    "events_heavy_hitters",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.
