@@ -875,19 +875,22 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
 
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH pair graph -> survivor per
-    duplicate cluster (min-label propagation; eager iterative fixpoint)."""
+    duplicate cluster. Runs the DEFAULT algorithm (large-star/small-star:
+    O(log n) rounds independent of cluster diameter — the scale-safe
+    default since r6)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
     return dedup.neardup_components(pairs)
 
 
-def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same component/survivor contract as dedup_components, computed with the
-    alternating large-star/small-star algorithm (O(log n) rounds independent
-    of cluster diameter — the scale-safe choice for chained near-dups)."""
+def _dedup_components_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component/survivor contract as dedup_components, computed with
+    the opt-in min-label propagation (O(diameter) rounds over a fixed edge
+    relation — cheaper per round when clusters are known shallow). Keeps the
+    non-default algorithm under driver oracle."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
-    return dedup.neardup_components_star(pairs)
+    return dedup.neardup_components_prop(pairs)
 
 
 def _components_sql() -> str:
@@ -910,8 +913,8 @@ FROM reach GROUP BY node
 
 
 def _documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup pipeline: LSH pairs -> components -> drop
-    non-survivors; returns the kept corpus (ids only, hash-stable)."""
+    """End-to-end dedup pipeline: LSH pairs -> components (star default) ->
+    drop non-survivors; returns the kept corpus (ids only, hash-stable)."""
     docs = load_table(spark, sf_dir, "documents")
     comps = dedup.neardup_components(dedup.minhash_lsh_duplicates(docs, threshold=0.5))
     return dedup.apply_dedup(docs, comps).select("doc_id", "lang")
@@ -2622,6 +2625,59 @@ GROUP BY 1, 2
 """
 
 
+def _docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE: learn the TOP merge from the corpus word-frequency
+    table (learn_bpe_merges — driver-side over the bounded vocab, the
+    Sennrich split), then tokenize every document distributed through
+    apply_bpe's mapInPandas path. One merge keeps the oracle exactly
+    closed-form: greedy leftmost merge counts of a single pair (l, r) are
+    non-overlapping substring occurrences — (len - len(replace(word, lr,
+    ''))) / 2, which also yields sum(floor(run/2)) when l = r — and an
+    ends-with test when r is the end-of-word sentinel. Returns
+    (doc_id, n_bpe_tokens)."""
+    from polars_order_book_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(word_frequencies(docs), 1)
+    return apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+DOCS_BPE_TOKENS_SQL = r"""
+WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+w AS (SELECT word, count(*) AS freq FROM tk WHERE word <> '' GROUP BY word),
+pc AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS l,
+         CASE WHEN i = length(word) THEN '</w>' ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+         sum(freq) AS pair_freq
+  FROM w, UNNEST(range(1, length(word) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+best AS (SELECT l, r FROM pc ORDER BY pair_freq DESC, l, r LIMIT 1),
+dw AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS word
+  FROM documents d
+),
+per_word AS (
+  SELECT dw.doc_id,
+         length(word) + 1
+         - CASE WHEN b.r = '</w>'
+                THEN CASE WHEN substr(word, length(word), 1) = b.l THEN 1 ELSE 0 END
+                ELSE (length(word) - length(replace(word, b.l || b.r, ''))) // 2
+           END AS n_word
+  FROM dw, best b
+  WHERE word <> ''
+)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(n_word) AS n FROM per_word GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+"""
+
+
 def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent users (count ≥ 0.75% of events) via the Misra-Gries
     sketch-prune + exact-verify operator (operators/frequency.py): map-only
@@ -2643,6 +2699,34 @@ SELECT user_id, count(*) AS n,
 FROM nn, t
 GROUP BY user_id, t.total
 HAVING count(*) >= CEIL(0.0075 * t.total)
+"""
+
+
+def _events_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment frequent items — top users per event_type — via the keyed
+    Misra-Gries generalization (operators/frequency.py heavy_hitters_by):
+    each partition keeps an independent ≤ k-counter mergeable summary per key
+    it sees, candidates verify with one exact groupBy(key, item), thresholds
+    come from the broadcast per-key totals. Exact per key (pigeonhole
+    no-false-negative within each segment), hence the GROUP BY/HAVING
+    oracle."""
+    from polars_order_book_spark.operators.frequency import heavy_hitters_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_by(ev, "event_type", "user_id", support=0.008)
+
+
+EVENTS_HEAVY_HITTERS_BY_TYPE_SQL = """
+WITH nn AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+t AS (SELECT event_type, count(*) AS total FROM nn GROUP BY event_type)
+SELECT nn.event_type, user_id, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS support
+FROM nn JOIN t USING (event_type)
+GROUP BY nn.event_type, user_id, t.total
+HAVING count(*) >= CEIL(0.008 * t.total)
 """
 
 
@@ -3184,6 +3268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _events_heavy_hitters,
         "documents_bpe_pair_counts": _docs_bpe_pair_counts,
         "dedup_incremental": _dedup_incremental,
+        # --- new in r6: keyed heavy hitters and end-to-end BPE tokenize ---
+        "events_heavy_hitters_by_type": _events_heavy_hitters_by_type,
+        "documents_bpe_tokens": _docs_bpe_tokens,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3264,7 +3351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": hq.events_value_quantiles,
         "ann_cosine_topk_blas": _ann_blas,
         "text_winnow_fingerprints": _text_winnow,
-        "dedup_components_star": _dedup_components_star,
+        # renamed from dedup_components_star in r6: dedup_components now runs
+        # star by default, so this entry keeps the opt-in label-propagation
+        # variant under driver oracle instead of duplicating the default
+        "dedup_components_prop": _dedup_components_prop,
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
         "events_hourly": hq.events_hourly,
@@ -3375,7 +3465,9 @@ def oracle_sql() -> dict[str, str]:
         "ob_nbbo_keyed_chunked": _ob_nbbo_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
+        "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
+        "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,
@@ -3427,7 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
         "dedup_components": _components_sql(),
-        "dedup_components_star": _components_sql(),
+        "dedup_components_prop": _components_sql(),
         "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
         "documents_domain_mix": DOMAIN_MIX_SQL,

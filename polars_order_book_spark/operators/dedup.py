@@ -172,12 +172,39 @@ def neardup_components(
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → survivor
     selection: returns (doc_id, component, is_survivor) where ``component`` is
     the MIN doc id reachable through pair edges and the survivor is the member
     equal to its component id. The step after any pairwise dedup — collapse
     transitive duplicate clusters to one kept document.
+
+    ``algorithm="star"`` (default) runs the alternating large-star/small-star
+    rounds of :func:`neardup_components_star` — O(log n) rounds independent of
+    cluster diameter, the 100 TB-safe choice (duplicate chains across crawl
+    snapshots can have arbitrary diameter). ``algorithm="prop"`` opts into
+    min-label propagation (:func:`neardup_components_prop`) — O(diameter)
+    rounds over a FIXED edge relation, cheaper per round, fine when clusters
+    are known shallow. Both produce the identical output (pinned equal by
+    test), so flipping the default never changes results.
+    """
+    if algorithm == "star":
+        return neardup_components_star(pairs, a_col, b_col, max_iter=max_iter)
+    if algorithm == "prop":
+        return neardup_components_prop(pairs, a_col, b_col, max_iter=max_iter)
+    raise ValueError(f"algorithm must be 'star' or 'prop', got {algorithm!r}")
+
+
+def neardup_components_prop(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation (the opt-in
+    ``algorithm="prop"`` of :func:`neardup_components`).
 
     Algorithm: min-label propagation. Labels start as each node's own id;
     every round each node takes the min of its label and its neighbors'
@@ -230,7 +257,7 @@ def neardup_components(
                 (F.col("node") == F.col("label")).alias("is_survivor"),
             )
     raise RuntimeError(
-        f"neardup_components did not converge in {max_iter} rounds; "
+        f"neardup_components_prop did not converge in {max_iter} rounds; "
         "component diameter exceeds the cap"
     )
 

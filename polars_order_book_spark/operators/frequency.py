@@ -151,3 +151,95 @@ def heavy_hitters(
             (F.col("n").cast("double") / F.col("__N").cast("double")).alias("support"),
         )
     )
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    keys: "list[str] | str",
+    item_col: str,
+    *,
+    support: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-segment exact heavy hitters: for every key group, every non-null
+    item with count ≥ ceil(support · N_key), N_key = the group's non-null
+    rows. The shape real curation uses (top domains per lang, top users per
+    hour). Returns (*keys, item_col, n long, support double).
+
+    Same sketch-prune + exact-verify as :func:`heavy_hitters`, generalized
+    per key: the Misra-Gries summary is mergeable, so each partition keeps an
+    independent ≤ k-counter summary PER KEY it sees (state = O(keys-in-task ·
+    k)); the pigeonhole no-false-negative argument applies within each key
+    unchanged (per-partition per-key undercount ≤ n_{p,key}/(k+1)). The
+    verify stage is one exact groupBy(keys, item) over candidate-matching
+    rows, thresholded against the per-key totals — a keys-sized relation,
+    broadcast. Null keys AND null items are excluded up front (documented
+    rule, like :func:`heavy_hitters`'s null items: the candidate equi-join
+    would silently drop null-key rows anyway, and a silent null-vs-excluded
+    ambiguity is worse than a stated one). The threshold is exact decimal,
+    same rounding rule as :func:`heavy_hitters`.
+    """
+    if not (0 < support <= 1):
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    import math
+    from decimal import Decimal
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    kk = max(k or 0, math.ceil(1.0 / support) + 1)
+    support_dec = Decimal(str(support))
+
+    rows = df.select(
+        *[F.col(c) for c in keys], F.col(item_col).alias("__item")
+    ).where(F.col("__item").isNotNull())
+    for c in keys:
+        rows = rows.where(F.col(c).isNotNull())
+    summary_schema = StructType(
+        [
+            *[rows.schema[c] for c in keys],
+            StructField("__item", rows.schema["__item"].dataType, True),
+            StructField("__lb", LongType(), False),
+        ]
+    )
+
+    def sketch(batches):
+        summaries: dict = {}  # key tuple -> pd.Series(item -> lb)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
+                kt = kt if isinstance(kt, tuple) else (kt,)
+                counts = grp["__item"].value_counts(sort=False)
+                summaries[kt] = _mg_merge(summaries.get(kt), counts, kk)
+        out = []
+        for kt, s in summaries.items():
+            if s is None or not len(s):
+                continue
+            d = {c: [kt[i]] * len(s) for i, c in enumerate(keys)}
+            d["__item"] = s.index
+            d["__lb"] = s.to_numpy().astype("int64")
+            out.append(pd.DataFrame(d))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    candidates = (
+        rows.mapInPandas(sketch, summary_schema)
+        .groupBy(*keys, "__item")
+        .agg(F.sum("__lb").alias("__lb"))
+        .select(*keys, "__item")
+    )
+    totals = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__N"))
+    exact = (
+        rows.join(F.broadcast(candidates), on=[*keys, "__item"], how="left_semi")
+        .groupBy(*keys, "__item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.join(F.broadcast(totals), on=keys)
+        .where(F.col("n") >= F.ceil(F.lit(support_dec) * F.col("__N")))
+        .select(
+            *keys,
+            F.col("__item").alias(item_col),
+            F.col("n"),
+            (F.col("n").cast("double") / F.col("__N").cast("double")).alias("support"),
+        )
+    )

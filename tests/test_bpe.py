@@ -74,6 +74,47 @@ def test_apply_bpe_no_merges_chars_out(spark):
     assert list(out["bpe_tokens"]) == ["a", "b", EOW]
 
 
+def test_single_merge_closed_form_counts(spark):
+    """Pins the algebra the documents_bpe_tokens oracle relies on: with ONE
+    merge rule (l, r), greedy leftmost merges per word = non-overlapping
+    leftmost occurrences of lr — all occurrences when l != r, sum of
+    floor(run/2) when l == r, an ends-with test when r is the sentinel."""
+    # l != r rule: 'ab' everywhere
+    docs = _docs(spark, ["abab cabd", "bab"])
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, [("a", "b")]).collect()}
+    # 'abab': 4+1 chars - 2 merges = 3; 'cabd': 5 - 1 = 4; 'bab': 4 - 1 = 3
+    assert out == {0: 3 + 4, 1: 3}
+    # l == r rule: runs of 'a'
+    docs2 = _docs(spark, ["aaaa aaa a"])
+    out2 = apply_bpe(docs2, [("a", "a")]).collect()[0]
+    # 'aaaa': 5 - 2 = 3; 'aaa': 4 - 1 = 3; 'a': 2 - 0 = 2
+    assert out2["n_bpe_tokens"] == 8
+    # sentinel rule
+    docs3 = _docs(spark, ["he she x"])
+    out3 = apply_bpe(docs3, [("e", EOW)]).collect()[0]
+    # 'he': 3 - 1 = 2; 'she': 4 - 1 = 3; 'x': 2 - 0 = 2
+    assert out3["n_bpe_tokens"] == 7
+
+
+def test_apply_bpe_unicode_whitespace_matches_trainer(spark):
+    """A text with a non-breaking space must tokenize to the SAME words the
+    Spark-side trainer counted (Java \\s does not split on U+00A0)."""
+    txt = "foo\u00a0bar baz"
+    docs = _docs(spark, [txt])
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf == {"foo\u00a0bar": 1, "baz": 1}
+    out = apply_bpe(docs, [("b", "a")]).collect()[0]
+    rebuilt = "".join(out["bpe_tokens"]).replace(EOW, " ").split(" ")
+    assert [w for w in rebuilt if w] == ["foo\u00a0bar", "baz"]
+
+
+def test_apply_bpe_string_id_column(spark):
+    df = spark.createDataFrame([("u-1", "ab ab")], ["doc_id", "text"])
+    out = apply_bpe(df, [("a", "b")]).collect()[0]
+    assert out["doc_id"] == "u-1"
+    assert out["n_bpe_tokens"] == 4  # two words of (ab, </w>)
+
+
 def test_vocab_cap_fails_fast(spark):
     wf = word_frequencies(_docs(spark))
     with pytest.raises(ValueError, match="max_vocab_rows"):

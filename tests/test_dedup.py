@@ -173,7 +173,7 @@ def test_star_components_match_label_propagation_random(spark):
     }
     via_prop = {
         (r["doc_id"], r["component"], r["is_survivor"])
-        for r in dedup.neardup_components(pairs).collect()
+        for r in dedup.neardup_components_prop(pairs).collect()
     }
     assert via_star == via_prop
     truth = _components_of(rows)

@@ -9,7 +9,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from polars_order_book_spark.operators.frequency import _mg_merge, heavy_hitters
+from polars_order_book_spark.operators.frequency import (
+    _mg_merge,
+    heavy_hitters,
+    heavy_hitters_by,
+)
 
 
 def _brute(values, support):
@@ -92,6 +96,89 @@ def test_bad_support_raises(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="support"):
         heavy_hitters(df, "x", support=0.0)
+
+
+def _brute_by(rows, support):
+    """rows: (key, item). Exact per-key heavy hitters with Fraction-exact
+    thresholds (the decimal rule, not FP ceil)."""
+    from fractions import Fraction
+
+    per_key = {}
+    for k, v in rows:
+        if k is None or v is None:
+            continue
+        per_key.setdefault(k, []).append(v)
+    out = {}
+    fr = Fraction(str(support))
+    for k, vals in per_key.items():
+        c = Counter(vals)
+        n = len(vals)
+        thr = -(-(fr * n).numerator // (fr * n).denominator)  # exact ceil
+        for item, cnt in c.items():
+            if cnt >= thr:
+                out[(k, item)] = cnt
+    return out
+
+
+def test_keyed_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.choice([1, 1, 2, rng.randint(3, 200)]))
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k string, item long").repartition(16)
+    got = {
+        (r["k"], r["item"]): r["n"]
+        for r in heavy_hitters_by(df, "k", "item", support=0.05).collect()
+    }
+    assert got == _brute_by(rows, 0.05)
+
+
+def test_keyed_adversarial_spread_per_key(spark):
+    """Within EACH key, a barely-qualifying item diluted across all
+    partitions among per-partition-dominant decoys — the per-key pigeonhole
+    guarantee, not just the global one."""
+    rows = []
+    for key in ("x", "y"):
+        for i in range(4000):
+            if i % 50 == 0:
+                rows.append((key, 0))
+            else:
+                rows.append((key, 1000 + (i % 8) * 100 + (i % 37)))
+    df = spark.createDataFrame(rows, "k string, item long").repartition(8)
+    got = {
+        (r["k"], r["item"])
+        for r in heavy_hitters_by(df, "k", "item", support=0.02).collect()
+    }
+    exact = set(_brute_by(rows, 0.02))
+    assert got == exact
+    assert ("x", 0) in got and ("y", 0) in got
+
+
+def test_keyed_null_keys_and_items_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), (None, 1), ("a", None)],
+        "k string, item long",
+    )
+    out = {
+        (r["k"], r["item"]): (r["n"], r["support"])
+        for r in heavy_hitters_by(df, "k", "item", support=0.5).collect()
+    }
+    # key "a": N=3 non-null items; only item 1 (2/3) clears 0.5
+    assert out == {("a", 1): (2, 2 / 3)}
+
+
+def test_keyed_multi_key_columns(spark):
+    rows = [("a", 1, 7)] * 5 + [("a", 2, 7)] * 1 + [("b", 1, 9)] * 3
+    df = spark.createDataFrame(rows, "k1 string, k2 long, item long")
+    got = {
+        (r["k1"], r["k2"], r["item"]): r["n"]
+        for r in heavy_hitters_by(df, ["k1", "k2"], "item", support=0.5).collect()
+    }
+    # (a,2) is its own segment with N=1: its single item clears any support
+    assert got == {("a", 1, 7): 5, ("a", 2, 7): 1, ("b", 1, 9): 3}
 
 
 def test_mg_merge_error_bound():

@@ -6,7 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from polars_order_book_spark.operators import sampling, text
-from polars_order_book_spark.operators.dedup import neardup_components
+from polars_order_book_spark.operators.dedup import (
+    neardup_components,
+    neardup_components_prop,
+)
 
 
 def test_components_basic_clusters(spark):
@@ -27,7 +30,7 @@ def test_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
     )
-    rows = neardup_components(pairs).collect()
+    rows = neardup_components_prop(pairs).collect()
     assert all(r["component"] == 0 for r in rows)
     assert sum(r["is_survivor"] for r in rows) == 1
     assert len(rows) == 13
@@ -36,7 +39,13 @@ def test_components_long_chain_converges(spark):
 def test_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_components(pairs, max_iter=2)
+        neardup_components_prop(pairs, max_iter=2)
+
+
+def test_components_bad_algorithm_raises(spark):
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="algorithm"):
+        neardup_components(pairs, algorithm="bogus")
 
 
 def test_hash_sample_invariant_to_partitioning(spark):
