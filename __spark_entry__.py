@@ -83,9 +83,11 @@ def _ob_modify(n):
 
 
 def _ob_chunked_mutations(n, seq_chunks):
-    """Seq-range-chunked fold: identical semantics to `_ob_mutations` but each
-    book folds in `seq_chunks` chained rounds (bounded per-task memory — the
-    group-size-ceiling fix, SCALE.md). Shares the mutations oracle."""
+    """Bounded-memory fold: identical semantics to `_ob_mutations` but the
+    book state streams across Arrow batches in one exchange + sort +
+    mapInPandas plan (the group-size-ceiling fix, SCALE.md; peak per-task
+    memory = one Arrow batch + live book state). Shares the mutations
+    oracle."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = bs.mutations_stream(load_table(spark, sf_dir, "events"))
         out = top_n_levels_from_price_mutations(stream, n=n, seq_chunks=seq_chunks)

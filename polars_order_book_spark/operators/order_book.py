@@ -456,142 +456,88 @@ def _apply_fold_chunked(
     out_fields: list[StructField],
     seq_chunks: int,
 ) -> DataFrame:
-    """Seq-range-chunked fold: removes the applyInPandas group-size ceiling.
+    """Bounded-memory fold: removes the applyInPandas group-size ceiling.
 
     ``_apply_fold`` materializes one book's WHOLE event history in one Python
-    worker. Here each book's events are bucketed into ``seq_chunks`` seq
-    ranges and folded round-by-round, chaining the two ``_Side`` structures
-    across rounds exactly like the Structured Streaming operator chains them
-    across micro-batches (``streaming/book_stream.py``): round *c* cogroups
-    chunk-*c* events with the round *c−1* end-state relation (book keys + four
-    long arrays) and emits the snapshot rows plus one tagged end-state row per
-    book. Peak per-task memory is one chunk of one book, not the history.
+    worker. Here the plan is ONE hash exchange on the book keys, an
+    in-partition (keys, seq) sort, and one ``mapInPandas`` pass that carries
+    the two ``_Side`` structures across Arrow batches — the batch analogue of
+    the Structured Streaming operator's state chaining
+    (``streaming/book_stream.py``) without its per-micro-batch scheduling.
+    Peak per-task memory is one Arrow batch
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, default 10k) plus
+    the live book state — strictly tighter than the r3–r5 chained-rounds
+    design, whose floor was one seq-range chunk of one book.
 
-    Scale/laziness contract: the builder stays fully lazy — no Spark job runs
-    until the result is acted on. Each round's output is lazily
-    ``localCheckpoint(eager=False)``-ed, which both caches it (the state chain
-    and the data union share one computation instead of re-folding prior
-    rounds) and truncates lineage (without this the plan tree nests every
-    prior round and grows quadratically with ``seq_chunks``). The input is
-    re-scanned once per round — the same trade the availableNow streaming path
-    makes. On a real cluster where executor loss must be survivable, prefer
-    reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
-    semantics or the streaming operator; local checkpoints are
-    executor-resident.
+    Order contract this relies on: ``mapInPandas`` consumes a partition's
+    rows in physical order, ``sortWithinPartitions`` puts the sort below the
+    Python node, and the hash exchange makes each book contiguous within one
+    partition — so each book's events arrive exactly once, in seq order,
+    possibly split across batches; a key change inside the stream resets the
+    fold state. Null book keys hash to a partition like any value and
+    compare null-safely in the run detector (matching groupBy's null-group
+    semantics).
+
+    ``seq_chunks`` is retained as the public opt-in switch (any value > 1
+    selects this path, pinned byte-identical to the unchunked fold by
+    ``tests/test_order_book_chunked.py``); the chunk COUNT no longer shapes
+    the plan — the r3–r5 design paid one cogrouped applyInPandas + lazy
+    localCheckpoint round per chunk (~2 s of driver-side planning alone at
+    seq_chunks=8) and re-scanned the input every round, where this plan scans
+    it once. The builder stays fully lazy: no job runs until an action.
     """
-    from pyspark.sql.types import ArrayType, BooleanType
-
-    spark = df.sparkSession
     keys = list(by)
-    chunk_col = "__seq_chunk__"
-    smin, smax = "__seq_min__", "__seq_max__"
-
-    # Null-safe equality on the bounds join: groupBy folds null-key rows into
-    # a null group (matching the unchunked path), so the join-back must match
-    # them too — a plain equi-join would silently drop null-key books.
-    bounds = df.groupBy(*keys).agg(F.min(seq).alias(smin), F.max(seq).alias(smax))
-    bkeys = [f"__bnd_{k}__" for k in keys]
-    bounds = bounds.select(
-        *[F.col(k).alias(bk) for k, bk in zip(keys, bkeys)], smin, smax
+    schema = StructType(
+        out_fields + [StructField(c, LongType(), True) for c in snap_cols]
     )
-    cond = None
-    for k, bk in zip(keys, bkeys):
-        c = F.col(k).eqNullSafe(F.col(bk))
-        cond = c if cond is None else (cond & c)
-    span = F.col(smax) - F.col(smin) + F.lit(1)
-    chunk = F.least(
-        F.lit(seq_chunks - 1),
-        F.floor((F.col(seq) - F.col(smin)) * F.lit(seq_chunks) / span),
-    )
-    chunked = (
-        df.join(F.broadcast(bounds), on=cond)
-        .withColumn(chunk_col, F.coalesce(chunk, F.lit(0)).cast("int"))
-        .drop(smin, smax, *bkeys)
-    )
-
-    state_cols = ["__bid_prices__", "__bid_qtys__", "__ask_prices__", "__ask_qtys__"]
-    data_cols = [f.name for f in df.schema.fields]
-    inter_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
-        + [StructField(c, LongType(), True) for c in snap_cols]
-        + [StructField("__is_state__", BooleanType(), False)]
-        + [StructField(c, ArrayType(LongType()), True) for c in state_cols]
-    )
-    state_schema = StructType(
-        [StructField(k, df.schema[k].dataType, True) for k in keys]
-        + [StructField(c, ArrayType(LongType()), True) for c in state_cols]
-    )
-    all_cols = [f.name for f in inter_schema.fields]
-
-    def fold(key: tuple, events: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-        if len(state):
-            row = state.iloc[0]
-            bids = _side_from_lists(row[state_cols[0]], row[state_cols[1]])
-            asks = _side_from_lists(row[state_cols[2]], row[state_cols[3]])
-        else:
-            bids, asks = _Side(), _Side()
-
-        frames = []
-        if len(events):
-            pdf = events.sort_values(seq, kind="mergesort", ignore_index=True)
-            pdf = pdf.drop(columns=[chunk_col], errors="ignore")
-            out, mask, bids, asks = _fold_arrays(
-                variant,
-                n,
-                pdf[seq].to_numpy(),
-                _as_list(pdf[is_bid]),
-                _as_list(pdf[price]),
-                _as_list(pdf[qty]),
-                _as_list(pdf[prev_price]) if prev_price else None,
-                _as_list(pdf[prev_qty]) if prev_qty else None,
-                bids=bids,
-                asks=asks,
-            )
-            res = pdf.copy()
-            for j, c in enumerate(snap_cols):
-                res[c] = pd.arrays.IntegerArray(out[j], mask[j])
-            res["__is_state__"] = False
-            for c in state_cols:
-                res[c] = None
-            frames.append(res[all_cols])
-
-        bp, bq = _side_to_lists(bids)
-        ap, aq = _side_to_lists(asks)
-        srow: dict = {c: [None] for c in all_cols}
-        for k, v in zip(keys, key):
-            srow[k] = [v]
-        srow["__is_state__"] = [True]
-        srow[state_cols[0]], srow[state_cols[1]] = [bp], [bq]
-        srow[state_cols[2]], srow[state_cols[3]] = [ap], [aq]
-        frames.append(pd.DataFrame(srow, columns=all_cols))
-        if len(frames) == 1:
-            return frames[0]
-        import warnings
-
-        with warnings.catch_warnings():
-            # all-NA state columns on data rows; Arrow casts to the declared
-            # schema regardless of the pandas result dtype
-            warnings.simplefilter("ignore", FutureWarning)
-            return pd.concat(frames, ignore_index=True)
-
-    state_df = spark.createDataFrame([], state_schema)
-    parts: list[DataFrame] = []
-    for c in range(seq_chunks):
-        events_c = chunked.where(F.col(chunk_col) == c)
-        res = (
-            events_c.groupBy(*keys)
-            .cogroup(state_df.groupBy(*keys))
-            .applyInPandas(fold, schema=inter_schema)
-            .localCheckpoint(eager=False)
-        )
-        parts.append(res.where(~F.col("__is_state__")).select(*data_cols, *snap_cols))
-        state_df = res.where(F.col("__is_state__")).select(*keys, *state_cols)
-
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
     keep = [f.name for f in out_fields]
-    return union.select(*keep, *snap_cols)
+
+    from polars_order_book_spark.functions.runtime import shuffle_partitions
+
+    n_parts = shuffle_partitions(df.sparkSession, fallback_df=df)
+
+    def fold_stream(batches):
+        cur: object = object()  # sentinel unequal to any key tuple
+        bids, asks = _Side(), _Side()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kv = pdf[keys]
+            prev = kv.shift()
+            # null-safe "key changed" per row; first row always opens a run
+            changed = (kv.ne(prev) & ~(kv.isna() & prev.isna())).any(axis=1)
+            changed.iloc[0] = True
+            outs = []
+            for _, run in pdf.groupby(changed.cumsum(), sort=False):
+                run = run.reset_index(drop=True)
+                kt = tuple(
+                    None if pd.isna(v) else v for v in run.iloc[0][keys]
+                )
+                if kt != cur:
+                    cur = kt
+                    bids, asks = _Side(), _Side()
+                out, mask, bids, asks = _fold_arrays(
+                    variant,
+                    n,
+                    run[seq].to_numpy(),
+                    _as_list(run[is_bid]),
+                    _as_list(run[price]),
+                    _as_list(run[qty]),
+                    _as_list(run[prev_price]) if prev_price else None,
+                    _as_list(run[prev_qty]) if prev_qty else None,
+                    bids=bids,
+                    asks=asks,
+                )
+                res = run[keep].copy()
+                for j, c in enumerate(snap_cols):
+                    res[c] = pd.arrays.IntegerArray(out[j], mask[j])
+                outs.append(res)
+            yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
+
+    parted = df.repartition(n_parts, *[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys], F.col(seq)
+    )
+    return parted.mapInPandas(fold_stream, schema)
 
 
 def _validate_tick_dtype(dtype, col: str):
