@@ -83,6 +83,12 @@ def main() -> None:
         "ob_nbbo_keyed",
         "ob_nbbo_keyed_chunked",
         "events_heavy_hitters",
+        # r6 additions: keyed heavy hitters (per-segment Misra-Gries),
+        # end-to-end BPE tokenize (learn top merge + mapInPandas apply), and
+        # the dedup components pipeline tracking the star-algorithm default.
+        "events_heavy_hitters_by_type",
+        "documents_bpe_tokens",
+        "dedup_components",
     ]
     qs = E.queries()
 

@@ -60,19 +60,32 @@ def _register_self_by_value() -> None:
 _register_self_by_value()
 
 
-def _mg_merge(summary: "pd.Series | None", batch_counts: pd.Series, k: int) -> pd.Series:
-    """Merge exact batch counts into a Misra-Gries summary of ≤ k counters.
+def _mg_merge_tracked(
+    summary: "pd.Series | None", batch_counts: pd.Series, k: int
+) -> "tuple[pd.Series, int]":
+    """Merge exact batch counts into a Misra-Gries summary of ≤ k counters,
+    returning (summary, cut) where ``cut`` is the amount subtracted from
+    every counter this merge (0 when no pruning happened).
 
     Mergeable-summaries rule: sum counters, then subtract the (k+1)-th
     largest value from every counter and drop the non-positive ones. The
-    total subtracted across a partition's merges is the undercount bound
-    n_p/(k+1)."""
+    cumulative cut across merges bounds every item's undercount: for any
+    item, true_count - Σcuts ≤ counter ≤ true_count (absent items have
+    counter 0), which is what the streaming operator surfaces as its error
+    bound."""
     merged = batch_counts if summary is None else summary.add(batch_counts, fill_value=0)
+    cut = 0
     if len(merged) > k:
-        cut = merged.nlargest(k + 1).iloc[k]
+        cut = int(merged.nlargest(k + 1).iloc[k])
         merged = merged - cut
         merged = merged[merged > 0]
-    return merged
+    return merged, cut
+
+
+def _mg_merge(summary: "pd.Series | None", batch_counts: pd.Series, k: int) -> pd.Series:
+    """:func:`_mg_merge_tracked` without the cut (the batch prune stage only
+    needs the surviving counters)."""
+    return _mg_merge_tracked(summary, batch_counts, k)[0]
 
 
 def heavy_hitters(

@@ -7,6 +7,7 @@ from polars_order_book_spark.streaming.dedup_stream import (
 )
 from polars_order_book_spark.streaming.join_stream import interval_join_stream
 from polars_order_book_spark.streaming.profile_stream import user_profile_stream
+from polars_order_book_spark.streaming.frequency_stream import heavy_hitters_stream
 from polars_order_book_spark.streaming.merge_stream import (
     apply_changes_stream,
     init_table,
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize_stream",
     "interval_join_stream",
     "user_profile_stream",
+    "heavy_hitters_stream",
     "dedup_stream_with_survivor",
     "drop_exact_duplicates_stream",
     "drop_duplicates_within_watermark",

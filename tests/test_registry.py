@@ -41,19 +41,62 @@ def test_query_analyzes(spark, name, fn):
     assert df.columns, name
 
 
-# Entries allowed past the driver's 50-entry correctness cap. r5 rotation
-# policy: entries whose LATEST green driver row is r4 (or that carry 3+
-# greens from r1-r3) wait in the tail; everything stale-since-r3, new, or
-# behavior-changed sits in the head. Criterion for the tail stands: at least
-# one green driver CORRECTNESS row PLUS full local oracle + pytest coverage.
+# Entries allowed past the driver's 50-entry correctness cap. r6 rotation
+# policy (amended per the r5 verdict): "latest driver row is red" outranks
+# every other head-priority rule, then never-sampled, then behavior-changed,
+# then oldest-green. Everything here carries a green r3/r4/r5 driver row AND
+# full local-gate + pytest coverage; the head is the auditable _R6_HEAD list
+# in __spark_entry__.py.
 DEMOTED_TAIL = {
-    "supplier_nation_summary",
-    "ann_cosine_topk_ivf",
-    "dedup_simhash",
-    # r5 rotation: the head 50 = the 38 never-driver-sampled entries, the 9
-    # whose latest green row is r2, and 3 r5-behavior-changed entries
-    # (ob_nbbo_keyed / ann_cosine_topk_ivf / dedup_simhash). Everything here
-    # carries a green r3/r4 driver row AND full local-gate + pytest coverage.
+    "orders_merge_stream",
+    "q22_dormant_customers",
+    "ob_vwap_buckets",
+    "q15_top_supplier",
+    "documents_sentences",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q4_priority_count",
+    "q7_volume_shipping",
+    "q17_small_qty_revenue",
+    "q20_concentrated_suppliers",
+    "q18_large_orders",
+    "events_cohort_setops",
+    "q19_disjunctive_revenue",
+    "events_grouping_sets",
+    "ob_l1_metrics",
+    "events_props_variant",
+    "events_pseudonymize",
+    "events_stream_dropdup",
+    "dedup_stream_survivors",
+    "text_repetition",
+    "text_contamination",
+    "orders_price_bands",
+    "events_sessionize_stream_append",
+    "ob_consistency_n1_n2",
+    "part_hconcat",
+    "events_jsonl_roundtrip",
+    "documents_profile",
+    "embeddings_quantize_int8",
+    "documents_pack_sequences",
+    "events_zorder_key",
+    "sink_roundtrip",
+    "text_clean",
+    "documents_category_index",
+    "events_csv_roundtrip",
+    "q10_returned_items",
+    "events_props_json",
+    "documents_domain_mix",
+    "q6_forecast_revenue",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "text_vocabulary",
+    "text_tfidf",
+    "text_token_counts",
+    "ob_nbbo_keyed",
+    "documents_bpe_pair_counts",
+    "dedup_incremental",
     "ob_ofi",
     "ob_ohlc_bars",
     "events_ols_trend",
@@ -103,51 +146,8 @@ DEMOTED_TAIL = {
     "orders_merge_apply",
     "embeddings_outliers",
     "q13_customer_distribution",
-    "ob_relational_updates_top3",
-    "ob_relational_modify_top2",
-    "ob_relational_keyed_mutations_top2",
-    "q1_pricing_summary",
-    "documents_deduped",
-    "dedup_components",
-    "ob_chunked_mutations_top2",
-    "events_user_distinct_approx",
-    "documents_hash_sample",
-    "ann_cosine_topk_lsh",
-    "topk_orders_per_customer",
-    "customers_without_orders",
-    "events_user_running_total",
-    "events_rollup",
-    "events_value_quantiles",
-    "ann_cosine_topk_blas",
-    "text_winnow_fingerprints",
-    "dedup_components_star",
-    "text_fingerprint",
-    "text_lang_id",
     "events_hourly",
-    "ob_conversion_top2",
     "ob_updates_top1",
-    "ob_updates_top3",
-    "ob_stream_keyed_mutations_top2",
-    "ob_relational_mutations_top2",
-    "events_hourly_pivot",
-    "orders_rolling_revenue",
-    "events_value_quantiles_approx",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "documents_budget_pack",
-    "text_docfreq_score",
-    "text_redact_pii",
-    "ann_cosine_topk",
-    "dedup_embedding",
-    "text_quality",
-    "events_sessionize",
-    "events_lead_lag",
-    "events_asof_purchase",
-    "events_sessionize_stream",
-    "ob_mutations_top2",
-    "ob_modify_top2",
-    "ob_keyed_mutations_top2",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "part_categorize",
