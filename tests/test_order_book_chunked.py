@@ -147,6 +147,28 @@ def test_chunked_accepts_column_expressions(spark):
     assert by_seq(chunked, cols) == by_seq(base, cols)
 
 
+def test_chunked_state_carries_across_arrow_batches(spark):
+    """The streamed fold's correctness hinges on carrying book state across
+    Arrow batches within a partition. Force tiny batches
+    (maxRecordsPerBatch=7) so every book spans many batches and a book
+    boundary can land mid-batch, then pin byte-equality with the unchunked
+    fold."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    try:
+        df = spark.createDataFrame(_keyed_rows(), KEYED_SCHEMA)
+        base = _collect_keyed(
+            top_n_levels_from_price_mutations(df, by=["book"], n=2), 2
+        )
+        chunked = _collect_keyed(
+            top_n_levels_from_price_mutations(df, by=["book"], n=2, seq_chunks=2), 2
+        )
+        assert chunked == base
+    finally:
+        spark.conf.set(conf, old)
+
+
 def test_chunked_null_book_key_matches_unchunked(spark):
     """Null book keys form a group in groupBy; the chunked path's bounds join
     must match them null-safely instead of dropping the null-key book."""

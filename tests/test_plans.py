@@ -82,6 +82,23 @@ def test_relational_book_shuffles_on_seq_bucket(spark):
 
 
 @needs_testdata
+def test_streamed_fold_is_single_pass(spark):
+    """The bounded-memory fold (seq_chunks>1) must stay the r6 single-pass
+    shape: ONE exchange on the book keys + in-partition sort + ONE
+    MapInPandas — no chained cogrouped rounds (FlatMapCoGroupsInPandas), no
+    per-round re-scan (multiple parquet scans), no bounds broadcast join."""
+    from polars_order_book_spark import top_n_levels_from_price_mutations
+
+    stream = bs.mutations_stream(load_table(spark, SF_DIR, "events"))
+    plan = plan_of(top_n_levels_from_price_mutations(stream, n=2, seq_chunks=4))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+@needs_testdata
 def test_whole_stage_codegen_covers_text_ops(spark):
     from polars_order_book_spark.operators import text
 
