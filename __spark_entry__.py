@@ -877,12 +877,25 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
 
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH pair graph -> survivor per
-    duplicate cluster. Runs the DEFAULT algorithm (large-star/small-star:
-    O(log n) rounds independent of cluster diameter — the scale-safe
-    default since r6)."""
+    duplicate cluster. Runs the DEFAULT algorithm="auto" (r6): verified
+    duplicate pairs are tiny relative to the corpus, so below the
+    5M-edge cap the components come from driver union-find over the
+    checkpointed pair list (zero iterative Spark jobs — the BLAS/BPE
+    bounded-collect pattern); past the cap it fails over to the
+    large-star/small-star rounds."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
     return dedup.neardup_components(pairs)
+
+
+def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component/survivor contract, forced through the distributed
+    large-star/small-star rounds (O(log n) rounds independent of cluster
+    diameter — auto's above-cap fallback, kept under its own driver oracle
+    so the distributed path stays verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+    return dedup.neardup_components(pairs, algorithm="star")
 
 
 def _dedup_components_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,8 +928,9 @@ FROM reach GROUP BY node
 
 
 def _documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup pipeline: LSH pairs -> components (star default) ->
-    drop non-survivors; returns the kept corpus (ids only, hash-stable)."""
+    """End-to-end dedup pipeline: LSH pairs -> components (auto: driver
+    union-find under the edge cap, star rounds above) -> drop non-survivors;
+    returns the kept corpus (ids only, hash-stable)."""
     docs = load_table(spark, sf_dir, "documents")
     comps = dedup.neardup_components(dedup.minhash_lsh_duplicates(docs, threshold=0.5))
     return dedup.apply_dedup(docs, comps).select("doc_id", "lang")
@@ -3483,10 +3497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": hq.events_value_quantiles,
         "ann_cosine_topk_blas": _ann_blas,
         "text_winnow_fingerprints": _text_winnow,
-        # renamed from dedup_components_star in r6: dedup_components now runs
-        # star by default, so this entry keeps the opt-in label-propagation
-        # variant under driver oracle instead of duplicating the default
+        # r6: dedup_components runs algorithm="auto" (driver union-find under
+        # the edge cap, star rounds above); these two keep the explicit
+        # distributed algorithms under driver oracle
         "dedup_components_prop": _dedup_components_prop,
+        "dedup_components_star": _dedup_components_star,
         "text_fingerprint": _text_fingerprint,
         "text_lang_id": _text_lang,
         "events_hourly": hq.events_hourly,
@@ -3658,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": JACCARD_SQL,
         "dedup_components": _components_sql(),
         "dedup_components_prop": _components_sql(),
+        "dedup_components_star": _components_sql(),
         "documents_deduped": _documents_deduped_sql(),
         "documents_hash_sample": HASH_SAMPLE_SQL,
         "documents_domain_mix": DOMAIN_MIX_SQL,

@@ -172,7 +172,8 @@ def neardup_components(
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    max_driver_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → survivor
     selection: returns (doc_id, component, is_survivor) where ``component`` is
@@ -180,20 +181,83 @@ def neardup_components(
     equal to its component id. The step after any pairwise dedup — collapse
     transitive duplicate clusters to one kept document.
 
-    ``algorithm="star"`` (default) runs the alternating large-star/small-star
-    rounds of :func:`neardup_components_star` — O(log n) rounds independent of
-    cluster diameter, the 100 TB-safe choice (duplicate chains across crawl
-    snapshots can have arbitrary diameter). ``algorithm="prop"`` opts into
-    min-label propagation (:func:`neardup_components_prop`) — O(diameter)
-    rounds over a FIXED edge relation, cheaper per round, fine when clusters
-    are known shallow. Both produce the identical output (pinned equal by
-    test), so flipping the default never changes results.
+    ``algorithm``:
+
+    * ``"auto"`` (default): probe the pair count against
+      ``max_driver_edges``; at or below the cap, collect the (already tiny
+      relative to the corpus) pair list and run driver-side union-find —
+      milliseconds, zero iterative Spark jobs; above it, fall back to the
+      star rounds. The pair relation is lazily checkpointed FIRST so the
+      probe and the collect share one execution of the (expensive) upstream
+      pair pipeline. This is the bounded-collect pattern the BLAS top-k and
+      BPE trainer use: verified duplicate PAIRS are orders of magnitude
+      smaller than the corpus, so most real runs take the driver path, and
+      the cap (≈80 MB of longs at the default) fails over — never over-
+      collects.
+    * ``"star"``: alternating large-star/small-star rounds
+      (:func:`neardup_components_star`) — O(log n) rounds independent of
+      cluster diameter, the distributed choice for pair graphs past the cap.
+    * ``"prop"``: min-label propagation (:func:`neardup_components_prop`) —
+      O(diameter) rounds over a FIXED edge relation, cheaper per round, fine
+      when clusters are known shallow.
+
+    All three produce identical output (pinned equal by test), so the
+    dispatch never changes results.
     """
+    if algorithm == "auto":
+        cleaned = (
+            pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+            .where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+            .localCheckpoint(eager=False)
+        )
+        if cleaned.limit(max_driver_edges + 1).count() <= max_driver_edges:
+            return _components_driver_unionfind(cleaned)
+        return neardup_components_star(cleaned, "u", "v", max_iter=max_iter)
     if algorithm == "star":
         return neardup_components_star(pairs, a_col, b_col, max_iter=max_iter)
     if algorithm == "prop":
         return neardup_components_prop(pairs, a_col, b_col, max_iter=max_iter)
-    raise ValueError(f"algorithm must be 'star' or 'prop', got {algorithm!r}")
+    raise ValueError(
+        f"algorithm must be 'auto', 'star' or 'prop', got {algorithm!r}"
+    )
+
+
+def _components_driver_unionfind(cleaned: DataFrame) -> DataFrame:
+    """Driver union-find over a collected (u, v) pair list — the sub-cap limb
+    of ``algorithm="auto"``. Same edge semantics as the star variant: null
+    endpoints were dropped upstream, self-pairs contribute their node as a
+    singleton but no edge. Output contract identical (min-id component,
+    survivor = member equal to the component id)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    rows = cleaned.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    node_dt = cleaned.schema[cleaned.columns[0]].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", node_dt, True),
+            StructField("component", node_dt, True),
+            StructField("is_survivor", BooleanType(), True),
+        ]
+    )
+    data = [(n, find(n), n == find(n)) for n in parent]
+    return cleaned.sparkSession.createDataFrame(data, out_schema)
 
 
 def neardup_components_prop(
@@ -294,9 +358,15 @@ def neardup_components_star(
     component minimum), detected by the large-star round producing no change.
     """
     # Rows with a null endpoint are malformed and dropped whole; self-pairs
-    # contribute their node (as a singleton) but no edge.
-    cleaned = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).where(
-        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    # contribute their node (as a singleton) but no edge. The cleaned pair
+    # relation is checkpointed FIRST: both the edge and node relations read
+    # it, and without truncation the (potentially expensive) upstream pair
+    # pipeline — e.g. the full MinHash-LSH verify — would execute once per
+    # consumer.
+    cleaned = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .localCheckpoint(eager=False)
     )
     edges = (
         cleaned.select(
@@ -339,16 +409,22 @@ def neardup_components_star(
             .distinct()
         )
 
+    n_old = None  # carried across rounds: one count per round, not two
     for _ in range(max_iter):
         new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
             eager=False
         )
-        n_old, n_new = edges.count(), new_edges.count()
+        if n_old is None:
+            n_old = edges.count()
+        n_new = new_edges.count()
+        # short-circuit: the set-equality check (a union-distinct count) only
+        # runs when the cardinalities already match, i.e. near convergence
         unchanged = (
             n_old == n_new
             and new_edges.unionByName(edges).distinct().count() == n_old
         )
         edges = new_edges
+        n_old = n_new
         if unchanged:
             # Fixpoint of (large ∘ small) = star forest: every edge links a
             # member to its component minimum. Per-node min is taken for

@@ -105,6 +105,14 @@ def heavy_hitters(
     plan is fully lazy — N rides along as a one-row broadcast, no
     driver-side count.
 
+    Two passes over the data, not three: the sketch pass also emits one
+    null-item row per partition carrying the partition's row count (nulls
+    cannot collide — null items are excluded before the sketch), so N is an
+    aggregate of the partitions-sized summary relation instead of a third
+    full scan; the summary is lazily localCheckpoint-ed because both the
+    candidate set and N read it. The only other full scan is the exact
+    verify.
+
     Rounding rule: the threshold is ceil(support · N) computed in EXACT
     decimal arithmetic — ``support`` is rendered via its shortest decimal
     string (0.0075 stays 0.0075, never the binary-double neighbour), so
@@ -130,23 +138,32 @@ def heavy_hitters(
 
     def sketch(batches):
         summary = None
+        n_part = 0
         for pdf in batches:
             if pdf.empty:
                 continue
+            n_part += int(len(pdf))
             counts = pdf["__item"].value_counts(sort=False)
             summary = _mg_merge(summary, counts, kk)
         if summary is not None and len(summary):
             yield pd.DataFrame(
                 {"__item": summary.index, "__lb": summary.to_numpy().astype("int64")}
             )
+        if n_part:
+            # partition-total row (null item — cannot collide, nulls are
+            # excluded above): N rides in the summary relation, no third scan
+            yield pd.DataFrame({"__item": [None], "__lb": pd.Series([n_part], dtype="int64")})
 
+    summaries = items.mapInPandas(sketch, summary_schema).localCheckpoint(eager=False)
     candidates = (
-        items.mapInPandas(sketch, summary_schema)
+        summaries.where(F.col("__item").isNotNull())
         .groupBy("__item")
         .agg(F.sum("__lb").alias("__lb"))
         .select("__item")
     )
-    total = items.agg(F.count(F.lit(1)).alias("__N"))
+    total = summaries.where(F.col("__item").isNull()).agg(
+        F.sum("__lb").alias("__N")
+    )
     exact = (
         items.join(F.broadcast(candidates), on="__item", how="left_semi")
         .groupBy("__item")
@@ -216,11 +233,13 @@ def heavy_hitters_by(
 
     def sketch(batches):
         summaries: dict = {}  # key tuple -> pd.Series(item -> lb)
+        part_n: dict = {}  # key tuple -> partition row count
         for pdf in batches:
             if pdf.empty:
                 continue
             for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
                 kt = kt if isinstance(kt, tuple) else (kt,)
+                part_n[kt] = part_n.get(kt, 0) + int(len(grp))
                 counts = grp["__item"].value_counts(sort=False)
                 summaries[kt] = _mg_merge(summaries.get(kt), counts, kk)
         out = []
@@ -231,16 +250,31 @@ def heavy_hitters_by(
             d["__item"] = s.index
             d["__lb"] = s.to_numpy().astype("int64")
             out.append(pd.DataFrame(d))
+        for kt, np_ in part_n.items():
+            # per-(partition, key) total row (null item — cannot collide):
+            # the per-key N aggregates from the summary relation, no third
+            # full scan (same trick as heavy_hitters)
+            d = {c: [kt[i]] for i, c in enumerate(keys)}
+            d["__item"] = [None]
+            d["__lb"] = pd.Series([np_], dtype="int64")
+            out.append(pd.DataFrame(d))
         if out:
             yield pd.concat(out, ignore_index=True)
 
+    summaries_df = rows.mapInPandas(sketch, summary_schema).localCheckpoint(
+        eager=False
+    )
     candidates = (
-        rows.mapInPandas(sketch, summary_schema)
+        summaries_df.where(F.col("__item").isNotNull())
         .groupBy(*keys, "__item")
         .agg(F.sum("__lb").alias("__lb"))
         .select(*keys, "__item")
     )
-    totals = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__N"))
+    totals = (
+        summaries_df.where(F.col("__item").isNull())
+        .groupBy(*keys)
+        .agg(F.sum("__lb").alias("__N"))
+    )
     exact = (
         rows.join(F.broadcast(candidates), on=[*keys, "__item"], how="left_semi")
         .groupBy(*keys, "__item")

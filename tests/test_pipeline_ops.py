@@ -48,6 +48,42 @@ def test_components_bad_algorithm_raises(spark):
         neardup_components(pairs, algorithm="bogus")
 
 
+def test_components_auto_matches_star_random(spark):
+    """auto (driver union-find here — under the cap) must equal the
+    distributed star rounds on a random multigraph with self-pairs and
+    nulls."""
+    import random
+
+    rng = random.Random(19)
+    rows = [(rng.randrange(30), rng.randrange(30)) for _ in range(50)]
+    rows += [(3, 3), (None, 4), (5, None)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    via_auto = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in neardup_components(pairs).collect()
+    }
+    from polars_order_book_spark.operators.dedup import neardup_components_star
+
+    via_star = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in neardup_components_star(pairs).collect()
+    }
+    assert via_auto == via_star
+
+
+def test_components_auto_falls_over_to_star_above_cap(spark):
+    """A 200-edge chain with max_driver_edges=10 must take the distributed
+    star path (and still be correct) instead of collecting."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    out = neardup_components(pairs, max_driver_edges=10).collect()
+    assert {(r["doc_id"], r["component"]) for r in out} == {
+        (i, 0) for i in range(201)
+    }
+    assert sum(r["is_survivor"] for r in out) == 1
+
+
 def test_hash_sample_invariant_to_partitioning(spark):
     df = spark.range(1000).withColumnRenamed("id", "k")
     a = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.3).collect())
