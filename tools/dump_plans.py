@@ -97,6 +97,10 @@ HEADLINE = [
     "part_hconcat",
     "events_heavy_hitters",
     "ann_cosine_topk_lsh",
+    # r6: keyed heavy hitters, end-to-end BPE tokenize, auto components
+    "events_heavy_hitters_by_type",
+    "documents_bpe_tokens",
+    "dedup_components",
 ]
 
 
