@@ -275,13 +275,18 @@ def heavy_hitters_by(
         .groupBy(*keys)
         .agg(F.sum("__lb").alias("__N"))
     )
+    # No broadcast HINTS here, unlike the unkeyed operator: candidates and
+    # totals are per-key relations (≤ k counters / 1 row per key), so their
+    # size scales with the segment count — tiny for (lang, hour)-style keys,
+    # arbitrarily large for high-cardinality ones. AQE picks broadcast when
+    # they are actually small; forcing it would OOM the many-key case.
     exact = (
-        rows.join(F.broadcast(candidates), on=[*keys, "__item"], how="left_semi")
+        rows.join(candidates, on=[*keys, "__item"], how="left_semi")
         .groupBy(*keys, "__item")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        exact.join(F.broadcast(totals), on=keys)
+        exact.join(totals, on=keys)
         .where(F.col("n") >= F.ceil(F.lit(support_dec) * F.col("__N")))
         .select(
             *keys,
