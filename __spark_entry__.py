@@ -2379,6 +2379,46 @@ FROM per_doc CROSS JOIN total
 """
 
 
+def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval against a fixed 3-term query (operators/text.py
+    bm25_scores): rational idf, one fixed IEEE parenthesization per term,
+    per-term scores quantized to micros and summed exactly — the float
+    formula stays hash-checkable. tf/df touch only query-term hits (filter
+    before the shuffle); df + 1-row corpus stats broadcast; dl equi-joins."""
+    return text.bm25_scores(
+        load_table(spark, sf_dir, "documents"), ["spark", "query", "data"]
+    )
+
+
+TEXT_BM25_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+qtok AS (SELECT doc_id, token FROM tok WHERE token IN ('spark', 'query', 'data')),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(
+             ((CAST(s.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                (CAST(dl.dl AS DOUBLE) * CAST(s.n AS DOUBLE) / CAST(s.t AS DOUBLE))))
+             * 1000000.0 + 0.5
+           ) AS BIGINT) AS m
+    FROM tf
+    JOIN dfreq d USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT doc_id, count(*) AS n_hits, CAST(sum(m) AS BIGINT) AS bm25_micros
+FROM scored GROUP BY doc_id
+"""
+
+
 def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_pii(load_table(spark, sf_dir, "documents"))
 
@@ -3298,6 +3338,7 @@ _R6_HEAD = [
     "events_heavy_hitters_by_type",
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
+    "text_bm25",
     "dedup_components_prop",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
@@ -3307,9 +3348,9 @@ _R6_HEAD = [
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
     # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (five r3 greens whose shapes the head already covers wait in the tail:
+    # (six r3 greens whose shapes the head already covers wait in the tail:
     # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
-    # part_categorize, events_hourly)
+    # part_categorize, events_hourly, ann_cosine_topk_lsh)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
@@ -3319,7 +3360,6 @@ _R6_HEAD = [
     "q1_pricing_summary",
     "events_user_distinct_approx",
     "documents_hash_sample",
-    "ann_cosine_topk_lsh",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
@@ -3417,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters_by_type": _events_heavy_hitters_by_type,
         "documents_bpe_tokens": _docs_bpe_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
+        "text_bm25": _text_bm25,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3619,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
+        "text_bm25": TEXT_BM25_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

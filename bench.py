@@ -89,6 +89,7 @@ def main() -> None:
         "events_heavy_hitters_by_type",
         "documents_bpe_tokens",
         "dedup_components",
+        "text_bm25",
     ]
     qs = E.queries()
 

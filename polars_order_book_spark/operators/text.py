@@ -368,6 +368,82 @@ def tf_idf(
     return joined.select("doc_id", "token", "tf", weight.alias("tfidf"))
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: "list[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_scale: bool = False,
+) -> DataFrame:
+    """BM25 retrieval scores of every document against a bag of query
+    ``terms`` → (doc_id, n_hits, bm25_micros long) for documents matching at
+    least one term. The lexical-retrieval limb next to ``hash_embed``'s
+    dense one — fuse them for hybrid search.
+
+    Exactness contract (how the oracle hash-matches a float formula):
+
+    * per-(doc, term) score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+      — pure IEEE +,·,/ on doubles in ONE FIXED parenthesization, which
+      both engines evaluate bit-identically (unlike libm transcendentals);
+      ``idf`` defaults to the RATIONAL (N+1)/(df+1) smoothing of
+      :func:`tf_idf`, with ``log_scale=True`` opting into the conventional
+      Lucene ln((N−df+0.5)/(df+0.5)+1) at the cost of last-ulp oracle
+      divergence.
+    * the per-document SUM over terms would still differ by FP addition
+      order, so each term score is quantized to integer micros
+      (floor(x·1e6 + 0.5) — rounds identically everywhere) and the micros
+      sum EXACTLY. ``bm25_micros/1e6`` is the score with a stated 1e-6
+      quantization, the ``profile_stream`` trick.
+
+    Shape at scale: document length (dl) is one groupBy(doc) over the
+    exploded tokens; tf touches ONLY rows whose token is in ``terms``
+    (filter before the groupBy — the shuffle carries query-term hits, not
+    the corpus); df and the 1-row corpus stats (N docs, T total tokens —
+    avgdl = T/N arrives as dl·N/T to keep one divide) broadcast back.
+    The 1-row cross join is the whitelisted global-normalizer pattern.
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty list of query tokens")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__t")
+    )
+    qtok = tok.where(F.col("token").isin([t.lower() for t in terms]))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+
+    # dfreq (≤ |terms| rows) and stats (1 row) broadcast; dl is CORPUS-sized
+    # — equi-join on doc_id and let AQE pick the side (tf, the query-hit
+    # docs, is usually far smaller).
+    joined = (
+        tf.join(F.broadcast(dfreq), on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("__n").cast("double")
+    df_d = F.col("df").cast("double")
+    if log_scale:
+        idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0))
+    else:
+        idf = (n_d + F.lit(1.0)) / (df_d + F.lit(1.0))
+    tf_d = F.col("tf").cast("double")
+    dl_norm = F.col("dl").cast("double") * n_d / F.col("__t").cast("double")
+    denom = tf_d + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * dl_norm
+    )
+    score = idf * (tf_d * F.lit(float(k1) + 1.0)) / denom
+    micros = F.floor(score * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return joined.select("doc_id", micros.alias("__m")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("__m").alias("bm25_micros")
+    )
+
+
 # --- PII redaction -----------------------------------------------------------
 #
 # Patterns restricted to syntax with identical semantics in Java regex (Spark)

@@ -152,6 +152,9 @@ _BNLJ_WHITELIST = {
     # verify stage attaches the one-row count(*) aggregate (__N) to the
     # candidate counts (operators/frequency.py heavy_hitters)
     "events_heavy_hitters",
+    # 1-row corpus-stats (N docs, total tokens) broadcast cross join — the
+    # same global-normalizer pattern (operators/text.py bm25_scores)
+    "text_bm25",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -60,6 +60,44 @@ def test_tfidf_weights(spark):
     assert logged[(1, "cat")] == 2 * (math.log(1.5) + 1)
 
 
+def test_bm25_hand_computed(spark):
+    """N=2 docs, T=5 tokens. Query = {cat, dog}. Rational idf (N+1)/(df+1);
+    per-term micros quantization; exact micro sums."""
+    rows = [(1, "cat cat dog"), (2, "dog bird")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {r["doc_id"]: (r["n_hits"], r["bm25_micros"])
+           for r in text.bm25_scores(df, ["cat", "dog"]).collect()}
+
+    import math
+
+    def term(tf, dfreq, dl, n=2, t=5, k1=1.2, b=0.75):
+        idf = (n + 1.0) / (dfreq + 1.0)
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl * n / t)))
+        return math.floor(s * 1_000_000.0 + 0.5)
+
+    exp1 = term(2, 1, 3) + term(1, 2, 3)  # doc1: cat tf=2 df=1; dog tf=1 df=2
+    exp2 = term(1, 2, 2)                  # doc2: dog tf=1 df=2
+    assert got == {1: (2, exp1), 2: (1, exp2)}
+    # empty query rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="terms"):
+        text.bm25_scores(df, [])
+
+
+def test_bm25_log_scale_matches_lucene_idf(spark):
+    rows = [(1, "cat cat dog"), (2, "dog bird")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {r["doc_id"]: r["bm25_micros"]
+           for r in text.bm25_scores(df, ["cat"], log_scale=True).collect()}
+
+    import math
+
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    s = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3 * 2 / 5)))
+    assert got == {1: math.floor(s * 1_000_000.0 + 0.5)}
+
+
 def test_vocabulary_counts(spark):
     rows = [(1, "the cat sat"), (2, "the the dog")]
     df = spark.createDataFrame(rows, DOC_SCHEMA)
