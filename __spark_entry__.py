@@ -1105,6 +1105,114 @@ WHERE rank <= 5
 """
 
 
+def _docs_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates fused with dense
+    hash-embedding cosine top-20 (query = doc 0) by reciprocal-rank fusion
+    (operators/retrieval.py). Fusion consumes RANKS, so the only float in
+    the output is the fixed two-term 1/(60+r) sum — hash-exact. The global
+    ranking windows run over CANDIDATE lists (term hits / top-k), never the
+    corpus."""
+    from polars_order_book_spark.operators import retrieval
+    from polars_order_book_spark.operators.text import bm25_scores, hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_scores(docs, ["spark", "query", "data"])
+    emb = (
+        hash_embed(docs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = similarity.cosine_topk_bruteforce(emb, queries, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(
+        [("lex", lex, "score", "bm25_micros"), ("dense", dense, "rank", "rank")]
+    )
+
+
+def _docs_hybrid_search_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("tok2")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+qtok AS (SELECT doc_id, token FROM tok WHERE token IN ('spark', 'query', 'data')),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(
+             ((CAST(s.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                (CAST(dl.dl AS DOUBLE) * CAST(s.n AS DOUBLE) / CAST(s.t AS DOUBLE))))
+             * 1000000.0 + 0.5
+           ) AS BIGINT) AS m
+    FROM tf
+    JOIN dfreq d USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+),
+bm AS (SELECT doc_id, sum(m) AS bm25_micros FROM scored GROUP BY doc_id),
+lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS BIGINT)
+             AS rank_lex
+    FROM bm
+),
+tk2 AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok2
+    FROM documents
+),
+bc AS (
+    SELECT doc_id, {h} % 64 AS d, count(*) AS c
+    FROM tk2 WHERE tok2 <> '' GROUP BY 1, 2
+),
+ids AS (SELECT DISTINCT doc_id FROM documents),
+grid AS (SELECT ids.doc_id, gs.d FROM ids, (SELECT unnest(range(0, 64)) AS d) gs),
+densev AS (
+    SELECT g.doc_id, g.d, CAST(COALESCE(bc.c, 0) AS DOUBLE) AS c
+    FROM grid g LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.d = bc.d
+),
+vecs AS (SELECT doc_id, list(c ORDER BY d) AS v FROM densev GROUP BY doc_id),
+unit AS (
+    SELECT doc_id,
+           CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                ELSE v END AS v
+    FROM vecs
+),
+sim AS (
+    SELECT n.doc_id,
+           list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cosine
+    FROM unit n CROSS JOIN (SELECT * FROM unit WHERE doc_id = 0) q
+    WHERE n.doc_id <> q.doc_id
+),
+denser AS (
+    SELECT doc_id, rank_dense FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                 AS rank_dense
+        FROM sim
+    ) WHERE rank_dense <= 20
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       l.rank_lex, d.rank_dense,
+       (COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rank_lex AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + d.rank_dense AS DOUBLE), CAST(0.0 AS DOUBLE))) AS rrf
+FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sample: 5 documents per (lang, source) stratum
     in portable-hash order — balanced eval-set construction. One shuffle on
@@ -3339,6 +3447,7 @@ _R6_HEAD = [
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
     "text_bm25",
+    "documents_hybrid_search",
     "dedup_components_prop",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
@@ -3348,9 +3457,10 @@ _R6_HEAD = [
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
     # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (six r3 greens whose shapes the head already covers wait in the tail:
+    # (seven r3 greens whose shapes the head already covers wait in the tail:
     # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
-    # part_categorize, events_hourly, ann_cosine_topk_lsh)
+    # part_categorize, events_hourly, ann_cosine_topk_lsh,
+    # documents_hash_sample)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
@@ -3359,7 +3469,6 @@ _R6_HEAD = [
     "ob_relational_keyed_mutations_top2",
     "q1_pricing_summary",
     "events_user_distinct_approx",
-    "documents_hash_sample",
     "topk_orders_per_customer",
     "customers_without_orders",
     "events_user_running_total",
@@ -3458,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_tokens": _docs_bpe_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
+        "documents_hybrid_search": _docs_hybrid_search,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3661,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
         "text_bm25": TEXT_BM25_SQL,
+        "documents_hybrid_search": _docs_hybrid_search_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -90,6 +90,7 @@ def main() -> None:
         "documents_bpe_tokens",
         "dedup_components",
         "text_bm25",
+        "documents_hybrid_search",
     ]
     qs = E.queries()
 

@@ -146,6 +146,7 @@ DEMOTED_TAIL = {
     "orders_merge_apply",
     "embeddings_outliers",
     "q13_customer_distribution",
+    "documents_hash_sample",
     "ann_cosine_topk_lsh",
     "dedup_components_star",
     "events_hourly",

@@ -97,10 +97,13 @@ HEADLINE = [
     "part_hconcat",
     "events_heavy_hitters",
     "ann_cosine_topk_lsh",
-    # r6: keyed heavy hitters, end-to-end BPE tokenize, auto components
+    # r6: keyed heavy hitters, end-to-end BPE tokenize, auto components,
+    # BM25 + hybrid RRF retrieval
     "events_heavy_hitters_by_type",
     "documents_bpe_tokens",
     "dedup_components",
+    "text_bm25",
+    "documents_hybrid_search",
 ]
 
 
