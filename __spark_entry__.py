@@ -2789,6 +2789,51 @@ GROUP BY 1, 2
 """
 
 
+def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous BPE-vocab maintenance: the exact (word, freq) table the
+    tokenizer trainer consumes (operators/bpe.py word_frequencies), kept
+    up to date by a streaming explode + running count — complete-mode
+    memory sink, so each trigger replaces the table with the full current
+    vocabulary. State is vocab-sized (corpus-independent, the same reason
+    learn_bpe_merges may collect it); periodic learn_bpe_merges re-runs
+    read this table instead of re-scanning the corpus."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.operators.text import tokens
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    docs = load_table_stream(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    name = f"wordfreq_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="wordfreq_stream_ckpt_")
+    q = (
+        wf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.table(name)
+
+
+DOCS_WORDFREQ_STREAM_SQL = r"""
+WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+SELECT word, count(*) AS freq FROM tk WHERE word <> '' GROUP BY word
+"""
+
+
 def _events_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous per-segment heavy hitters: a keyed Misra-Gries summary as
     applyInPandasWithState streaming state (streaming/frequency_stream.py),
@@ -3448,6 +3493,7 @@ _R6_HEAD = [
     "events_heavy_hitters_stream",
     "text_bm25",
     "documents_hybrid_search",
+    "documents_wordfreq_stream",
     "dedup_components_prop",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
@@ -3457,10 +3503,10 @@ _R6_HEAD = [
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
     # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (seven r3 greens whose shapes the head already covers wait in the tail:
+    # (eight r3 greens whose shapes the head already covers wait in the tail:
     # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
     # part_categorize, events_hourly, ann_cosine_topk_lsh,
-    # documents_hash_sample)
+    # documents_hash_sample, customers_without_orders)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
@@ -3470,7 +3516,6 @@ _R6_HEAD = [
     "q1_pricing_summary",
     "events_user_distinct_approx",
     "topk_orders_per_customer",
-    "customers_without_orders",
     "events_user_running_total",
     "events_rollup",
     "events_value_quantiles",
@@ -3568,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
+        "documents_wordfreq_stream": _docs_wordfreq_stream,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3772,6 +3818,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
         "text_bm25": TEXT_BM25_SQL,
         "documents_hybrid_search": _docs_hybrid_search_sql(),
+        "documents_wordfreq_stream": DOCS_WORDFREQ_STREAM_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

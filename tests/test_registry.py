@@ -148,6 +148,7 @@ DEMOTED_TAIL = {
     "q13_customer_distribution",
     "documents_hash_sample",
     "ann_cosine_topk_lsh",
+    "customers_without_orders",
     "dedup_components_star",
     "events_hourly",
     "ob_updates_top1",
