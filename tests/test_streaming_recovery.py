@@ -67,6 +67,56 @@ def test_dedup_stream_state_survives_restart(spark):
     assert len(final) == 4
 
 
+def test_heavy_hitters_stream_state_survives_restart(spark):
+    """The Misra-Gries summary (counters + n_seen) must restore from the
+    checkpoint: after a restart, an item's count spans BOTH phases, and the
+    support threshold uses the lifetime n_seen."""
+    from polars_order_book_spark.streaming import heavy_hitters_stream
+
+    src = tempfile.mkdtemp(prefix="rechh_src_")
+    ckpt = tempfile.mkdtemp(prefix="rechh_ckpt_")
+    sink = tempfile.mkdtemp(prefix="rechh_sink_") + "/hh"
+    schema = "k string, item long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        # memory sinks cannot recover from a checkpoint; foreachBatch can
+        raw = spark.readStream.schema(schema).parquet(src)
+        hh = heavy_hitters_stream(raw, "k", "item", support=0.5, k=100)
+
+        def emit(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            hh.writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        out = spark.read.parquet(sink)
+        # current state per key = its rows at max n_seen (emission recency)
+        mx = out.agg(F.max("n_seen").alias("m")).collect()[0]["m"]
+        return out.where(F.col("n_seen") == mx)
+
+    # Phase 1: item 1 dominates (5 of 6 rows; threshold ceil(0.5*6)=3)
+    write([("a", 1)] * 5 + [("a", 2)])
+    p1 = {r["item"]: (r["n"], r["n_seen"]) for r in run().collect()}
+    assert p1 == {1: (5, 6)}
+
+    # Phase 2 after RESTART: five more of item 2. Lifetime: item2=6,
+    # item1=5, n_seen=11, threshold ceil(0.5*11)=6 — only item 2 qualifies,
+    # and only if phase 1's single item-2 count survived the restart.
+    write([("a", 2)] * 5)
+    p2 = {r["item"]: (r["n"], r["n_seen"]) for r in run().collect()}
+    assert p2 == {2: (6, 11)}
+
+
 def test_windowed_agg_restart_equals_single_shot(spark):
     src = tempfile.mkdtemp(prefix="recw_src_")
     schema = "ts timestamp, v long"
