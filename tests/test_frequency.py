@@ -170,6 +170,22 @@ def test_keyed_null_keys_and_items_excluded(spark):
     assert out == {("a", 1): (2, 2 / 3)}
 
 
+def test_keyed_timestamp_key_roundtrips(spark):
+    """Time-bucketed segments (the 'top users per hour' shape): timestamp
+    keys must survive the pandas sketch round-trip intact."""
+    import datetime as dt
+
+    h0 = dt.datetime(2024, 1, 1, 10)
+    h1 = dt.datetime(2024, 1, 1, 11)
+    rows = [(h0, 1)] * 4 + [(h0, 2)] + [(h1, 2)] * 3
+    df = spark.createDataFrame(rows, "hour timestamp, item long")
+    got = {
+        (r["hour"], r["item"]): r["n"]
+        for r in heavy_hitters_by(df, "hour", "item", support=0.5).collect()
+    }
+    assert got == {(h0, 1): 4, (h1, 2): 3}
+
+
 def test_keyed_multi_key_columns(spark):
     rows = [("a", 1, 7)] * 5 + [("a", 2, 7)] * 1 + [("b", 1, 9)] * 3
     df = spark.createDataFrame(rows, "k1 string, k2 long, item long")
