@@ -2999,6 +2999,38 @@ HAVING count(*) >= CEIL(0.008 * t.total)
 """
 
 
+def _events_heavy_hitters_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed multi-key segments — top users per (day, event_type) —
+    the windowed shape real curation dashboards use, exercising
+    heavy_hitters_by's multi-column key path (per-(partition, key tuple)
+    Misra-Gries summaries). Day arrives as epoch micros of the truncated
+    timestamp (the engine-portable encoding every time-keyed oracle here
+    uses)."""
+    from polars_order_book_spark.operators.frequency import heavy_hitters_by
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_us", F.unix_micros(F.date_trunc("day", F.col("ts")))
+    )
+    return heavy_hitters_by(
+        ev, ["day_us", "event_type"], "user_id", support=0.05
+    )
+
+
+EVENTS_HEAVY_HITTERS_WINDOWED_SQL = """
+WITH nn AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, user_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+t AS (SELECT day_us, event_type, count(*) AS total FROM nn GROUP BY day_us, event_type)
+SELECT nn.day_us, nn.event_type, user_id, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS support
+FROM nn JOIN t USING (day_us, event_type)
+GROUP BY nn.day_us, nn.event_type, user_id, t.total
+HAVING count(*) >= CEIL(0.05 * t.total)
+"""
+
+
 def _embeddings_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact distributed Lloyd iteration over the embeddings table from
     the 8 deterministic md5-derived init centroids — map-only assignment
@@ -3489,6 +3521,7 @@ _R6_HEAD = [
     # (2) never sampled: new in r6, plus the rename keeping the opt-in
     # label-propagation components under oracle
     "events_heavy_hitters_by_type",
+    "events_heavy_hitters_windowed",
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
     "text_bm25",
@@ -3503,10 +3536,11 @@ _R6_HEAD = [
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
     # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (eight r3 greens whose shapes the head already covers wait in the tail:
+    # (nine r3 greens whose shapes the head already covers wait in the tail:
     # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
     # part_categorize, events_hourly, ann_cosine_topk_lsh,
-    # documents_hash_sample, customers_without_orders)
+    # documents_hash_sample, customers_without_orders,
+    # events_user_distinct_approx)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
@@ -3514,7 +3548,6 @@ _R6_HEAD = [
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
     "q1_pricing_summary",
-    "events_user_distinct_approx",
     "topk_orders_per_customer",
     "events_user_running_total",
     "events_rollup",
@@ -3609,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6: keyed heavy hitters, end-to-end BPE tokenize, and
         # the streaming Misra-Gries sketch ---
         "events_heavy_hitters_by_type": _events_heavy_hitters_by_type,
+        "events_heavy_hitters_windowed": _events_heavy_hitters_windowed,
         "documents_bpe_tokens": _docs_bpe_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
@@ -3815,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
+        "events_heavy_hitters_windowed": EVENTS_HEAVY_HITTERS_WINDOWED_SQL,
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
         "text_bm25": TEXT_BM25_SQL,
         "documents_hybrid_search": _docs_hybrid_search_sql(),

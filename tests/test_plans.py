@@ -155,6 +155,10 @@ _BNLJ_WHITELIST = {
     # 1-row corpus-stats (N docs, total tokens) broadcast cross join — the
     # same global-normalizer pattern (operators/text.py bm25_scores)
     "text_bm25",
+    # composes BOTH whitelisted shapes: text_bm25's 1-row stats cross join
+    # (lexical leg) and ann_cosine_topk's broadcast-query cross join
+    # (dense leg) — two bounded BNLJs
+    "documents_hybrid_search",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

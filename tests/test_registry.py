@@ -146,6 +146,7 @@ DEMOTED_TAIL = {
     "orders_merge_apply",
     "embeddings_outliers",
     "q13_customer_distribution",
+    "events_user_distinct_approx",
     "documents_hash_sample",
     "ann_cosine_topk_lsh",
     "customers_without_orders",
