@@ -170,6 +170,24 @@ def test_keyed_null_keys_and_items_excluded(spark):
     assert out == {("a", 1): (2, 2 / 3)}
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 25)),
+        min_size=1,
+        max_size=250,
+    ),
+    st.sampled_from([0.05, 0.2, 0.5]),
+)
+def test_property_keyed_exact_vs_bruteforce(spark, rows, support):
+    df = spark.createDataFrame(rows, "k string, item long").repartition(5)
+    got = {
+        (r["k"], r["item"]): r["n"]
+        for r in heavy_hitters_by(df, "k", "item", support=support).collect()
+    }
+    assert got == _brute_by(rows, support)
+
+
 def test_keyed_timestamp_key_roundtrips(spark):
     """Time-bucketed segments (the 'top users per hour' shape): timestamp
     keys must survive the pandas sketch round-trip intact."""
