@@ -1213,6 +1213,44 @@ FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
 """
 
 
+def _docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture draw (alpha=0.5): 100 documents with
+    per-language quotas ∝ sqrt(n_lang) — upweights small languages relative
+    to raw share, the standard multilingual rebalancing. sqrt is IEEE
+    correctly-rounded, weights quantize to integer micros, and quotas use
+    exact integer floor division (Python bigint / DuckDB hugeint agree), so
+    the draw hashes bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mix_sample(docs, 100, by="lang", alpha=0.5)
+
+
+def _docs_temperature_mix_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("concat(CAST(doc_id AS VARCHAR), '')")
+    return f"""
+WITH c AS (
+    SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+w AS (
+    SELECT lang,
+           CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+    FROM c
+),
+tot AS (SELECT sum(m) AS mm FROM w),
+q AS (SELECT lang, (100 * m) // tot.mm AS quota FROM w, tot),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS sample_rank
+    FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.doc_id, r.lang, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN q USING (lang)
+WHERE r.sample_rank <= q.quota
+"""
+
+
 def _docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified sample: 5 documents per (lang, source) stratum
     in portable-hash order — balanced eval-set construction. One shuffle on
@@ -3527,6 +3565,7 @@ _R6_HEAD = [
     "text_bm25",
     "documents_hybrid_search",
     "documents_wordfreq_stream",
+    "documents_temperature_mix",
     "dedup_components_prop",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
@@ -3536,18 +3575,17 @@ _R6_HEAD = [
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
     # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (nine r3 greens whose shapes the head already covers wait in the tail:
+    # (ten r3 greens whose shapes the head already covers wait in the tail:
     # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
     # part_categorize, events_hourly, ann_cosine_topk_lsh,
     # documents_hash_sample, customers_without_orders,
-    # events_user_distinct_approx)
+    # events_user_distinct_approx, q1_pricing_summary)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
     "ob_relational_keyed_mutations_top2",
-    "q1_pricing_summary",
     "topk_orders_per_customer",
     "events_user_running_total",
     "events_rollup",
@@ -3648,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
         "documents_wordfreq_stream": _docs_wordfreq_stream,
+        "documents_temperature_mix": _docs_temperature_mix,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3854,6 +3893,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": TEXT_BM25_SQL,
         "documents_hybrid_search": _docs_hybrid_search_sql(),
         "documents_wordfreq_stream": DOCS_WORDFREQ_STREAM_SQL,
+        "documents_temperature_mix": _docs_temperature_mix_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -297,6 +297,89 @@ def stratified_sample(
     )
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    total_target: int,
+    *,
+    by: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "",
+    max_domains: int = 100_000,
+) -> DataFrame:
+    """Temperature-rebalanced mixture draw: sample ``total_target`` rows with
+    per-domain quotas ∝ n_domain^alpha — the standard multilingual/
+    multi-domain rebalancing (alpha<1 upweights small domains relative to
+    their raw share; alpha=1 is proportional). Returns
+    (id_col, <by>, sample_rank, quota) for kept rows, selected per domain in
+    portable hash order (engine-reproducible, like :func:`stratified_sample`).
+
+    Exactness: domain weights are quantized to integer micros
+    (floor(n^alpha · 1e6 + 0.5)) and quotas computed with EXACT integer
+    arithmetic — floor(total_target · m_d / Σm) — driver-side over the
+    domain-count table (bounded by ``max_domains``, fail-fast past it: the
+    same bounded-collect contract as the BPE trainer). The default
+    alpha=0.5 uses sqrt, which IEEE requires correctly rounded, so the
+    micros match bit-for-bit across engines; other alphas go through pow
+    (libm — last-ulp divergence possible at quota BOUNDARIES, documented).
+    Floor quotas can undershoot ``total_target`` by < #domains rows; no
+    largest-remainder correction is applied (deterministic and simple beats
+    one extra row). Null domains are excluded (documented, like the other
+    keyed samplers).
+
+    Scale: one domains-sized aggregate (collected under the cap), quotas
+    broadcast back, one per-domain ranking window (a stratum ranks in one
+    task — pre-thin giant domains with the prefix-threshold trick in
+    :func:`stratified_sample`'s docstring).
+    """
+    if total_target <= 0:
+        raise ValueError(f"total_target must be > 0, got {total_target}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts_df = (
+        df.where(F.col(by).isNotNull()).groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if counts_df.limit(max_domains + 1).count() > max_domains:
+        raise ValueError(
+            f"distinct {by!r} count exceeds max_domains={max_domains}; "
+            "temperature quotas need the domain table driver-side — raise "
+            "the cap or pre-bucket the domain column"
+        )
+    import math
+
+    rows = counts_df.collect()
+    weights = {
+        r[0]: math.floor((math.sqrt(r[1]) if alpha == 0.5 else r[1] ** alpha)
+                         * 1_000_000.0 + 0.5)
+        for r in rows
+    }
+    m_total = sum(weights.values())
+    quotas = [
+        (d, (total_target * m) // m_total) for d, m in weights.items()
+    ]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q_schema = StructType(
+        [
+            StructField(by, df.schema[by].dataType, True),
+            StructField("quota", LongType(), False),
+        ]
+    )
+    q_df = df.sparkSession.createDataFrame(quotas, q_schema)
+
+    from pyspark.sql import Window as W
+
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    win = W.partitionBy(by).orderBy(hash64(keyed), F.col(id_col))
+    return (
+        df.where(F.col(by).isNotNull())
+        .withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(q_df), on=by)
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, by, "sample_rank", "quota")
+    )
+
+
 def category_index(
     df: DataFrame,
     col: str,

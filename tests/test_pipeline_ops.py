@@ -476,6 +476,49 @@ def test_stratified_sample_small_stratum_and_prefilter_consistency(spark):
     assert thin == full
 
 
+def test_temperature_mix_quotas_and_determinism(spark):
+    """alpha=0.5 quotas ∝ sqrt(n), computed with exact integer micros: a
+    900-row domain gets sqrt-weight 30e6 vs a 100-row domain's 10e6, so a
+    40-row target splits 30/10 (vs 36/4 proportional) — small domains
+    upweighted. Selection is hash-deterministic across partitionings."""
+    import math
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.temperature_mix_sample(df, 40, by="source").collect()
+    quotas = {r["source"]: r["quota"] for r in out}
+    m_big = math.floor(math.sqrt(900) * 1e6 + 0.5)
+    m_small = math.floor(math.sqrt(100) * 1e6 + 0.5)
+    mm = m_big + m_small
+    assert quotas == {"big": (40 * m_big) // mm, "small": (40 * m_small) // mm}
+    assert quotas["small"] == 10  # vs 4 under proportional sampling
+    counts = {}
+    for r in out:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == quotas
+    # deterministic under repartitioning
+    again = sorted(
+        (r["doc_id"], r["source"])
+        for r in sampling.temperature_mix_sample(
+            df.repartition(13), 40, by="source"
+        ).collect()
+    )
+    assert again == sorted((r["doc_id"], r["source"]) for r in out)
+
+
+def test_temperature_mix_validates_and_caps(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError, match="total_target"):
+        sampling.temperature_mix_sample(df, 0)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix_sample(df, 5, alpha=0.0)
+    many = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20)], ["doc_id", "source"]
+    )
+    with pytest.raises(ValueError, match="max_domains"):
+        sampling.temperature_mix_sample(many, 5, max_domains=10)
+
+
 def test_stratified_sample_validates_args(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):

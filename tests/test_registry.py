@@ -146,6 +146,7 @@ DEMOTED_TAIL = {
     "orders_merge_apply",
     "embeddings_outliers",
     "q13_customer_distribution",
+    "q1_pricing_summary",
     "events_user_distinct_approx",
     "documents_hash_sample",
     "ann_cosine_topk_lsh",
