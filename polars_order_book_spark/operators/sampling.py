@@ -451,3 +451,49 @@ def weighted_sample(
         .limit(k)
         .drop("sample_key")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: "list[float]",
+    names: "list[str] | None" = None,
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row with its deterministic split (e.g. train/val/test) in
+    ONE pass — the labeling twin of :func:`hash_split` (which returns one
+    DataFrame per split and so scans the input once per split). Both use the
+    identical bucket rule — hash(key||salt) mod 1e6 against consecutive
+    weight ranges — so ``split_assign(df, k, w)[out_col] == s`` exactly
+    matches membership in ``hash_split(df, k, w)[i]``; the shared-boundary
+    contract is pinned by tests.
+
+    Why it matters for curation: the split is a pure function of the row's
+    own key — stable under repartitioning, appends, and engine changes — so
+    a 100 TB corpus can be re-sharded or incrementally extended without any
+    document ever migrating between train and eval (the leakage failure mode
+    of ``randomSplit``). Map-only projection: no shuffle, no state.
+    """
+    if names is None:
+        names = [f"split_{i}" for i in range(len(weights))]
+    if len(names) != len(weights):
+        raise ValueError(
+            f"names ({len(names)}) and weights ({len(weights)}) must align"
+        )
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must be non-negative and sum to 1")
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    bucket = F.pmod(hash64(keyed), F.lit(_BUCKETS))
+    expr = None
+    lo = 0.0
+    for name, w in zip(names, weights):
+        hi = lo + w
+        cond = (bucket >= int(round(lo * _BUCKETS))) & (bucket < int(round(hi * _BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    # rounding of the last hi can leave bucket == _BUCKETS - eps uncovered
+    # only if sum(weights) < 1, which the guard above rejects; otherwise has
+    # full coverage, but keep a loud null rather than a silent misfile.
+    return df.withColumn(out_col, expr)

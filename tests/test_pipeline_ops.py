@@ -561,3 +561,48 @@ def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
     assert got == [1]
     with _pytest.raises(ValueError):
         weighted_sample(df, "id", "w", 0)
+
+
+# --- split_assign (deterministic train/val/test labels) ---------------------
+
+
+def test_split_assign_matches_hash_split_membership(spark):
+    from polars_order_book_spark.operators.sampling import hash_split, split_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    labeled = split_assign(df, "k", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    rows = {r["k"]: r["split"] for r in labeled.collect()}
+    assert len(rows) == 500 and None not in rows.values()
+    splits = hash_split(df, "k", [0.8, 0.1, 0.1])
+    for name, sdf in zip(["train", "val", "test"], splits):
+        member = {r["k"] for r in sdf.collect()}
+        labeled_member = {k for k, s in rows.items() if s == name}
+        assert member == labeled_member, name
+    # rough proportions
+    n_train = sum(1 for s in rows.values() if s == "train")
+    assert 350 < n_train < 450
+
+
+def test_split_assign_stable_under_repartition_and_append(spark):
+    from polars_order_book_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    base = {r["k"]: r["split"] for r in split_assign(df, "k", [0.5, 0.5]).collect()}
+    rep = {r["k"]: r["split"]
+           for r in split_assign(df.repartition(13), "k", [0.5, 0.5]).collect()}
+    assert base == rep
+    grown = spark.range(0, 600).withColumnRenamed("id", "k")
+    after = {r["k"]: r["split"] for r in split_assign(grown, "k", [0.5, 0.5]).collect()}
+    assert all(after[k] == v for k, v in base.items())
+
+
+def test_split_assign_guards(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.sampling import split_assign
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="align"):
+        split_assign(df, "k", [0.5, 0.5], ["only_one"])
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "k", [0.5, 0.4])

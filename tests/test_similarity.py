@@ -294,3 +294,74 @@ def test_blas_topk_query_cap_fails_fast(spark):
     # at exactly the cap it proceeds
     out = similarity.cosine_topk_blas(df, queries, k=3, max_queries=20)
     assert out.count() == 20 * 3
+
+
+# --- SemDeDup (cluster-then-prune semantic dedup) ---------------------------
+
+
+def _clustered_vectors(n_per=20, dim=16, seed=11, spread=0.02):
+    """Three tight clusters: members are near-duplicates of their center."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    i = 0
+    for c in range(3):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(n_per):
+            v = center + rng.normal(scale=spread, size=dim)
+            rows.append((i, v.tolist()))
+            i += 1
+    return rows
+
+
+def test_semdedup_drops_all_but_min_id_in_tight_clusters(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(4)
+    out = similarity.semdedup(df, n_cells=4, threshold=0.95, dim=16).collect()
+    assert len(out) == 60
+    # tight clusters: within-cluster cosine >= 0.95, cross-cluster far below,
+    # and a whole cluster shares one nearest centroid -> survivors are exactly
+    # the min id of each planted cluster (vec_id // 20), even when two
+    # clusters share a cell
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    for c in range(3):
+        member_cells = {cells[i] for i in range(c * 20, (c + 1) * 20)}
+        assert len(member_cells) == 1, (c, member_cells)
+    kept = sorted(r["vec_id"] for r in out if r["keep"] == 1)
+    assert kept == [0, 20, 40]
+
+
+def test_semdedup_orthogonal_vectors_all_kept(spark):
+    # one-hot vectors: pairwise cosine 0 -> nothing ever crosses a positive
+    # threshold, every vector survives regardless of cell assignment
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(16)]) for i in range(16)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = similarity.semdedup(df, n_cells=4, threshold=0.5, dim=16).collect()
+    assert len(out) == 16
+    assert all(r["keep"] == 1 for r in out)
+
+
+def test_semdedup_min_id_wins_is_exactly_pairwise(spark):
+    # keep rule is NOT transitive-closure: b dropped iff EXISTS a<b same-cell
+    # with cos >= t. Construct a chain a~b, b~c, a!~c in one cell and check
+    # c is still dropped only through b (pairwise), i.e. dropped here.
+    import math
+
+    a = [1.0, 0.0] + [0.0] * 14
+    b = [math.cos(0.6), math.sin(0.6)] + [0.0] * 14
+    c = [math.cos(1.2), math.sin(1.2)] + [0.0] * 14
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], VEC_SCHEMA)
+    # cos(0.6)~0.825 >= 0.8; cos(1.2)~0.362 < 0.8 -> pair (0,2) not dup,
+    # pair (1,2) dup -> 2 dropped because of 1, 1 dropped because of 0.
+    out = {r["vec_id"]: r["keep"] for r in
+           similarity.semdedup(df, n_cells=1, threshold=0.8, dim=16,
+                               centroids=[[0.0] * 16]).collect()}
+    assert out == {0: 1, 1: 0, 2: 0}
+
+
+def test_semdedup_salted_cell_cap_matches_unsalted(spark):
+    rows = _clustered_vectors(n_per=15, seed=23, spread=0.4)
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(3)
+    plain = similarity.semdedup(df, n_cells=2, threshold=0.6, dim=16, cell_cap=None)
+    salted = similarity.semdedup(df, n_cells=2, threshold=0.6, dim=16, cell_cap=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
