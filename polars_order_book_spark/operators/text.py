@@ -746,3 +746,66 @@ def hash_embed(
         norm > 0, F.transform(F.col("_v"), lambda x: x / norm)
     ).otherwise(F.col("_v"))
     return out.select(id_col, unit.alias("embedding"))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_scale: bool = False,
+) -> DataFrame:
+    """Per-document bigram language-model familiarity — the CCNet-style
+    "LM quality" signal (Wenzek et al. 2020 filter corpora with an LM score;
+    this is its n-gram incarnation, trained on the corpus itself in the same
+    job). Returns (doc_id, n_bigrams, lm_micros): for every adjacent token
+    pair, the MLE conditional P(w2 | w1) = c(w1 w2) / c(w1 ·) over the whole
+    corpus, quantized to integer micros per pair and summed EXACTLY.
+    High mean (lm_micros / n_bigrams / 1e6) = text made of common
+    transitions; boilerplate scores near 1e6, rare/garbled text near 0.
+
+    Exactness contract: each pair's probability is ONE double divide of two
+    integer counts (bit-identical across engines), then floor(p·1e6 + 0.5)
+    micros, then integer sums — the :func:`bm25_scores` trick, with NO
+    floats in the output at all. ``log_scale=True`` swaps the per-pair
+    quantity for ln(p) micros (a true logprob, for perplexity work) at the
+    documented cost of last-ulp libm divergence — keep oracles on the
+    default rational form.
+
+    Scale shape (100 TB): bigram extraction is a map-only zip of each
+    token array with its own tail (no positional window, no shuffle);
+    the model is ONE groupBy(w1, w2) with map-side partial aggregation,
+    context totals are a second agg over the (small) distinct-bigram
+    relation, attached there so the corpus-sized stream pays a SINGLE
+    (w1, w2) equi-join; the per-doc rollup is the only other corpus
+    shuffle. Nothing is ever all-pairs and nothing collects.
+
+    Docs with < 2 tokens have no bigrams and are absent from the output
+    (callers left-join if they need every id).
+    """
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_counts = bigram_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = bigram_counts.join(ctx_counts, on="w1")
+    p = F.col("c2").cast("double") / F.col("c1").cast("double")
+    per_pair = F.log(p) if log_scale else p
+    micros = F.floor(per_pair * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return (
+        pairs.join(model, on=["w1", "w2"])
+        .select("doc_id", micros.alias("__m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__m").alias("lm_micros"),
+        )
+    )

@@ -329,3 +329,54 @@ def test_hash_embed_same_tokens_same_vector(spark):
     )
     out = {r["doc_id"]: r["embedding"] for r in hash_embed(df, dim=8).collect()}
     assert out[1] == out[2]  # bag-of-words: order/whitespace-insensitive
+
+
+# --- bigram LM familiarity ---------------------------------------------------
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    from polars_order_book_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c")],
+        "doc_id long, text string",
+    )
+    # pairs: d1: (a,b) (b,a) (a,b); d2: (a,b); d3: (a,c)
+    # c(a,b)=3, c(a,c)=1, c(b,a)=1 ; c(a.)=4, c(b.)=1
+    # P(b|a)=0.75 -> 750000 ; P(c|a)=0.25 -> 250000 ; P(a|b)=1.0 -> 1000000
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_micros"])
+           for r in bigram_lm_score(docs).collect()}
+    assert out == {
+        1: (3, 750000 + 1000000 + 750000),
+        2: (1, 750000),
+        3: (1, 250000),
+    }
+
+
+def test_bigram_lm_score_short_docs_absent_and_case_trim(spark):
+    from polars_order_book_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "  Hello   WORLD  "), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_micros"])
+           for r in bigram_lm_score(docs).collect()}
+    # doc 1 has no bigram; docs 2 and 3 normalize to the same pair
+    assert 1 not in out
+    assert out[2] == out[3] == (1, 1000000)
+
+
+def test_bigram_lm_score_log_scale_orders_rare_below_common(spark):
+    from polars_order_book_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(9)] + [(99, "x z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lm_micros"]
+           for r in bigram_lm_score(docs, log_scale=True).collect()}
+    # ln(0.9) ~ -0.105 -> -105361 micros; ln(0.1) ~ -2.303 -> -2302585
+    assert out[0] == out[8] > out[99]
+    assert -106000 < out[0] < -105000
+    assert -2303000 < out[99] < -2302000
