@@ -913,3 +913,65 @@ def semdedup(
             F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    band_size: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
+    EVERY vector at once → (src, dst, rank, cosine). The all-points
+    complement to :func:`cosine_topk_lsh` (which answers for a bounded
+    query set) — the structure graph-based curation consumes: neighborhood
+    density for pruning, label propagation, kNN-classifier quality scoring,
+    and the edge input of :func:`..dedup.neardup_components`-style
+    clustering.
+
+    Candidates come from the banded hyperplane LSH self-join of
+    :func:`neardup_embedding_pairs` (vectors agreeing on ALL planes of ANY
+    band), each surviving pair is reranked with the EXACT cosine, pairs are
+    symmetrized (an edge serves both endpoints, so the cosine fold is paid
+    once per pair, not twice), and each source keeps its k best by
+    (cosine desc, dst asc) — :func:`_topk`'s tie-break rule. Recall tunes
+    via n_planes/band_size exactly like the retrieval path; a vector whose
+    band buckets are all singletons emits no rows.
+
+    Scale shape (100 TB): candidate generation is a self-EQUI-join on
+    (band, key) — never an all-pairs product — with ``bucket_cap``
+    salt-splitting degenerate hot buckets (per-task work ≤ ~cap²); the
+    rerank joins only colliding pairs back to the vectors; the final top-k
+    is a per-src window over each node's own candidate list. Every shuffle
+    keys on (band, key), pair ids, or src — all data-parallel.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    pairs = neardup_embedding_pairs(
+        vectors,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=-1.0,  # keep every colliding pair; ranking happens below
+        n_planes=n_planes,
+        band_size=band_size,
+        dim=dim,
+        bucket_cap=bucket_cap,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

@@ -365,3 +365,56 @@ def test_semdedup_salted_cell_cap_matches_unsalted(spark):
     plain = similarity.semdedup(df, n_cells=2, threshold=0.6, dim=16, cell_cap=None)
     salted = similarity.semdedup(df, n_cells=2, threshold=0.6, dim=16, cell_cap=4)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# --- knn graph ---------------------------------------------------------------
+
+
+def test_knn_graph_symmetric_candidates_and_rank_contract(spark):
+    rows = _clustered_vectors(n_per=10, seed=31, spread=0.05)
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(4)
+    out = similarity.knn_graph(df, k=3, dim=16).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert by_src, "tight clusters must collide in LSH buckets"
+    for src, nbrs in by_src.items():
+        ranks = sorted(n["rank"] for n in nbrs)
+        assert ranks == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= 3
+        cosines = [n["cosine"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(n["dst"] != src for n in nbrs)
+    # an edge serves both endpoints: if (a -> b) is a's best and they're the
+    # same tight cluster, b must also list a
+    srcs = set(by_src)
+    for src, nbrs in by_src.items():
+        for n in nbrs:
+            assert n["dst"] in srcs
+
+
+def test_knn_graph_matches_bruteforce_on_identical_cluster(spark):
+    # all vectors identical up to tiny noise: every pair collides in every
+    # band, so the graph equals exact brute-force top-k
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    rows = [(i, (base + rng.normal(scale=1e-4, size=16)).tolist()) for i in range(12)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    g = similarity.knn_graph(df, k=4, dim=16).collect()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    assert set(by_src) == set(range(12))
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.cosine_topk_bruteforce(df, queries, k=4)
+    bf = {}
+    for r in brute.collect():
+        bf.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for src in bf:
+        assert sorted(by_src[src]) == sorted(bf[src]), src
+
+
+def test_knn_graph_k_guard(spark):
+    df = spark.createDataFrame(_vectors(8, dim=16), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="k must be > 0"):
+        similarity.knn_graph(df, k=0, dim=16)
