@@ -3537,6 +3537,218 @@ WHERE i <= (octet_length(encode(text)) - 1) // 64
 
 
 # ---------------------------------------------------------------------------
+# new in r6 session 2: SemDeDup, split labels, bigram LM, knn graph,
+# streaming ANN
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): nearest-centroid cells
+    over the 8 deterministic md5 centroids, within-cell pairwise cosine >=
+    0.4 drops the larger id. keep is int 0/1 — the output carries no floats,
+    so the hash compare rides only on the (bit-exact) cell assignment and
+    threshold comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb)
+
+
+def _embeddings_semdedup_sql() -> str:
+    from polars_order_book_spark.operators.similarity import centroid_component
+
+    cents = [[centroid_component(c, j) for j in range(64)] for c in range(8)]
+
+    def clit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    def dist(c):
+        diff = f"list_transform(list_zip(v, {clit(c)}), x -> x[1] - x[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    dists = ",\n           ".join(dist(c) for c in cents)
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dists}] AS ds FROM vecs),
+a AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d),
+dup_b AS (
+    SELECT DISTINCT y.vec_id
+    FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN a.vec_id IN (SELECT vec_id FROM dup_b) THEN 0 ELSE 1 END AS INT) AS keep
+FROM a
+"""
+
+
+def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test labels in one map-only pass —
+    membership is a pure function of doc_id (portable hash), so re-sharding
+    or appending can never migrate a document across the train/eval wall."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.split_assign(
+        docs, "doc_id", [0.9, 0.05, 0.05], ["train", "val", "test"]
+    ).select("doc_id", "lang", "split")
+
+
+def _docs_split_assign_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    b = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000000"
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {b} < 900000 THEN 'train'
+            WHEN {b} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity per document (the CCNet-style LM quality signal
+    in n-gram form, trained on the corpus in the same job): per adjacent
+    token pair P(w2|w1) = c(w1 w2)/c(w1 .) as ONE double divide, quantized
+    to integer micros and summed exactly — all-integer output."""
+    return text.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_LM_SCORE_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+p0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t), 1)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+    FROM toks
+),
+pairs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM p0),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+cc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+model AS (SELECT bc.w1, bc.w2,
+                 CAST(floor(CAST(bc.c2 AS DOUBLE) / CAST(cc.c1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m
+          FROM bc JOIN cc ON bc.w1 = cc.w1)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(m.m) AS BIGINT) AS lm_micros
+FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+GROUP BY p.doc_id
+"""
+
+
+def _embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph: top-5 cosine neighbors for EVERY vector from
+    banded-LSH candidate pairs (16 planes / 4 bands), exact-cosine reranked,
+    symmetrized so each collision pair serves both endpoints."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5)
+
+
+EMBEDDINGS_KNN_GRAPH_SQL = f"""
+WITH {_bucket_sql(16)},
+bands AS (
+    SELECT vec_id, b AS band, substr(bucket, CAST(b * 4 + 1 AS INT), 4) AS key
+    FROM buckets, range(0, 4) r(b)
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.vec_id < b.vec_id
+),
+sim AS (
+    SELECT c.doc_a, c.doc_b,
+           list_dot_product(va.vv, vb.vv)
+             / (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))) AS cosine
+    FROM cands c
+    JOIN allv va ON va.vec_id = c.doc_a
+    JOIN allv vb ON vb.vec_id = c.doc_b
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst, cosine FROM sim
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst, cosine FROM sim
+)
+SELECT src, dst, rank, cosine
+FROM (
+    SELECT src, dst,
+           CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rank,
+           cosine
+    FROM edges
+)
+WHERE rank <= 5
+"""
+
+
+def _embeddings_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retrieval: query vectors (vec_id < 8) arrive across two
+    micro-batches and are answered per batch against the cached corpus with
+    the batch LSH operator inside foreachBatch — per-query results are final
+    in the query's own batch, so the union over batches must equal the
+    single-shot batch answer (the oracle)."""
+    import tempfile
+    import uuid as _uuid
+
+    from polars_order_book_spark.streaming.similarity_stream import (
+        read_results,
+        topk_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix=f"ann_stream_{_uuid.uuid4().hex[:6]}_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i in (0, 1):
+        part = queries.where(F.col("query_id") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(pdir, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = topk_stream(
+        stream,
+        emb,
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "ckpt"),
+        k=5,
+        n_planes=6,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return read_results(spark, os.path.join(tmp, "out"))
+
+
+EMBEDDINGS_ANN_STREAM_SQL = f"""
+WITH {_bucket_sql(6)},
+v AS (SELECT b.vec_id AS neighbor_id, a.vv, b.bucket
+      FROM buckets b JOIN allv a ON a.vec_id = b.vec_id),
+q AS (SELECT b.vec_id AS query_id, a.vv AS qv, b.bucket
+      FROM buckets b JOIN allv a ON a.vec_id = b.vec_id
+      WHERE b.vec_id < 8),
+sim AS (
+    SELECT q.query_id, v.neighbor_id,
+           list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+    FROM v JOIN q ON v.bucket = q.bucket
+    WHERE v.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sim
+)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3567,6 +3779,14 @@ _R6_HEAD = [
     "documents_wordfreq_stream",
     "documents_temperature_mix",
     "dedup_components_prop",
+    # (2b) never sampled: new in the r6 second session (SemDeDup, split
+    # labels, bigram LM, knn graph, streaming ANN) — displace five
+    # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
+    "embeddings_semdedup",
+    "documents_split_assign",
+    "documents_lm_score",
+    "embeddings_knn_graph",
+    "embeddings_ann_stream",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -3608,11 +3828,9 @@ _R6_HEAD = [
     "text_docfreq_score",
     "text_redact_pii",
     "ann_cosine_topk",
-    "dedup_embedding",
-    "text_quality",
-    "ob_mutations_top2",
-    "ob_modify_top2",
-    "ob_keyed_mutations_top2",
+    # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
+    # ob_keyed_mutations_top2 — r1-r3 multi-green — fell to the tail for the
+    # five new session-2 entries)
 ]
 
 
@@ -3687,6 +3905,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hybrid_search": _docs_hybrid_search,
         "documents_wordfreq_stream": _docs_wordfreq_stream,
         "documents_temperature_mix": _docs_temperature_mix,
+        # --- new in r6 session 2 ---
+        "embeddings_semdedup": _embeddings_semdedup,
+        "documents_split_assign": _docs_split_assign,
+        "documents_lm_score": _docs_lm_score,
+        "embeddings_knn_graph": _embeddings_knn_graph,
+        "embeddings_ann_stream": _embeddings_ann_stream,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -3894,6 +4118,11 @@ def oracle_sql() -> dict[str, str]:
         "documents_hybrid_search": _docs_hybrid_search_sql(),
         "documents_wordfreq_stream": DOCS_WORDFREQ_STREAM_SQL,
         "documents_temperature_mix": _docs_temperature_mix_sql(),
+        "embeddings_semdedup": _embeddings_semdedup_sql(),
+        "documents_split_assign": _docs_split_assign_sql(),
+        "documents_lm_score": DOCS_LM_SCORE_SQL,
+        "embeddings_knn_graph": EMBEDDINGS_KNN_GRAPH_SQL,
+        "embeddings_ann_stream": EMBEDDINGS_ANN_STREAM_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

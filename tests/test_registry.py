@@ -157,6 +157,14 @@ DEMOTED_TAIL = {
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "part_categorize",
+    # r6 session 2: displaced from the head for the five new never-sampled
+    # entries (semdedup / split / lm / knn graph / ann stream); all carry
+    # r1-r3 multi-green driver rows
+    "dedup_embedding",
+    "text_quality",
+    "ob_mutations_top2",
+    "ob_modify_top2",
+    "ob_keyed_mutations_top2",
 }
 
 
