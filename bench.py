@@ -91,6 +91,15 @@ def main() -> None:
         "dedup_components",
         "text_bm25",
         "documents_hybrid_search",
+        # r6 session-2 additions: SemDeDup (cell-bucketed pairwise prune),
+        # the all-points knn graph (banded LSH self-join + rerank), and the
+        # bigram-LM familiarity score (explode + model join + doc rollup).
+        # embeddings_ann_stream is registry-only (stream startup dominates
+        # at this SF); documents_split_assign is a map-only CASE, not a
+        # meaningful perf probe.
+        "embeddings_semdedup",
+        "embeddings_knn_graph",
+        "documents_lm_score",
     ]
     qs = E.queries()
 
