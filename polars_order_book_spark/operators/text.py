@@ -809,3 +809,144 @@ def bigram_lm_score(
             F.sum("__m").alias("lm_micros"),
         )
     )
+
+
+def dup_span_cuts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022): the
+    merged token intervals of every document that are covered by a k-token
+    window occurring in at least one OTHER document — the concrete cut list
+    a pipeline applies, where :func:`dup_span_stats` only measures. Returns
+    (doc_id, start_tok, end_tok_excl, n_windows): maximal intervals built by
+    merging overlapping/adjacent duplicated windows (gap > k tokens starts a
+    new interval), all-integer output.
+
+    Scale shape: window hashes are map-only array transforms; one
+    groupBy(hash) finds spans shared across documents (map-side partial
+    count_distinct); the hash join back touches only duplicated windows; the
+    interval merge is a per-document window over that document's OWN
+    duplicated positions (bounded by document length — never a corpus-wide
+    sort). Linear in total tokens, no all-pairs anywhere.
+    """
+    from polars_order_book_spark.functions.hashing import hash64
+
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(_token_ngrams(F.col("__toks"), k)).alias("pos", "g"),
+    ).select("doc_id", "pos", hash64(F.col("g")).alias("h"))
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__docs"))
+        .where(F.col("__docs") > 1)
+        .select("h")
+    )
+    dup = grams.join(shared, on="h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | ((F.col("pos") - F.lag("pos").over(w)) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = dup.withColumn(
+        "__seg",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        seg.groupBy("doc_id", "__seg")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + k).cast("long").alias("end_tok_excl"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "start_tok", "end_tok_excl", "n_windows")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    log_scale: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed n-gram features are. Features are unigrams + bigrams hashed into
+    ``n_buckets``; bucket distributions are estimated on the raw corpus
+    (``df``) and the ``target`` sample; each document scores
+    Σ_features m(bucket) where m is the per-bucket importance ratio
+    (add-``smoothing`` Laplace), quantized to integer micros. Returns
+    (doc_id, n_features, dsir_micros) — rank by dsir_micros/n_features and
+    resample top-heavy to shift the corpus toward the target domain.
+
+    Exactness contract: the per-bucket ratio is
+    ((t_b + s)·(R + s·B)) / ((r_b + s)·(T + s·B)) — every factor an exact
+    small integer in double, ONE multiply each side, ONE divide, then micros
+    — bit-identical across engines; per-doc sums are integer. The paper's
+    log-ratio form is ``log_scale=True`` (last-ulp libm caveat on B bucket
+    values — keep oracles on the rational default).
+
+    Scale shape (100 TB): feature extraction is the map-only token/bigram
+    explode; both distributions are ONE groupBy(bucket) each with map-side
+    partials and ≤ n_buckets output rows; the model is a B-row broadcast
+    joined back to the per-doc feature stream; the only corpus-sized
+    shuffles are the bucket counts and the per-doc rollup. The target sample
+    is typically tiny (the paper uses ~100k docs) — its scan cost is noise.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    from polars_order_book_spark.functions.hashing import hash64
+
+    def features(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return frame.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(toks, bigrams)).alias("f"),
+        ).select("doc_id", F.pmod(hash64(F.col("f")), F.lit(n_buckets)).alias("b"))
+
+    raw_f = features(df)
+    tgt_f = features(target)
+    raw_counts = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
+    tgt_counts = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("t_b"))
+    raw_total = raw_f.agg(F.count(F.lit(1)).alias("__R"))
+    tgt_total = tgt_f.agg(F.count(F.lit(1)).alias("__T"))
+    s = int(smoothing)
+    model = (
+        raw_counts.join(tgt_counts, on="b", how="left")
+        .withColumn("t_b", F.coalesce(F.col("t_b"), F.lit(0)))
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+    )
+    num = (F.col("t_b") + F.lit(s)).cast("double") * (
+        F.col("__R") + F.lit(s * n_buckets)
+    ).cast("double")
+    den = (F.col("r_b") + F.lit(s)).cast("double") * (
+        F.col("__T") + F.lit(s * n_buckets)
+    ).cast("double")
+    ratio = num / den
+    per_bucket = F.log(ratio) if log_scale else ratio
+    model = model.select(
+        "b", F.floor(per_bucket * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("__m")
+    )
+    return (
+        raw_f.join(model, on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("__m").alias("dsir_micros"),
+        )
+    )

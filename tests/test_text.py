@@ -380,3 +380,120 @@ def test_bigram_lm_score_log_scale_orders_rare_below_common(spark):
     assert out[0] == out[8] > out[99]
     assert -106000 < out[0] < -105000
     assert -2303000 < out[99] < -2302000
+
+
+# --- dup span cuts (removal half of exact-substring dedup) -------------------
+
+
+def test_dup_span_cuts_full_coverage_and_unique_doc_absent(spark):
+    from polars_order_book_spark.operators.text import dup_span_cuts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q w e r t y u i")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["start_tok"], r["end_tok_excl"], r["n_windows"])
+           for r in dup_span_cuts(docs, k=3).collect()}
+    # 8 tokens, k=3 -> windows at 0..5, one merged interval [0, 8)
+    assert out == {(1, 0, 8, 6), (2, 0, 8, 6)}
+
+
+def test_dup_span_cuts_two_islands_with_gap(spark):
+    from polars_order_book_spark.operators.text import dup_span_cuts
+
+    # doc 1 shares its first 3 and last 3 tokens with docs 2/3; the middle
+    # run m1..m9 is unique -> two separate cut intervals
+    shared_head = "h1 h2 h3"
+    shared_tail = "t1 t2 t3"
+    middle = " ".join(f"m{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared_head} {middle} {shared_tail}"),
+            (2, f"{shared_head} other stuff here"),
+            (3, f"pre amble {shared_tail}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["start_tok"], r["end_tok_excl"], r["n_windows"])
+        for r in dup_span_cuts(docs, k=3).collect()
+        if r["doc_id"] == 1
+    )
+    # doc1 tokens: h1 h2 h3 m0..m8 t1 t2 t3 (15 tokens)
+    # shared windows: [0,3) (head) and [12,15) (tail)
+    assert got == [(0, 3, 1), (12, 15, 1)]
+
+
+def test_dup_span_cuts_merges_overlapping_and_adjacent(spark):
+    from polars_order_book_spark.operators.text import dup_span_cuts
+
+    # doc 1 and doc 2 share tokens 0..5 (six tokens): windows 0..3 with k=3
+    # overlap pairwise and must merge into ONE interval [0, 6)
+    docs = spark.createDataFrame(
+        [(1, "s0 s1 s2 s3 s4 s5 u1 u2"), (2, "s0 s1 s2 s3 s4 s5 v1 v2")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["start_tok"], r["end_tok_excl"], r["n_windows"])
+        for r in dup_span_cuts(docs, k=3).collect()
+        if r["doc_id"] == 1
+    ]
+    assert got == [(0, 6, 4)]
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from polars_order_book_spark.operators.text import dsir_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "physics energy quantum field theory"),
+            (2, "physics energy quantum wave function"),
+            (3, "recipe sugar butter flour oven"),
+            (4, "recipe sugar butter cream cake"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "quantum field energy physics experiment")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dsir_micros"] / r["n_features"]
+           for r in dsir_weights(raw, target).collect()}
+    assert len(out) == 4
+    assert min(out[1], out[2]) > max(out[3], out[4])
+
+
+def test_dsir_weights_uniform_when_target_is_corpus(spark):
+    from polars_order_book_spark.operators.text import dsir_weights
+
+    # target == raw corpus: t_b == r_b and T == R for every bucket, so each
+    # bucket's ratio is exactly 1.0 -> every doc's mean micros is 1e6
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta g{i} delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = dsir_weights(raw, raw).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["dsir_micros"] == r["n_features"] * 1_000_000
+
+
+def test_dsir_weights_log_scale_sign_and_guard(spark):
+    import pytest as _pytest
+
+    from polars_order_book_spark.operators.text import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "aa bb")], "doc_id long, text string")
+    out = {r["doc_id"]: r["dsir_micros"]
+           for r in dsir_weights(raw, target, log_scale=True).collect()}
+    # doc 1's features are in the target -> positive log ratios; doc 2's
+    # are not -> negative
+    assert out[1] > 0 > out[2]
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(raw, target, n_buckets=0)
