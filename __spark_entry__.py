@@ -3725,6 +3725,94 @@ def _embeddings_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_results(spark, os.path.join(tmp, "out"))
 
 
+def _text_dup_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged cross-document duplicated-span token intervals (the removal
+    half of Lee et al. 2022 exact-substring dedup, next to text_dup_spans'
+    measurement half). All-integer output."""
+    return text.dup_span_cuts(load_table(spark, sf_dir, "documents"), k=10)
+
+
+TEXT_DUP_SPAN_CUTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           CAST(concat('0x', substr(md5({_gram10('t')}), 1, 15)) AS BIGINT) AS h
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 10 AND i <= len(t) - 10
+),
+shared AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT doc_id, pos FROM grams JOIN shared USING (h)),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > 10 THEN 1 ELSE 0 END AS brk
+    FROM dup
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+segs AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS seg
+    FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + 10 AS BIGINT) AS end_tok_excl,
+       count(*) AS n_windows
+FROM segs
+GROUP BY doc_id, seg
+"""
+
+
+def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document toward the English subset:
+    hashed unigram+bigram bucket distributions (4096 buckets), per-bucket
+    add-1 rational importance ratio in exact integer-factor doubles,
+    micros-quantized and integer-summed per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+DOCS_DSIR_WEIGHTS_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+               t,
+               list_transform(range(1, greatest(len(t), 1)),
+                              i -> concat(t[i], ' ', t[i + 1]))
+           )) AS f
+    FROM toks
+),
+bf AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS b
+    FROM feats
+),
+rc AS (SELECT b, count(*) AS r_b FROM bf GROUP BY b),
+tc AS (SELECT b, count(*) AS t_b FROM bf WHERE lang = 'en' GROUP BY b),
+totals AS (
+    SELECT (SELECT count(*) FROM bf) AS R,
+           (SELECT count(*) FROM bf WHERE lang = 'en') AS T
+),
+model AS (
+    SELECT rc.b,
+           CAST(floor(
+               (CAST(coalesce(tc.t_b, 0) + 1 AS DOUBLE) * CAST(totals.R + 4096 AS DOUBLE))
+               / (CAST(rc.r_b + 1 AS DOUBLE) * CAST(totals.T + 4096 AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS m
+    FROM rc LEFT JOIN tc ON rc.b = tc.b, totals
+)
+SELECT bf.doc_id, count(*) AS n_features, CAST(sum(model.m) AS BIGINT) AS dsir_micros
+FROM bf JOIN model ON bf.b = model.b
+GROUP BY bf.doc_id
+"""
+
+
 EMBEDDINGS_ANN_STREAM_SQL = f"""
 WITH {_bucket_sql(6)},
 v AS (SELECT b.vec_id AS neighbor_id, a.vv, b.bucket
@@ -3787,6 +3875,8 @@ _R6_HEAD = [
     "documents_lm_score",
     "embeddings_knn_graph",
     "embeddings_ann_stream",
+    "text_dup_span_cuts",
+    "documents_dsir_weights",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -3826,11 +3916,9 @@ _R6_HEAD = [
     "dedup_ngram_jaccard",
     "documents_budget_pack",
     "text_docfreq_score",
-    "text_redact_pii",
-    "ann_cosine_topk",
     # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
-    # ob_keyed_mutations_top2 — r1-r3 multi-green — fell to the tail for the
-    # five new session-2 entries)
+    # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk — r1-r3
+    # multi-green — fell to the tail for the seven new session-2 entries)
 ]
 
 
@@ -3911,6 +3999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_lm_score": _docs_lm_score,
         "embeddings_knn_graph": _embeddings_knn_graph,
         "embeddings_ann_stream": _embeddings_ann_stream,
+        "text_dup_span_cuts": _text_dup_span_cuts,
+        "documents_dsir_weights": _docs_dsir_weights,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4123,6 +4213,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_lm_score": DOCS_LM_SCORE_SQL,
         "embeddings_knn_graph": EMBEDDINGS_KNN_GRAPH_SQL,
         "embeddings_ann_stream": EMBEDDINGS_ANN_STREAM_SQL,
+        "text_dup_span_cuts": TEXT_DUP_SPAN_CUTS_SQL,
+        "documents_dsir_weights": DOCS_DSIR_WEIGHTS_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -159,6 +159,10 @@ _BNLJ_WHITELIST = {
     # (lexical leg) and ann_cosine_topk's broadcast-query cross join
     # (dense leg) — two bounded BNLJs
     "documents_hybrid_search",
+    # TWO 1-row feature-total aggregates (raw R, target T) broadcast-crossed
+    # against the <=n_buckets-row model relation — the text_tfidf
+    # global-normalizer pattern twice (operators/text.py dsir_weights)
+    "documents_dsir_weights",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

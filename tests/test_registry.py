@@ -165,6 +165,8 @@ DEMOTED_TAIL = {
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",
+    "text_redact_pii",
+    "ann_cosine_topk",
 }
 
 
