@@ -329,3 +329,109 @@ def test_property_nbbo_chunked_equals_global(spark, rows, chunk):
     base = sorted(map(tuple, nbbo(snaps, [0, 1, 2]).collect()))
     chunked = sorted(map(tuple, nbbo(snaps, [0, 1, 2], chunk_size=chunk).collect()))
     assert chunked == base
+
+
+# --- semdedup vs brute-force reference --------------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4),
+        min_size=2,
+        max_size=24,
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_semdedup_matches_python_reference(spark, vecs, threshold):
+    """semdedup's (cell, keep) verdicts must equal a transparent O(n^2)
+    python reference implementing the same rules: squared-L2 argmin cell
+    (first-index ties), then drop b iff exists a<b same-cell with
+    cosine >= threshold. Zero-vectors get filtered (cosine undefined)."""
+    import math
+
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if len(rows) < 2:
+        return
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, -1.0]]
+
+    def cell_of(v):
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        return d.index(min(d))
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(a * b for a, b in zip(u, v)) / (du * dv)
+
+    expected = {}
+    for i, v in rows:
+        c = cell_of(v)
+        dropped = any(
+            cell_of(u) == c and cos(u, v) >= threshold
+            for j, u in rows
+            if j < i
+        )
+        expected[i] = (c, 0 if dropped else 1)
+
+    from polars_order_book_spark.operators import similarity
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(
+            df, centroids=cents, threshold=threshold, dim=4
+        ).collect()
+    }
+    assert got == expected
+
+
+# --- dup span cuts vs python reference ---------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_dup_span_cuts_matches_python_reference(spark, texts, k):
+    """Interval output must equal a transparent reference: shared k-windows
+    (same gram in >= 2 docs), merged when gaps <= k."""
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    grams = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            grams.setdefault(tuple(t[p:p + k]), set()).add(i)
+    shared = {g for g, ds in grams.items() if len(ds) > 1}
+    expected = set()
+    for i, t in enumerate(texts):
+        pos = [p for p in range(len(t) - k + 1) if tuple(t[p:p + k]) in shared]
+        if not pos:
+            continue
+        start, prev, n = pos[0], pos[0], 1
+        for p in pos[1:]:
+            if p - prev > k:
+                expected.add((i, start, prev + k, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        expected.add((i, start, prev + k, n))
+
+    from polars_order_book_spark.operators.text import dup_span_cuts
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok_excl"], r["n_windows"])
+        for r in dup_span_cuts(df, k=k).collect()
+    }
+    assert got == expected
