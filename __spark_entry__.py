@@ -3581,6 +3581,56 @@ FROM a
 """
 
 
+def _embeddings_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the new batch (vec_id < 100) adjudicated against
+    the existing corpus (vec_id >= 100) — bipartite cell join (corpus always
+    wins) plus the batch min-id rule within the new slice. Verdicts for the
+    NEW side only; corpus×corpus pairs are never generated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_incremental(
+        emb.where(F.col("vec_id") < 100), emb.where(F.col("vec_id") >= 100)
+    )
+
+
+def _embeddings_semdedup_incremental_sql() -> str:
+    from polars_order_book_spark.operators.similarity import centroid_component
+
+    cents = [[centroid_component(c, j) for j in range(64)] for c in range(8)]
+
+    def clit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    def dist(c):
+        diff = f"list_transform(list_zip(v, {clit(c)}), x -> x[1] - x[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    dists = ",\n           ".join(dist(c) for c in cents)
+    cos = ("list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+           " * sqrt(list_dot_product(y.v, y.v)))")
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dists}] AS ds FROM vecs),
+a AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d),
+newv AS (SELECT * FROM a WHERE vec_id < 100),
+corp AS (SELECT * FROM a WHERE vec_id >= 100),
+drop_corpus AS (
+    SELECT DISTINCT x.vec_id
+    FROM newv x JOIN corp y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    WHERE {cos} >= 0.4
+),
+drop_batch AS (
+    SELECT DISTINCT y.vec_id
+    FROM newv x JOIN newv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE {cos} >= 0.4
+)
+SELECT n.vec_id, n.cell,
+       CAST(CASE WHEN n.vec_id IN (SELECT vec_id FROM drop_corpus)
+                   OR n.vec_id IN (SELECT vec_id FROM drop_batch)
+                 THEN 0 ELSE 1 END AS INT) AS keep
+FROM newv n
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -3877,6 +3927,7 @@ _R6_HEAD = [
     "embeddings_ann_stream",
     "text_dup_span_cuts",
     "documents_dsir_weights",
+    "embeddings_semdedup_incremental",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -3915,10 +3966,10 @@ _R6_HEAD = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "documents_budget_pack",
-    "text_docfreq_score",
     # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
-    # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk — r1-r3
-    # multi-green — fell to the tail for the seven new session-2 entries)
+    # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk,
+    # text_docfreq_score — r1-r3 multi-green — fell to the tail for the
+    # eight new session-2 entries)
 ]
 
 
@@ -4001,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_ann_stream": _embeddings_ann_stream,
         "text_dup_span_cuts": _text_dup_span_cuts,
         "documents_dsir_weights": _docs_dsir_weights,
+        "embeddings_semdedup_incremental": _embeddings_semdedup_incremental,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4215,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ann_stream": EMBEDDINGS_ANN_STREAM_SQL,
         "text_dup_span_cuts": TEXT_DUP_SPAN_CUTS_SQL,
         "documents_dsir_weights": DOCS_DSIR_WEIGHTS_SQL,
+        "embeddings_semdedup_incremental": _embeddings_semdedup_incremental_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

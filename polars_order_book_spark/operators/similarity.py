@@ -810,6 +810,29 @@ def kmeans_step(
     ).select("cell", F.col("p.d").alias("d"), F.col("p.centroid").alias("centroid"), "n_members")
 
 
+def _semdedup_assign(
+    vectors: DataFrame, centroids: "list[list[float]]", vec_col: str, id_col: str
+) -> DataFrame:
+    """(vec_id, cell, __v): squared-L2 argmin cell over literal centroids
+    with first-index tie-break — :func:`kmeans_step`'s assignment rule as a
+    map-only projection, shared by :func:`semdedup` and
+    :func:`semdedup_incremental` so batch and incremental adjudicate every
+    vector into the identical cell."""
+    v = _sql_as_double(vec_col)
+    dists = "array(" + ",".join(
+        f"aggregate(zip_with({v}, {_sql_const_array(c)}, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, x) -> acc + x)"
+        for c in centroids
+    ) + ")"
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        ).alias("cell"),
+        F.expr(v).alias("__v"),
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     *,
@@ -856,19 +879,7 @@ def semdedup(
         centroids = [
             [centroid_component(c, j) for j in range(dim)] for c in range(n_cells)
         ]
-    v = _sql_as_double(vec_col)
-    dists = "array(" + ",".join(
-        f"aggregate(zip_with({v}, {_sql_const_array(c)}, (a, b) -> (a - b) * (a - b)),"
-        " 0.0D, (acc, x) -> acc + x)"
-        for c in centroids
-    ) + ")"
-    assigned = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(
-            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
-        ).alias("cell"),
-        F.expr(v).alias("__v"),
-    )
+    assigned = _semdedup_assign(vectors, centroids, vec_col, id_col)
     from polars_order_book_spark.functions.skew import salted_pair_join
 
     ids = assigned.select("vec_id", "cell")
@@ -974,4 +985,96 @@ def knn_graph(
         edges.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "dst", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def semdedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "list[list[float]] | None" = None,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    dim: int = 64,
+    cell_cap: int | None = 4096,
+) -> DataFrame:
+    """Incremental SemDeDup: adjudicate a NEW embedding batch against an
+    EXISTING corpus without re-paying corpus×corpus pairs — the crawl-loop
+    shape of :func:`semdedup`, mirroring
+    :func:`..dedup.minhash_lsh_incremental_pairs` for the semantic family.
+    Returns one verdict row per NEW vector: (vec_id, cell, keep).
+
+    A new vector is dropped iff, within its cell, it is >= ``threshold``
+    cosine to ANY corpus member (the corpus always wins — it is already in
+    the training set) or to a smaller-id member of its own batch
+    (:func:`semdedup`'s min-id rule within the batch). Cells, cosines, and
+    tie-breaks are computed by the same shared code as the batch operator,
+    so a vector pair scores identically whichever entry point meets it.
+
+    Scale shape (100 TB): both sides assign cells map-only; the cross-check
+    is a BIPARTITE cell equi-join (new × corpus per cell) — pair volume is
+    O(new-side collisions), never corpus² — salt-split on BOTH sides past
+    ``cell_cap`` (:func:`..functions.skew.salted_bipartite_join`); the
+    within-batch check is the batch operator's bounded triangle. A vector id
+    present on both sides pairs with itself and is filtered.
+    """
+    if centroids is None:
+        centroids = [
+            [centroid_component(c, j) for j in range(dim)] for c in range(n_cells)
+        ]
+    a_new = _semdedup_assign(new, centroids, vec_col, id_col)
+    a_cor = _semdedup_assign(corpus, centroids, vec_col, id_col)
+    vdim = len(centroids[0])
+
+    def with_norm_cols(assigned: DataFrame, ident: str) -> DataFrame:
+        return assigned.select(
+            F.col("vec_id").alias(ident),
+            F.col("cell"),
+            F.col("__v").alias(f"__v_{ident}"),
+            F.sqrt(_dot(F.col("__v"), F.col("__v"))).alias(f"__n_{ident}"),
+        )
+
+    ln = with_norm_cols(a_new, "new_id")
+    rc = with_norm_cols(a_cor, "corpus_id")
+    if cell_cap:
+        from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+        met = salted_bipartite_join(
+            ln, rc, ["cell"], "new_id", "corpus_id", cell_cap
+        )
+    else:
+        met = ln.join(rc, on="cell")
+    vs_corpus = (
+        met.where(F.col("new_id") != F.col("corpus_id"))
+        .where(
+            _dot(F.col("__v_new_id"), F.col("__v_corpus_id"))
+            / (F.col("__n_new_id") * F.col("__n_corpus_id"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("new_id").alias("vec_id"))
+    )
+    # within-batch min-id rule: reuse the batch operator verbatim
+    batch_dropped = (
+        semdedup(
+            new,
+            vec_col=vec_col,
+            id_col=id_col,
+            centroids=centroids,
+            threshold=threshold,
+            cell_cap=cell_cap,
+        )
+        .where(F.col("keep") == 0)
+        .select("vec_id")
+    )
+    dropped = vs_corpus.unionByName(batch_dropped).distinct()
+    return (
+        a_new.select("vec_id", "cell")
+        .join(dropped.withColumn("__dup", F.lit(1)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
     )

@@ -167,6 +167,7 @@ DEMOTED_TAIL = {
     "ob_keyed_mutations_top2",
     "text_redact_pii",
     "ann_cosine_topk",
+    "text_docfreq_score",
 }
 
 

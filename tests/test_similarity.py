@@ -418,3 +418,63 @@ def test_knn_graph_k_guard(spark):
     df = spark.createDataFrame(_vectors(8, dim=16), VEC_SCHEMA)
     with pytest.raises(ValueError, match="k must be > 0"):
         similarity.knn_graph(df, k=0, dim=16)
+
+
+# --- incremental SemDeDup ----------------------------------------------------
+
+
+def test_semdedup_incremental_corpus_always_wins(spark):
+    # new vec 100 is a near-copy of corpus vec 5 -> dropped even though its
+    # id is larger than nothing in the batch; unrelated new vec 101 survives
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=16)
+    corpus = spark.createDataFrame(
+        [(5, base.tolist()), (6, rng.normal(size=16).tolist())], VEC_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [(100, (base + rng.normal(scale=1e-3, size=16)).tolist()),
+         (101, (-base).tolist())],
+        VEC_SCHEMA,
+    )
+    out = {r["vec_id"]: r["keep"] for r in
+           similarity.semdedup_incremental(new, corpus, n_cells=4, threshold=0.9,
+                                           dim=16).collect()}
+    assert set(out) == {100, 101}
+    assert out[100] == 0
+    # -base has cosine -1 to base: never a dup at positive threshold
+    assert out[101] == 1
+
+
+def test_semdedup_incremental_batch_rule_matches_batch_operator(spark):
+    # empty corpus: incremental must reduce exactly to the batch operator
+    rows = _clustered_vectors(n_per=8, seed=47, spread=0.05)
+    new = spark.createDataFrame(rows, VEC_SCHEMA)
+    corpus = spark.createDataFrame([], VEC_SCHEMA)
+    inc = {(r["vec_id"], r["cell"], r["keep"]) for r in
+           similarity.semdedup_incremental(new, corpus, n_cells=4, threshold=0.95,
+                                           dim=16).collect()}
+    batch = {(r["vec_id"], r["cell"], r["keep"]) for r in
+             similarity.semdedup(new, n_cells=4, threshold=0.95, dim=16).collect()}
+    assert inc == batch
+
+
+def test_semdedup_incremental_self_id_pair_filtered_and_salt_equivalence(spark):
+    rows = _clustered_vectors(n_per=6, seed=53, spread=0.01)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    # same frame on both sides: every vector meets itself in its cell and the
+    # self-pair must be ignored; a vector near-identical to ANOTHER corpus
+    # vector still drops
+    plain = similarity.semdedup_incremental(df, df, n_cells=2, threshold=0.95,
+                                            dim=16, cell_cap=None)
+    salted = similarity.semdedup_incremental(df, df, n_cells=2, threshold=0.95,
+                                             dim=16, cell_cap=3)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # tight clusters: everything except each cluster's min id drops against
+    # the corpus copy of its own cluster... including the min id itself? No:
+    # min id's identical self-pair is filtered, but OTHER cluster members are
+    # >= 0.95 to it, so even cluster minima drop when the corpus contains
+    # their duplicates. Every vector must therefore drop here.
+    keep = {r[0] for r in a if r[2] == 1}
+    assert keep == set()
