@@ -3816,6 +3816,48 @@ GROUP BY doc_id, seg
 """
 
 
+def _text_apply_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED: every document rewritten with its
+    cross-document duplicated 10-token spans removed (union of
+    text_dup_span_cuts' intervals); fully-duplicated docs come back empty
+    rather than vanishing."""
+    return text.apply_span_cuts(load_table(spark, sf_dir, "documents"), k=10)
+
+
+TEXT_APPLY_SPAN_CUTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           CAST(concat('0x', substr(md5({_gram10('t')}), 1, 15)) AS BIGINT) AS h
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 10 AND i <= len(t) - 10
+),
+shared AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+dup AS (SELECT doc_id, pos FROM grams JOIN shared USING (h)),
+covered AS (
+    SELECT DISTINCT doc_id, pos + o AS pos FROM dup, range(0, 10) r(o)
+),
+tokpos AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i + 1 AS INT)] AS tok
+    FROM toks, range(0, 8192) r(i)
+    WHERE i < len(t)
+),
+kept AS (SELECT * FROM tokpos ANTI JOIN covered USING (doc_id, pos)),
+rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(rebuilt.clean_text, '') AS clean_text,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def _docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights of every document toward the English subset:
     hashed unigram+bigram bucket distributions (4096 buckets), per-bucket
@@ -3928,6 +3970,7 @@ _R6_HEAD = [
     "text_dup_span_cuts",
     "documents_dsir_weights",
     "embeddings_semdedup_incremental",
+    "text_apply_span_cuts",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -3965,11 +4008,10 @@ _R6_HEAD = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "documents_budget_pack",
     # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
     # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk,
-    # text_docfreq_score — r1-r3 multi-green — fell to the tail for the
-    # eight new session-2 entries)
+    # text_docfreq_score, documents_budget_pack — r1-r3 multi-green — fell
+    # to the tail for the nine new session-2 entries)
 ]
 
 
@@ -4053,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_cuts": _text_dup_span_cuts,
         "documents_dsir_weights": _docs_dsir_weights,
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental,
+        "text_apply_span_cuts": _text_apply_span_cuts,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4268,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_span_cuts": TEXT_DUP_SPAN_CUTS_SQL,
         "documents_dsir_weights": DOCS_DSIR_WEIGHTS_SQL,
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental_sql(),
+        "text_apply_span_cuts": TEXT_APPLY_SPAN_CUTS_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -811,6 +811,29 @@ def bigram_lm_score(
     )
 
 
+def _dup_window_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos) of every k-token window whose gram occurs in >= 2
+    documents — shared by :func:`dup_span_cuts` (interval report) and
+    :func:`apply_span_cuts` (text rewrite) so both adjudicate the identical
+    window set."""
+    from polars_order_book_spark.functions.hashing import hash64
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(_token_ngrams(F.col("__toks"), k)).alias("pos", "g"),
+    ).select("doc_id", "pos", hash64(F.col("g")).alias("h"))
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__docs"))
+        .where(F.col("__docs") > 1)
+        .select("h")
+    )
+    return grams.join(shared, on="h").select("doc_id", "pos")
+
+
 def dup_span_cuts(
     df: DataFrame,
     text_col: str = "text",
@@ -832,22 +855,9 @@ def dup_span_cuts(
     duplicated positions (bounded by document length — never a corpus-wide
     sort). Linear in total tokens, no all-pairs anywhere.
     """
-    from polars_order_book_spark.functions.hashing import hash64
-
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(_token_ngrams(F.col("__toks"), k)).alias("pos", "g"),
-    ).select("doc_id", "pos", hash64(F.col("g")).alias("h"))
-    shared = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("__docs"))
-        .where(F.col("__docs") > 1)
-        .select("h")
-    )
-    dup = grams.join(shared, on="h").select("doc_id", "pos")
+    dup = _dup_window_positions(df, text_col, id_col, k)
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull() | ((F.col("pos") - F.lag("pos").over(w)) > k),
@@ -948,5 +958,56 @@ def dsir_weights(
         .agg(
             F.count(F.lit(1)).alias("n_features"),
             F.sum("__m").alias("dsir_micros"),
+        )
+    )
+
+
+def apply_span_cuts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """APPLY exact-substring dedup (Lee et al. 2022): rewrite every document
+    with its cross-document duplicated k-token spans removed. Returns
+    (doc_id, clean_text, n_tokens, n_removed) — every input document appears,
+    fully-duplicated ones with clean_text = '' — where the removed token set
+    is exactly the union of :func:`dup_span_cuts`' intervals (shared window
+    detection, pinned by test).
+
+    Scale shape: covered token positions come from exploding k offsets per
+    duplicated window (k rows each — bounded, and only for DUPLICATED
+    windows); surviving tokens anti-join on (doc, pos); reassembly is a
+    per-document groupBy whose sort is an in-row array_sort over that
+    document's own tokens (never a corpus-wide order). Everything shuffles
+    on doc_id or gram hash — linear, no all-pairs.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = base.select(
+        "doc_id", F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    dup = _dup_window_positions(df, text_col, id_col, k)
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = base.select("doc_id", F.size("__toks").cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         )
     )

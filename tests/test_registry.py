@@ -168,6 +168,7 @@ DEMOTED_TAIL = {
     "text_redact_pii",
     "ann_cosine_topk",
     "text_docfreq_score",
+    "documents_budget_pack",
 }
 
 

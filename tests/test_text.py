@@ -497,3 +497,49 @@ def test_dsir_weights_log_scale_sign_and_guard(spark):
     assert out[1] > 0 > out[2]
     with _pytest.raises(ValueError, match="n_buckets"):
         dsir_weights(raw, target, n_buckets=0)
+
+
+# --- apply span cuts ---------------------------------------------------------
+
+
+def test_apply_span_cuts_removes_exactly_interval_union(spark):
+    from polars_order_book_spark.operators.text import apply_span_cuts, dup_span_cuts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 m0 m1 m2 m3 m4 m5 m6 m7 m8 t1 t2 t3"),
+            (2, "h1 h2 h3 other words in here"),
+            (3, "leading bits t1 t2 t3"),
+            (4, "totally unique text right here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_span_cuts(docs, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 loses its shared head [0,3) and tail [12,15)
+    assert out[1]["clean_text"] == "m0 m1 m2 m3 m4 m5 m6 m7 m8"
+    assert out[1]["n_tokens"] == 15 and out[1]["n_removed"] == 6
+    assert out[4]["clean_text"] == "totally unique text right here"
+    assert out[4]["n_removed"] == 0
+    # cross-check: removed counts equal the interval union lengths
+    cuts = dup_span_cuts(docs, k=3).collect()
+    union_len = {}
+    for r in cuts:
+        union_len[r["doc_id"]] = union_len.get(r["doc_id"], 0) + (
+            r["end_tok_excl"] - r["start_tok"]
+        )
+    for did, row in out.items():
+        assert row["n_removed"] == union_len.get(did, 0), did
+
+
+def test_apply_span_cuts_fully_duplicated_doc_becomes_empty(spark):
+    from polars_order_book_spark.operators.text import apply_span_cuts
+
+    docs = spark.createDataFrame(
+        [(1, "same exact text here"), (2, "same exact text here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_span_cuts(docs, k=3).collect()}
+    for d in (1, 2):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_removed"] == out[d]["n_tokens"] == 4
