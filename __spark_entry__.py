@@ -3631,6 +3631,39 @@ FROM newv n
 """
 
 
+def _embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression of every embedding to 8 components
+    against md5-derived literal planes — map-only, long-form scalar output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, out_dim=8)
+
+
+def _embeddings_random_projection_sql() -> str:
+    from polars_order_book_spark.operators.similarity import _rp_component
+
+    def clit(d):
+        # bare decimal literals parse as DECIMAL in DuckDB — CAST each to
+        # DOUBLE so the dot runs in doubles like the Spark fold
+        return "[" + ", ".join(
+            f"CAST('{_rp_component(d, j)!r}' AS DOUBLE)" for j in range(64)
+        ) + "]"
+
+    comps = ",\n        ".join(
+        f"struct_pack(d := {d}, value := list_dot_product(v, {clit(d)}))"
+        for d in range(8)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p0 AS (
+    SELECT vec_id, unnest([
+        {comps}
+    ]) AS p
+    FROM vecs
+)
+SELECT vec_id, CAST(p.d AS INT) AS d, p.value AS value FROM p0
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -3971,6 +4004,7 @@ _R6_HEAD = [
     "documents_dsir_weights",
     "embeddings_semdedup_incremental",
     "text_apply_span_cuts",
+    "embeddings_random_projection",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -4007,11 +4041,11 @@ _R6_HEAD = [
     "events_value_quantiles_approx",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
     # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk,
-    # text_docfreq_score, documents_budget_pack — r1-r3 multi-green — fell
-    # to the tail for the nine new session-2 entries)
+    # text_docfreq_score, documents_budget_pack, dedup_ngram_jaccard —
+    # r1-r3 multi-green — fell to the tail for the ten new session-2
+    # entries)
 ]
 
 
@@ -4096,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dsir_weights": _docs_dsir_weights,
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental,
         "text_apply_span_cuts": _text_apply_span_cuts,
+        "embeddings_random_projection": _embeddings_random_projection,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4312,6 +4347,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dsir_weights": DOCS_DSIR_WEIGHTS_SQL,
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental_sql(),
         "text_apply_span_cuts": TEXT_APPLY_SPAN_CUTS_SQL,
+        "embeddings_random_projection": _embeddings_random_projection_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -1078,3 +1078,53 @@ def semdedup_incremental(
             F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+def random_projection(
+    vectors: DataFrame,
+    *,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress each embedding to
+    ``out_dim`` components via dot products against md5-derived pseudo-random
+    planes (the same deterministic constants machinery as the LSH family —
+    :func:`plane_component` with a distinct salt lives in the same md5
+    universe). JL guarantees pairwise distances distort by at most
+    ~sqrt(log n / out_dim); the standard cheap pre-compression before ANN
+    indexing or clustering when the raw embedding is wide.
+
+    Output is LONG FORM (vec_id, d, value) — scalar rows hash/diff trivially
+    (the :func:`kmeans_step` convention).
+
+    Scale shape: a pure map-only projection against constant-folded literal
+    planes — no shuffle, no state, no Python; at 100 TB this pipelines into
+    the scan.
+    """
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be > 0, got {out_dim}")
+    v = _sql_as_double(vec_col)
+    comps = ",".join(
+        f"named_struct('d', {d}, 'value',"
+        f" {_sql_dot(v, _sql_const_array(_rp_component(d, j) for j in range(dim)))})"
+        for d in range(out_dim)
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.expr(f"array({comps})")).alias("p"),
+    ).select(
+        "vec_id",
+        F.col("p.d").cast("int").alias("d"),
+        F.col("p.value").alias("value"),
+    )
+
+
+def _rp_component(d: int, j: int) -> float:
+    """Deterministic projection-plane component (salt 'rp' — independent of
+    the LSH planes and IVF centroids sharing the md5 universe)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp{d}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5

@@ -169,6 +169,7 @@ DEMOTED_TAIL = {
     "ann_cosine_topk",
     "text_docfreq_score",
     "documents_budget_pack",
+    "dedup_ngram_jaccard",
 }
 
 

@@ -478,3 +478,52 @@ def test_semdedup_incremental_self_id_pair_filtered_and_salt_equivalence(spark):
     # their duplicates. Every vector must therefore drop here.
     keep = {r[0] for r in a if r[2] == 1}
     assert keep == set()
+
+
+# --- random projection -------------------------------------------------------
+
+
+def test_random_projection_shape_and_determinism(spark):
+    rows = _vectors(n=40, dim=64, seed=61)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = similarity.random_projection(df, out_dim=6).collect()
+    assert len(out) == 40 * 6
+    base = {(r["vec_id"], r["d"]): r["value"] for r in out}
+    again = {(r["vec_id"], r["d"]): r["value"]
+             for r in similarity.random_projection(df.repartition(7), out_dim=6).collect()}
+    assert base == again  # pure function of the data
+
+
+def test_random_projection_matches_manual_dot(spark):
+    from polars_order_book_spark.operators.similarity import _rp_component
+
+    vec = [float(j % 5 - 2) for j in range(64)]
+    df = spark.createDataFrame([(1, vec)], VEC_SCHEMA)
+    out = {r["d"]: r["value"]
+           for r in similarity.random_projection(df, out_dim=3).collect()}
+    for d in range(3):
+        acc = 0.0
+        for j in range(64):
+            acc = acc + vec[j] * _rp_component(d, j)
+        assert out[d] == acc, d
+
+
+def test_random_projection_roughly_preserves_relative_distances(spark):
+    # JL sanity: a pair of near-identical vectors must project closer than a
+    # pair of independent random vectors (in expectation; fixed seed)
+    rng = np.random.default_rng(67)
+    a = rng.normal(size=64)
+    rows = [
+        (0, a.tolist()),
+        (1, (a + rng.normal(scale=1e-3, size=64)).tolist()),
+        (2, rng.normal(size=64).tolist()),
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    proj = {}
+    for r in similarity.random_projection(df, out_dim=8).collect():
+        proj.setdefault(r["vec_id"], [0.0] * 8)[r["d"]] = r["value"]
+    d01 = sum((x - y) ** 2 for x, y in zip(proj[0], proj[1]))
+    d02 = sum((x - y) ** 2 for x, y in zip(proj[0], proj[2]))
+    assert d01 < d02
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.random_projection(df, out_dim=0)
