@@ -104,6 +104,18 @@ HEADLINE = [
     "dedup_components",
     "text_bm25",
     "documents_hybrid_search",
+    # r6 session 2: semantic dedup (batch + incremental), knn graph,
+    # bigram LM, DSIR, span cuts (report + apply), split labels, JL
+    # projection
+    "embeddings_semdedup",
+    "embeddings_semdedup_incremental",
+    "embeddings_knn_graph",
+    "documents_lm_score",
+    "documents_dsir_weights",
+    "text_dup_span_cuts",
+    "text_apply_span_cuts",
+    "documents_split_assign",
+    "embeddings_random_projection",
 ]
 
 
