@@ -879,7 +879,12 @@ def semdedup(
         centroids = [
             [centroid_component(c, j) for j in range(dim)] for c in range(n_cells)
         ]
-    assigned = _semdedup_assign(vectors, centroids, vec_col, id_col)
+    # localCheckpoint: the argmin projection (n_cells × dim folds per row)
+    # feeds both sides of the salted self-join, the vv rerank relation, AND
+    # the final verdict join — truncate lineage so it is computed once.
+    assigned = _semdedup_assign(vectors, centroids, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
     from polars_order_book_spark.functions.skew import salted_pair_join
 
     ids = assigned.select("vec_id", "cell")
@@ -963,6 +968,9 @@ def knn_graph(
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    # localCheckpoint: the symmetrizing union consumes `pairs` twice; without
+    # truncation the whole LSH self-join + cosine rerank pipeline executes
+    # once per union branch.
     pairs = neardup_embedding_pairs(
         vectors,
         vec_col=vec_col,
@@ -972,7 +980,7 @@ def knn_graph(
         band_size=band_size,
         dim=dim,
         bucket_cap=bucket_cap,
-    )
+    ).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "cosine"
     ).unionByName(
@@ -1024,8 +1032,15 @@ def semdedup_incremental(
         centroids = [
             [centroid_component(c, j) for j in range(dim)] for c in range(n_cells)
         ]
-    a_new = _semdedup_assign(new, centroids, vec_col, id_col)
-    a_cor = _semdedup_assign(corpus, centroids, vec_col, id_col)
+    # localCheckpoint: a_new feeds the bipartite join AND the final verdict
+    # join (and the corpus side is reused by the salted join's size agg) —
+    # truncate so each side's argmin projection is computed once.
+    a_new = _semdedup_assign(new, centroids, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    a_cor = _semdedup_assign(corpus, centroids, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
     vdim = len(centroids[0])
 
     def with_norm_cols(assigned: DataFrame, ident: str) -> DataFrame:

@@ -251,6 +251,35 @@ def test_weighted_sample_uses_take_ordered_not_global_sort(spark):
 
 
 @needs_testdata
+def test_knn_graph_plan_is_checkpoint_compact(spark):
+    """knn_graph symmetrizes the LSH pair list with a union that reads
+    `pairs` twice: the pair relation must be lineage-truncated so the
+    LSH self-join + cosine rerank pipeline executes ONCE, not once per
+    union branch. After truncation the final plan consumes the
+    materialized RDD — zero parquet re-scans, zero re-derived joins."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["embeddings_knn_graph"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Join") == 0, f"knn_graph re-derives the LSH join:\n{plan}"
+
+
+@needs_testdata
+def test_semdedup_plan_is_checkpoint_compact(spark):
+    """semdedup's argmin cell projection (n_cells × dim folds per row)
+    feeds both sides of the salted self-join, the rerank relation, and
+    the final verdict join — it must be lineage-truncated so the final
+    plan re-reads the materialized assignment instead of re-scanning
+    parquet and re-folding the centroid distances per consumer."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["embeddings_semdedup"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+@needs_testdata
 def test_triangle_count_plan_is_checkpoint_compact(spark):
     """The oriented relation is lineage-truncated: the physical plan must
     not re-derive the canonicalize+degree subtree per join instance (the
