@@ -3719,16 +3719,18 @@ GROUP BY p.doc_id
 
 def _embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph: top-5 cosine neighbors for EVERY vector from
-    banded-LSH candidate pairs (16 planes / 4 bands), exact-cosine reranked,
-    symmetrized so each collision pair serves both endpoints."""
+    banded-LSH candidate pairs (32 planes / 4 bands of 8 — the every-pair-kept
+    graph needs the ~1.6% random-collision rate, not near-dup's 23%),
+    exact-cosine reranked, symmetrized so each collision pair serves both
+    endpoints."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, k=5)
 
 
 EMBEDDINGS_KNN_GRAPH_SQL = f"""
-WITH {_bucket_sql(16)},
+WITH {_bucket_sql(32)},
 bands AS (
-    SELECT vec_id, b AS band, substr(bucket, CAST(b * 4 + 1 AS INT), 4) AS key
+    SELECT vec_id, b AS band, substr(bucket, CAST(b * 8 + 1 AS INT), 8) AS key
     FROM buckets, range(0, 4) r(b)
 ),
 cands AS (

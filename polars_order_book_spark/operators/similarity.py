@@ -180,9 +180,15 @@ def neardup_embedding_pairs(
             f"n_planes ({n_planes}) must be a multiple of band_size ({band_size})"
         )
     n_bands = n_planes // band_size
+    # localCheckpoint: the bucket projection embeds n_planes × dim literal
+    # plane components, and the banded self-join references it on BOTH sides
+    # — truncating here makes Catalyst analyze the literal-heavy subtree once
+    # over a tiny (vec_id, bucket) relation instead of once per join branch.
+    # Driver-measured at 32 planes: plan analysis 2.7 s → <1 s; the
+    # materialized relation is N rows × ~(8 + n_planes) bytes.
     b = signed_projection_buckets(
         vectors, vec_col=vec_col, id_col=id_col, n_planes=n_planes, dim=dim
-    )
+    ).localCheckpoint(eager=False)
     bands = b.select(
         "vec_id",
         F.explode(
@@ -937,8 +943,8 @@ def knn_graph(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 16,
-    band_size: int = 4,
+    n_planes: int = 32,
+    band_size: int = 8,
     dim: int = 64,
     bucket_cap: int | None = 4096,
 ) -> DataFrame:
@@ -965,6 +971,16 @@ def knn_graph(
     rerank joins only colliding pairs back to the vectors; the final top-k
     is a per-src window over each node's own candidate list. Every shuffle
     keys on (band, key), pair ids, or src — all data-parallel.
+
+    Parameter choice IS the scale lever here: because the graph keeps every
+    colliding pair (threshold = -1), the random-pair collision rate
+    ~ n_bands / 2**band_size bounds candidate volume. The near-dup default
+    (16 planes / 4-per-band → 4/16) admits ~23% of ALL pairs as candidates
+    — measured 461k of 2M possible on the 2k-row driver corpus — which is
+    all-pairs in disguise at 1e9 rows. The graph default (32 planes /
+    8-per-band → 4/256 ≈ 1.6%) keeps candidates ~linear-ish in N·E[bucket]
+    while still probing 4 independent bands for recall; drop band_size for
+    higher recall when the corpus is small enough to afford it.
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
