@@ -3664,6 +3664,86 @@ SELECT vec_id, CAST(p.d AS INT) AS d, p.value AS value FROM p0
 """
 
 
+_PQ_CW_SQL = """
+cw AS (
+    SELECT s, c,
+           list_transform(range(0, 16), j ->
+               (CAST(concat('0x', substr(md5(concat('pq', CAST(s AS VARCHAR), '/', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS cv
+    FROM range(0, 4) ts(s), range(0, 16) tc(c)
+),
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+scored AS (
+    SELECT a.vec_id, w.s, w.c,
+           (list_dot_product(w.cv, w.cv)
+             - (2.0 * list_dot_product(a.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv))) AS score
+    FROM allv a CROSS JOIN cw w
+),
+codes AS (
+    SELECT vec_id, CAST(s AS INT) AS sub, CAST(c AS INT) AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY score, c) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)"""
+
+
+def _embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: each vector compressed to m=4 codes over
+    16-codeword md5-derived sub-codebooks (2 bytes replacing 256) — the
+    storage half of PQ ANN, map-only against literal codebooks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb)
+
+
+EMBEDDINGS_PQ_CODES_SQL = f"""
+WITH {_PQ_CW_SQL}
+SELECT vec_id, sub, code FROM codes
+"""
+
+
+def _embeddings_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: the query's per-subspace LUT (ksub
+    exact distances to literal codewords) is broadcast against the
+    128x-compressed code relation; per-candidate cost is 4 array lookups.
+    Approximate by construction — adist quantizes the corpus side — and
+    bit-exact vs the oracle (pinned associativity, see similarity.pq_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, k=10)
+
+
+EMBEDDINGS_PQ_TOPK_SQL = f"""
+WITH {_PQ_CW_SQL},
+qlut AS (
+    SELECT q.vec_id AS query_id, w.s, w.c,
+           ((list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)],
+                              q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)])
+              - (2.0 * list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv)))
+             + list_dot_product(w.cv, w.cv)) AS score
+    FROM (SELECT vec_id, vv FROM allv WHERE vec_id < 5) q CROSS JOIN cw w
+),
+pairsub AS (
+    SELECT l.query_id, cd.vec_id AS neighbor_id, l.s, l.score
+    FROM codes cd JOIN qlut l ON l.s = cd.sub AND l.c = cd.code
+    WHERE cd.vec_id <> l.query_id
+),
+adists AS (
+    SELECT query_id, neighbor_id,
+           (((MAX(CASE WHEN s = 0 THEN score END) + MAX(CASE WHEN s = 1 THEN score END))
+              + MAX(CASE WHEN s = 2 THEN score END)) + MAX(CASE WHEN s = 3 THEN score END)) AS adist
+    FROM pairsub GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adists
+) WHERE rank <= 10
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -4133,6 +4213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental,
         "text_apply_span_cuts": _text_apply_span_cuts,
         "embeddings_random_projection": _embeddings_random_projection,
+        "embeddings_pq_codes": _embeddings_pq_codes,
+        "embeddings_pq_topk": _embeddings_pq_topk,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4350,6 +4432,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_semdedup_incremental": _embeddings_semdedup_incremental_sql(),
         "text_apply_span_cuts": TEXT_APPLY_SPAN_CUTS_SQL,
         "embeddings_random_projection": _embeddings_random_projection_sql(),
+        "embeddings_pq_codes": EMBEDDINGS_PQ_CODES_SQL,
+        "embeddings_pq_topk": EMBEDDINGS_PQ_TOPK_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

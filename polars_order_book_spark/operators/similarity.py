@@ -1159,3 +1159,156 @@ def _rp_component(d: int, j: int) -> float:
 
     h = int(hashlib.md5(f"rp{d}:{j}".encode()).hexdigest()[:15], 16)
     return (h % 1000) / 1000.0 - 0.5
+
+
+def pq_codeword_component(sub: int, c: int, j: int) -> float:
+    """Deterministic product-quantization codeword component, derived from
+    md5(f"pq{sub}/{c}:{j}") exactly like :func:`centroid_component` (salt
+    'pq.../...' — independent of the LSH / IVF / RP md5 families). Driver and
+    DuckDB recompute identical doubles, so the PQ oracles are closed-form."""
+    import hashlib
+
+    h = int(hashlib.md5(f"pq{sub}/{c}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
+def _pq_code_exprs(
+    vec_sql: str, m: int, ksub: int, dim: int, codebooks: list | None
+) -> "list[str]":
+    """One argmin SQL expression per subspace: the code is the first index
+    minimizing ||x_s - c||^2. |x_s|^2 is a common additive term across the
+    sub's codewords, so the scored form is |c|^2 - 2<x_s, c> — argmin-
+    invariant and one fold cheaper; BOTH engines use this same dropped form,
+    so scores (and tie-breaks) agree bit-for-bit."""
+    subdim = dim // m
+    exprs = []
+    for s in range(m):
+        xs = f"slice({vec_sql}, {s * subdim + 1}, {subdim})"
+        scores = []
+        for c in range(ksub):
+            cw = (
+                codebooks[s][c]
+                if codebooks is not None
+                else [pq_codeword_component(s, c, j) for j in range(subdim)]
+            )
+            cl = _sql_const_array(cw)
+            scores.append(f"({_sql_dot(cl, cl)} - (2.0D * {_sql_dot(xs, cl)}))")
+        arr = f"array({','.join(scores)})"
+        exprs.append(f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)")
+    return exprs
+
+
+def pq_encode(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m`` subspaces
+    of dim/m components and store only the index of the nearest codeword per
+    subspace — (vec_id, sub, code) long form, m rows per vector.
+
+    The 100 TB point of PQ is the INDEX, not the query: m codes of
+    log2(ksub) bits replace dim floats (m=4, ksub=16 → 2 bytes vs 256 —
+    a 128x smaller scan for the ADC search in :func:`pq_topk`). Encoding is
+    a map-only projection against literal codebooks (constant-folded, no
+    shuffle, no Python) built as parsed SQL — the same plan-build discipline
+    as :func:`_cell_assignment`. ``codebooks`` accepts trained per-subspace
+    codewords (list[m][ksub][subdim]); the md5-derived default keeps the
+    pipeline oracle-re-derivable. Ties argmin to the FIRST minimizing code
+    (array_position semantics), matching the oracle's (score, c) ordering.
+    """
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must be positive and divide dim ({dim})")
+    if codebooks is not None:
+        if len(codebooks) != m or any(len(cb) != ksub for cb in codebooks):
+            raise ValueError("codebooks must be list[m][ksub][dim//m]")
+    v = _sql_as_double(vec_col)
+    exprs = _pq_code_exprs(v, m, ksub, dim, codebooks)
+    structs = ",".join(
+        f"named_struct('sub', {s}, 'code', {e})" for s, e in enumerate(exprs)
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.expr(f"array({structs})")).alias("sc")
+    ).select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance
+    computation (ADC): corpus vectors are quantized to m codes
+    (:func:`pq_encode`'s wide twin), each query precomputes one lookup table
+    of ksub distances per subspace, and each (query, vector) candidate costs
+    m array lookups + m-1 adds instead of a dim-length fold. Returns
+    (query_id, neighbor_id, rank, adist) ranked by adist ASC (squared-L2
+    estimate), neighbor_id tie-break.
+
+    Scale shape: the scan side carries ONLY (id, m small ints) — the
+    128x-compressed index — while the query side (bounded Q rows x
+    m*ksub-double LUTs, computed distributively from literal codebooks) is
+    broadcast; the per-pair work is m element_at lookups. The BNLJ is the
+    same deliberately-bounded vectors x broadcast-queries shape as
+    :func:`cosine_topk_bruteforce`. The final top-k is a per-query window.
+
+    Cross-engine exactness: each LUT entry is ((|q_s|^2 - 2<q_s,c>) + |c|^2)
+    with pinned associativity, and adist sums the m looked-up doubles
+    left-to-right — bit-identical in Spark and the SQL oracle.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must be positive and divide dim ({dim})")
+    subdim = dim // m
+    v = _sql_as_double(vec_col)
+    code_exprs = _pq_code_exprs(v, m, ksub, dim, codebooks)
+    codes = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.expr(e).alias(f"code_{s}") for s, e in enumerate(code_exprs)],
+    )
+    qv = _sql_as_double(vec_col)
+    lut_cols = []
+    for s in range(m):
+        qs = f"slice({qv}, {s * subdim + 1}, {subdim})"
+        entries = []
+        for c in range(ksub):
+            cw = (
+                codebooks[s][c]
+                if codebooks is not None
+                else [pq_codeword_component(s, c, j) for j in range(subdim)]
+            )
+            cl = _sql_const_array(cw)
+            entries.append(
+                f"(({_sql_dot(qs, qs)} - (2.0D * {_sql_dot(qs, cl)})) + {_sql_dot(cl, cl)})"
+            )
+        lut_cols.append(F.expr(f"array({','.join(entries)})").alias(f"lut_{s}"))
+    luts = queries.select(F.col(query_id_col).alias("query_id"), *lut_cols)
+    adist = "(" * (m - 1) + " + ".join(
+        f"element_at(lut_{s}, code_{s} + 1)" + (")" if s > 0 else "")
+        for s in range(m)
+    )
+    sim = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(adist).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adist")
+    )

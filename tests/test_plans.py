@@ -148,6 +148,9 @@ _BNLJ_WHITELIST = {
     # composes ann_cosine_topk's whitelisted broadcast-query cross join
     # over the hash-embedded vectors
     "documents_hash_embed_knn",
+    # PQ ADC: the same bounded vectors x broadcast-queries shape as
+    # ann_cosine_topk, but the scan side carries only (id, m codes)
+    "embeddings_pq_topk",
     # same 1-row corpus-total broadcast cross join as text_tfidf: the exact
     # verify stage attaches the one-row count(*) aggregate (__N) to the
     # candidate counts (operators/frequency.py heavy_hitters)
@@ -290,3 +293,31 @@ def test_triangle_count_plan_is_checkpoint_compact(spark):
     joins = plan.count("Join")
     assert joins <= 20, f"triangle plan re-derives lineage: {joins} joins"
     assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_pq_encode_plan_is_map_only(spark):
+    """PQ encoding must be a pure projection against literal codebooks:
+    one parquet scan, zero Exchanges, no Python — the compressed index is
+    built in the same pass that reads the vectors."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["embeddings_pq_codes"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+@needs_testdata
+def test_pq_topk_scan_side_carries_codes_not_vectors(spark):
+    """The ADC join's streamed (scan) side must project only (id, m codes)
+    — the 128x compression is the point; broadcasting happens on the bounded
+    query-LUT side."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["embeddings_pq_topk"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # the scan side's ReadSchema must not include the embedding column once
+    # codes are computed; the only embedding read feeding the BNLJ build side
+    # is the bounded query relation
+    assert plan.count("Scan parquet") == 2, plan

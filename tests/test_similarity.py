@@ -527,3 +527,93 @@ def test_random_projection_roughly_preserves_relative_distances(spark):
     assert d01 < d02
     with pytest.raises(ValueError, match="out_dim"):
         similarity.random_projection(df, out_dim=0)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _py_fold_dot(a, b):
+    # textual twin of similarity._sql_dot's left fold (same IEEE order)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_pq_code(vec, sub, m=4, ksub=16):
+    subdim = len(vec) // m
+    xs = vec[sub * subdim:(sub + 1) * subdim]
+    scores = []
+    for c in range(ksub):
+        cw = [similarity.pq_codeword_component(sub, c, j) for j in range(subdim)]
+        scores.append(_py_fold_dot(cw, cw) - (2.0 * _py_fold_dot(xs, cw)))
+    return scores.index(min(scores))
+
+
+def test_pq_encode_matches_python_argmin(spark):
+    rows = _vectors(n=40, dim=64, seed=11)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = {(r["vec_id"], r["sub"]): r["code"]
+           for r in similarity.pq_encode(df).collect()}
+    assert len(out) == 40 * 4  # m rows per vector
+    for vid, vec in rows:
+        for s in range(4):
+            assert out[(vid, s)] == _py_pq_code(vec, s), (vid, s)
+    assert all(0 <= c < 16 for c in out.values())
+
+
+def test_pq_topk_matches_python_adc(spark):
+    rows = _vectors(n=60, dim=64, seed=12)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [(r["query_id"], r["neighbor_id"], r["rank"], r["adist"])
+           for r in similarity.pq_topk(df, q, k=5).orderBy("query_id", "rank").collect()]
+    m, ksub, subdim = 4, 16, 16
+    expected = []
+    for qid, qvec in rows[:2]:
+        adists = []
+        for nid, nvec in rows:
+            if nid == qid:
+                continue
+            acc = None
+            for s in range(m):
+                qs = qvec[s * subdim:(s + 1) * subdim]
+                c = _py_pq_code(nvec, s)
+                cw = [similarity.pq_codeword_component(s, c, j) for j in range(subdim)]
+                term = ((_py_fold_dot(qs, qs) - (2.0 * _py_fold_dot(qs, cw)))
+                        + _py_fold_dot(cw, cw))
+                acc = term if acc is None else acc + term
+            adists.append((acc, nid))
+        adists.sort()
+        expected.extend(
+            (qid, nid, rank + 1, ad) for rank, (ad, nid) in enumerate(adists[:5])
+        )
+    assert got == expected
+
+
+def test_pq_topk_recall_on_separated_clusters(spark):
+    # two tight clusters far apart: PQ quantizes coarsely, but a query in
+    # cluster A must rank A members above every B member
+    rng = np.random.default_rng(13)
+    a, b = rng.normal(size=64), rng.normal(size=64) + 40.0
+    rows = [(i, (a + rng.normal(scale=1e-2, size=64)).tolist()) for i in range(10)]
+    rows += [(100 + i, (b + rng.normal(scale=1e-2, size=64)).tolist()) for i in range(10)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.pq_topk(df, q, k=9).collect()
+    assert len(top) == 9
+    assert all(r["neighbor_id"] < 100 for r in top), top
+
+
+def test_pq_guards(spark):
+    df = spark.createDataFrame(_vectors(n=3, dim=64), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="divide"):
+        similarity.pq_encode(df, m=5, dim=64)
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.pq_topk(df, df.selectExpr("vec_id AS query_id", "embedding"), k=0)
+    with pytest.raises(ValueError, match="codebooks"):
+        similarity.pq_encode(df, codebooks=[[[0.0] * 16] * 15] * 4)  # ksub mismatch
