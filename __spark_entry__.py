@@ -3744,6 +3744,129 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
 """
 
 
+def _docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb quality rules (Rae et al. 2021 A1.1) per document:
+    measurements + one boolean per rule + conjunctive keep, in one map-only
+    projection."""
+    return text.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_GOPHER_RULES_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS words,
+           string_split(text, chr(10)) AS lines,
+           text AS t
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(lines) AS n_lines,
+           list_sum(list_transform(words, w -> length(w))) AS sum_word_len,
+           length(t) - length(replace(t, '#', '')) AS n_hash,
+           CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT)
+             + (length(t) - length(replace(t, '…', ''))) AS n_ellipsis,
+           len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•*-]'))) AS n_bullet_lines,
+           len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS n_ellipsis_lines,
+           len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+           len(list_intersect(list_distinct(words),
+                              ['the','be','to','of','and','that','have','with'])) AS stop_hits
+    FROM base
+),
+r AS (
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_hash AS DOUBLE) / n_words AS hash_ratio,
+           CAST(n_ellipsis AS DOUBLE) / n_words AS ellipsis_ratio,
+           CAST(n_bullet_lines AS DOUBLE) / n_lines AS bullet_line_frac,
+           CAST(n_ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_line_frac,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+           CAST(stop_hits AS BIGINT) AS n_stopword_hits
+    FROM m
+)
+SELECT *,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+        AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords) AS keep
+FROM (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+           (hash_ratio <= CAST('0.1' AS DOUBLE)
+            AND ellipsis_ratio <= CAST('0.1' AS DOUBLE)) AS ok_symbol_ratio,
+           (bullet_line_frac <= CAST('0.9' AS DOUBLE)) AS ok_bullet_lines,
+           (ellipsis_line_frac <= CAST('0.3' AS DOUBLE)) AS ok_ellipsis_lines,
+           (alpha_word_frac >= CAST('0.8' AS DOUBLE)) AS ok_alpha_words,
+           (n_stopword_hits >= 2) AS ok_stopwords
+    FROM r
+)
+"""
+
+
+def _docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs everything earlier in the corpus: the
+    fraction of its distinct 3-grams first owned (min doc_id) by itself —
+    one min-window by gram + one per-doc rollup, no joins."""
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+    FROM toks
+    WHERE len(t) >= 3
+),
+owned AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_owner FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+FROM owned GROUP BY doc_id
+"""
+
+
+def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum interleave by token count: 10 ntile quality
+    bins, hash-shuffled within bin, order_key round-robins one doc per bin —
+    consuming order_key ascending IS the schedule."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sampling.curriculum_order(base, "n_tokens")
+
+
+def _docs_curriculum_order_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    return rf"""
+WITH base AS (
+    SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS metric
+    FROM documents
+),
+binned AS (
+    SELECT doc_id, metric, ntile(10) OVER (ORDER BY metric, doc_id) - 1 AS bin FROM base
+),
+pos AS (
+    SELECT doc_id, metric, bin,
+           row_number() OVER (PARTITION BY bin
+                              ORDER BY {hash64_sql('CAST(doc_id AS VARCHAR)')}, doc_id) - 1 AS pos_in_bin
+    FROM binned
+)
+SELECT doc_id, metric, CAST(bin AS INT) AS bin, CAST(pos_in_bin AS BIGINT) AS pos_in_bin,
+       CAST(pos_in_bin * 10 + bin AS BIGINT) AS order_key
+FROM pos
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -4215,6 +4338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_random_projection": _embeddings_random_projection,
         "embeddings_pq_codes": _embeddings_pq_codes,
         "embeddings_pq_topk": _embeddings_pq_topk,
+        "documents_gopher_rules": _docs_gopher_rules,
+        "documents_ngram_novelty": _docs_ngram_novelty,
+        "documents_curriculum_order": _docs_curriculum_order,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4434,6 +4560,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_random_projection": _embeddings_random_projection_sql(),
         "embeddings_pq_codes": EMBEDDINGS_PQ_CODES_SQL,
         "embeddings_pq_topk": EMBEDDINGS_PQ_TOPK_SQL,
+        "documents_gopher_rules": DOCS_GOPHER_RULES_SQL,
+        "documents_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
+        "documents_curriculum_order": _docs_curriculum_order_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -497,3 +497,54 @@ def split_assign(
     # only if sum(weights) < 1, which the guard above rejects; otherwise has
     # full coverage, but keep a loud null rather than a silent misfile.
     return df.withColumn(out_col, expr)
+
+
+def curriculum_order(
+    df: DataFrame,
+    metric_col: str,
+    id_col: str = "doc_id",
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Deterministic curriculum interleave: rank documents into ``n_bins``
+    quality bins by ``metric_col`` (ntile over (metric, id) — fully ordered,
+    so bin edges are reproducible), shuffle WITHIN each bin by the portable
+    hash of the id, and emit a global ``order_key`` that round-robins one
+    document per bin — the standard curriculum/difficulty-mixing layout
+    (each consecutive n_bins-sized window of the training stream touches
+    every quality decile once, while intra-bin order stays hash-random and
+    engine-reproducible).
+
+    Consuming rows ordered by ``order_key`` IS the curriculum; writers can
+    range-partition on it so shard k holds the k-th slice of the schedule.
+
+    Scale shape: two total-order windows (ntile, then per-bin row_number).
+    A global ntile is a single-direction sort — at 100 TB swap it for a
+    sampled-quantile binning (approx_percentile cutpoints broadcast as a
+    CASE) and keep the same downstream layout; the per-bin window shards
+    across n_bins keys. The driver corpus sorts in one task either way.
+    """
+    from pyspark.sql import Window
+
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be > 0, got {n_bins}")
+    ranked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(metric_col).alias("metric"),
+    ).withColumn(
+        "bin",
+        F.ntile(n_bins).over(Window.orderBy("metric", "doc_id")) - 1,
+    )
+    w = Window.partitionBy("bin").orderBy(
+        hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        ranked.withColumn("pos_in_bin", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            "metric",
+            F.col("bin").cast("int").alias("bin"),
+            F.col("pos_in_bin").cast("long").alias("pos_in_bin"),
+            (F.col("pos_in_bin") * n_bins + F.col("bin")).cast("long").alias("order_key"),
+        )
+    )

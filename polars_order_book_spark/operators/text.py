@@ -1011,3 +1011,152 @@ def apply_span_cuts(
             (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/MassiveWeb document-quality rules (Rae et al. 2021, appendix
+    A1.1) as one map-only pass: per-document rule measurements, one boolean
+    per published rule, and the conjunctive ``keep``.
+
+    Rules (remove the document when violated):
+      * word count outside [min_words, max_words]
+      * mean word length outside [3, 10] characters
+      * symbol-to-word ratio > 0.1 for '#' or for ellipsis ('...' / '…')
+      * > 90% of lines start with a bullet ('•', '*', '-')
+      * > 30% of lines end with an ellipsis
+      * < 80% of words contain at least one alphabetic character
+      * fewer than 2 of the 8 Gopher stop words present
+
+    Engine-exactness: occurrence counts use replace()-length arithmetic
+    (no regexp_count — DuckDB lacks it), every ratio is one IEEE double
+    division of exact integers, and thresholds compare against double
+    literals — so the oracle hash-matches bit-for-bit. Scale shape: pure
+    projection, no shuffle, no Python; Catalyst keeps it in one
+    WholeStageCodegen span over the scan.
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.expr(f"replace({text_col}, '...', '')")))
+        / F.lit(3)
+    ).cast("long") + (
+        F.length(t) - F.length(F.expr(f"replace({text_col}, '…', '')"))
+    )
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•*-]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        (sum_word_len.cast("double") / n_words).alias("mean_word_len"),
+        (n_hash.cast("double") / n_words).alias("hash_ratio"),
+        (n_ellipsis.cast("double") / n_words).alias("ellipsis_ratio"),
+        (n_bullet_lines.cast("double") / n_lines).alias("bullet_line_frac"),
+        (n_ellipsis_lines.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        (n_alpha_words.cast("double") / n_words).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stopword_hits"),
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "ok_symbol_ratio": (F.col("hash_ratio") <= 0.1)
+        & (F.col("ellipsis_ratio") <= 0.1),
+        "ok_bullet_lines": F.col("bullet_line_frac") <= 0.9,
+        "ok_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
+        "ok_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "ok_stopwords": F.col("n_stopword_hits") >= 2,
+    }
+    out = base
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the corpus:
+    the fraction of a document's distinct n-grams whose first owner (minimum
+    doc id over the whole corpus) is the document itself. Novelty 1.0 = all
+    its n-grams are first seen here; 0.0 = pure recombination of earlier
+    text. The dataset-curation signal behind "n-gram overlap with earlier
+    dumps" dedup policies and memorization audits — computed corpus-wide in
+    one pass rather than per-pair.
+
+    Documents with fewer than ``n`` tokens contribute no n-grams and emit no
+    row (inner semantics, documented contract).
+
+    Scale shape: the exploded distinct (gram, doc) relation is the same size
+    class as the docfreq/tf-idf relations already shipped; first ownership is
+    ONE min-window keyed by gram (map-side combine does not apply to windows,
+    but the per-gram groups are bounded by document frequency — the same skew
+    class as docfreq, and a hot gram is one key among millions). The per-doc
+    rollup is one map-side-partial groupBy. No joins, no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_token_ngrams(tokens(F.col(text_col)), n))).alias(
+                "gram"
+            ),
+        )
+    )
+    w = Window.partitionBy("gram")
+    owned = grams.withColumn("first_owner", F.min("doc_id").over(w))
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (F.col("n_new").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )

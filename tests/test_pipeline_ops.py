@@ -606,3 +606,32 @@ def test_split_assign_guards(spark):
         split_assign(df, "k", [0.5, 0.5], ["only_one"])
     with _pytest.raises(ValueError, match="sum to 1"):
         split_assign(df, "k", [0.5, 0.4])
+
+
+def test_curriculum_order_round_robins_bins(spark):
+    from polars_order_book_spark.operators import sampling
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id LONG, score DOUBLE").repartition(7)
+    out = sampling.curriculum_order(df, "score", n_bins=10).collect()
+    assert len(out) == 100
+    by_key = sorted(out, key=lambda r: r["order_key"])
+    # each consecutive 10-window touches every bin exactly once
+    for w in range(10):
+        bins = sorted(r["bin"] for r in by_key[w * 10:(w + 1) * 10])
+        assert bins == list(range(10)), (w, bins)
+    # ntile bins are metric-ordered: bin 0 holds the 10 lowest scores
+    bin0 = sorted(r["doc_id"] for r in out if r["bin"] == 0)
+    assert bin0 == list(range(10))
+    # deterministic under repartitioning
+    again = sampling.curriculum_order(df.repartition(3), "score", n_bins=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_curriculum_order_guard(spark):
+    from polars_order_book_spark.operators import sampling
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id LONG, score DOUBLE")
+    with _pytest.raises(ValueError, match="n_bins"):
+        sampling.curriculum_order(df, "score", n_bins=0)

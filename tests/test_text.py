@@ -543,3 +543,70 @@ def test_apply_span_cuts_fully_duplicated_doc_becomes_empty(spark):
     for d in (1, 2):
         assert out[d]["clean_text"] == ""
         assert out[d]["n_removed"] == out[d]["n_tokens"] == 4
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    good = ("the data be sent to all of them and note that they have "
+            "worked with care " * 4)  # 64 words, all rules pass
+    rows = [
+        (1, good),
+        (2, "the of and " * 3),                              # too few words
+        (3, ("a " * 64) + "the of"),                         # mean word len < 3
+        (4, good.replace("care", "care###########")),        # hash ratio > 0.1
+        (5, "\n".join("• item the of" for _ in range(10)) + "\n" +
+            " ".join(["the", "of"] + ["word"] * 60)),        # >90% bullet lines... (11 lines, 10 bullets ≤ 0.9*11? craft below)
+        (6, good + " ".join(["..."] * 8)),                   # 8/72 ellipses > 0.1
+        (7, ("123 456 789 " * 22) + "the of and that"),      # alpha frac < 0.8
+        (8, " ".join(["apple banana cherry"] * 22)),         # no gopher stopwords
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+    assert out[1]["keep"] is True, out[1]
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_mean_word_len"] is False
+    assert out[4]["ok_symbol_ratio"] is False and out[4]["hash_ratio"] > 0.1
+    assert out[6]["ok_symbol_ratio"] is False  # '...' counted via replace-length
+    assert out[7]["ok_alpha_words"] is False and out[7]["alpha_word_frac"] < 0.8
+    assert out[8]["ok_stopwords"] is False and out[8]["n_stopword_hits"] == 0
+
+
+def test_gopher_rules_line_level_rules(spark):
+    bullets = "\n".join(f"• the item {i} of note" for i in range(10))
+    dots = "\n".join(f"the line {i} trails off..." for i in range(10))
+    filler = " ".join(["the", "of"] + ["word"] * 58)
+    rows = [(1, bullets + "\n" + filler),   # 10/11 bullet lines > 0.9
+            (2, dots + "\n" + filler)]      # 10/11 ellipsis lines > 0.3
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+    assert out[1]["ok_bullet_lines"] is False
+    assert out[1]["bullet_line_frac"] == 10.0 / 11.0
+    assert out[2]["ok_ellipsis_lines"] is False
+    assert out[2]["ellipsis_line_frac"] == 10.0 / 11.0
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    import pytest as _pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),       # 3 distinct trigrams, all new
+        (2, "alpha beta gamma delta epsilon"),        # exact copy: novelty 0
+        (3, "alpha beta gamma zeta eta theta iota"),  # shares 1 of 5 trigrams
+        (4, "one two"),                               # < n tokens: no row
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in text.ngram_novelty(df).collect()}
+    assert 4 not in out
+    assert out[1]["n_grams"] == 3 and out[1]["novelty"] == 1.0
+    assert out[2]["n_grams"] == 3 and out[2]["n_new"] == 0 and out[2]["novelty"] == 0.0
+    assert out[3]["n_grams"] == 5 and out[3]["n_new"] == 4
+    assert out[3]["novelty"] == 4.0 / 5.0
+    with _pytest.raises(ValueError, match="n must be"):
+        text.ngram_novelty(df, n=0)
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    # a doc repeating one trigram: counted once (distinct), still novel
+    df = spark.createDataFrame([(7, "x y z x y z x y z")], DOC_SCHEMA)
+    row = text.ngram_novelty(df).collect()[0]
+    # grams: "x y z","y z x","z x y" each appearing multiple times -> 3 distinct
+    assert row["n_grams"] == 3 and row["n_new"] == 3
