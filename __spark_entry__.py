@@ -3114,6 +3114,78 @@ FROM e GROUP BY cell, d
 """
 
 
+def _embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (k=8): iteration-1 centroids (exact decimal
+    means rounded at 1e-6) collect driver-side (k x dim scalars) and fold
+    into iteration 2 as literals; output is iteration 2's step relation.
+    The oracle replays the chain in SQL, so the hash check covers BOTH
+    iterations end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train(emb, k=8, n_iter=2)
+
+
+def _embeddings_kmeans_train_sql() -> str:
+    from polars_order_book_spark.operators.similarity import centroid_component
+
+    cents = [[centroid_component(c, j) for j in range(64)] for c in range(8)]
+
+    def clit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]"
+
+    def dist(c):
+        diff = f"list_transform(list_zip(v, {clit(c)}), x -> x[1] - x[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    dists = ",\n           ".join(dist(c) for c in cents)
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d1 AS (SELECT vec_id, v, [{dists}] AS ds FROM vecs),
+a1 AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d1),
+e1 AS (
+    SELECT a1.cell, gs.d, a1.v[gs.d + 1] AS x
+    FROM a1, (SELECT unnest(range(0, 64)) AS d) gs
+),
+c1 AS (
+    SELECT cell, d,
+           round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS centroid
+    FROM e1 GROUP BY cell, d
+),
+init AS (
+    SELECT c AS cell, j AS d,
+           (CAST(concat('0x', substr(md5(concat('ivf', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+            % 1000) / 1000.0 - 0.5 AS centroid
+    FROM range(0, 8) t(c), range(0, 64) u(j)
+),
+c1full AS (
+    SELECT i.cell, i.d, coalesce(c.centroid, i.centroid) AS centroid
+    FROM init i LEFT JOIN c1 c ON c.cell = i.cell AND c.d = i.d
+),
+c1v AS (SELECT cell, list(centroid ORDER BY d) AS cv FROM c1full GROUP BY cell),
+d2 AS (
+    SELECT n.vec_id, n.v, c.cell,
+           list_dot_product(list_transform(list_zip(n.v, c.cv), x -> x[1] - x[2]),
+                            list_transform(list_zip(n.v, c.cv), x -> x[1] - x[2])) AS dist
+    FROM vecs n CROSS JOIN c1v c
+),
+a2 AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2
+    ) WHERE rn = 1
+),
+e2 AS (
+    SELECT a2.cell, gs.d, a2.v[gs.d + 1] AS x
+    FROM a2, (SELECT unnest(range(0, 64)) AS d) gs
+)
+SELECT CAST(cell AS INT) AS cell, CAST(d AS INT) AS d,
+       round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS centroid,
+       count(*) AS n_members
+FROM e2 GROUP BY cell, d
+"""
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -4341,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_gopher_rules": _docs_gopher_rules,
         "documents_ngram_novelty": _docs_ngram_novelty,
         "documents_curriculum_order": _docs_curriculum_order,
+        "embeddings_kmeans_train": _embeddings_kmeans_train,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4563,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gopher_rules": DOCS_GOPHER_RULES_SQL,
         "documents_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
         "documents_curriculum_order": _docs_curriculum_order_sql(),
+        "embeddings_kmeans_train": _embeddings_kmeans_train_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

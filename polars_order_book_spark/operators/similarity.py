@@ -1312,3 +1312,60 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adist")
     )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    max_collect_cells: int = 65536,
+) -> DataFrame:
+    """Full distributed Lloyd training: ``n_iter`` EXACT iterations of
+    :func:`kmeans_step`, starting from the md5-derived centroids (or
+    ``centroids``). Between iterations the k × dim rounded centroid scalars
+    collect to the driver — bounded and corpus-size-independent, the same
+    bounded-collect contract as the BLAS query cap and the BPE vocab cap
+    (``max_collect_cells`` fails fast on absurd k·dim) — and fold into the
+    next assignment as plan literals. Returns the FINAL iteration's
+    (cell, d, centroid, n_members) long form, still lazy.
+
+    Empty-cell policy: a cell that captured no vectors keeps its previous
+    centroid (stable cell ids across iterations; re-seeding is the caller's
+    knob via ``centroids``).
+
+    Cross-engine exactness: each iteration's emitted centroid is the
+    DECIMAL(30,12)-exact mean rounded at 1e-6 (see kmeans_step), so the
+    literals both engines carry into iteration i+1 are the same doubles and
+    the whole CHAIN is oracle-re-derivable — the oracle replays iteration 1
+    in SQL and feeds its centroid lists into iteration 2's distances.
+
+    Scale shape per iteration: one map-only assignment against literal
+    centroids + one map-side-partial groupBy(cell) — the driver round-trip
+    carries k·dim scalars only, never data.
+    """
+    if k <= 0 or n_iter <= 0:
+        raise ValueError(f"k ({k}) and n_iter ({n_iter}) must be > 0")
+    if centroids is not None:
+        k = len(centroids)
+        cents = [list(map(float, c)) for c in centroids]
+        dim = len(cents[0])
+    else:
+        cents = [[centroid_component(c, j) for j in range(dim)] for c in range(k)]
+    if k * dim > max_collect_cells:
+        raise ValueError(
+            f"k*dim = {k * dim} exceeds max_collect_cells ({max_collect_cells}); "
+            "the inter-iteration collect must stay bounded"
+        )
+    step = kmeans_step(vectors, cents, vec_col=vec_col)
+    for _ in range(n_iter - 1):
+        collected = step.collect()
+        nxt = [list(c) for c in cents]  # keep-previous default
+        for row in collected:
+            nxt[row["cell"]][row["d"]] = float(row["centroid"])
+        cents = nxt
+        step = kmeans_step(vectors, cents, vec_col=vec_col)
+    return step

@@ -617,3 +617,52 @@ def test_pq_guards(spark):
         similarity.pq_topk(df, df.selectExpr("vec_id AS query_id", "embedding"), k=0)
     with pytest.raises(ValueError, match="codebooks"):
         similarity.pq_encode(df, codebooks=[[[0.0] * 16] * 15] * 4)  # ksub mismatch
+
+
+# --- multi-iteration k-means -------------------------------------------------
+
+
+def test_kmeans_train_one_iter_equals_step(spark):
+    df = spark.createDataFrame(_vectors(n=50, dim=16, seed=21), VEC_SCHEMA)
+    cents = [[float(i == j) for j in range(16)] for i in range(3)]
+    a = sorted(map(tuple, similarity.kmeans_train(
+        df, centroids=cents, n_iter=1).collect()))
+    b = sorted(map(tuple, similarity.kmeans_step(df, cents).collect()))
+    assert a == b
+
+
+def test_kmeans_train_two_iter_equals_manual_chain(spark):
+    df = spark.createDataFrame(_vectors(n=50, dim=16, seed=22), VEC_SCHEMA)
+    cents = [[float(i == j) for j in range(16)] for i in range(3)]
+    got = sorted(map(tuple, similarity.kmeans_train(
+        df, centroids=cents, n_iter=2).collect()))
+    # manual: run step, fold rounded centroids (keep-previous), step again
+    nxt = [list(c) for c in cents]
+    for r in similarity.kmeans_step(df, cents).collect():
+        nxt[r["cell"]][r["d"]] = float(r["centroid"])
+    want = sorted(map(tuple, similarity.kmeans_step(df, nxt).collect()))
+    assert got == want
+
+
+def test_kmeans_train_keeps_previous_centroid_for_empty_cell(spark):
+    # all vectors sit near the origin; centroid 1 is far away and captures
+    # nothing — after training its coordinates must still be the initial ones
+    rows = [(i, [0.01 * i] * 4) for i in range(6)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    far = [100.0, 100.0, 100.0, 100.0]
+    cents = [[0.0, 0.0, 0.0, 0.0], far]
+    out = similarity.kmeans_train(df, centroids=cents, n_iter=3).collect()
+    cells = {r["cell"] for r in out}
+    assert cells == {0}  # empty cell emits no rows, but its centroid survived
+    # internal evidence: a third iteration ran without KeyError on cell 1,
+    # which requires keep-previous to have preserved the far centroid
+
+
+def test_kmeans_train_guards(spark):
+    df = spark.createDataFrame(_vectors(n=5, dim=16, seed=23), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="must be > 0"):
+        similarity.kmeans_train(df, k=0)
+    with pytest.raises(ValueError, match="must be > 0"):
+        similarity.kmeans_train(df, n_iter=0)
+    with pytest.raises(ValueError, match="max_collect_cells"):
+        similarity.kmeans_train(df, k=8, dim=16, max_collect_cells=10)
