@@ -3939,6 +3939,70 @@ FROM pos
 """
 
 
+def _embeddings_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite: coarse cells prune the probe to an equi-join
+    (n_probe=2 of 8 cells), PQ codes score candidates by LUT lookups —
+    the production ANN serving shape, no cross product anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+
+
+EMBEDDINGS_PQ_IVF_TOPK_SQL = f"""
+WITH {_PQ_CW_SQL},
+cents AS (
+    SELECT c,
+           list_transform(range(0, 64), j ->
+               (CAST(concat('0x', substr(md5(concat('ivf', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS cv
+    FROM range(0, 8) t(c)
+),
+sims AS (
+    SELECT vec_id, c,
+           list_dot_product(vv, cv) / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS s
+    FROM allv CROSS JOIN cents
+),
+rankedc AS (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+),
+va AS (SELECT vec_id AS neighbor_id, c AS cell FROM rankedc WHERE rn <= 1),
+qa AS (SELECT vec_id AS query_id, c AS cell FROM rankedc WHERE rn <= 2 AND vec_id < 5),
+qlut AS (
+    SELECT q.vec_id AS query_id, w.s, w.c,
+           ((list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)],
+                              q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)])
+              - (2.0 * list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv)))
+             + list_dot_product(w.cv, w.cv)) AS score
+    FROM (SELECT vec_id, vv FROM allv WHERE vec_id < 5) q CROSS JOIN cw w
+),
+cand AS (
+    SELECT qa.query_id, va.neighbor_id
+    FROM qa JOIN va ON va.cell = qa.cell
+    WHERE va.neighbor_id <> qa.query_id
+),
+pairsub AS (
+    SELECT cd0.query_id, cd0.neighbor_id, l.s, l.score
+    FROM cand cd0
+    JOIN codes cd ON cd.vec_id = cd0.neighbor_id
+    JOIN qlut l ON l.query_id = cd0.query_id AND l.s = cd.sub AND l.c = cd.code
+),
+adists AS (
+    SELECT query_id, neighbor_id,
+           (((MAX(CASE WHEN s = 0 THEN score END) + MAX(CASE WHEN s = 1 THEN score END))
+              + MAX(CASE WHEN s = 2 THEN score END)) + MAX(CASE WHEN s = 3 THEN score END)) AS adist
+    FROM pairsub GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adists
+) WHERE rank <= 10
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -4414,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_ngram_novelty": _docs_ngram_novelty,
         "documents_curriculum_order": _docs_curriculum_order,
         "embeddings_kmeans_train": _embeddings_kmeans_train,
+        "embeddings_pq_ivf_topk": _embeddings_pq_ivf_topk,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4637,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
         "documents_curriculum_order": _docs_curriculum_order_sql(),
         "embeddings_kmeans_train": _embeddings_kmeans_train_sql(),
+        "embeddings_pq_ivf_topk": EMBEDDINGS_PQ_IVF_TOPK_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -1369,3 +1369,99 @@ def kmeans_train(
         cents = nxt
         step = kmeans_step(vectors, cents, vec_col=vec_col)
     return step
+
+
+def pq_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    cell_cap: int | None = 65536,
+) -> DataFrame:
+    """IVF-PQ: the production ANN serving shape — IVF's coarse quantizer
+    prunes the search to ``n_probe`` probed cells per query (an EQUI-join on
+    cell id, never a cross product), and within those cells candidates are
+    scored by PQ asymmetric distance over the m-code compressed index
+    (:func:`pq_topk`'s LUT lookups). Returns
+    (query_id, neighbor_id, rank, adist) ranked by adist ASC.
+
+    This variant quantizes the RAW vector per cell (IVF-Flat-PQ); classical
+    residual encoding (quantize v − centroid(cell), sharper at the same m)
+    is the production upgrade — it only changes which literals feed
+    :func:`_pq_code_exprs`, not the plan shape.
+
+    Scale shape (100 TB): the index relation carries (id, cell, m codes) —
+    ~3 small ints per vector; the probe join replicates each query to its
+    n_probe cells only (N·n_probe/n_cells expected candidates); ``cell_cap``
+    salt-splits hot inverted lists exactly like :func:`cosine_topk_ivf`.
+    Scoring is m element_at lookups per candidate. Nothing in the plan
+    touches raw vectors after the two map-only projections.
+
+    Cross-engine exactness: same pinned-associativity LUT/adist algebra as
+    :func:`pq_topk`; cell assignment reuses :func:`_cell_assignment`'s
+    argmax-by-(sim desc, cell) contract.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m ({m}) must be positive and divide dim ({dim})")
+    if n_probe <= 0 or n_probe > n_cells:
+        raise ValueError(f"n_probe ({n_probe}) must be in [1, n_cells ({n_cells})]")
+    subdim = dim // m
+    v = _sql_as_double(vec_col)
+    code_exprs = _pq_code_exprs(v, m, ksub, dim, None)
+    va = _cell_assignment(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
+        "neighbor_id", n_cells, dim, 1, None,
+    )
+    codes = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.expr(e).alias(f"code_{s}") for s, e in enumerate(code_exprs)],
+    ).join(va, on="neighbor_id")
+    qa = _cell_assignment(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
+        "query_id", n_cells, dim, n_probe, None,
+    )
+    lut_cols = []
+    for s in range(m):
+        qs = f"slice({v}, {s * subdim + 1}, {subdim})"
+        entries = []
+        for c in range(ksub):
+            cl = _sql_const_array(
+                pq_codeword_component(s, c, j) for j in range(subdim)
+            )
+            entries.append(
+                f"(({_sql_dot(qs, qs)} - (2.0D * {_sql_dot(qs, cl)})) + {_sql_dot(cl, cl)})"
+            )
+        lut_cols.append(F.expr(f"array({','.join(entries)})").alias(f"lut_{s}"))
+    luts = queries.select(
+        F.col(query_id_col).alias("query_id"), *lut_cols
+    ).join(qa, on="query_id")
+    if cell_cap:
+        from polars_order_book_spark.functions.skew import salted_probe_join
+
+        paired = salted_probe_join(codes, luts, ["cell"], "neighbor_id", cell_cap)
+    else:
+        paired = codes.join(luts, on="cell")
+    adist = "(" * (m - 1) + " + ".join(
+        f"element_at(lut_{s}, code_{s} + 1)" + (")" if s > 0 else "")
+        for s in range(m)
+    )
+    sim = (
+        paired.where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(adist).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "adist")
+    )

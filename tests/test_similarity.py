@@ -666,3 +666,36 @@ def test_kmeans_train_guards(spark):
         similarity.kmeans_train(df, n_iter=0)
     with pytest.raises(ValueError, match="max_collect_cells"):
         similarity.kmeans_train(df, k=8, dim=16, max_collect_cells=10)
+
+
+def test_pq_ivf_topk_scores_match_pq_topk_on_shared_pairs(spark):
+    """IVF pruning changes WHICH candidates are scored, never HOW: every
+    (query, neighbor) the composite returns must carry exactly the adist the
+    unpruned ADC scan assigns to that pair."""
+    rows = _vectors(n=120, dim=64, seed=31)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {(r["query_id"], r["neighbor_id"]): r["adist"]
+            for r in similarity.pq_topk(df, q, k=120).collect()}
+    ivf = similarity.pq_ivf_topk(df, q, k=10, n_cells=8, n_probe=2).collect()
+    assert ivf, "probed cells produced no candidates"
+    per_query = {}
+    for r in ivf:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adist"]
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+
+
+def test_pq_ivf_topk_guards(spark):
+    df = spark.createDataFrame(_vectors(n=5, dim=64), VEC_SCHEMA)
+    q = df.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.pq_ivf_topk(df, q, n_probe=0)
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.pq_ivf_topk(df, q, n_cells=4, n_probe=5)
+    with pytest.raises(ValueError, match="divide"):
+        similarity.pq_ivf_topk(df, q, m=7)
