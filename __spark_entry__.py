@@ -2804,6 +2804,15 @@ FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 """
 
 
+def _ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ composite against exact brute-force cosine —
+    the eval loop for the compressed index: tune m/ksub/n_probe until this
+    clears the bar, then ship the 128x-smaller scan."""
+    return similarity.topk_recall(
+        _embeddings_pq_ivf_topk(spark, sf_dir), _ann_bruteforce(spark, sf_dir)
+    )
+
+
 def _docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration as a relational query: char-level
     adjacent-pair counts (end-of-word sentinel) weighted by exact word
@@ -4003,6 +4012,22 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
 """
 
 
+ANN_RECALL_PQ_SQL = f"""
+WITH approx AS ({EMBEDDINGS_PQ_IVF_TOPK_SQL}),
+exact AS ({ANN_SQL}),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
 def _docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test labels in one map-only pass —
     membership is a pure function of doc_id (portable hash), so re-sharding
@@ -4346,6 +4371,18 @@ _R6_HEAD = [
     "embeddings_semdedup_incremental",
     "text_apply_span_cuts",
     "embeddings_random_projection",
+    # (2c) never sampled: new in the r6 third session (product quantization
+    # family, IVF-PQ composite, PQ recall eval, two-iteration Lloyd training,
+    # Gopher rules, n-gram novelty, curriculum interleave) — displace eight
+    # more r1-r3 multi-green entries to the tail per the rotation policy
+    "embeddings_pq_codes",
+    "embeddings_pq_topk",
+    "embeddings_pq_ivf_topk",
+    "ann_recall_pq",
+    "embeddings_kmeans_train",
+    "documents_gopher_rules",
+    "documents_ngram_novelty",
+    "documents_curriculum_order",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -4374,19 +4411,14 @@ _R6_HEAD = [
     "text_fingerprint",
     "text_lang_id",
     "ob_conversion_top2",
-    "ob_updates_top3",
-    "ob_stream_keyed_mutations_top2",
-    "ob_relational_mutations_top2",
-    "events_hourly_pivot",
-    "orders_rolling_revenue",
-    "events_value_quantiles_approx",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # (dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
+    # (ob_updates_top3, ob_stream_keyed_mutations_top2,
+    # ob_relational_mutations_top2, events_hourly_pivot,
+    # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
+    # dedup_minhash_lsh — r1-r3 multi-green — fell to the tail for the eight
+    # new session-3 entries, joining the ten session-2 displacements:
+    # dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
     # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk,
-    # text_docfreq_score, documents_budget_pack, dedup_ngram_jaccard —
-    # r1-r3 multi-green — fell to the tail for the ten new session-2
-    # entries)
+    # text_docfreq_score, documents_budget_pack, dedup_ngram_jaccard)
 ]
 
 
@@ -4479,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_curriculum_order": _docs_curriculum_order,
         "embeddings_kmeans_train": _embeddings_kmeans_train,
         "embeddings_pq_ivf_topk": _embeddings_pq_ivf_topk,
+        "ann_recall_pq": _ann_recall_pq,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4703,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_curriculum_order": _docs_curriculum_order_sql(),
         "embeddings_kmeans_train": _embeddings_kmeans_train_sql(),
         "embeddings_pq_ivf_topk": EMBEDDINGS_PQ_IVF_TOPK_SQL,
+        "ann_recall_pq": ANN_RECALL_PQ_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -100,6 +100,17 @@ def main() -> None:
         "embeddings_semdedup",
         "embeddings_knn_graph",
         "documents_lm_score",
+        # r6 session-3 additions: IVF-PQ composite (equi-join probe over the
+        # compressed code index), two-iteration Lloyd training, Gopher rules
+        # (map-only), corpus n-gram novelty (min-window by gram), and the
+        # curriculum interleave (two windows). embeddings_pq_codes /
+        # embeddings_pq_topk / ann_recall_pq are registry-only: the composite
+        # exercises their plans plus the cell join.
+        "embeddings_pq_ivf_topk",
+        "embeddings_kmeans_train",
+        "documents_gopher_rules",
+        "documents_ngram_novelty",
+        "documents_curriculum_order",
     ]
     qs = E.queries()
 

@@ -142,6 +142,9 @@ _BNLJ_WHITELIST = {
     # inherits ann_cosine_topk's whitelisted broadcast-query cross join on
     # its exact (denominator) side; the approx side stays bucketed
     "ann_recall_lsh",
+    # same shape: exact (denominator) side is ann_cosine_topk's whitelisted
+    # broadcast-query cross join; the IVF-PQ approx side is all equi-joins
+    "ann_recall_pq",
     # 1-row distinct-user-total normalizer crossed against the pattern
     # aggregate (the orders_quality_report pattern)
     "events_pattern_3grams",

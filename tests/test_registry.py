@@ -154,22 +154,27 @@ DEMOTED_TAIL = {
     "dedup_components_star",
     "events_hourly",
     "ob_updates_top1",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "part_categorize",
-    # r6 session 2: displaced from the head for the five new never-sampled
-    # entries (semdedup / split / lm / knn graph / ann stream); all carry
-    # r1-r3 multi-green driver rows
+    "ob_updates_top3",
+    "ob_stream_keyed_mutations_top2",
+    "ob_relational_mutations_top2",
+    "events_hourly_pivot",
+    "orders_rolling_revenue",
+    "events_value_quantiles_approx",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "documents_budget_pack",
+    "text_docfreq_score",
+    "text_redact_pii",
+    "ann_cosine_topk",
     "dedup_embedding",
     "text_quality",
     "ob_mutations_top2",
     "ob_modify_top2",
     "ob_keyed_mutations_top2",
-    "text_redact_pii",
-    "ann_cosine_topk",
-    "text_docfreq_score",
-    "documents_budget_pack",
-    "dedup_ngram_jaccard",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "part_categorize",
 }
 
 
