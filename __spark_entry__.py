@@ -28,6 +28,7 @@ from polars_order_book_spark import (
 )
 from polars_order_book_spark.functions import conversion as conv
 from polars_order_book_spark.operators import (
+    classifier as clf,
     dedup,
     multimodal,
     ranges,
@@ -3948,6 +3949,101 @@ FROM pos
 """
 
 
+def _classifier_chain_sql(dim: int = 16, n_iter: int = 2, lr: float = 0.5) -> str:
+    """DuckDB replay of the classifier's exact integer-micros training chain
+    (operators/classifier.py): presence features + bias, weak label
+    lang='en'. Iteration 1 from zero weights has sigmoid(0)=0.5 exactly;
+    later iterations quantize the sigmoid error to micros before any sum,
+    so every CTE is integer arithmetic."""
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("tok")
+    d1 = dim + 1
+    ctes = [
+        "tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+        r"'\s+')) AS tok FROM documents)",
+        f"f0 AS (SELECT doc_id, CAST({h} % {dim} AS INT) AS j, CAST(1 AS BIGINT) AS x"
+        " FROM tok WHERE tok <> '' GROUP BY doc_id, j)",
+        f"feats AS (SELECT * FROM f0 UNION ALL SELECT doc_id, CAST({dim} AS INT) AS j,"
+        " CAST(1 AS BIGINT) AS x FROM documents)",
+        "labels AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels)",
+        f"idx AS (SELECT CAST(unnest(range(0,{d1})) AS INT) AS j)",
+        "w0 AS (SELECT j, CAST(0 AS BIGINT) AS w_m FROM idx)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"w{i - 1}"
+        if i == 1:
+            ctes.append(
+                "err1 AS (SELECT doc_id, CAST(FLOOR((0.5 - y)*1000000 + 0.5)"
+                " AS BIGINT) AS err_m FROM labels)"
+            )
+        else:
+            ctes.append(
+                f"m{i} AS (SELECT f.doc_id, sum(f.x*{prev}.w_m) AS mm"
+                f" FROM feats f JOIN {prev} USING (j) GROUP BY f.doc_id)"
+            )
+            ctes.append(
+                f"err{i} AS (SELECT m{i}.doc_id,"
+                " CAST(FLOOR((1.0/(1.0+exp(-(mm/1000000.0))) - y)*1000000 + 0.5)"
+                f" AS BIGINT) AS err_m FROM m{i} JOIN labels USING (doc_id))"
+            )
+        ctes.append(
+            f"g{i} AS (SELECT f.j, CAST(FLOOR(sum(f.x*e.err_m)/(SELECT n FROM nn)"
+            f" + 0.5) AS BIGINT) AS gm FROM feats f JOIN err{i} e USING (doc_id)"
+            " GROUP BY f.j)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT idx.j, CAST({prev}.w_m - FLOOR({lr!r}*coalesce(gm,0)+0.5)"
+            f" AS BIGINT) AS w_m FROM idx LEFT JOIN g{i} USING (j)"
+            f" JOIN {prev} ON {prev}.j = idx.j)"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _docs_with_weak_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+
+
+def _docs_classifier_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact full-batch logistic-regression gradient step from zero
+    weights over hashed presence features (operators/classifier.py): the
+    whole chain is integer micros, so the DuckDB oracle replays it
+    bit-for-bit. Weak label: lang='en' (the distillation shape — rule in,
+    model out)."""
+    return clf.logreg_train(
+        _docs_with_weak_label(spark, sf_dir), n_iter=1, dim=16, lr=0.5
+    )
+
+
+def _docs_classifier_step_sql() -> str:
+    return _classifier_chain_sql(dim=16, n_iter=1) + """
+SELECT idx.j, CAST(coalesce(gm,0) AS BIGINT) AS grad_micro, w1.w_m AS w_next_micro
+FROM idx LEFT JOIN g1 USING (j) JOIN w1 ON w1.j = idx.j
+"""
+
+
+def _docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 2 exact iterations (weights collect driver-side — dim+1
+    integers, the kmeans_train bounded-collect contract) then score every
+    document: (doc_id, score_micro, pred). The oracle replays BOTH
+    iterations and the scoring pass, so the hash check covers train+apply
+    end-to-end."""
+    docs = _docs_with_weak_label(spark, sf_dir)
+    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5)
+    return clf.logreg_score(docs, clf.collect_weights(step, 16))
+
+
+def _docs_classifier_score_sql() -> str:
+    return _classifier_chain_sql(dim=16, n_iter=2) + """,
+m3 AS (SELECT f.doc_id, sum(f.x*w2.w_m) AS mm FROM feats f JOIN w2 USING (j) GROUP BY f.doc_id),
+sc AS (SELECT doc_id, CAST(FLOOR((1.0/(1.0+exp(-(mm/1000000.0))))*1000000 + 0.5) AS BIGINT) AS score_micro FROM m3)
+SELECT doc_id, score_micro, CAST(score_micro >= 500000 AS INT) AS pred FROM sc
+"""
+
+
 def _embeddings_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite: coarse cells prune the probe to an equi-join
     (n_probe=2 of 8 cells), PQ codes score candidates by LUT lookups —
@@ -4512,6 +4608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans_train": _embeddings_kmeans_train,
         "embeddings_pq_ivf_topk": _embeddings_pq_ivf_topk,
         "ann_recall_pq": _ann_recall_pq,
+        "documents_classifier_step": _docs_classifier_step,
+        "documents_classifier_score": _docs_classifier_score,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4737,6 +4835,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans_train": _embeddings_kmeans_train_sql(),
         "embeddings_pq_ivf_topk": EMBEDDINGS_PQ_IVF_TOPK_SQL,
         "ann_recall_pq": ANN_RECALL_PQ_SQL,
+        "documents_classifier_step": _docs_classifier_step_sql(),
+        "documents_classifier_score": _docs_classifier_score_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

@@ -1,0 +1,238 @@
+"""Trainable quality classifier: logistic regression over hashed text features.
+
+The curation step every large corpus pipeline ends with (GPT-3's WebText-vs-
+CommonCrawl LR filter, CCNet, Llama's "quality classifier"): learn a linear
+model from weak labels (a heuristic rule, a trusted-domain flag) and score
+every document with it. The reference engine has no model ops at all, so this
+is pure host-value-add alongside k-means training (similarity.kmeans_train):
+the "train" half is bounded driver iterations over an exact distributed
+gradient, the "apply" half is a map-shaped scoring pass.
+
+Feature space — the hashing trick (same portable md5-derived hash64 as
+hash_embed): token t lands in bucket hash64(t) % dim with value = its count
+in the doc, plus a constant bias feature at index ``dim``. Long-form
+(id, j, x) keeps the footprint docs × distinct-buckets, never docs × dim.
+
+Cross-engine exactness — the ENTIRE chain is integer arithmetic in micros
+(the bigram-LM / BM25 discipline), so a DuckDB oracle replays every
+iteration bit-for-bit:
+
+* weights are BIGINT micros; margin_micro = Σ x·w_m is an exact BIGINT sum
+  (order-independent — no double accumulation anywhere);
+* p = 1/(1+exp(-margin_micro/1e6)) is the only float op, and it is quantized
+  immediately: err_m = floor((p − y)·1e6 + 0.5);
+* gradient numerator Σ x·err_m is again exact BIGINT; the per-example mean
+  and the lr-scaled update re-quantize with the same floor(+0.5) rule.
+
+Scale shape (100 TB): features are one explode + one groupBy(id, j) with
+map-side partial counts; each iteration is one broadcast join against the
+(dim+1)-row weight relation, one groupBy(id) margin sum, one co-keyed join
+back, and one groupBy(j) into dim+1 rows. The driver round-trip between
+iterations carries dim+1 integers — corpus-size-independent, the same
+bounded-collect contract as kmeans_train / BLAS / BPE. Scoring is the first
+half only (no gradient), one output row per doc.
+
+Contract note: the operator's guarantees are exactness and the scale shape;
+CONVERGENCE is the caller's hyperparameter problem, as with any full-batch
+GD. On a linearly separable concept the chain drives training accuracy to
+1.0 (pinned by tests/test_classifier.py's separable-corpus test); on the
+driver's synthetic corpus — all five langs share one 31-word vocabulary, so
+docs are near-collinear in bag-of-words space — no linear model separates
+well, and the registered queries verify the CHAIN (exact gradients, exact
+updates, exact scores), not a model-quality claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.functions.hashing import hash64
+from polars_order_book_spark.operators.text import tokens
+
+MICRO = 1_000_000
+
+
+def doc_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    feature: str = "presence",
+) -> DataFrame:
+    """Long-form hashed bag-of-words: (id, j, x) for bucket
+    j = hash64(token) % dim, plus the bias feature (j = dim, x = 1) for
+    every row of ``df``. ``feature='presence'`` (default) emits x = 1 per
+    occupied bucket — bounded margins regardless of doc length;
+    ``feature='count'`` emits the exact token count. Both are exact
+    integers, deterministic across engines; absent buckets have no row
+    (long form never materializes docs × dim)."""
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0, got {dim}")
+    if feature not in ("presence", "count"):
+        raise ValueError(f"feature must be 'presence' or 'count', got {feature!r}")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).where(F.col("_tok") != "")
+    counts = (
+        toks.select(id_col, F.pmod(hash64(F.col("_tok")), F.lit(dim)).cast("int").alias("j"))
+        .groupBy(id_col, "j")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            id_col,
+            "j",
+            (F.lit(1).cast("long") if feature == "presence" else F.col("_c")).alias("x"),
+        )
+    )
+    bias = df.select(
+        F.col(id_col), F.lit(dim).cast("int").alias("j"), F.lit(1).cast("long").alias("x")
+    )
+    return counts.unionByName(bias)
+
+
+def _weights_df(spark: SparkSession, weights_micro: list[int]) -> DataFrame:
+    rows = [(j, int(w)) for j, w in enumerate(weights_micro)]
+    return spark.createDataFrame(rows, "j int, w_m long")
+
+
+def _margins(feats: DataFrame, wdf: DataFrame, id_col: str) -> DataFrame:
+    """(id, p) — sigmoid of the exact integer-micros margin."""
+    m = (
+        feats.join(F.broadcast(wdf), "j")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w_m")).alias("_mm"))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_mm") / F.lit(float(MICRO)))))
+    return m.select(F.col(id_col), p.alias("p"))
+
+
+def logreg_step(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights_micro: list[int],
+    *,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One exact full-batch gradient-descent step from integer-micros
+    weights. ``labels`` is (id, y∈{0,1}). Returns one row per feature index:
+    (j, grad_micro, w_next_micro) with
+
+        err_m   = floor((sigmoid(margin) − y)·1e6 + 0.5)          per doc
+        grad_m  = floor(Σ x·err_m / N + 0.5)                      per j
+        w_next  = w_m − floor(lr·grad_m + 0.5)
+
+    Buckets no document hashes into keep grad_micro = 0 (the weight relation
+    is the left side, so the output always has exactly dim+1 rows).
+    """
+    spark = feats.sparkSession
+    wdf = _weights_df(spark, weights_micro)
+    n = labels.count()
+    if n == 0:
+        raise ValueError("labels is empty; cannot take a gradient step")
+    err = (
+        _margins(feats, wdf, id_col)
+        .join(labels, id_col)
+        .select(
+            F.col(id_col),
+            F.floor((F.col("p") - F.col("y")) * MICRO + F.lit(0.5))
+            .cast("long")
+            .alias("err_m"),
+        )
+    )
+    grad = (
+        feats.join(err, id_col)
+        .groupBy("j")
+        .agg(F.sum(F.col("x") * F.col("err_m")).alias("_gsum"))
+        .select(
+            "j",
+            F.floor(F.col("_gsum") / F.lit(float(n)) + F.lit(0.5))
+            .cast("long")
+            .alias("grad_micro"),
+        )
+    )
+    return (
+        wdf.join(grad, "j", "left")
+        .select(
+            "j",
+            F.coalesce(F.col("grad_micro"), F.lit(0).cast("long")).alias("grad_micro"),
+            (
+                F.col("w_m")
+                - F.floor(
+                    F.lit(lr) * F.coalesce(F.col("grad_micro"), F.lit(0)) + F.lit(0.5)
+                ).cast("long")
+            ).alias("w_next_micro"),
+        )
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    dim: int = 16,
+    n_iter: int = 2,
+    lr: float = 0.5,
+    feature: str = "presence",
+    max_collect_weights: int = 65536,
+) -> DataFrame:
+    """``n_iter`` exact gradient steps from zero weights. Between iterations
+    the dim+1 integer weights collect driver-side (bounded, fails fast past
+    ``max_collect_weights``) and fold into the next step as literals — the
+    kmeans_train contract, so the whole chain is oracle-re-derivable.
+    Returns the FINAL step's (j, grad_micro, w_next_micro), still lazy."""
+    if n_iter <= 0:
+        raise ValueError(f"n_iter must be > 0, got {n_iter}")
+    if dim + 1 > max_collect_weights:
+        raise ValueError(
+            f"dim+1 = {dim + 1} exceeds max_collect_weights ({max_collect_weights}); "
+            "the inter-iteration collect must stay bounded"
+        )
+    feats = doc_features(df, text_col=text_col, id_col=id_col, dim=dim, feature=feature)
+    labels = df.select(F.col(id_col), F.col(label_col).cast("int").alias("y"))
+    w = [0] * (dim + 1)
+    step = logreg_step(feats, labels, w, lr=lr, id_col=id_col)
+    for _ in range(n_iter - 1):
+        w_next = {r["j"]: r["w_next_micro"] for r in step.collect()}
+        w = [w_next.get(j, w[j]) for j in range(dim + 1)]
+        step = logreg_step(feats, labels, w, lr=lr, id_col=id_col)
+    return step
+
+
+def collect_weights(step: DataFrame, dim: int) -> list[int]:
+    """Materialize a step relation's w_next_micro into the dim+1 literal list
+    logreg_score takes (bounded: dim+1 rows by construction)."""
+    got = {r["j"]: r["w_next_micro"] for r in step.collect()}
+    return [got.get(j, 0) for j in range(dim + 1)]
+
+
+def logreg_score(
+    df: DataFrame,
+    weights_micro: list[int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    feature: str = "presence",
+) -> DataFrame:
+    """Score every document with integer-micros weights: (id, score_micro,
+    pred). score_micro = floor(sigmoid(margin)·1e6 + 0.5); pred = 1 iff
+    score_micro ≥ floor(threshold·1e6 + 0.5) — an integer compare, so the
+    decision boundary is engine-independent. Docs are never dropped (the
+    bias feature guarantees every doc has a margin row)."""
+    dim = len(weights_micro) - 1
+    feats = doc_features(df, text_col=text_col, id_col=id_col, dim=dim, feature=feature)
+    wdf = _weights_df(df.sparkSession, weights_micro)
+    thr = int(threshold * MICRO + 0.5)
+    scored = _margins(feats, wdf, id_col).select(
+        F.col(id_col),
+        F.floor(F.col("p") * MICRO + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+    return scored.select(
+        id_col,
+        "score_micro",
+        (F.col("score_micro") >= F.lit(thr)).cast("int").alias("pred"),
+    )
