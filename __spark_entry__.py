@@ -1452,6 +1452,58 @@ FROM best
 """
 
 
+def _ob_book_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Book state sampled at arbitrary as-of times — the 'what did the book
+    look like at 10:30:00.000?' query every tick store serves. Composes the
+    keyed mutations fold's per-event snapshots with operators/asof.asof_join:
+    per book, a 20-point evenly spaced seq grid (derived from that book's own
+    min/max seq, so the grid is data-defined and engine-independent) pulls
+    the latest snapshot at-or-before each sample point. The grid build is
+    equi-join-free (explode over the per-book bounds row); the as-of fill is
+    one shuffle+sort keyed by book. Output: 7 books x 20 samples, constant in
+    SF."""
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=2).select(
+        "book", "seq", *snapshot_columns(2)
+    )
+    grid = (
+        stream.groupBy("book")
+        .agg(F.min("seq").alias("_lo"), F.max("seq").alias("_hi"))
+        .select("book", "_lo", "_hi", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("_k"))
+        .select(
+            "book",
+            (F.col("_lo") + F.floor(F.col("_k") * (F.col("_hi") - F.col("_lo")) / F.lit(19.0)))
+            .cast("long")
+            .alias("seq"),
+        )
+        .distinct()
+    )
+    from polars_order_book_spark.operators.asof import asof_join
+
+    return asof_join(grid, snaps, on="seq", by=["book"])
+
+
+def _ob_book_asof_sql() -> str:
+    inner = bs.oracle_book_sql(bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book")
+    snap_cols = ", ".join(
+        f"s.{c}" for i in (1, 2)
+        for c in (f"bid_price_{i}", f"bid_qty_{i}", f"ask_price_{i}", f"ask_qty_{i}")
+    )
+    return f"""
+WITH snaps AS ({inner}),
+bounds AS (
+    SELECT book, min(seq) AS lo, max(seq) AS hi
+    FROM ({bs.KEYED_MUTATIONS_STREAM_SQL}) GROUP BY book
+),
+grid AS (
+    SELECT DISTINCT book, CAST(lo + floor(k * (hi - lo) / 19.0) AS BIGINT) AS seq
+    FROM bounds, range(0, 20) t(k)
+)
+SELECT g.book, g.seq, {snap_cols}
+FROM grid g ASOF LEFT JOIN snaps s ON g.book = s.book AND g.seq >= s.seq
+"""
+
+
 def _ob_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-book VWAP per 500-seq bucket over the keyed mutations stream —
     exact BIGINT price*qty / qty sums, one map-side-partial groupBy."""
@@ -4610,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": _ann_recall_pq,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
+        "ob_book_asof": _ob_book_asof,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4837,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_pq": ANN_RECALL_PQ_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
+        "ob_book_asof": _ob_book_asof_sql(),
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

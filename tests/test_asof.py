@@ -150,3 +150,43 @@ def test_asof_null_on_and_null_by_never_match(spark):
         assert got["nullt"] is None   # null `on` matches nothing
         assert got["nullk"] is None   # null `by` matches nothing
         assert got["ok"] == (1.0 if direction == "backward" else None)
+
+
+def test_book_asof_sampling_matches_fold_at_event_seqs(spark):
+    """ob_book_asof composition: sampling the book at an EXACT event seq must
+    equal that event's fold snapshot, and between events it must equal the
+    most recent snapshot (step function, no interpolation)."""
+    from polars_order_book_spark import top_n_levels_from_price_mutations, snapshot_columns
+
+    rows = [
+        # book 0: two bids then an ask
+        (0, 10, True, 100, 5),
+        (0, 20, True, 101, 3),
+        (0, 40, False, 105, 2),
+        # book 1: single level built in two steps
+        (1, 15, True, 50, 1),
+        (1, 35, True, 50, 4),
+    ]
+    stream = spark.createDataFrame(
+        rows, "book int, seq long, is_bid boolean, price long, qty long"
+    )
+    snaps = top_n_levels_from_price_mutations(stream, by=["book"], n=1).select(
+        "book", "seq", *snapshot_columns(1)
+    )
+    grid = spark.createDataFrame(
+        [(0, 20), (0, 30), (0, 39), (0, 40), (1, 15), (1, 34), (1, 99)],
+        "book int, seq long",
+    )
+    from polars_order_book_spark.operators.asof import asof_join
+
+    got = {
+        (r["book"], r["seq"]): (r["bid_price_1"], r["bid_qty_1"], r["ask_price_1"], r["ask_qty_1"])
+        for r in asof_join(grid, snaps, on="seq", by=["book"]).collect()
+    }
+    assert got[(0, 20)] == (101, 3, None, None)   # exact event seq
+    assert got[(0, 30)] == (101, 3, None, None)   # between events: step holds
+    assert got[(0, 39)] == (101, 3, None, None)
+    assert got[(0, 40)] == (101, 3, 105, 2)       # ask arrives exactly at 40
+    assert got[(1, 15)] == (50, 1, None, None)
+    assert got[(1, 34)] == (50, 1, None, None)
+    assert got[(1, 99)] == (50, 5, None, None)    # qty 1+4 after second add
