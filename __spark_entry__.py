@@ -4663,6 +4663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
+        "events_anomaly_mad": hq.events_anomaly_mad,
+        "documents_char_entropy": hq.documents_char_entropy,
+        "documents_quality_correlation": hq.documents_quality_correlation,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -4891,6 +4894,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),
+        "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
+        "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
+        "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),

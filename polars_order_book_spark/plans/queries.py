@@ -2053,6 +2053,187 @@ FROM scored WHERE abs(zscore) > 3.0
 """
 
 
+# --- median/MAD robust outliers ----------------------------------------------
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type: |value − median| > 3·1.4826·MAD —
+    the median/MAD gate survives the heavy tails that wreck mean/std
+    (one 1e9 glitch print shifts a mean forever; it moves a median one
+    rank). Two grouped exact medians (Spark percentile() ≡ DuckDB
+    quantile_cont, verified bit-identical by events_value_quantiles) with
+    the tiny per-type stats broadcast back — the fact table shuffles only
+    for the two groupBys, both map-side partial on the low-cardinality
+    type key. (At 100 TB swap approx_percentile in and drop the oracle to
+    a tolerance check — the events_value_quantiles note applies.)"""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(_ad, 0.5D)").alias("mad"))
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", "med", "mad", rz.alias("robust_z"))
+        .where(F.abs(F.col("robust_z")) > 3.0)
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+       (d.value - d.med) / (1.4826 * m.mad) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.0
+"""
+
+
+# --- per-document character entropy -------------------------------------------
+
+def documents_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    classic gibberish/boilerplate signal (near-zero = one repeated char,
+    high = uniform noise; prose sits in a narrow band). H = ln(n) −
+    (Σ c·ln c)/n over per-char counts, so every ln argument is an exact
+    integer and the one float expression quantizes to micros immediately.
+    One explode + two keyed groupBys, all map-side partial; the char
+    relation is ≤ alphabet-sized per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("_ch")
+    ).where(F.col("_ch") != "")
+    counts = chars.groupBy("doc_id", "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_chars_counted"),
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias("_clnc"),
+    )
+    h = F.log(F.col("n_chars_counted").cast("double")) - F.col("_clnc") / F.col(
+        "n_chars_counted"
+    ).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        F.floor(h * 1_000_000 + F.lit(0.5)).cast("long").alias("entropy_micro"),
+    )
+
+
+DOCS_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+           sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted,
+       CAST(FLOOR((ln(CAST(n_chars_counted AS DOUBLE))
+                   - clnc / CAST(n_chars_counted AS DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS entropy_micro
+FROM per_doc
+"""
+
+
+# --- Spearman correlation of quality signals ----------------------------------
+
+def documents_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two quality signals (chars vs
+    tokens) per language — the 'are my filters redundant?' diagnostic run
+    before stacking curation rules. Fractional average ranks handle ties
+    exactly (rank + (ties−1)/2, pure integers over one window pass per
+    signal); the Pearson step runs on ranks via exact integer sums
+    (Σr, Σr², Σr₁r₂ over BIGINTs — no streaming covariance), so the only
+    float is the final ratio, quantized to micros. Two rank windows + one
+    groupBy, all keyed by lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    from polars_order_book_spark.operators.text import token_count
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("_x"),
+        token_count(F.col("text")).cast("long").alias("_y"),
+    )
+    ranked = base
+    for col in ("_x", "_y"):
+        w = Window.partitionBy("lang").orderBy(col)
+        # average rank in HALF-units so it stays an exact integer:
+        # 2*avg_rank = 2*rank + (ties-1)
+        ranked = ranked.withColumn(
+            f"{col}r2",
+            (
+                F.lit(2) * F.rank().over(w)
+                + F.count(F.lit(1)).over(Window.partitionBy("lang", col))
+                - F.lit(1)
+            ).cast("long"),
+        )
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_xr2").alias("_sx"),
+        F.sum("_yr2").alias("_sy"),
+        F.sum(F.col("_xr2") * F.col("_xr2")).alias("_sxx"),
+        F.sum(F.col("_yr2") * F.col("_yr2")).alias("_syy"),
+        F.sum(F.col("_xr2") * F.col("_yr2")).alias("_sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    cov = F.col("_sxy").cast("double") - F.col("_sx").cast("double") * F.col("_sy").cast("double") / n
+    vx = F.col("_sxx").cast("double") - F.col("_sx").cast("double") * F.col("_sx").cast("double") / n
+    vy = F.col("_syy").cast("double") - F.col("_sy").cast("double") * F.col("_sy").cast("double") / n
+    rho = cov / F.sqrt(vx * vy)
+    return agg.where((vx > 0) & (vy > 0)).select(
+        "lang",
+        "n_docs",
+        F.floor(rho * 1_000_000 + F.lit(0.5)).cast("long").alias("spearman_micro"),
+    )
+
+
+DOCS_QUALITY_CORR_SQL = r"""
+WITH base AS (
+    SELECT doc_id, lang, n_chars AS x,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS y
+    FROM documents
+),
+ranked AS (
+    SELECT lang,
+           CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+                + count(*) OVER (PARTITION BY lang, x) - 1 AS BIGINT) AS xr2,
+           CAST(2 * rank() OVER (PARTITION BY lang ORDER BY y)
+                + count(*) OVER (PARTITION BY lang, y) - 1 AS BIGINT) AS yr2
+    FROM base
+),
+agg AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(xr2) AS BIGINT) AS sx, CAST(sum(yr2) AS BIGINT) AS sy,
+           CAST(sum(xr2*xr2) AS BIGINT) AS sxx, CAST(sum(yr2*yr2) AS BIGINT) AS syy,
+           CAST(sum(xr2*yr2) AS BIGINT) AS sxy
+    FROM ranked GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(FLOOR(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n_docs AS DOUBLE))
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n_docs AS DOUBLE))
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n_docs AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS spearman_micro
+FROM agg
+WHERE (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n_docs AS DOUBLE)) > 0
+  AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n_docs AS DOUBLE)) > 0
+"""
+
+
 # --- daily gap-fill + linear interpolation -----------------------------------
 
 def events_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
