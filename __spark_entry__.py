@@ -1504,6 +1504,76 @@ FROM grid g ASOF LEFT JOIN snaps s ON g.book = s.book AND g.seq >= s.seq
 """
 
 
+def _ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank over the brute-force candidates: greedy
+    lam*rel − (1−lam)*max-sim-to-selected per query inside one
+    applyInPandas over the 20-candidate lists (operators/retrieval.py
+    mmr_rerank). All selection inputs are integer micros, so the unrolled
+    k-step CTE chain in the oracle replays the argmax sequence exactly."""
+    from polars_order_book_spark.operators.retrieval import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=5, m_candidates=20, lam=0.7)
+
+
+def _ann_mmr_sql(k: int = 5, m: int = 20, lam: float = 0.7) -> str:
+    # `e0` suffix forces DOUBLE literals (a bare 0.7 parses as DECIMAL in
+    # DuckDB and would change the score arithmetic); beta is the binary
+    # complement 1-lam rendered at full precision, matching the operator.
+    lam_s = f"{lam!r}e0"
+    beta_s = f"{(1.0 - lam)!r}e0"
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+sim AS (SELECT q.query_id, v.neighbor_id,
+        list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+        FROM v CROSS JOIN q WHERE v.neighbor_id <> q.query_id),
+cand AS (SELECT query_id, neighbor_id, CAST(FLOOR(cosine*1000000+0.5) AS BIGINT) AS rel_m
+         FROM (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM sim) WHERE rn <= {m}),
+cv AS (SELECT c.query_id, c.neighbor_id, c.rel_m, v.vv FROM cand c JOIN v USING (neighbor_id)),
+pair AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         CAST(FLOOR(list_dot_product(a.vv, b.vv) / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))) * 1000000 + 0.5) AS BIGINT) AS sim_m
+         FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+sel1 AS (SELECT query_id, neighbor_id, 1 AS mmr_rank, score FROM (
+           SELECT query_id, neighbor_id, {lam_s}*rel_m AS score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY {lam_s}*rel_m DESC, neighbor_id) AS rn
+           FROM cand) WHERE rn = 1)"""
+    ctes = [head]
+    for t in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, t))
+        ctes.append(f"selu{t - 1} AS ({union})")
+        ctes.append(
+            f"""sc{t} AS (SELECT c.query_id, c.neighbor_id, c.rel_m, max(p.sim_m) AS ms
+          FROM cand c
+          JOIN pair p ON p.query_id = c.query_id AND p.i = c.neighbor_id
+          JOIN selu{t - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.j
+          LEFT JOIN selu{t - 1} e ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+          WHERE e.neighbor_id IS NULL
+          GROUP BY c.query_id, c.neighbor_id, c.rel_m)"""
+        )
+        ctes.append(
+            f"""sel{t} AS (SELECT query_id, neighbor_id, {t} AS mmr_rank, score FROM (
+           SELECT query_id, neighbor_id, {lam_s}*rel_m - {beta_s}*ms AS score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY {lam_s}*rel_m - {beta_s}*ms DESC, neighbor_id) AS rn
+           FROM sc{t}) WHERE rn = 1)"""
+        )
+    final_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       CAST(score AS DOUBLE) AS mmr_score
+FROM ({final_union})
+"""
+    )
+
+
 def _ob_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-book VWAP per 500-seq bucket over the keyed mutations stream —
     exact BIGINT price*qty / qty sums, one map-side-partial groupBy."""
@@ -4663,6 +4733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
+        "ann_mmr_rerank": _ann_mmr,
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
@@ -4894,6 +4965,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),
+        "ann_mmr_rerank": _ann_mmr_sql(),
         "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
         "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,

@@ -74,3 +74,144 @@ def rrf_fuse(
     return out.select(
         id_col, *[f"rank_{name}" for name, *_ in sources], rrf.alias("rrf")
     )
+
+
+# --- MMR diverse rerank -------------------------------------------------------
+#
+# Ship by value: the applyInPandas closure references module-level helpers
+# (same contract as operators/order_book.py / frequency.py).
+def _register_self_by_value() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_register_self_by_value()
+
+_MICRO = 1_000_000
+
+
+def _cos_micro(a, b) -> int:
+    """Cosine in integer micros with a FIXED evaluation order: left-to-right
+    dot products, sqrt, the dot/(na*nb) parenthesization, then
+    floor(x*1e6+0.5) — matching DuckDB's list_dot_product-based oracle
+    expression term for term (the same convention every ANN oracle in this
+    repo relies on)."""
+    import math
+
+    dot = 0.0
+    naa = 0.0
+    nbb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        naa += x * x
+        nbb += y * y
+    c = dot / (math.sqrt(naa) * math.sqrt(nbb))
+    return int(math.floor(c * _MICRO + 0.5))
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m_candidates: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    from each query's top-``m_candidates`` cosine candidates, greedily pick
+    ``k`` maximizing ``lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s)`` —
+    the standard diversity pass between ANN recall and answer assembly.
+    Returns (query_id, neighbor_id, mmr_rank, mmr_score).
+
+    Distribution: recall is the existing corpus-sized ANN; the greedy loop
+    runs per query group in ONE applyInPandas over the m-candidate lists
+    (k·m cosine evaluations per query, never m² up front, and never a
+    driver collect — queries parallelize across tasks). Candidate vectors
+    attach via a broadcast of the (queries × m)-row candidate list against
+    the vectors relation, so the big side is scanned once with a hash join.
+
+    Exactness: relevance and pairwise similarities quantize to integer
+    micros before any comparison; scores are ``lam·rel_m − (1−lam)·ms_m``
+    with both weights rendered at full binary precision in the oracle, so
+    selection (argmax with neighbor-id tie-break) is engine-portable. The
+    oracle unrolls the k greedy steps as chained CTEs.
+    """
+    if k <= 0 or m_candidates < k:
+        raise ValueError(f"need m_candidates >= k > 0, got k={k}, m={m_candidates}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from polars_order_book_spark.operators.similarity import (
+        _as_double,
+        cosine_topk_bruteforce,
+    )
+
+    cand = cosine_topk_bruteforce(
+        vectors,
+        queries,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        k=m_candidates,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_vv")
+    )
+    with_vec = v.join(
+        F.broadcast(
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                F.floor(F.col("cosine") * _MICRO + F.lit(0.5)).cast("long").alias("_rel_m"),
+            )
+        ),
+        "neighbor_id",
+    )
+    beta = 1.0 - lam  # binary-exact complement, rendered verbatim in the oracle
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rows = pdf.sort_values("neighbor_id")
+        ids = list(rows["neighbor_id"])
+        rel = dict(zip(rows["neighbor_id"], rows["_rel_m"]))
+        vec = {i: list(map(float, v)) for i, v in zip(rows["neighbor_id"], rows["_vv"])}
+        remaining = list(ids)
+        # max pairwise sim vs the selected set; None = empty set so a
+        # negative true max is never clamped toward zero
+        maxsim: dict = {i: None for i in ids}
+        out = []
+        for step in range(1, k + 1):
+            best = None
+            for cid in remaining:
+                ms = maxsim[cid]
+                score = lam * rel[cid] if ms is None else lam * rel[cid] - beta * ms
+                key = (score, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid, score)
+            _, chosen, score = best
+            out.append((qid, chosen, step, score))
+            remaining.remove(chosen)
+            for cid in remaining:
+                s = _cos_micro(vec[cid], vec[chosen])
+                if maxsim[cid] is None or s > maxsim[cid]:
+                    maxsim[cid] = s
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+        )
+
+    return with_vec.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )

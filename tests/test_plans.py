@@ -154,6 +154,10 @@ _BNLJ_WHITELIST = {
     # PQ ADC: the same bounded vectors x broadcast-queries shape as
     # ann_cosine_topk, but the scan side carries only (id, m codes)
     "embeddings_pq_topk",
+    # composes ann_cosine_topk's whitelisted broadcast-query cross join as
+    # its recall stage; the rerank itself is a broadcast hash join + one
+    # applyInPandas over the bounded candidate lists
+    "ann_mmr_rerank",
     # same 1-row corpus-total broadcast cross join as text_tfidf: the exact
     # verify stage attaches the one-row count(*) aggregate (__N) to the
     # candidate counts (operators/frequency.py heavy_hitters)
