@@ -928,6 +928,102 @@ FROM reach GROUP BY node
 """
 
 
+_SHINGLE_PROLOGUE_SQL = r"""
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh0 AS (
+    SELECT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS sh
+    FROM toks, range(0, 4096) r(i)
+    WHERE len(t) >= 3 AND i <= len(t) - 3
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)
+"""
+
+
+def _dedup_recall_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-scheme recall vs exact ground truth on the doc_id<50 sample
+    (operators/dedup.py banding_recall_eval): shared-shingle equi-join truth,
+    full LSH pipeline prediction, one (n_true, n_caught, recall_micro) row —
+    the ann_recall_* eval pattern applied to dedup."""
+    return dedup.banding_recall_eval(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_recall_banding_sql() -> str:
+    return f"""
+WITH {_SHINGLE_PROLOGUE_SQL.strip()},
+pairs0 AS (
+    SELECT DISTINCT least(s.doc_id, o.doc_id) AS doc_a, greatest(s.doc_id, o.doc_id) AS doc_b
+    FROM dsh s JOIN dsh o ON s.sh = o.sh AND s.doc_id <> o.doc_id
+    WHERE s.doc_id < 50
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs0 p
+    JOIN dsh a ON a.doc_id = p.doc_a
+    JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    GROUP BY p.doc_a, p.doc_b
+),
+truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+),
+pred AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}))
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(p.doc_a) AS BIGINT) AS n_caught,
+       CASE WHEN count(*) > 0
+            THEN CAST(FLOOR(CAST(count(p.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT) END AS recall_micro
+FROM truth t LEFT JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+"""
+
+
+def _docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/5/5 split: the split key is the near-dup COMPONENT id
+    (own id when un-duplicated), so a duplicate cluster can never straddle
+    the train/eval wall (operators/dedup.py leakage_safe_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = dedup.neardup_components(dedup.minhash_lsh_duplicates(docs, threshold=0.5))
+    out = dedup.leakage_safe_split(
+        docs, comps, [0.9, 0.05, 0.05], ["train", "val", "test"]
+    )
+    return out.select("doc_id", "lang", "group_id", "split")
+
+
+def _docs_leakage_split_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    b = f"{hash64_sql('CAST(group_id AS VARCHAR)')} % 1000000"
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+base AS (
+    SELECT d.doc_id, d.lang, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, lang, group_id,
+       CASE WHEN {b} < 900000 THEN 'train'
+            WHEN {b} < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM base
+"""
+
+
 def _documents_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline: LSH pairs -> components (auto: driver
     union-find under the edge cap, star rounds above) -> drop non-survivors;
@@ -4734,6 +4830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
         "ann_mmr_rerank": _ann_mmr,
+        "dedup_recall_banding": _dedup_recall_banding,
+        "documents_leakage_split": _docs_leakage_split,
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
@@ -4966,6 +5064,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),
         "ann_mmr_rerank": _ann_mmr_sql(),
+        "dedup_recall_banding": _dedup_recall_banding_sql(),
+        "documents_leakage_split": _docs_leakage_split_sql(),
         "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
         "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,

@@ -906,3 +906,117 @@ def fuzzy_duplicate_pairs(
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long"))
     )
+
+
+def banding_recall_eval(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_filter: Column | None = None,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """Measure the MinHash banding scheme's RECALL against exact ground
+    truth on a document sample — the ann_recall_* pattern for dedup ("is
+    (16 hashes, 4-row bands) actually catching 0.5-Jaccard pairs on MY
+    corpus?", answered with data before a 100 TB run; the (b, r) banding
+    S-curve says ~1-(1-t^r)^b but the tokenization and shingle distribution
+    shift it in practice).
+
+    Ground truth: every pair with one endpoint in the sample and exact
+    shingle-Jaccard ≥ threshold, found via the shared-shingle equi-join
+    (a pair with Jaccard > 0 must share a shingle — never all-pairs; the
+    sample side is tiny so the join replicates only sample shingles).
+    Predicted: the full LSH pipeline restricted to sample-touching pairs —
+    its verify stage already enforces ≥ threshold, so precision is 1.0 by
+    construction and the one number that can degrade is recall (a true pair
+    whose signatures never collide in any band).
+
+    Returns ONE row: (n_true, n_caught, recall_micro) — recall_micro NULL
+    when the sample holds no true pairs. Integer counts; the ratio is the
+    only float, quantized to micros.
+    """
+    if sample_filter is None:
+        sample_filter = F.col(id_col) < 50
+    sh = shingles(df, text_col, id_col, k)
+    dsh = sh.distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ssh = dsh.join(
+        df.where(sample_filter).select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+    pairs0 = (
+        ssh.select(F.col("doc_id").alias("_s"), "shingle")
+        .join(dsh.select(F.col("doc_id").alias("_o"), "shingle"), "shingle")
+        .where(F.col("_s") != F.col("_o"))
+        .select(
+            F.least("_s", "_o").alias("doc_a"), F.greatest("_s", "_o").alias("doc_b")
+        )
+        .distinct()
+    )
+    truth = jaccard_verify(pairs0, sh, threshold).select("doc_a", "doc_b")
+    pred = (
+        minhash_lsh_duplicates(
+            df,
+            text_col,
+            id_col,
+            k=k,
+            num_hashes=num_hashes,
+            band_rows=band_rows,
+            threshold=threshold,
+            bucket_cap=bucket_cap,
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = truth.join(pred, ["doc_a", "doc_b"], "left")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_caught"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.floor(
+                F.count("_hit").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("recall_micro"),
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    weights: "list[float]",
+    names: "list[str] | None" = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test labels that can never leak near-duplicates across the
+    eval wall: the split key is the document's duplicate-COMPONENT id (its
+    own id when un-duplicated), so an entire near-dup cluster lands in one
+    split. Splitting by raw doc id — what naive pipelines do — puts two
+    90%-identical documents on opposite sides of the wall and inflates eval.
+
+    ``components`` is any (doc_id, component) relation (neardup_components
+    output). One left equi-join (the components relation is dedup-pair-sized,
+    tiny vs the corpus — broadcastable) + the split_assign map — no shuffle
+    of the corpus beyond the join. Adds ``group_id`` and ``split``.
+    """
+    from polars_order_book_spark.operators.sampling import split_assign
+
+    base = df.join(
+        F.broadcast(
+            components.select(
+                F.col("doc_id").alias(id_col), F.col("component").alias("_comp")
+            )
+        ),
+        id_col,
+        "left",
+    ).withColumn("group_id", F.coalesce(F.col("_comp"), F.col(id_col)).cast("long"))
+    return split_assign(base, "group_id", weights, names, salt=salt).drop("_comp")

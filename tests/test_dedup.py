@@ -255,3 +255,50 @@ def test_fuzzy_pairs_guardrail(spark):
                                  "doc_id long, text string, lang string")
     with _pytest.raises(ValueError):
         fuzzy_duplicate_pairs(docs, length_block=5, max_dist=10)
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """Near-identical docs must land in the SAME split regardless of their
+    own ids' hash buckets; singletons split by their own id."""
+    from polars_order_book_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 2}", "en") for i in range(6)]  # 2 clusters of 3
+    rows += [(100 + i, f"totally different text number {i} with unique words {i*7}", "en")
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = D.minhash_lsh_duplicates(docs, threshold=0.5)
+    comps = D.neardup_components(pairs)
+    out = D.leakage_safe_split(docs, comps, [0.5, 0.5], ["a", "b"]).toPandas()
+    by_id = out.set_index("doc_id")
+    # every doc in a component shares its component's group_id and split
+    comp_rows = comps.toPandas()
+    for comp, grp in comp_rows.groupby("component"):
+        splits = {by_id.loc[d, "split"] for d in grp["doc_id"]}
+        gids = {by_id.loc[d, "group_id"] for d in grp["doc_id"]}
+        assert len(splits) == 1 and gids == {comp}
+    # singletons fall back to their own id
+    for d in (100, 101, 102, 103):
+        if d not in set(comp_rows["doc_id"]):
+            assert by_id.loc[d, "group_id"] == d
+
+
+def test_banding_recall_eval_counts_truth_and_caught(spark):
+    """On a corpus where LSH catches everything, recall must be exactly 1
+    with matching counts; with an empty sample recall is NULL."""
+    from polars_order_book_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one", "en"),
+        (2, base + " two", "en"),          # near-dup of 1
+        (3, "completely unrelated words nothing shared here at all okay", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = D.banding_recall_eval(docs, sample_filter=F.col("doc_id") <= 3).collect()[0]
+    assert got["n_true"] >= 1
+    assert got["n_caught"] == got["n_true"]
+    assert got["recall_micro"] == 1_000_000
+    empty = D.banding_recall_eval(docs, sample_filter=F.lit(False)).collect()[0]
+    assert empty["n_true"] == 0 and empty["recall_micro"] is None
