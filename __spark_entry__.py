@@ -4395,6 +4395,68 @@ GROUP BY p.doc_id
 """
 
 
+def _docs_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation shape: bigram model counts come ONLY from the
+    deterministic train split, scores cover ONLY the val split; transitions
+    unseen in training contribute 0 micros but still count in n_bigrams —
+    the train/eval separation every real quality-LM pipeline needs (scoring
+    with a model trained on the scored text overstates familiarity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = sampling.split_assign(
+        docs, "doc_id", [0.9, 0.05, 0.05], ["train", "val", "test"]
+    )
+    return text.bigram_lm_score(
+        labeled.where(F.col("split") == "val"),
+        train_df=labeled.where(F.col("split") == "train"),
+    )
+
+
+def _docs_lm_heldout_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    b = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000000"
+    return f"""
+WITH lab AS (
+    SELECT doc_id, text,
+           CASE WHEN {b} < 900000 THEN 'train'
+                WHEN {b} < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+ttoks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM lab WHERE split = 'train'
+),
+tp0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t), 1)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+    FROM ttoks
+),
+tpairs AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM tp0),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM tpairs GROUP BY w1, w2),
+cc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+model AS (SELECT bc.w1, bc.w2,
+                 CAST(floor(CAST(bc.c2 AS DOUBLE) / CAST(cc.c1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m
+          FROM bc JOIN cc ON bc.w1 = cc.w1),
+vtoks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM lab WHERE split = 'val'
+),
+vp0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t), 1)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+    FROM vtoks
+),
+vpairs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM vp0)
+SELECT v.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(coalesce(m.m, 0)) AS BIGINT) AS lm_micros
+FROM vpairs v LEFT JOIN model m ON v.w1 = m.w1 AND v.w2 = m.w2
+GROUP BY v.doc_id
+"""
+
+
 def _embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph: top-5 cosine neighbors for EVERY vector from
     banded-LSH candidate pairs (32 planes / 4 bands of 8 — the every-pair-kept
@@ -4832,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": _ann_mmr,
         "dedup_recall_banding": _dedup_recall_banding,
         "documents_leakage_split": _docs_leakage_split,
+        "documents_lm_heldout": _docs_lm_heldout,
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
@@ -5066,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_mmr_rerank": _ann_mmr_sql(),
         "dedup_recall_banding": _dedup_recall_banding_sql(),
         "documents_leakage_split": _docs_leakage_split_sql(),
+        "documents_lm_heldout": _docs_lm_heldout_sql(),
         "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
         "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,

@@ -754,6 +754,7 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     log_scale: bool = False,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram language-model familiarity — the CCNet-style
     "LM quality" signal (Wenzek et al. 2020 filter corpora with an LM score;
@@ -782,27 +783,44 @@ def bigram_lm_score(
 
     Docs with < 2 tokens have no bigrams and are absent from the output
     (callers left-join if they need every id).
+
+    ``train_df``: train the model on a DIFFERENT corpus (the held-out
+    evaluation shape — counts from the train split, scores over val/test).
+    Transitions never seen in training contribute 0 micros but still count
+    in ``n_bigrams`` (rational mode; ``log_scale`` requires the self-trained
+    case where every scored transition exists in the model — it raises
+    otherwise rather than silently emitting ln(0)).
     """
-    toks = tokens(F.col(text_col))
-    pairs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    def extract_pairs(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        return frame.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    if log_scale and train_df is not None:
+        raise ValueError("log_scale requires the self-trained model (train_df=None)")
+    pairs = extract_pairs(df)
+    train_pairs = pairs if train_df is None else extract_pairs(train_df)
+    bigram_counts = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ctx_counts = bigram_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
     model = bigram_counts.join(ctx_counts, on="w1")
     p = F.col("c2").cast("double") / F.col("c1").cast("double")
     per_pair = F.log(p) if log_scale else p
     micros = F.floor(per_pair * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    # Left join: unseen transitions (possible only with train_df) score 0
+    # micros; in the self-trained case every pair exists, so this is
+    # plan-equivalent to the old inner join.
     return (
-        pairs.join(model, on=["w1", "w2"])
-        .select("doc_id", micros.alias("__m"))
+        pairs.join(model, on=["w1", "w2"], how="left")
+        .select("doc_id", F.coalesce(micros, F.lit(0).cast("long")).alias("__m"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -635,3 +635,41 @@ def test_curriculum_order_guard(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id LONG, score DOUBLE")
     with _pytest.raises(ValueError, match="n_bins"):
         sampling.curriculum_order(df, "score", n_bins=0)
+
+
+def test_bigram_lm_heldout_unseen_transitions_score_zero(spark):
+    """Model trained on train_df only: a val transition absent from training
+    contributes 0 micros but still counts in n_bigrams; log_scale with a
+    foreign model is rejected."""
+    from polars_order_book_spark.operators.text import bigram_lm_score
+    import pytest
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    val = spark.createDataFrame(
+        [(10, "a b"), (11, "z q a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_micros"])
+           for r in bigram_lm_score(val, train_df=train).collect()}
+    # train model: c(a b)=3, c(a .)=3 -> p(b|a)=1.0 -> 1_000_000 micros
+    assert got[10] == (1, 1_000_000)
+    # "z q","q a" unseen -> 0 each; "a b" seen -> 1e6
+    assert got[11] == (3, 1_000_000)
+    with pytest.raises(ValueError, match="self-trained"):
+        bigram_lm_score(val, train_df=train, log_scale=True)
+
+
+def test_bigram_lm_self_trained_unchanged_by_left_join(spark):
+    """Self-trained scoring is identical with the left-join rewrite (every
+    scored pair exists in the model)."""
+    from polars_order_book_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "y z y x")], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["n_bigrams"], r["lm_micros"])
+         for r in bigram_lm_score(df).collect()}
+    b = {r["doc_id"]: (r["n_bigrams"], r["lm_micros"])
+         for r in bigram_lm_score(df, train_df=df).collect()}
+    assert a == b
