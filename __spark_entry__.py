@@ -30,6 +30,7 @@ from polars_order_book_spark.functions import conversion as conv
 from polars_order_book_spark.operators import (
     classifier as clf,
     dedup,
+    linalg,
     multimodal,
     ranges,
     sampling,
@@ -4457,6 +4458,17 @@ GROUP BY v.doc_id
 """
 
 
+def _embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance (first 16 dims, upper triangle) — one map
+    projection + one global agg reducing to a single row of DECIMAL(30,12)
+    sums; the PCA fit consumes this relation (operators/linalg.py)."""
+    from polars_order_book_spark.operators import linalg
+
+    return linalg.covariance_matrix(
+        load_table(spark, sf_dir, "embeddings"), dim=16
+    )
+
+
 def _embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph: top-5 cosine neighbors for EVERY vector from
     banded-LSH candidate pairs (32 planes / 4 bands of 8 — the every-pair-kept
@@ -4895,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_banding": _dedup_recall_banding,
         "documents_leakage_split": _docs_leakage_split,
         "documents_lm_heldout": _docs_lm_heldout,
+        "embeddings_covariance": _embeddings_covariance,
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
@@ -5130,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_banding": _dedup_recall_banding_sql(),
         "documents_leakage_split": _docs_leakage_split_sql(),
         "documents_lm_heldout": _docs_lm_heldout_sql(),
+        "embeddings_covariance": linalg.covariance_matrix_sql(dim=16),
         "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
         "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,

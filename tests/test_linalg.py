@@ -1,0 +1,73 @@
+"""Covariance / PCA (operators/linalg.py).
+
+The covariance relation is driver-oracled (embeddings_covariance); here we
+pin the eigensolve+projection half: numpy differential on the covariance,
+PCA invariants (orthonormal components, variance ordering, projection
+equals centered-dot-product), and guardrails.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.operators import linalg
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: PCA has a well-separated spectrum
+    base = rng.randn(200, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(np.float32(x)) for x in base[i]]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_covariance_matches_numpy(spark, vecs):
+    df, base = vecs
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           linalg.covariance_matrix(df, dim=6).collect()}
+    x = np.array([[np.float64(np.float32(v)) for v in row] for row in base])
+    ref = np.cov(x, rowvar=False, ddof=1)
+    assert len(got) == 21
+    for (i, j), c in got.items():
+        assert abs(c - ref[i, j]) < 2e-6
+
+
+def test_pca_fit_invariants(spark, vecs):
+    df, _ = vecs
+    comps, ev, means = linalg.pca_fit(df, dim=6, n_components=3)
+    c = np.array(comps)
+    # orthonormal rows
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    # descending explained variance, dominated by the planted axes
+    assert ev[0] > ev[1] > ev[2] > 0
+    assert ev[0] > 15  # planted sd=5 -> var ~25
+    # deterministic sign: largest-|.| entry positive
+    for row in c:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_project_equals_centered_dot(spark, vecs):
+    df, _ = vecs
+    comps, _, means = linalg.pca_fit(df, dim=6, n_components=2)
+    got = {r["vec_id"]: list(r["pca"]) for r in
+           linalg.pca_project(df, comps, means).collect()}
+    pdf = df.toPandas().set_index("vec_id")
+    for vid, proj in list(got.items())[:20]:
+        x = np.array([np.float64(v) for v in pdf.loc[vid, "embedding"]])
+        ref = (np.array(comps) @ (x - np.array(means)))
+        assert np.allclose(proj, ref, atol=1e-9)
+
+
+def test_guardrails(spark, vecs):
+    df, _ = vecs
+    with pytest.raises(ValueError, match="dim must be > 0"):
+        linalg.covariance_matrix(df, dim=0)
+    with pytest.raises(ValueError, match="max_pairs"):
+        linalg.covariance_matrix(df, dim=1000, max_pairs=10)
+    with pytest.raises(ValueError, match="n_components"):
+        linalg.pca_fit(df, dim=6, n_components=7)
+    with pytest.raises(ValueError, match="dimensionality"):
+        linalg.pca_project(df, [[1.0, 0.0]], [0.0, 0.0, 0.0])
