@@ -4458,6 +4458,47 @@ GROUP BY v.doc_id
 """
 
 
+def _docs_classifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / serve-streaming: weights come from the batch
+    2-iteration train over the full corpus; the corpus then ARRIVES as two
+    micro-batches and each is scored under the frozen weights inside
+    foreachBatch (streaming/classifier_stream.py). Scores are final in
+    their own batch, so the union over batches must equal single-shot batch
+    scoring — the documents_classifier_score oracle verifies exactly that."""
+    import tempfile
+    import uuid as _uuid
+
+    from polars_order_book_spark.streaming.classifier_stream import (
+        read_results,
+        score_stream,
+    )
+
+    docs = _docs_with_weak_label(spark, sf_dir)
+    w = clf.collect_weights(clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5), 16)
+    feed = docs.select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix=f"clf_stream_{_uuid.uuid4().hex[:6]}_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i in (0, 1):
+        part = feed.where(F.col("doc_id") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(pdir, pq), os.path.join(in_dir, f"{i:03d}.parquet"))
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = score_stream(stream, w, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return read_results(spark, os.path.join(tmp, "out"))
+
+
 def _embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sample covariance (first 16 dims, upper triangle) — one map
     projection + one global agg reducing to a single row of DECIMAL(30,12)
@@ -4908,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_leakage_split": _docs_leakage_split,
         "documents_lm_heldout": _docs_lm_heldout,
         "embeddings_covariance": _embeddings_covariance,
+        "documents_classifier_stream": _docs_classifier_stream,
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
@@ -5144,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_leakage_split": _docs_leakage_split_sql(),
         "documents_lm_heldout": _docs_lm_heldout_sql(),
         "embeddings_covariance": linalg.covariance_matrix_sql(dim=16),
+        "documents_classifier_stream": _docs_classifier_score_sql(),
         "events_anomaly_mad": hq.EVENTS_ANOMALY_MAD_SQL,
         "documents_char_entropy": hq.DOCS_CHAR_ENTROPY_SQL,
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,

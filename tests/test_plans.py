@@ -177,6 +177,7 @@ _BNLJ_WHITELIST = {
 
 # Streaming executes on construction; exercised by driver + streaming tests.
 _PLAN_SKIP = {
+    "documents_classifier_stream",
     "ob_stream_keyed_mutations_top2",
     "events_sessionize_stream",
     "events_sessionize_stream_append",
