@@ -4812,6 +4812,23 @@ _R6_HEAD = [
     "documents_gopher_rules",
     "documents_ngram_novelty",
     "documents_curriculum_order",
+    # (2d) never sampled: new in the r6 fourth session (trainable classifier
+    # train/score/stream, as-of book sampling, MMR rerank, banding-recall
+    # eval, leakage-safe split, held-out LM, covariance, MAD outliers,
+    # char entropy, Spearman) — displace twelve more r1-r3 multi-green
+    # entries to the tail per the rotation policy
+    "documents_classifier_step",
+    "documents_classifier_score",
+    "documents_classifier_stream",
+    "ob_book_asof",
+    "ann_mmr_rerank",
+    "dedup_recall_banding",
+    "documents_leakage_split",
+    "documents_lm_heldout",
+    "embeddings_covariance",
+    "events_anomaly_mad",
+    "documents_char_entropy",
+    "documents_quality_correlation",
     # (3) behavior changed in r6: star-algorithm default (components +
     # end-to-end dedup), the streamed bounded-memory fold, and the
     # exact-decimal heavy-hitters threshold
@@ -4819,27 +4836,16 @@ _R6_HEAD = [
     "documents_deduped",
     "ob_chunked_mutations_top2",
     "events_heavy_hitters",
-    # (4) oldest green first: the single r2-latest entry, then the r3 greens
-    # (ten r3 greens whose shapes the head already covers wait in the tail:
-    # ob_updates_top1, q3_top_revenue_orders, q5_nation_revenue,
-    # part_categorize, events_hourly, ann_cosine_topk_lsh,
-    # documents_hash_sample, customers_without_orders,
-    # events_user_distinct_approx, q1_pricing_summary)
+    # (4) oldest green first — only three slots remain after the session-4
+    # block (ob_relational_updates_top3, ob_relational_modify_top2,
+    # ob_relational_keyed_mutations_top2, topk_orders_per_customer,
+    # events_user_running_total, events_rollup, events_value_quantiles,
+    # ann_cosine_topk_blas, text_winnow_fingerprints, text_fingerprint,
+    # text_lang_id, ob_conversion_top2 — all r2/r3 multi-green — fell to the
+    # tail, joining the earlier displacements listed below)
     "supplier_nation_summary",
     "ann_cosine_topk_ivf",
     "dedup_simhash",
-    "ob_relational_updates_top3",
-    "ob_relational_modify_top2",
-    "ob_relational_keyed_mutations_top2",
-    "topk_orders_per_customer",
-    "events_user_running_total",
-    "events_rollup",
-    "events_value_quantiles",
-    "ann_cosine_topk_blas",
-    "text_winnow_fingerprints",
-    "text_fingerprint",
-    "text_lang_id",
-    "ob_conversion_top2",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,

@@ -111,6 +111,20 @@ def main() -> None:
         "documents_gopher_rules",
         "documents_ngram_novelty",
         "documents_curriculum_order",
+        # r6 session-4 additions: classifier train+score chain (2 GD
+        # iterations + scoring pass), MMR rerank (recall + greedy pandas),
+        # banding-recall eval (truth join + full LSH pipeline), as-of book
+        # sampling (keyed fold + asof fill), exact covariance (product
+        # explode + model-sized groupBy), and MAD outliers (two grouped
+        # exact medians). classifier_step/stream, leakage_split, lm_heldout,
+        # char_entropy, quality_correlation are registry-only: subsets of
+        # these plans or map-shaped passes.
+        "documents_classifier_score",
+        "ann_mmr_rerank",
+        "dedup_recall_banding",
+        "ob_book_asof",
+        "embeddings_covariance",
+        "events_anomaly_mad",
     ]
     qs = E.queries()
 
