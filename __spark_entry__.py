@@ -4327,8 +4327,276 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
 """
 
 
+def _embeddings_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (similarity.pq_ivf_residual_topk): codes cover
+    v − centroid(cell) via cell-shifted codebooks — same plan as the flat
+    composite, different literals; adist approximates reconstruction
+    distance ||q − (centroid + codewords)||."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_ivf_residual_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+
+
+EMBEDDINGS_PQ_IVF_RESIDUAL_SQL = """
+WITH cw AS (
+    SELECT s, c,
+           list_transform(range(0, 16), j ->
+               (CAST(concat('0x', substr(md5(concat('pq', CAST(s AS VARCHAR), '/', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS cv
+    FROM range(0, 4) ts(s), range(0, 16) tc(c)
+),
+cents AS (
+    SELECT c,
+           list_transform(range(0, 64), j ->
+               (CAST(concat('0x', substr(md5(concat('ivf', CAST(c AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 1000) / 1000.0 - 0.5) AS cv
+    FROM range(0, 8) t(c)
+),
+-- cell-shifted codebooks: codeword' = centroid_slice + codeword (residual PQ)
+scw AS (
+    SELECT ct.c AS cell, w.s, w.c,
+           list_transform(
+               list_zip(ct.cv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv),
+               x -> x[1] + x[2]) AS cv
+    FROM cents ct CROSS JOIN cw w
+),
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+sims AS (
+    SELECT vec_id, c,
+           list_dot_product(vv, cv) / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS s
+    FROM allv CROSS JOIN cents
+),
+rankedc AS (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+),
+va AS (SELECT vec_id AS neighbor_id, c AS cell FROM rankedc WHERE rn <= 1),
+qa AS (SELECT vec_id AS query_id, c AS cell FROM rankedc WHERE rn <= 2 AND vec_id < 5),
+vscored AS (
+    SELECT a.vec_id, w.s, w.c,
+           (list_dot_product(w.cv, w.cv)
+             - (2.0 * list_dot_product(a.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv))) AS score
+    FROM allv a
+    JOIN va ON va.neighbor_id = a.vec_id
+    JOIN scw w ON w.cell = va.cell
+),
+codes AS (
+    SELECT vec_id, CAST(s AS INT) AS sub, CAST(c AS INT) AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY score, c) AS rn
+        FROM vscored
+    ) WHERE rn = 1
+),
+qlut AS (
+    SELECT qa.query_id, qa.cell, w.s, w.c,
+           ((list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)],
+                              q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)])
+              - (2.0 * list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv)))
+             + list_dot_product(w.cv, w.cv)) AS score
+    FROM qa
+    JOIN allv q ON q.vec_id = qa.query_id
+    JOIN scw w ON w.cell = qa.cell
+),
+cand AS (
+    SELECT qa.query_id, qa.cell, va.neighbor_id
+    FROM qa JOIN va ON va.cell = qa.cell
+    WHERE va.neighbor_id <> qa.query_id
+),
+pairsub AS (
+    SELECT cd0.query_id, cd0.neighbor_id, l.s, l.score
+    FROM cand cd0
+    JOIN codes cd ON cd.vec_id = cd0.neighbor_id
+    JOIN qlut l ON l.query_id = cd0.query_id AND l.cell = cd0.cell
+              AND l.s = cd.sub AND l.c = cd.code
+),
+adists AS (
+    SELECT query_id, neighbor_id,
+           (((MAX(CASE WHEN s = 0 THEN score END) + MAX(CASE WHEN s = 1 THEN score END))
+              + MAX(CASE WHEN s = 2 THEN score END)) + MAX(CASE WHEN s = 3 THEN score END)) AS adist
+    FROM pairsub GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adists
+) WHERE rank <= 10
+"""
+
+
+def _embeddings_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC with TRAINED codebooks: 2 exact Lloyd iterations per subspace
+    (similarity.train_pq_codebooks) then the same compressed-scan ADC as
+    embeddings_pq_topk — random codebooks measure recall 0.0 on this
+    corpus, so training is what makes the index real. The oracle replays
+    all four per-subspace k-means chains AND the ADC."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=4, ksub=16, dim=64, n_iter=2)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, k=10, m=4, ksub=16, codebooks=books)
+
+
+def _pq_trained_chain_sql(m: int = 4, ksub: int = 16, subdim: int = 16) -> str:
+    """Per-subspace 2-iteration Lloyd chains in DuckDB (the kmeans_train
+    oracle pattern, seeded with the md5 PQ codewords), unioned into the
+    cw(s, c, cv) codebook relation the ADC tail consumes."""
+    from polars_order_book_spark.operators.similarity import pq_codeword_component
+
+    def clit(xs):
+        return "[" + ", ".join(repr(x) for x in xs) + "]"
+
+    parts = ["vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for s in range(m):
+        seeds = [
+            [pq_codeword_component(s, c, j) for j in range(subdim)]
+            for c in range(ksub)
+        ]
+        seed_nested = "[" + ", ".join(clit(c) for c in seeds) + "]"
+
+        def dist(c):
+            diff = f"list_transform(list_zip(v, {clit(c)}), x -> x[1] - x[2])"
+            return f"list_dot_product({diff}, {diff})"
+
+        dists = ",\n       ".join(dist(c) for c in seeds)
+        lo, hi = s * subdim + 1, s * subdim + subdim
+        parts.append(f"""vecs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs),
+d1_{s} AS (SELECT vec_id, v, [{dists}] AS ds FROM vecs{s}),
+a1_{s} AS (SELECT vec_id, v, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d1_{s}),
+e1_{s} AS (SELECT cell, gs.d, v[gs.d + 1] AS x
+           FROM a1_{s}, (SELECT unnest(range(0, {subdim})) AS d) gs),
+c1_{s} AS (SELECT cell, d,
+                  round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS centroid
+           FROM e1_{s} GROUP BY cell, d),
+init_{s} AS (SELECT CAST(t.c AS INT) AS cell, CAST(u.j AS INT) AS d,
+                    {seed_nested}[t.c + 1][u.j + 1] AS centroid
+             FROM range(0, {ksub}) t(c), range(0, {subdim}) u(j)),
+c1full_{s} AS (SELECT i.cell, i.d, coalesce(c.centroid, i.centroid) AS centroid
+               FROM init_{s} i LEFT JOIN c1_{s} c ON c.cell = i.cell AND c.d = i.d),
+c1v_{s} AS (SELECT cell, list(centroid ORDER BY d) AS cv FROM c1full_{s} GROUP BY cell),
+d2_{s} AS (SELECT n.vec_id, n.v, c.cell,
+                  list_dot_product(list_transform(list_zip(n.v, c.cv), x -> x[1] - x[2]),
+                                   list_transform(list_zip(n.v, c.cv), x -> x[1] - x[2])) AS dist
+           FROM vecs{s} n CROSS JOIN c1v_{s} c),
+a2_{s} AS (SELECT vec_id, v, cell FROM (
+               SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+               FROM d2_{s}) WHERE rn = 1),
+e2_{s} AS (SELECT cell, gs.d, v[gs.d + 1] AS x
+           FROM a2_{s}, (SELECT unnest(range(0, {subdim})) AS d) gs),
+c2_{s} AS (SELECT cell, d,
+                  round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS centroid
+           FROM e2_{s} GROUP BY cell, d),
+c2full_{s} AS (SELECT f.cell, f.d, coalesce(c.centroid, f.centroid) AS centroid
+               FROM c1full_{s} f LEFT JOIN c2_{s} c ON c.cell = f.cell AND c.d = f.d),
+cb_{s} AS (SELECT {s} AS s, cell AS c, list(centroid ORDER BY d) AS cv
+           FROM c2full_{s} GROUP BY cell)""")
+    union = " UNION ALL ".join(f"SELECT * FROM cb_{s}" for s in range(m))
+    parts.append(f"cw AS ({union})")
+    return ",\n".join(parts)
+
+
+EMBEDDINGS_PQ_TRAINED_TAIL_SQL = """
+allv AS (SELECT vec_id, vv FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)),
+scored AS (
+    SELECT a.vec_id, w.s, w.c,
+           (list_dot_product(w.cv, w.cv)
+             - (2.0 * list_dot_product(a.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv))) AS score
+    FROM allv a CROSS JOIN cw w
+),
+codes AS (
+    SELECT vec_id, CAST(s AS INT) AS sub, CAST(c AS INT) AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY score, c) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+qlut AS (
+    SELECT q.vec_id AS query_id, w.s, w.c,
+           ((list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)],
+                              q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)])
+              - (2.0 * list_dot_product(q.vv[CAST(w.s*16+1 AS BIGINT):CAST(w.s*16+16 AS BIGINT)], w.cv)))
+             + list_dot_product(w.cv, w.cv)) AS score
+    FROM (SELECT vec_id, vv FROM allv WHERE vec_id < 5) q CROSS JOIN cw w
+),
+pairsub AS (
+    SELECT l.query_id, cd.vec_id AS neighbor_id, l.s, l.score
+    FROM codes cd JOIN qlut l ON l.s = cd.sub AND l.c = cd.code
+    WHERE cd.vec_id <> l.query_id
+),
+adists AS (
+    SELECT query_id, neighbor_id,
+           (((MAX(CASE WHEN s = 0 THEN score END) + MAX(CASE WHEN s = 1 THEN score END))
+              + MAX(CASE WHEN s = 2 THEN score END)) + MAX(CASE WHEN s = 3 THEN score END)) AS adist
+    FROM pairsub GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adists
+) WHERE rank <= 10
+"""
+
+
+def _pq_trained_sql() -> str:
+    return "WITH " + _pq_trained_chain_sql() + ",\n" + EMBEDDINGS_PQ_TRAINED_TAIL_SQL
+
+
+def _ann_recall_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of trained-codebook PQ vs exact brute force — the third
+    point on the eval curve (random flat, random residual, trained)."""
+    return similarity.topk_recall(
+        _embeddings_pq_trained(spark, sf_dir), _ann_bruteforce(spark, sf_dir)
+    )
+
+
+def _ann_recall_pq_trained_sql() -> str:
+    return f"""
+WITH approx AS ({_pq_trained_sql()}),
+exact AS ({ANN_SQL}),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+def _ann_recall_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of RESIDUAL IVF-PQ vs exact brute force — head-to-head with
+    ann_recall_pq (the flat composite): the eval pair that shows whether
+    residual encoding buys recall at identical m/ksub/n_probe."""
+    return similarity.topk_recall(
+        _embeddings_pq_ivf_residual(spark, sf_dir), _ann_bruteforce(spark, sf_dir)
+    )
+
+
 ANN_RECALL_PQ_SQL = f"""
 WITH approx AS ({EMBEDDINGS_PQ_IVF_TOPK_SQL}),
+exact AS ({ANN_SQL}),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+ANN_RECALL_PQ_RESIDUAL_SQL = f"""
+WITH approx AS ({EMBEDDINGS_PQ_IVF_RESIDUAL_SQL}),
 exact AS ({ANN_SQL}),
 hits AS (
     SELECT e.query_id, count(*) AS n_hits
@@ -4829,23 +5097,21 @@ _R6_HEAD = [
     "events_anomaly_mad",
     "documents_char_entropy",
     "documents_quality_correlation",
+    "embeddings_pq_ivf_residual_topk",
+    "ann_recall_pq_residual",
+    "embeddings_pq_trained_topk",
+    "ann_recall_pq_trained",
     # (3) behavior changed in r6: star-algorithm default (components +
-    # end-to-end dedup), the streamed bounded-memory fold, and the
-    # exact-decimal heavy-hitters threshold
+    # end-to-end dedup) and the streamed bounded-memory fold.
+    # events_heavy_hitters (decimal-threshold change) yields its slot to the
+    # never-sampled entries: it holds an r5-green driver row and both keyed
+    # variants are in the head. With the session-4 sixteen, the head is
+    # exactly 50 never-or-priority entries; every remaining green
+    # (supplier_nation_summary, ann_cosine_topk_ivf, dedup_simhash, and the
+    # twelve listed below) waits in the tail.
     "dedup_components",
     "documents_deduped",
     "ob_chunked_mutations_top2",
-    "events_heavy_hitters",
-    # (4) oldest green first — only three slots remain after the session-4
-    # block (ob_relational_updates_top3, ob_relational_modify_top2,
-    # ob_relational_keyed_mutations_top2, topk_orders_per_customer,
-    # events_user_running_total, events_rollup, events_value_quantiles,
-    # ann_cosine_topk_blas, text_winnow_fingerprints, text_fingerprint,
-    # text_lang_id, ob_conversion_top2 — all r2/r3 multi-green — fell to the
-    # tail, joining the earlier displacements listed below)
-    "supplier_nation_summary",
-    "ann_cosine_topk_ivf",
-    "dedup_simhash",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -4947,6 +5213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans_train": _embeddings_kmeans_train,
         "embeddings_pq_ivf_topk": _embeddings_pq_ivf_topk,
         "ann_recall_pq": _ann_recall_pq,
+        "embeddings_pq_ivf_residual_topk": _embeddings_pq_ivf_residual,
+        "ann_recall_pq_residual": _ann_recall_pq_residual,
+        "embeddings_pq_trained_topk": _embeddings_pq_trained,
+        "ann_recall_pq_trained": _ann_recall_pq_trained,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
@@ -5184,6 +5454,10 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans_train": _embeddings_kmeans_train_sql(),
         "embeddings_pq_ivf_topk": EMBEDDINGS_PQ_IVF_TOPK_SQL,
         "ann_recall_pq": ANN_RECALL_PQ_SQL,
+        "embeddings_pq_ivf_residual_topk": EMBEDDINGS_PQ_IVF_RESIDUAL_SQL,
+        "ann_recall_pq_residual": ANN_RECALL_PQ_RESIDUAL_SQL,
+        "embeddings_pq_trained_topk": _pq_trained_sql(),
+        "ann_recall_pq_trained": _ann_recall_pq_trained_sql(),
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

@@ -125,6 +125,11 @@ def main() -> None:
         "ob_book_asof",
         "embeddings_covariance",
         "events_anomaly_mad",
+        # PQ index-quality pair: residual (relational shifted-codebook
+        # joins) and trained (4 x 2-iteration Lloyd chains + ADC) — the
+        # recall evals are registry-only, these carry their plans.
+        "embeddings_pq_ivf_residual_topk",
+        "embeddings_pq_trained_topk",
     ]
     qs = E.queries()
 

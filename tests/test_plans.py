@@ -158,6 +158,15 @@ _BNLJ_WHITELIST = {
     # its recall stage; the rerank itself is a broadcast hash join + one
     # applyInPandas over the bounded candidate lists
     "ann_mmr_rerank",
+    # trained-codebook ADC: the same bounded vectors x broadcast-query-LUTs
+    # shape as embeddings_pq_topk (codebooks are literals from the Lloyd
+    # chain, not a join side)
+    "embeddings_pq_trained_topk",
+    # recall evals compose ann_cosine_topk's whitelisted broadcast-query
+    # cross join on the exact (denominator) side; the approx sides are the
+    # whitelisted ADC (trained) / pure equi-joins (residual)
+    "ann_recall_pq_trained",
+    "ann_recall_pq_residual",
     # same 1-row corpus-total broadcast cross join as text_tfidf: the exact
     # verify stage attaches the one-row count(*) aggregate (__N) to the
     # candidate counts (operators/frequency.py heavy_hitters)

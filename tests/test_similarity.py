@@ -699,3 +699,64 @@ def test_pq_ivf_topk_guards(spark):
         similarity.pq_ivf_topk(df, q, n_cells=4, n_probe=5)
     with pytest.raises(ValueError, match="divide"):
         similarity.pq_ivf_topk(df, q, m=7)
+
+
+def test_trained_pq_codebooks_reduce_quantization_distortion(spark):
+    """Lloyd's guarantee: trained codebooks never reconstruct worse than
+    their seeds. Mean squared quantization error (best-codeword distance
+    summed over subspaces) with 2-iteration trained books must be strictly
+    below the md5-random seeds' on clustered data. (Recall@k is NOT a
+    monotone function of training — coarse trained codebooks can collapse
+    within-cluster noise and tie same-cluster candidates — so distortion,
+    which k-means actually optimizes, is the pinned invariant.)"""
+    import numpy as np
+    from polars_order_book_spark.operators.similarity import (
+        pq_codeword_component,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16) * 2.0
+    rows = []
+    for i in range(120):
+        c = centers[i % 4] + rng.randn(16) * 0.15
+        c = c / np.linalg.norm(c)
+        rows.append((i, [float(np.float32(x)) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, ksub, subdim = 4, 8, 4
+    books = train_pq_codebooks(vecs, m=m, ksub=ksub, dim=16, n_iter=2)
+    assert len(books) == m and all(len(b) == ksub and len(b[0]) == subdim for b in books)
+    seeds = [
+        [[pq_codeword_component(s, c, j) for j in range(subdim)] for c in range(ksub)]
+        for s in range(m)
+    ]
+    x = np.array([[np.float64(np.float32(v)) for v in r[1]] for r in rows])
+
+    def distortion(bks):
+        total = 0.0
+        for s in range(m):
+            xs = x[:, s * subdim:(s + 1) * subdim]
+            cw = np.array(bks[s])
+            d = ((xs[:, None, :] - cw[None, :, :]) ** 2).sum(-1)
+            total += d.min(axis=1).sum()
+        return total / len(x)
+
+    assert distortion(books) < distortion(seeds)
+
+
+def test_pq_ivf_residual_guardrails(spark):
+    from pyspark.sql import functions as F
+    from polars_order_book_spark.operators.similarity import pq_ivf_residual_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    q = vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        pq_ivf_residual_topk(vecs, q, k=0)
+    with pytest.raises(ValueError, match="must be positive and divide"):
+        pq_ivf_residual_topk(vecs, q, m=5)
+    with pytest.raises(ValueError, match="n_probe"):
+        pq_ivf_residual_topk(vecs, q, n_probe=0)
