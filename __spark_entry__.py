@@ -5024,6 +5024,196 @@ WHERE rank <= 5
 """
 
 
+def _events_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch rollup (operators/frequency.py): per-hour 4×512
+    sketches of user_id built with portable hashes, MERGED by cell-wise sum
+    (linearity makes the merged sketch exactly the flat one — pinned by
+    pytest), then point-estimated for a deterministic probe set
+    (user_id % 7 = 0) against exact counts. The oracle replicates every
+    counter bit-for-bit, so est_n/overcount are hash-checked, not just
+    bounded. At 100 TB: the build shuffles ≤ tasks·4·512 cell rows (bounded,
+    skew-immune), the merge collapses segments, the probe broadcasts the
+    ≤ 2048-row sketch."""
+    from polars_order_book_spark.operators.frequency import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.withColumn("__hour", F.date_trunc("hour", F.col("ts")))
+    sketch = countmin_merge(
+        countmin_build(seg, "user_id", depth=4, width=512, segment_cols=["__hour"])
+    )
+    probe_rows = ev.where(
+        F.col("user_id").isNotNull() & (F.col("user_id") % 7 == 0)
+    )
+    est = countmin_estimate(
+        sketch, probe_rows.select("user_id").distinct(), "user_id", depth=4, width=512
+    )
+    exact = probe_rows.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+_CM_CELL_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST({i} AS VARCHAR), ':', "
+    "CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {mod}"
+)
+
+EVENTS_COUNTMIN_SQL = f"""
+WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+d AS (SELECT CAST(r.i AS INT) AS i FROM range(0, 4) r(i)),
+cells AS (
+    SELECT d.i AS row, {_CM_CELL_SQL.format(i='d.i', key='nn.user_id', mod=512)} AS cell,
+           count(*) AS n
+    FROM nn CROSS JOIN d
+    GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT user_id FROM nn WHERE user_id % 7 = 0),
+pc AS (
+    SELECT p.user_id, d.i, {_CM_CELL_SQL.format(i='d.i', key='p.user_id', mod=512)} AS cell
+    FROM probe p CROSS JOIN d
+),
+est AS (
+    SELECT pc.user_id, min(COALESCE(c.n, 0)) AS est_n
+    FROM pc LEFT JOIN cells c ON c.row = pc.i AND c.cell = pc.cell
+    GROUP BY pc.user_id
+),
+exact AS (
+    SELECT user_id, count(*) AS exact_n FROM nn WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT est.user_id, exact.exact_n, CAST(est.est_n AS BIGINT) AS est_n,
+       CAST(est.est_n - exact.exact_n AS BIGINT) AS overcount
+FROM est JOIN exact USING (user_id)
+"""
+
+
+def _orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-filter audit (operators/membership.py): build a
+    16384-bit / 5-hash filter over URGENT order keys, probe every lineitem
+    row with 5 broadcast bit-joins (map-only on the probe side — the
+    pre-shuffle semi-join pruning pattern Spark's own runtime filters apply
+    internally, rendered portably), and count bloom passes vs the exact
+    semi-join per linestatus. bits=16384 is sized to leave a measurable
+    false-positive rate at this SF so n_false_pos exercises a nonzero path;
+    no-false-negative is the pinned invariant."""
+    from polars_order_book_spark.operators.membership import bloom_probe_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return bloom_probe_stats(
+        lineitem,
+        "l_orderkey",
+        urgent,
+        "o_orderkey",
+        ["l_linestatus"],
+        bits=16384,
+        k=5,
+    )
+
+
+ORDERS_BLOOM_SEMIJOIN_SQL = f"""
+WITH urgent AS (
+    SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+d AS (SELECT CAST(r.i AS INT) AS i FROM range(0, 5) r(i)),
+bits AS (
+    SELECT DISTINCT {_CM_CELL_SQL.format(i='d.i', key='u.o_orderkey', mod=16384)} AS bit
+    FROM urgent u CROSS JOIN d
+),
+pk AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL),
+hits AS (
+    SELECT pk.l_orderkey, count(*) AS nhit
+    FROM pk CROSS JOIN d
+    JOIN bits b
+      ON b.bit = {_CM_CELL_SQL.format(i='d.i', key='pk.l_orderkey', mod=16384)}
+    GROUP BY pk.l_orderkey
+),
+pass AS (SELECT l_orderkey FROM hits WHERE nhit = 5)
+SELECT l.l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN p.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_pass,
+       CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_match,
+       CAST(sum(CASE WHEN p.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            - sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+FROM lineitem l
+LEFT JOIN pass p ON p.l_orderkey = l.l_orderkey
+LEFT JOIN urgent u ON u.o_orderkey = l.l_orderkey
+GROUP BY l.l_linestatus
+"""
+
+
+def _documents_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage signal (operators/text.py oov_rate): per-document
+    out-of-vocabulary rate against the corpus' top-16 tokens by document
+    frequency (ties → token asc, a total portable order; 16 < the synthetic
+    corpus' 31-word vocabulary precisely so the OOV path is non-trivially
+    exercised). Vocab is a 16-row broadcast; the per-doc pass is map-only
+    join + one groupBy(doc). All-integer counts; one final double division."""
+    from polars_order_book_spark.operators.text import oov_rate
+
+    return oov_rate(load_table(spark, sf_dir, "documents"), vocab_size=16)
+
+
+DOCUMENTS_OOV_RATE_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+vocab AS (SELECT token FROM dfreq ORDER BY df DESC, token LIMIT 16)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY tok.doc_id
+"""
+
+
+def _text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with capped posting lists (operators/text.py
+    inverted_index): per token, exact doc_freq / total_tf plus the first 8
+    doc ids ascending as a comma-joined head. The cap bounds stop-word rows
+    (the skew bomb of full posting lists at 100 TB); the (doc, token)
+    pre-agg collapses repeats before the token shuffle; collect_list's
+    nondeterministic order is neutralized by array_sort before slicing."""
+    from polars_order_book_spark.operators.text import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"), max_postings=8)
+
+
+TEXT_POSTINGS_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+per AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+r AS (
+    SELECT token, doc_id, tf,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM per
+)
+SELECT token,
+       count(*) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       COALESCE(string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                           ',' ORDER BY doc_id), '') AS postings_head
+FROM r
+GROUP BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5075,7 +5265,10 @@ _R6_HEAD = [
     "embeddings_pq_codes",
     "embeddings_pq_topk",
     "embeddings_pq_ivf_topk",
-    "ann_recall_pq",
+    # (ann_recall_pq demoted to the tail in session 5: the recall-eval join
+    # path gets driver signal through ann_recall_pq_residual and
+    # ann_recall_pq_trained below, which share the identical harness code;
+    # its own output stays pinned by the local gate + pytest)
     "embeddings_kmeans_train",
     "documents_gopher_rules",
     "documents_ngram_novelty",
@@ -5101,17 +5294,16 @@ _R6_HEAD = [
     "ann_recall_pq_residual",
     "embeddings_pq_trained_topk",
     "ann_recall_pq_trained",
-    # (3) behavior changed in r6: star-algorithm default (components +
-    # end-to-end dedup) and the streamed bounded-memory fold.
-    # events_heavy_hitters (decimal-threshold change) yields its slot to the
-    # never-sampled entries: it holds an r5-green driver row and both keyed
-    # variants are in the head. With the session-4 sixteen, the head is
-    # exactly 50 never-or-priority entries; every remaining green
-    # (supplier_nation_summary, ann_cosine_topk_ivf, dedup_simhash, and the
-    # twelve listed below) waits in the tail.
-    "dedup_components",
-    "documents_deduped",
-    "ob_chunked_mutations_top2",
+    # (2e) never sampled: new in the r6 fifth session (count-min sketch
+    # rollup, Bloom runtime-filter audit, OOV rate, capped inverted index).
+    # Never-sampled outranks behavior-changed per the amended policy, so the
+    # three r6-behavior-changed entries (dedup_components, documents_deduped,
+    # ob_chunked_mutations_top2 — star default + streamed fold, all local-
+    # gate green since the change) yield their slots to the tail.
+    "events_countmin_rollup",
+    "orders_bloom_semijoin",
+    "documents_oov_rate",
+    "text_postings",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -5217,6 +5409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq_residual": _ann_recall_pq_residual,
         "embeddings_pq_trained_topk": _embeddings_pq_trained,
         "ann_recall_pq_trained": _ann_recall_pq_trained,
+        "events_countmin_rollup": _events_countmin_rollup,
+        "orders_bloom_semijoin": _orders_bloom_semijoin,
+        "documents_oov_rate": _documents_oov_rate,
+        "text_postings": _text_postings,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
@@ -5458,6 +5654,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_pq_residual": ANN_RECALL_PQ_RESIDUAL_SQL,
         "embeddings_pq_trained_topk": _pq_trained_sql(),
         "ann_recall_pq_trained": _ann_recall_pq_trained_sql(),
+        "events_countmin_rollup": EVENTS_COUNTMIN_SQL,
+        "orders_bloom_semijoin": ORDERS_BLOOM_SEMIJOIN_SQL,
+        "documents_oov_rate": DOCUMENTS_OOV_RATE_SQL,
+        "text_postings": TEXT_POSTINGS_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

@@ -295,3 +295,105 @@ def heavy_hitters_by(
             (F.col("n").cast("double") / F.col("__N").cast("double")).alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+#
+# The third mergeable frequency sketch alongside HLL (distinct counts,
+# operators/profiling.py) and Misra-Gries (heavy hitters, above): a FIXED
+# depth×width grid of counters supporting point frequency estimates with a
+# one-sided error (estimate ≥ true count; over by ≤ 2N/width w.p. 1-2^-depth).
+# Unlike Misra-Gries it answers queries about ANY item after the fact, and two
+# sketches over disjoint row sets merge by cell-wise addition — the property
+# that makes per-hour / per-shard rollups work at 100 TB.
+#
+# Everything is JVM-side built-ins: the d hash rows are the portable
+# md5-derived hash64 (functions/hashing.py) of "<i>:<item>" mod width, so a
+# DuckDB oracle reproduces every counter bit-for-bit. Build is one groupBy
+# over a BOUNDED key space (≤ depth·width cells): map-side partial
+# aggregation collapses each task's contribution to ≤ depth·width rows
+# regardless of input size or item skew, so the exchange is
+# O(tasks · depth · width), not O(distinct items) — the reason to sketch at
+# all. Estimation broadcasts the (tiny) sketch.
+
+from polars_order_book_spark.functions.hashing import hash64
+
+
+def _cm_cell(item: "F.Column", i: int, width: int) -> "F.Column":
+    return F.pmod(hash64(F.concat(F.lit(f"{i}:"), item.cast("string"))), F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    segment_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``item_col`` as a relation
+    (*segment_cols, row int, cell int, n long). Null items are excluded
+    (documented rule shared with :func:`heavy_hitters`). With
+    ``segment_cols``, one independent sketch per segment (per hour, per
+    shard); :func:`countmin_merge` folds segments away by cell-wise addition
+    and is EXACTLY the sketch built flat (pinned by test).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    segs = list(segment_cols or [])
+    item = F.col(item_col)
+    rows = df.where(item.isNotNull()).select(
+        *segs,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cm_cell(item, i, width).alias("cell"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("rc"),
+    )
+    return rows.groupBy(*segs, "rc.row", "rc.cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def countmin_merge(sketch: DataFrame) -> DataFrame:
+    """Merge segmented sketches into one: cell-wise sum over every non-(row,
+    cell) column. Linearity of the grid makes this exact — the merged sketch
+    equals the sketch of the unioned rows."""
+    return sketch.groupBy("row", "cell").agg(F.sum("n").alias("n"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each item in ``items`` (distinct, non-null) against an
+    (un-segmented) sketch: min over the depth cells the item hashes to.
+    Returns (item_col, est_n long). Items hashing to an empty cell estimate
+    0 (the sketch proves absence). The sketch is ≤ depth·width rows —
+    broadcast, so the probe is a map-only join on the 100 TB side."""
+    probes = items.where(F.col(item_col).isNotNull()).select(
+        item_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cm_cell(F.col(item_col), i, width).alias("cell"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("rc"),
+    ).select(item_col, "rc.row", "rc.cell")
+    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
+    )

@@ -1178,3 +1178,88 @@ def ngram_novelty(
             (F.col("n_new").cast("double") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_postings: int = 8,
+) -> DataFrame:
+    """Inverted index with CAPPED posting lists: per token, document
+    frequency, total term frequency, and the first ``max_postings`` doc ids
+    (ascending) as a comma-joined string. The retrieval-side artifact that
+    BM25/tf-idf (above) score against.
+
+    The cap is the 100 TB design point: a stop-word's full posting list is
+    O(corpus) and would make the token's output row unboundedly wide — a
+    classic skew bomb. Capping bounds every output row at ``max_postings``
+    ids while ``doc_freq``/``total_tf`` stay exact, which is what query
+    planners actually need (full lists belong sharded across rows, not inside
+    one). ``collect_list`` feeds ``array_sort`` + ``slice``, so the
+    nondeterministic collection order never reaches the output. One explode →
+    one (doc, token) pre-agg → one groupBy(token); the pre-agg collapses
+    per-doc repeats BEFORE the token shuffle, so the wide exchange carries at
+    most one row per (doc, token).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.collect_list(F.col("doc_id"))), 1, max_postings).cast(
+                "array<string>"
+            ),
+        ).alias("postings_head"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own top-
+    ``vocab_size`` tokens by document frequency (ties broken by token asc —
+    a total, engine-portable order). The tokenizer-coverage signal a
+    pretraining mix needs before committing to a fixed vocab: documents with
+    high OOV under the candidate vocab will fragment into long byte
+    fallbacks. Returns (doc_id, n_tokens, n_oov, oov_rate).
+
+    Shape: one groupBy(token) builds the frequency table; rank + limit keeps
+    ``vocab_size`` rows — a BROADCAST relation, so the per-doc pass is a
+    map-only left join + one groupBy(doc). Counting is all-integer; the one
+    double is the final division.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("__df"))
+    vocab = (
+        dfreq.orderBy(F.col("__df").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

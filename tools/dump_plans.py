@@ -116,6 +116,27 @@ HEADLINE = [
     "text_apply_span_cuts",
     "documents_split_assign",
     "embeddings_random_projection",
+    # r6 session 3: PQ family + trained Lloyd + quality rules
+    "embeddings_pq_ivf_topk",
+    "embeddings_kmeans_train",
+    "documents_gopher_rules",
+    "documents_ngram_novelty",
+    "documents_curriculum_order",
+    # r6 session 4: classifier chain, MMR, recall eval, leakage split,
+    # held-out LM, covariance, as-of book sampling, robust stats, PQ
+    # residual + trained
+    "documents_classifier_score",
+    "ann_mmr_rerank",
+    "dedup_recall_banding",
+    "documents_leakage_split",
+    "documents_lm_heldout",
+    "embeddings_covariance",
+    "ob_book_asof",
+    "events_anomaly_mad",
+    "documents_char_entropy",
+    "documents_quality_correlation",
+    "embeddings_pq_ivf_residual_topk",
+    "embeddings_pq_trained_topk",
 ]
 
 
