@@ -5214,6 +5214,389 @@ GROUP BY token
 """
 
 
+def _events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative co-occurrence (operators/recsys.py): distinct
+    (user, item) interactions from the props item id, per-user lists capped
+    to the top-20 by (interaction count desc, item asc) BEFORE pairing —
+    the Amazon item-to-item truncation that bounds pair generation to
+    O(users · cap²) under any skew — then pair counts with EXACT uncapped
+    popularity normalization. cosine/jaccard are single IEEE ops over exact
+    longs (sqrt and / are correctly rounded — no libm), so every value
+    hash-checks against the oracle."""
+    from polars_order_book_spark.operators.recsys import item_cooccurrence
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    )
+    return item_cooccurrence(
+        items, user_col="user_id", item_col="item", per_user_cap=20, min_pair_count=3
+    )
+
+
+EVENTS_ITEM_COOC_SQL = """
+WITH inter AS (
+  SELECT user_id AS usr, CAST(json_extract_string(props,'$.k') AS BIGINT) AS item,
+         count(*) AS n_inter
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props,'$.k') IS NOT NULL
+  GROUP BY 1,2
+),
+pop AS (SELECT item, count(*) AS n_users FROM inter GROUP BY item),
+capped AS (
+  SELECT usr, item FROM (
+    SELECT usr, item,
+           row_number() OVER (PARTITION BY usr ORDER BY n_inter DESC, item ASC) AS r
+    FROM inter) t WHERE r <= 20
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.usr = b.usr AND a.item < b.item
+  GROUP BY 1,2 HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n_ab, pa.n_users AS n_a, pb.n_users AS n_b,
+       CAST(p.n_ab AS DOUBLE)/sqrt(CAST(pa.n_users AS DOUBLE)*CAST(pb.n_users AS DOUBLE)) AS cosine,
+       CAST(p.n_ab AS DOUBLE)/(CAST(pa.n_users AS DOUBLE)+CAST(pb.n_users AS DOUBLE)-CAST(p.n_ab AS DOUBLE)) AS jaccard
+FROM pairs p
+JOIN pop pa ON pa.item = p.item_a
+JOIN pop pb ON pb.item = p.item_b
+"""
+
+
+def _events_top_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-5 neighbor lists from the co-occurrence table
+    (operators/recsys.py top_similar_items): symmetrize the unordered pairs
+    and keep each item's best 5 by (cosine desc, neighbor asc). The window
+    runs over the item²-bounded pair table, never event-sized data."""
+    from polars_order_book_spark.operators.recsys import (
+        item_cooccurrence,
+        top_similar_items,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    )
+    cooc = item_cooccurrence(
+        items, user_col="user_id", item_col="item", per_user_cap=20, min_pair_count=3
+    )
+    return top_similar_items(cooc, k=5, metric="cosine")
+
+
+EVENTS_TOP_SIMILAR_SQL = """
+WITH inter AS (
+  SELECT user_id AS usr, CAST(json_extract_string(props,'$.k') AS BIGINT) AS item,
+         count(*) AS n_inter
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props,'$.k') IS NOT NULL
+  GROUP BY 1,2
+),
+pop AS (SELECT item, count(*) AS n_users FROM inter GROUP BY item),
+capped AS (
+  SELECT usr, item FROM (
+    SELECT usr, item,
+           row_number() OVER (PARTITION BY usr ORDER BY n_inter DESC, item ASC) AS r
+    FROM inter) t WHERE r <= 20
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.usr = b.usr AND a.item < b.item
+  GROUP BY 1,2 HAVING count(*) >= 3
+),
+scored AS (
+  SELECT p.item_a, p.item_b,
+         CAST(p.n_ab AS DOUBLE)/sqrt(CAST(pa.n_users AS DOUBLE)*CAST(pb.n_users AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN pop pa ON pa.item = p.item_a
+  JOIN pop pb ON pb.item = p.item_b
+),
+sym AS (
+  SELECT item_a AS item, item_b AS neighbor, cosine FROM scored
+  UNION ALL
+  SELECT item_b AS item, item_a AS neighbor, cosine FROM scored
+)
+SELECT item, neighbor, rank, cosine FROM (
+  SELECT item, neighbor, cosine,
+         row_number() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rank
+  FROM sym) t
+WHERE rank <= 5
+"""
+
+
+def _orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    per-customer rollup of pre-cutoff orders is folded together with the
+    post-cutoff delta batch WITHOUT rescanning base facts — count/sum add,
+    max takes greatest, exact decimal sums keep the fold order-independent.
+    The oracle is a FULL recompute over all orders: the incremental result
+    must be bit-identical, which is precisely the self-maintainability
+    contract (Blakeley et al., SIGMOD 1986). At 100 TB the combine joins
+    rollup-sized relations only; a small delta side broadcasts."""
+    from polars_order_book_spark.operators.incremental import incremental_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1995-07-01"
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    base_agg = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).alias("sum_total"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    merged = incremental_agg(
+        base_agg,
+        orders.where(F.col("o_orderdate") >= cut),
+        ["o_custkey"],
+        count_col="n_orders",
+        sum_exprs={"sum_total": F.sum(dec)},
+        max_exprs={"last_order": F.max("o_orderdate")},
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        F.unix_micros(F.col("last_order")).alias("last_order_us"),
+    )
+
+
+ORDERS_INCREMENTAL_AGG_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+       epoch_us(max(o_orderdate)) AS last_order_us
+FROM orders GROUP BY o_custkey
+"""
+
+
+def _events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog rollup (operators/frequency.py hll_build/
+    hll_union, datasketches-backed Spark 3.5+ surface): one binary sketch
+    per day, global distinct answered by UNIONING the stored sketch bytes —
+    never rescanning raw events. That store-then-union move is what makes
+    distinct-count rollups reusable at 100 TB (persist (day, sketch) rows;
+    any later week/month/segment union is a tiny agg). Estimates are checked
+    within 3·rsd≈6% of the exact count (the events_user_distinct_approx
+    convention) so the output hash-checks; the sketch column itself stays
+    internal."""
+    from polars_order_book_spark.operators.frequency import hll_build, hll_union
+
+    ev = load_table(spark, sf_dir, "events")
+    day_users = ev.select(F.to_date("ts").alias("day"), "user_id")
+    sk = hll_build(day_users, "user_id", segment_cols=["day"]).localCheckpoint(
+        eager=False
+    )
+    exact_day = day_users.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    tol = lambda: F.lit(0.06) * F.col("n_users")  # noqa: E731
+    per_day = sk.join(exact_day, on="day").select(
+        F.col("day").cast("string").alias("scope"),
+        "n_users",
+        (F.abs(F.col("est") - F.col("n_users")) <= tol()).alias("approx_in_tol"),
+    )
+    glob = (
+        hll_union(sk)
+        .crossJoin(
+            F.broadcast(day_users.agg(F.count_distinct("user_id").alias("n_users")))
+        )
+        .select(
+            F.lit("__total__").alias("scope"),
+            "n_users",
+            (F.abs(F.col("est") - F.col("n_users")) <= tol()).alias("approx_in_tol"),
+        )
+    )
+    return per_day.unionByName(glob)
+
+
+EVENTS_HLL_ROLLUP_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+       count(DISTINCT user_id) AS n_users, TRUE AS approx_in_tol
+FROM events GROUP BY 1
+UNION ALL
+SELECT '__total__', count(DISTINCT user_id), TRUE FROM events
+"""
+
+
+def _documents_pmi_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive vocabulary via PMI (operators/text.py
+    pmi_keywords): rank tokens by p(tok|lang)/p(tok) — log-free so every
+    value is portable (two exact decimal(19,0) products, one double
+    division; log is monotone so the ranking IS the PMI ranking). min_count
+    floors the rare-token PMI explosion. Explode + two vocab-sized groupBys
+    + a vocab-sized window — never corpus-sized state."""
+    from polars_order_book_spark.operators.text import pmi_keywords
+
+    return pmi_keywords(
+        load_table(spark, sf_dir, "documents"), by="lang", top_k=10, min_count=3
+    )
+
+
+DOCUMENTS_PMI_SQL = """
+WITH tok AS (
+  SELECT lang AS segment, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+cst AS (SELECT segment, token, count(*) AS n_seg_tok FROM tok GROUP BY 1,2),
+ct  AS (SELECT token, count(*) AS n_tok FROM tok GROUP BY 1),
+ns  AS (SELECT segment, count(*) AS n_seg FROM tok GROUP BY 1),
+n   AS (SELECT count(*) AS n_total FROM tok),
+scored AS (
+  SELECT cst.segment, cst.token, cst.n_seg_tok, ct.n_tok,
+         CAST(CAST(cst.n_seg_tok AS DECIMAL(19,0)) * CAST(n.n_total AS DECIMAL(19,0)) AS DOUBLE)
+         / CAST(CAST(ns.n_seg AS DECIMAL(19,0)) * CAST(ct.n_tok AS DECIMAL(19,0)) AS DOUBLE) AS pmi_ratio
+  FROM cst JOIN ct USING (token) JOIN ns USING (segment) CROSS JOIN n
+  WHERE cst.n_seg_tok >= 3
+)
+SELECT segment, token, n_seg_tok, n_tok, pmi_ratio, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY segment ORDER BY pmi_ratio DESC, token ASC) AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+def _documents_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency health profile (operators/text.py zipf_profile):
+    per language, token mass per power-of-two rank bucket — equal mass per
+    doubling bucket ⇔ ideal Zipf; head-heavy = boilerplate dup, tail-heavy
+    = tokenizer junk. Exact integers only (the bucket map is a constant
+    CASE chain, no libm log); any slope fit happens client-side over these
+    21 rows."""
+    from polars_order_book_spark.operators.text import zipf_profile
+
+    return zipf_profile(load_table(spark, sf_dir, "documents"), by="lang")
+
+
+_ZIPF_CASE = (
+    "CASE "
+    + " ".join(f"WHEN rank < {2 ** (b + 1)} THEN {b}" for b in range(20))
+    + " ELSE 20 END"
+)
+
+DOCUMENTS_ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT lang AS segment, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT segment, token, count(*) AS n FROM tok GROUP BY 1,2),
+ranked AS (
+  SELECT segment, n,
+         row_number() OVER (PARTITION BY segment ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT segment, CAST({_ZIPF_CASE} AS BIGINT) AS bucket,
+       count(*) AS n_tokens, CAST(sum(n) AS BIGINT) AS mass
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def _orders_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rollup maintenance (streaming/agg_stream.py): the
+    per-customer rollup is seeded from pre-cutoff orders, then post-cutoff
+    facts arrive as two micro-batches folded in via foreachBatch +
+    combine_aggregates ("+= delta" per batch; the _CURRENT-marker replay
+    guard is load-bearing because addition is NOT idempotent — pinned by
+    pytest). Additive combines are associative/commutative over exact
+    decimal sums, so the final table equals the full recompute however the
+    stream was batched — which is exactly the oracle (shared with
+    orders_incremental_agg)."""
+    import tempfile
+
+    from polars_order_book_spark.streaming.agg_stream import (
+        init_table,
+        maintain_rollup_stream,
+        read_current,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1995-07-01"
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    base_agg = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).alias("sum_total"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    delta = orders.where(F.col("o_orderdate") >= cut)
+    tmp = tempfile.mkdtemp(prefix="rollup_stream_")
+    tbl = os.path.join(tmp, "table")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    init_table(base_agg, tbl)
+    schema = delta.schema
+    for i in (0, 1):
+        part = delta.where(F.col("o_orderkey") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq_file = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(pdir, pq_file), os.path.join(in_dir, f"{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = maintain_rollup_stream(
+        stream,
+        tbl,
+        ["o_custkey"],
+        count_col="n_orders",
+        sum_exprs={"sum_total": F.sum(dec)},
+        max_exprs={"last_order": F.max("o_orderdate")},
+        checkpoint=os.path.join(tmp, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("rollup maintenance stream did not finish in 600s")
+    return read_current(spark, tbl).select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        F.unix_micros(F.col("last_order")).alias("last_order_us"),
+    )
+
+
+def _events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir (operators/sampling.py
+    reservoir_per_key): exactly min(40, |group|) events per event_type,
+    drawn uniformly by portable hash rank (md5-derived hash64 of event_id,
+    id-tiebroken) — reproducible where Vitter's serial Algorithm R is not.
+    One hash exchange + per-key window; O(k) state per key."""
+    from polars_order_book_spark.operators.sampling import reservoir_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = reservoir_per_key(
+        ev.select("event_id", "user_id", "event_type"),
+        ["event_type"],
+        40,
+        id_col="event_id",
+        salt="r6",
+    )
+    return out.select("event_type", "sample_rank", "event_id", "user_id")
+
+
+EVENTS_RESERVOIR_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), 'r6')), 1, 15)) AS BIGINT) ASC,
+                    event_id ASC
+         ) AS sample_rank
+  FROM events
+)
+SELECT event_type, CAST(sample_rank AS BIGINT) AS sample_rank, event_id, user_id
+FROM ranked WHERE sample_rank <= 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5237,7 +5620,6 @@ _R6_HEAD = [
     # (2) never sampled: new in r6, plus the rename keeping the opt-in
     # label-propagation components under oracle
     "events_heavy_hitters_by_type",
-    "events_heavy_hitters_windowed",
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
     "text_bm25",
@@ -5250,10 +5632,8 @@ _R6_HEAD = [
     # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
     "embeddings_semdedup",
     "documents_split_assign",
-    "documents_lm_score",
     "embeddings_knn_graph",
     "embeddings_ann_stream",
-    "text_dup_span_cuts",
     "documents_dsir_weights",
     "embeddings_semdedup_incremental",
     "text_apply_span_cuts",
@@ -5262,9 +5642,6 @@ _R6_HEAD = [
     # family, IVF-PQ composite, PQ recall eval, two-iteration Lloyd training,
     # Gopher rules, n-gram novelty, curriculum interleave) — displace eight
     # more r1-r3 multi-green entries to the tail per the rotation policy
-    "embeddings_pq_codes",
-    "embeddings_pq_topk",
-    "embeddings_pq_ivf_topk",
     # (ann_recall_pq demoted to the tail in session 5: the recall-eval join
     # path gets driver signal through ann_recall_pq_residual and
     # ann_recall_pq_trained below, which share the identical harness code;
@@ -5278,7 +5655,6 @@ _R6_HEAD = [
     # eval, leakage-safe split, held-out LM, covariance, MAD outliers,
     # char entropy, Spearman) — displace twelve more r1-r3 multi-green
     # entries to the tail per the rotation policy
-    "documents_classifier_step",
     "documents_classifier_score",
     "documents_classifier_stream",
     "ob_book_asof",
@@ -5291,7 +5667,6 @@ _R6_HEAD = [
     "documents_char_entropy",
     "documents_quality_correlation",
     "embeddings_pq_ivf_residual_topk",
-    "ann_recall_pq_residual",
     "embeddings_pq_trained_topk",
     "ann_recall_pq_trained",
     # (2e) never sampled: new in the r6 fifth session (count-min sketch
@@ -5304,6 +5679,33 @@ _R6_HEAD = [
     "orders_bloom_semijoin",
     "documents_oov_rate",
     "text_postings",
+    # (2f) never sampled: new in the r6 sixth session (item co-occurrence
+    # recommender, incremental aggregate maintenance, mergeable HLL rollup,
+    # PMI keywords, Zipf profile). To hold the 50-entry cap, six
+    # never-sampled entries whose code paths are fully exercised by a
+    # RETAINED head sibling moved to the tail (the ann_recall_pq precedent;
+    # each stays pinned by the local gate + pytest):
+    #   events_heavy_hitters_windowed — same heavy_hitters_by path as
+    #     events_heavy_hitters_by_type (only the key expr differs);
+    #   text_dup_span_cuts — the exact prefix of text_apply_span_cuts' chain;
+    #   embeddings_pq_codes — encode path inside every retained pq_topk;
+    #   embeddings_pq_topk — same ADC harness as embeddings_pq_trained_topk;
+    #   documents_classifier_step — GD chain inside documents_classifier_score;
+    #   ann_recall_pq_residual — recall harness via ann_recall_pq_trained,
+    #     residual chain via embeddings_pq_ivf_residual_topk;
+    #   embeddings_pq_ivf_topk — cell-prune equi-join + ADC chain is the
+    #     strict subset of the retained embeddings_pq_ivf_residual_topk;
+    #   documents_lm_score — full-corpus bigram scoring chain is the strict
+    #     subset of the retained documents_lm_heldout (train/val split on
+    #     top of the same scorer).
+    "events_item_cooccurrence",
+    "events_top_similar_items",
+    "orders_incremental_agg",
+    "events_hll_rollup",
+    "documents_pmi_keywords",
+    "documents_zipf_profile",
+    "orders_rollup_stream",
+    "events_reservoir_sample",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -5413,6 +5815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_semijoin": _orders_bloom_semijoin,
         "documents_oov_rate": _documents_oov_rate,
         "text_postings": _text_postings,
+        "events_item_cooccurrence": _events_item_cooccurrence,
+        "events_top_similar_items": _events_top_similar_items,
+        "orders_incremental_agg": _orders_incremental_agg,
+        "events_hll_rollup": _events_hll_rollup,
+        "documents_pmi_keywords": _documents_pmi_keywords,
+        "documents_zipf_profile": _documents_zipf_profile,
+        "orders_rollup_stream": _orders_rollup_stream,
+        "events_reservoir_sample": _events_reservoir_sample,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "ob_book_asof": _ob_book_asof,
@@ -5658,6 +6068,16 @@ def oracle_sql() -> dict[str, str]:
         "orders_bloom_semijoin": ORDERS_BLOOM_SEMIJOIN_SQL,
         "documents_oov_rate": DOCUMENTS_OOV_RATE_SQL,
         "text_postings": TEXT_POSTINGS_SQL,
+        "events_item_cooccurrence": EVENTS_ITEM_COOC_SQL,
+        "events_top_similar_items": EVENTS_TOP_SIMILAR_SQL,
+        "orders_incremental_agg": ORDERS_INCREMENTAL_AGG_SQL,
+        "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
+        "documents_pmi_keywords": DOCUMENTS_PMI_SQL,
+        "documents_zipf_profile": DOCUMENTS_ZIPF_SQL,
+        # the streaming fold must converge to the same full recompute as the
+        # batch operator — deliberately the identical oracle
+        "orders_rollup_stream": ORDERS_INCREMENTAL_AGG_SQL,
+        "events_reservoir_sample": EVENTS_RESERVOIR_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

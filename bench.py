@@ -130,6 +130,25 @@ def main() -> None:
         # recall evals are registry-only, these carry their plans.
         "embeddings_pq_ivf_residual_topk",
         "embeddings_pq_trained_topk",
+        # r6 session-5 additions: count-min rollup (bounded cell-grid build
+        # + broadcast probe), Bloom runtime-filter audit (5 broadcast
+        # bit-joins over lineitem), capped inverted index (posting-list
+        # skew bound). documents_oov_rate is registry-only (map + one agg).
+        "events_countmin_rollup",
+        "orders_bloom_semijoin",
+        "text_postings",
+        # r6 session-6 additions: item co-occurrence (capped per-user
+        # self-join + exact popularity normalization), incremental agg
+        # maintenance (rollup-sized combine vs full-recompute oracle),
+        # mergeable HLL rollup (sketch-bytes union), PMI keywords and the
+        # Zipf profile (vocab-sized windows). events_top_similar_items is
+        # registry-only: the cooc plan plus one bounded window.
+        "events_item_cooccurrence",
+        "orders_incremental_agg",
+        "events_reservoir_sample",
+        "events_hll_rollup",
+        "documents_pmi_keywords",
+        "documents_zipf_profile",
     ]
     qs = E.queries()
 

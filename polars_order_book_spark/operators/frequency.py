@@ -397,3 +397,52 @@ def countmin_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
     )
+
+
+# --- HyperLogLog sketch rollup (mergeable distinct counting) -----------------
+#
+# approx_count_distinct answers "distinct now" but its sketch is gone after
+# the query. The datasketches-backed hll_sketch_agg / hll_union_agg surface
+# (Spark 3.5+) makes the sketch itself a VALUE: persist one binary sketch per
+# (segment, day) partition, then answer any later rollup — week, month,
+# arbitrary segment union — by unioning sketch bytes WITHOUT rescanning the
+# raw 100 TB. That store-then-union shape is the entire point; estimates are
+# within ~1.04/sqrt(2^lg_k) relative error (~1.6% at lg_k=12).
+
+
+def hll_build(
+    df: DataFrame,
+    item_col: str,
+    *,
+    segment_cols: "list[str] | None" = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch per segment: (*segment_cols, sketch binary, est long).
+    Null items are excluded (the shared null rule of this module). The agg is
+    a single map-side-partial groupBy — each task contributes one ≤2^lg_k
+    register block per segment, so the exchange is segments-sized, not
+    data-sized."""
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+    segs = list(segment_cols or [])
+    item = F.col(item_col)
+    sk = df.where(item.isNotNull()).groupBy(*segs).agg(
+        F.hll_sketch_agg(item, F.lit(lg_k)).alias("sketch")
+    )
+    return sk.select(
+        *segs, "sketch", F.hll_sketch_estimate("sketch").alias("est")
+    )
+
+
+def hll_union(sketches: DataFrame, *, group_cols: "list[str] | None" = None) -> DataFrame:
+    """Union sketch rows into coarser scopes: (*group_cols, sketch, est).
+    Exactly the rollup-without-rescan move — distinct users for any segment
+    union is one tiny agg over stored sketch bytes. With no group_cols the
+    result is a single global row."""
+    segs = list(group_cols or [])
+    merged = sketches.groupBy(*segs).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+    return merged.select(
+        *segs, "sketch", F.hll_sketch_estimate("sketch").alias("est")
+    )

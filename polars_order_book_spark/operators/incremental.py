@@ -1,0 +1,118 @@
+"""Incremental aggregate maintenance — fold a delta batch into a persisted
+aggregate table without rescanning the base data.
+
+The warehouse pattern: a 100 TB fact table has a per-key aggregate rollup
+(per-customer totals, per-domain document stats). A daily delta arrives;
+recomputing the rollup from scratch rescans the full history for keys that
+did not change. Incremental view maintenance (Blakeley et al., SIGMOD 1986 —
+"self-maintainable" aggregates) folds the delta's partial aggregates into
+the existing rollup instead: O(|delta| + |touched keys|) work.
+
+Self-maintainability contract (insert-only deltas): ``count`` and ``sum``
+combine by addition, ``min``/``max`` by least/greatest. Under DELETES,
+min/max are NOT self-maintainable (removing the current min requires
+rescanning that key) — callers with retractions must re-aggregate the
+affected keys from base data; this module deliberately supports the
+insert-only fast path and raises nothing silently (it never sees deletes —
+the input is a relation of new rows).
+
+Scale shape: the delta is aggregated first (one shuffle over delta-sized
+data, map-side partial), then combined with the base rollup via a full-outer
+join on the key. The base side of that join is ROLLUP-sized, not
+fact-table-sized — the whole point. When the delta's key set is small (the
+common daily case), Spark/AQE broadcasts the delta side, so the base rollup
+streams through map-side untouched. With the rollup stored bucketed on the
+key, even the base-side exchange disappears. Exact decimal sums keep the
+fold associative and order-independent — the incremental result is
+bit-identical to a full recompute, which is exactly the oracle this module
+is verified against.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def combine_aggregates(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    counts: Sequence[str] = (),
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> DataFrame:
+    """Merge two aggregate tables with identical schemas into one.
+
+    Both inputs carry ``keys`` plus the named measure columns; the result
+    has the same schema with measures combined per self-maintainability
+    rules: counts/sums add, mins take ``least``, maxs take ``greatest``.
+    Keys present in only one side pass through unchanged (their other-side
+    measure is absent, not zero — ``coalesce`` handles it).
+    """
+    keys = list(keys)
+    measures = [*counts, *sums, *mins, *maxs]
+    if not keys or not measures:
+        raise ValueError("need at least one key and one measure column")
+    for side_name, side in (("base", base), ("delta", delta)):
+        missing = [c for c in [*keys, *measures] if c not in side.columns]
+        if missing:
+            raise ValueError(f"{side_name} is missing columns {missing}")
+    b = base.select(*keys, *[F.col(m).alias(f"__b_{m}") for m in measures])
+    d = delta.select(*keys, *[F.col(m).alias(f"__d_{m}") for m in measures])
+    joined = b.join(d, on=keys, how="full_outer")
+
+    def _combined(m: str) -> F.Column:
+        bm, dm = F.col(f"__b_{m}"), F.col(f"__d_{m}")
+        if m in mins:
+            return F.coalesce(F.least(bm, dm), bm, dm)
+        if m in maxs:
+            return F.coalesce(F.greatest(bm, dm), bm, dm)
+        # counts and sums: additive; absent side contributes nothing
+        return F.coalesce(bm, F.lit(0)) + F.coalesce(dm, F.lit(0))
+
+    return joined.select(
+        *keys, *[_combined(m).alias(m) for m in measures]
+    )
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    delta_rows: DataFrame,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n_rows",
+    sum_exprs: "dict[str, F.Column] | None" = None,
+    min_exprs: "dict[str, F.Column] | None" = None,
+    max_exprs: "dict[str, F.Column] | None" = None,
+) -> DataFrame:
+    """Fold raw ``delta_rows`` into the persisted ``base_agg`` rollup.
+
+    ``base_agg`` has columns ``keys + [count_col] + sum/min/max names``;
+    ``delta_rows`` is the raw new-fact relation. The delta is aggregated
+    with the given expressions (one delta-sized shuffle, map-side partial),
+    then combined with :func:`combine_aggregates`. The result equals a full
+    recompute over ``union(base_facts, delta_rows)`` exactly — use decimal
+    sum expressions so addition is order-independent.
+    """
+    sum_exprs = dict(sum_exprs or {})
+    min_exprs = dict(min_exprs or {})
+    max_exprs = dict(max_exprs or {})
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [e.alias(name) for name, e in sum_exprs.items()]
+    aggs += [e.alias(name) for name, e in min_exprs.items()]
+    aggs += [e.alias(name) for name, e in max_exprs.items()]
+    delta_agg = delta_rows.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return combine_aggregates(
+        base_agg,
+        delta_agg,
+        keys,
+        counts=[count_col],
+        sums=list(sum_exprs),
+        mins=list(min_exprs),
+        maxs=list(max_exprs),
+    )

@@ -548,3 +548,41 @@ def curriculum_order(
             (F.col("pos_in_bin") * n_bins + F.col("bin")).cast("long").alias("order_key"),
         )
     )
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    keys: "list[str]",
+    k: int,
+    *,
+    id_col: str = "event_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-key reservoir: exactly min(k, |group|) rows per key
+    group, chosen uniformly by portable hash rank — the distributed stand-in
+    for sequential reservoir sampling (Vitter's Algorithm R needs a serial
+    scan; ranking by hash(id||salt) gives the same "uniform k of n" draw in
+    one shuffle and is REPRODUCIBLE, which the classic algorithm is not).
+
+    Rank order is (hash64(id||salt) asc, id asc) — the id tiebreak makes the
+    selection total even under hash collisions. ``salt`` yields independent
+    redraws from the same data. Output keeps all input columns plus
+    ``sample_rank`` (1-based).
+
+    Scale shape: one hash-exchange on ``keys`` + an in-partition top-k window
+    — no global sort, no driver state. Per-key state is O(k). Skewed key
+    groups cost one partition's sort of their own rows, the same bound as
+    any per-key window; for pathological single-key inputs use the two-phase
+    variant (hash-prefilter with rate ≈ 2k/n, then exact window) — at that
+    point n is known anyway.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    rank_key = hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*keys).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )

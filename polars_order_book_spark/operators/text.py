@@ -13,7 +13,7 @@ map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword list shared with the SQL oracle.
@@ -1262,4 +1262,121 @@ def oov_rate(
             "n_oov",
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
+    )
+
+
+# --- corpus keyword statistics: PMI and Zipf profile -------------------------
+
+
+def pmi_keywords(
+    df: DataFrame,
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive terms per segment via pointwise mutual information — the
+    corpus-diagnostics op behind "what vocabulary characterizes this
+    domain/language slice" (domain signatures, mixture auditing, topic
+    drift alarms).
+
+    PMI(seg, tok) = log[ p(tok|seg) / p(tok) ] = log[ (c_st · N) / (N_s · c_t) ].
+    log is monotone, so ranking by the RATIO is ranking by PMI — and the
+    ratio is hash-checkable across engines (two exact decimal integer
+    products, each cast to double with IEEE correct rounding, one double
+    division) where log itself would hit libm last-ulp divergence. The
+    caller applies log for display; this operator stays exact.
+
+    Returns the per-segment top_k by (ratio desc, token asc):
+    (segment, token, n_seg_tok, n_tok, pmi_ratio, rank). ``min_count``
+    floors c_st, killing the rare-token PMI explosion (a token seen once in
+    one segment has maximal PMI and zero value — the standard correction).
+
+    Scale shape: one explode; two map-side-partial groupBys (seg×vocab and
+    vocab); totals are segments-sized (broadcast); final rank is a window
+    over the seg×vocab counts — vocabulary-sized, never corpus-sized.
+    """
+    if top_k < 1 or min_count < 1:
+        raise ValueError(f"need top_k >= 1, min_count >= 1; got {top_k}, {min_count}")
+    seg = F.col(by)
+    tok = df.select(
+        seg.alias("segment"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    c_st = tok.groupBy("segment", "token").agg(F.count(F.lit(1)).alias("n_seg_tok"))
+    c_t = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_s = tok.groupBy("segment").agg(F.count(F.lit(1)).alias("__n_seg"))
+    n = tok.agg(F.count(F.lit(1)).alias("__n_total"))
+    # decimal(19,0) factors → decimal(38,0) product in BOTH Spark and DuckDB
+    # (38×38 would overflow DuckDB's width-38 cap); counts stay < 1e19 far
+    # beyond 100 TB corpora.
+    dec = "decimal(19,0)"
+    num = (F.col("n_seg_tok").cast(dec) * F.col("__n_total").cast(dec)).cast("double")
+    den = (F.col("__n_seg").cast(dec) * F.col("n_tok").cast(dec)).cast("double")
+    scored = (
+        c_st.where(F.col("n_seg_tok") >= min_count)
+        .join(F.broadcast(c_t), on="token")
+        .join(F.broadcast(n_s), on="segment")
+        .crossJoin(F.broadcast(n))
+        .withColumn("pmi_ratio", num / den)
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("pmi_ratio").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "segment",
+            "token",
+            "n_seg_tok",
+            "n_tok",
+            "pmi_ratio",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ZIPF_MAX_BUCKET = 20
+
+
+def zipf_profile(
+    df: DataFrame,
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency profile per segment: total token mass per
+    power-of-two rank bucket. For each segment, rank tokens by (count desc,
+    token asc); bucket b holds ranks [2^b, 2^(b+1)) for b in 0..19, with
+    b = 20 a catch-all tail. An ideal Zipf (count ∝ 1/rank) puts ~equal
+    mass in every doubling bucket, so the profile is a one-glance corpus
+    health check — head-heavy (boilerplate dup) and tail-heavy (tokenizer
+    junk, encoding noise) corpora both show up immediately, and the output
+    is exact integers (no libm log fit — the slope estimate, if wanted, is
+    a client-side regression over these 21 rows).
+
+    Returns (segment, bucket, n_tokens, mass): distinct-token count and
+    summed occurrence count per bucket.
+
+    Scale shape: explode → groupBy(segment, token) with map-side partial;
+    the rank window runs over the VOCABULARY relation (|segments|·|vocab|
+    rows — ≪ corpus), partitioned by segment; final groupBy is 21·|segments|
+    rows. The bucket map is a constant CASE chain — whole-stage codegen,
+    no log().
+    """
+    tok = df.select(
+        F.col(by).alias("segment"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("segment", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("segment").orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    bucket = F.lit(ZIPF_MAX_BUCKET)
+    for b in range(ZIPF_MAX_BUCKET - 1, -1, -1):
+        bucket = F.when(F.col("rank") < F.lit(2 ** (b + 1)), F.lit(b)).otherwise(bucket)
+    return (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("segment", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("n").alias("mass"))
     )

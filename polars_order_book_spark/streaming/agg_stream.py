@@ -1,0 +1,115 @@
+"""Streaming rollup maintenance: fold arriving fact batches into a persisted
+aggregate table — the continuous counterpart of :mod:`operators.incremental`.
+
+The batch operator proves one delta folds into a rollup exactly; real
+pipelines receive deltas forever. Each micro-batch B_i is partially
+aggregated (delta-sized shuffle) and combined into the maintained rollup via
+:func:`operators.incremental.combine_aggregates` — count/sum add, min/max
+take least/greatest — so after the last batch the table equals a full
+recompute over base ∪ all batches, regardless of how the stream was
+micro-batched (additive combines are associative and commutative; exact
+decimal sums keep them order-independent). That recompute IS the driver
+oracle.
+
+Persistence reuses :mod:`streaming.merge_stream`'s versioned-parquet +
+_CURRENT-marker discipline (write ``_v{batch_id}``, then flip the marker),
+including its replay-safety rule: a retried batch whose marker already points
+at its own version is a completed batch — skip, don't double-add. Double
+application is the classic streaming-agg bug; unlike MERGE (a fixpoint),
+"+= delta" is NOT idempotent, so the marker check is load-bearing here and
+pinned by test.
+
+Scale shape: per batch, one delta-sized partial agg + one rollup-sized
+combine join (broadcast the delta side when small). The full-rollup rewrite
+per batch is the plain-parquet limitation, same as merge_stream; a Delta/
+Iceberg sink would MERGE into the rollup in place.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+
+from polars_order_book_spark.operators.incremental import incremental_agg
+from polars_order_book_spark.streaming.merge_stream import (
+    _CURRENT,
+    init_table,
+    read_current,
+)
+
+__all__ = ["maintain_rollup_stream", "fold_batch", "init_table", "read_current"]
+
+
+def fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_path: str,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n_rows",
+    sum_exprs: "dict[str, Column] | None" = None,
+    min_exprs: "dict[str, Column] | None" = None,
+    max_exprs: "dict[str, Column] | None" = None,
+) -> None:
+    """Apply one fact batch to the maintained rollup (the foreachBatch body,
+    exposed so the replay rule is unit-testable)."""
+    vdir_this = f"_v{batch_id}"
+    marker = os.path.join(base_path, _CURRENT)
+    # Replay safety — see module docstring: "+= delta" is not idempotent,
+    # so an already-applied batch MUST short-circuit.
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            if f.read().strip() == vdir_this:
+                return
+    current = read_current(batch_df.sparkSession, base_path)
+    merged = incremental_agg(
+        current,
+        batch_df,
+        list(keys),
+        count_col=count_col,
+        sum_exprs=sum_exprs,
+        min_exprs=min_exprs,
+        max_exprs=max_exprs,
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(base_path, vdir_this))
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(vdir_this)
+
+
+def maintain_rollup_stream(
+    facts: DataFrame,
+    base_path: str,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n_rows",
+    sum_exprs: "dict[str, Column] | None" = None,
+    min_exprs: "dict[str, Column] | None" = None,
+    max_exprs: "dict[str, Column] | None" = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Start the rollup-maintenance query over a streaming ``facts`` relation;
+    returns the StreamingQuery. Seed the table first with ``init_table`` (the
+    rollup of the pre-stream base, possibly empty)."""
+    keys = list(keys)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            batch_df,
+            batch_id,
+            base_path,
+            keys,
+            count_col=count_col,
+            sum_exprs=sum_exprs,
+            min_exprs=min_exprs,
+            max_exprs=max_exprs,
+        )
+
+    writer = facts.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

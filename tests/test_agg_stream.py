@@ -1,0 +1,89 @@
+"""Streaming rollup maintenance: convergence to the full recompute and the
+non-idempotent replay guard (the load-bearing marker check)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from polars_order_book_spark.streaming.agg_stream import (
+    fold_batch,
+    init_table,
+    read_current,
+)
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _rollup(df):
+    return df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(18,0)")).alias("sum_v"),
+    )
+
+
+def _rowmap(df):
+    return {r["k"]: (r["n_rows"], int(r["sum_v"])) for r in df.collect()}
+
+
+def test_fold_batches_converge_to_full_recompute(spark):
+    base = [("a", 1), ("b", 2)]
+    b0 = [("a", 10), ("c", 5)]
+    b1 = [("b", 100), ("c", 7), ("c", 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = os.path.join(tmp, "t")
+        init_table(_rollup(_facts(spark, base)), tbl)
+        for i, batch in enumerate([b0, b1]):
+            fold_batch(
+                _facts(spark, batch), i, tbl, ["k"],
+                count_col="n_rows",
+                sum_exprs={"sum_v": F.sum(F.col("v").cast("decimal(18,0)"))},
+            )
+        got = _rowmap(read_current(spark, tbl))
+    want = _rowmap(_rollup(_facts(spark, base + b0 + b1)))
+    assert got == want
+
+
+def test_replayed_batch_is_not_double_added(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = os.path.join(tmp, "t")
+        init_table(_rollup(_facts(spark, [("a", 1)])), tbl)
+        batch = _facts(spark, [("a", 10)])
+        kw = dict(count_col="n_rows",
+                  sum_exprs={"sum_v": F.sum(F.col("v").cast("decimal(18,0)"))})
+        fold_batch(batch, 0, tbl, ["k"], **kw)
+        # simulate Spark retrying the committed batch after a crash between
+        # marker flip and checkpoint commit: same batch id arrives again
+        fold_batch(batch, 0, tbl, ["k"], **kw)
+        got = _rowmap(read_current(spark, tbl))
+    assert got == {"a": (2, 11)}  # not (3, 21)
+
+
+def test_reservoir_per_key_exact_size_and_determinism(spark):
+    from polars_order_book_spark.operators.sampling import reservoir_per_key
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(300)], "event_id long, g string"
+    )
+    s1 = reservoir_per_key(df, ["g"], 7, id_col="event_id", salt="s")
+    s2 = reservoir_per_key(df, ["g"], 7, id_col="event_id", salt="s")
+    rows1 = sorted((r["g"], r["event_id"], r["sample_rank"]) for r in s1.collect())
+    rows2 = sorted((r["g"], r["event_id"], r["sample_rank"]) for r in s2.collect())
+    assert rows1 == rows2  # reproducible draw
+    from collections import Counter
+
+    per_key = Counter(g for g, _, _ in rows1)
+    assert per_key == {"g0": 7, "g1": 7, "g2": 7}
+    # a different salt redraws a (almost surely) different set
+    s3 = reservoir_per_key(df, ["g"], 7, id_col="event_id", salt="other")
+    rows3 = sorted((r["g"], r["event_id"], r["sample_rank"]) for r in s3.collect())
+    assert rows3 != rows1
+
+
+def test_reservoir_small_group_returns_all(spark):
+    from polars_order_book_spark.operators.sampling import reservoir_per_key
+
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "event_id long, g string")
+    assert reservoir_per_key(df, ["g"], 10, id_col="event_id").count() == 2

@@ -223,3 +223,38 @@ def test_mg_merge_error_bound():
     assert s.to_dict() == {1: 5, 2: 3}  # cut = 5 (3rd largest)
     s2 = _mg_merge(s, pd.Series({3: 6, 1: 1}), k=2)
     assert len(s2) <= 2 and s2[1] == 3  # 6 - cut(3) == 3
+
+
+# --- HLL sketch rollup -------------------------------------------------------
+
+
+def test_hll_union_matches_flat_build(spark):
+    from polars_order_book_spark.operators.frequency import hll_build, hll_union
+
+    df = spark.createDataFrame(
+        [(d, i % 50) for d in ("a", "b", "c") for i in range(200)],
+        "seg string, item long",
+    )
+    per_seg = hll_build(df, "item", segment_cols=["seg"])
+    unioned = hll_union(per_seg).collect()[0]
+    flat = hll_build(df, "item").collect()[0]
+    # merging per-segment sketches must equal the sketch of the union —
+    # the mergeability contract the rollup pattern depends on
+    assert unioned["est"] == flat["est"]
+
+
+def test_hll_estimate_near_exact_at_small_cardinality(spark):
+    from polars_order_book_spark.operators.frequency import hll_build
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "item long")
+    est = hll_build(df, "item").collect()[0]["est"]
+    assert abs(est - 1000) <= 0.06 * 1000
+
+
+def test_hll_nulls_excluded_and_validation(spark):
+    from polars_order_book_spark.operators.frequency import hll_build
+
+    df = spark.createDataFrame([(None,), (1,), (1,)], "item long")
+    assert hll_build(df, "item").collect()[0]["est"] == 1
+    with pytest.raises(ValueError, match="lg_k"):
+        hll_build(df, "item", lg_k=2)

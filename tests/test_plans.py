@@ -182,6 +182,12 @@ _BNLJ_WHITELIST = {
     # against the <=n_buckets-row model relation — the text_tfidf
     # global-normalizer pattern twice (operators/text.py dsir_weights)
     "documents_dsir_weights",
+    # same 1-row corpus-token-total broadcast cross join as text_tfidf
+    # (operators/text.py pmi_keywords)
+    "documents_pmi_keywords",
+    # 1-row global exact-distinct aggregate broadcast-crossed against the
+    # 1-row unioned-sketch estimate — both sides single-row by construction
+    "events_hll_rollup",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -207,6 +207,20 @@ DEMOTED_TAIL = {
     "documents_deduped",
     "ob_chunked_mutations_top2",
     "ann_recall_pq",
+    # r6 session-6 demotions for the six new never-sampled entries
+    # (events_item_cooccurrence, events_top_similar_items,
+    # orders_incremental_agg, events_hll_rollup, documents_pmi_keywords,
+    # documents_zipf_profile). Each of the six below is never-sampled but
+    # fully code-path-covered by a RETAINED head sibling (the ann_recall_pq
+    # precedent; rationale per entry in the _R6_HEAD comment block):
+    "events_heavy_hitters_windowed",
+    "text_dup_span_cuts",
+    "embeddings_pq_codes",
+    "embeddings_pq_topk",
+    "documents_classifier_step",
+    "ann_recall_pq_residual",
+    "embeddings_pq_ivf_topk",
+    "documents_lm_score",
 }
 
 

@@ -610,3 +610,41 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     row = text.ngram_novelty(df).collect()[0]
     # grams: "x y z","y z x","z x y" each appearing multiple times -> 3 distinct
     assert row["n_grams"] == 3 and row["n_new"] == 3
+
+
+# --- PMI keywords and Zipf profile -------------------------------------------
+
+
+def test_pmi_ranking_and_min_count(spark):
+    from polars_order_book_spark.operators.text import pmi_keywords
+
+    # "zzz" is exclusive to seg x (PMI ratio = N/N_x > 1); "common" is
+    # uniform (ratio ~= 1); a once-only token must be floored out
+    rows = [
+        (1, "zzz zzz zzz common common", "x"),
+        (2, "common common common rare", "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pmi_keywords(df, by="lang", top_k=5, min_count=2)
+    got = {(r["segment"], r["token"]): r.asDict() for r in out.collect()}
+    assert ("y", "rare") not in got  # min_count floor
+    zx = got[("x", "zzz")]
+    assert zx["rank"] == 1  # exclusive token dominates its segment
+    # ratio = (c_st * N) / (N_s * c_t) = (3 * 9) / (5 * 3) = 1.8
+    assert zx["pmi_ratio"] == 27.0 / 15.0
+
+
+def test_zipf_bucket_boundaries_and_mass_conservation(spark):
+    from polars_order_book_spark.operators.text import zipf_profile
+
+    # 8 distinct tokens with strictly decreasing counts -> ranks 1..8
+    toks = []
+    for i, t in enumerate("abcdefgh"):
+        toks += [t] * (20 - i)
+    df = spark.createDataFrame(
+        [(1, " ".join(toks), "x")], "doc_id long, text string, lang string"
+    )
+    out = {r["bucket"]: r.asDict() for r in zipf_profile(df, by="lang").collect()}
+    # bucket 0 = rank 1; bucket 1 = ranks 2-3; bucket 2 = ranks 4-7; 3 = rank 8
+    assert {b: out[b]["n_tokens"] for b in sorted(out)} == {0: 1, 1: 2, 2: 4, 3: 1}
+    assert sum(r["mass"] for r in out.values()) == len(toks)
