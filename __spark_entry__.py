@@ -5597,6 +5597,340 @@ FROM ranked WHERE sample_rank <= 40
 """
 
 
+def _events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour active-user counts reported hourly
+    (operators/timeseries.py sliding_window_distinct): COUNT(DISTINCT) over
+    a sliding range, which Spark window frames cannot express and a
+    per-bucket self-join would rescan W times. The scale shape is the
+    bounded ×W explode (each event feeds exactly 6 window-end buckets
+    map-side) + ONE shuffle on the window-end bucket — linear at 100 TB,
+    time-bucket keys are skew-free by definition."""
+    from polars_order_book_spark.operators.timeseries import sliding_window_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_distinct(
+        ev, ts_col="ts", key_col="user_id", window_buckets=6, bucket="hour"
+    )
+    return out.select(
+        F.unix_micros(F.col("window_end")).alias("window_end_us"),
+        "n_active",
+        "n_events",
+    )
+
+
+EVENTS_SLIDING_ACTIVE_SQL = """
+WITH expanded AS (
+    SELECT user_id,
+           date_trunc('hour', ts) + to_hours(CAST(o AS BIGINT)) AS window_end
+    FROM events, range(6) t(o)
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT epoch_us(window_end) AS window_end_us,
+       count(DISTINCT user_id) AS n_active,
+       count(*) AS n_events
+FROM expanded GROUP BY window_end
+"""
+
+
+def _events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value score
+    (operators/timeseries.py time_decay_score): halflife 2 days anchored to
+    each user's own latest day. The weighted sum is ENTIRELY integer — value
+    micros (BIGINT) × exact 2^(40-age/2) powers accumulated in
+    DECIMAL(38,0) — so the fold is order-independent; ONE final cast + ONE
+    IEEE division by the exactly-representable constant 2^40·1e6 produces
+    the double. No libm. Two key-partitioned aggs + one co-partitioned
+    join, all map-side partial."""
+    from polars_order_book_spark.operators.timeseries import time_decay_score
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decay_score(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        halflife_buckets=2,
+        bucket="day",
+        max_age_buckets=40,
+    )
+
+
+EVENTS_TIME_DECAY_SQL = """
+WITH base AS (
+    SELECT user_id,
+           epoch_us(date_trunc('day', ts)) // 1000000 AS b,
+           CAST(round(value * 1000000.0) AS BIGINT) AS vmicros
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+latest AS (SELECT user_id, max(b) AS bmax FROM base GROUP BY user_id),
+aged AS (
+    SELECT base.user_id, vmicros, bmax,
+           CAST((bmax - b) / 86400 AS BIGINT) AS age
+    FROM base JOIN latest USING (user_id)
+),
+terms AS (
+    SELECT user_id, bmax,
+           CASE WHEN 40 - CAST(floor(age / 2.0) AS BIGINT) > 0
+                THEN CAST(vmicros AS DECIMAL(38,0))
+                     * CAST(pow(2.0, CAST(40 - CAST(floor(age / 2.0) AS BIGINT) AS DOUBLE)) AS DECIMAL(38,0))
+                ELSE CAST(0 AS DECIMAL(38,0)) END AS scaled
+    FROM aged
+)
+SELECT user_id,
+       CAST(sum(scaled) AS DOUBLE) / 1099511627776000000.0 AS decayed_value,
+       count(*) AS n_events,
+       max(bmax) AS last_bucket
+FROM terms GROUP BY user_id
+"""
+
+
+def _events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic popularity-biased negative sampling
+    (operators/sampling.py negative_samples): per user, 5 of the 30 most
+    popular items the user never touched, drawn by portable hash rank
+    (reproducible BPR-style negatives). The users × catalog cross-join trap
+    is structurally avoided: fan-out is users × 30 (broadcast pool), the
+    exclusion is a co-partitioned left_anti on (user, item)."""
+    from polars_order_book_spark.operators.sampling import negative_samples
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    )
+    out = negative_samples(
+        items, user_col="user_id", item_col="item", k=5, candidate_pool=30, salt="r6"
+    )
+    return out.select(
+        F.col("user").alias("user_id"), "item", "sample_rank"
+    )
+
+
+EVENTS_NEGATIVE_SAMPLES_SQL = """
+WITH inter AS (
+    SELECT DISTINCT user_id AS usr,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events
+    WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+pool AS (
+    SELECT item FROM (
+        SELECT item, count(*) AS n FROM inter GROUP BY item
+        ORDER BY n DESC, item ASC LIMIT 30) t
+),
+cand AS (
+    SELECT u.usr, p.item
+    FROM (SELECT DISTINCT usr FROM inter) u CROSS JOIN pool p
+),
+neg AS (
+    SELECT c.usr, c.item FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM inter i WHERE i.usr = c.usr AND i.item = c.item)
+),
+ranked AS (
+    SELECT usr, item,
+           row_number() OVER (PARTITION BY usr ORDER BY
+             CAST(concat('0x', substr(md5(concat(CAST(usr AS VARCHAR), ':', CAST(item AS VARCHAR), 'r6')), 1, 15)) AS BIGINT) ASC,
+             item ASC) AS sample_rank
+    FROM neg
+)
+SELECT usr AS user_id, item, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 5
+"""
+
+
+def _embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/retrieval.py hard_negatives): per query, the top-10
+    most-similar vectors that are neither the query, nor share its label
+    (the positives set), nor exceed the 0.99 similarity ceiling (the
+    standard unlabeled-positive guard). Ranking happens AFTER all
+    exclusions, so lists never under-fill. Scoring is the whitelisted
+    vectors × broadcast-queries scan; exclusion is a pairs-sized
+    left_anti co-partitioned with the rank shuffle."""
+    from polars_order_book_spark.operators.retrieval import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    queries_df = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    positives = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select(F.col("vec_id").alias("positive_id"), "label"), "label")
+        .select("query_id", "positive_id")
+    )
+    return hard_negatives(
+        emb, queries_df, positives, k=10, sim_ceiling=0.99
+    )
+
+
+EMBEDDINGS_HARD_NEGATIVES_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+    FROM embeddings WHERE vec_id < 5
+),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv, label FROM embeddings),
+pos AS (SELECT q.query_id, v.neighbor_id FROM q JOIN v ON v.label = q.label),
+sim AS (
+    SELECT q.query_id, v.neighbor_id,
+           list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+    FROM v CROSS JOIN q
+    WHERE v.neighbor_id <> q.query_id
+),
+adm AS (
+    SELECT s.query_id, s.neighbor_id, s.cosine FROM sim s
+    WHERE s.cosine < CAST(0.99 AS DOUBLE)
+      AND NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id)
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM adm) t
+WHERE rank <= 10
+"""
+
+
+def _ann_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive retrieval eval (operators/similarity.py topk_mrr):
+    for each query, WHERE in the LSH top-10 the exact rank-1 neighbor
+    lands — reciprocal rank (0.0 when absent, the MRR convention) and
+    hit@k. Per-query rows, not a mean: averaging 1/rank is an
+    order-dependent float sum, so aggregation stays with the caller. Both
+    inputs are top-k tables; nothing corpus-sized joins."""
+    from polars_order_book_spark.operators.similarity import topk_mrr
+
+    return topk_mrr(_ann_lsh(spark, sf_dir), _ann_bruteforce(spark, sf_dir))
+
+
+ANN_EVAL_MRR_SQL = f"""
+WITH approx AS ({ANN_LSH_SQL}),
+exact AS ({ANN_SQL}),
+top1 AS (SELECT query_id, neighbor_id FROM exact WHERE rank = 1)
+SELECT t.query_id,
+       a.rank AS best_rank,
+       CASE WHEN a.rank IS NOT NULL THEN CAST(1 AS DOUBLE) / CAST(a.rank AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS rr,
+       a.rank IS NOT NULL AS hit
+FROM top1 t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+"""
+
+
+def _ann_recall_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-ablation recall (matryoshka-style): exact top-10 on the
+    FIRST 32 of 64 dims, evaluated against the full-dimension truth with
+    topk_recall — the measurement that decides whether a truncated
+    embedding (2× cheaper to store, scan, and shuffle at 100 TB) clears
+    the retrieval bar before anyone ships it. Both sides are the
+    whitelisted vectors × broadcast-queries scan."""
+    from polars_order_book_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sliced = emb.select("vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding"))
+    queries_df = sliced.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = cosine_topk_bruteforce(sliced, queries_df, k=10)
+    return topk_recall(approx, _ann_bruteforce(spark, sf_dir))
+
+
+ANN_RECALL_DIMS_SQL = f"""
+WITH qd AS (
+    SELECT vec_id AS query_id, (CAST(embedding AS DOUBLE[]))[1:32] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+vd AS (SELECT vec_id AS neighbor_id, (CAST(embedding AS DOUBLE[]))[1:32] AS vv FROM embeddings),
+simd AS (
+    SELECT qd.query_id, vd.neighbor_id,
+           list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cosine
+    FROM vd CROSS JOIN qd
+    WHERE vd.neighbor_id <> qd.query_id
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM simd) t
+    WHERE rank <= 10
+),
+exact AS ({ANN_SQL}),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation — overlapping 2-hour windows
+    sliding hourly over the unbounded event stream (window + slide +
+    watermark + append mode): each event feeds exactly 2 open windows, each
+    window emits exactly once when the 1-hour watermark passes its end.
+    State = open windows only (bounded by slide count × window span). The
+    tumbling sibling is events_hourly_stream_append; the slide is what
+    overlapping trailing metrics need without a batch rescan."""
+    import tempfile
+
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="sliding_stream_") + "/windows"
+    ckpt = tempfile.mkdtemp(prefix="sliding_stream_ckpt_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    return spark.read.parquet(out_dir).select("window_start_us", "n_events", "sum_value")
+
+
+EVENTS_SLIDING_STREAM_SQL = """
+WITH wm AS (
+    SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events
+),
+expanded AS (
+    SELECT epoch_us(date_trunc('hour', ts) - to_hours(CAST(o AS BIGINT))) AS window_start_us,
+           value
+    FROM events, range(2) t(o)
+)
+SELECT window_start_us, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM expanded, wm
+GROUP BY window_start_us, wm.wm_us
+HAVING window_start_us + 7200000000 <= wm.wm_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5622,11 +5956,8 @@ _R6_HEAD = [
     "events_heavy_hitters_by_type",
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
-    "text_bm25",
     "documents_hybrid_search",
     "documents_wordfreq_stream",
-    "documents_temperature_mix",
-    "dedup_components_prop",
     # (2b) never sampled: new in the r6 second session (SemDeDup, split
     # labels, bigram LM, knn graph, streaming ANN) — displace five
     # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
@@ -5635,7 +5966,6 @@ _R6_HEAD = [
     "embeddings_knn_graph",
     "embeddings_ann_stream",
     "documents_dsir_weights",
-    "embeddings_semdedup_incremental",
     "text_apply_span_cuts",
     "embeddings_random_projection",
     # (2c) never sampled: new in the r6 third session (product quantization
@@ -5646,7 +5976,6 @@ _R6_HEAD = [
     # path gets driver signal through ann_recall_pq_residual and
     # ann_recall_pq_trained below, which share the identical harness code;
     # its own output stays pinned by the local gate + pytest)
-    "embeddings_kmeans_train",
     "documents_gopher_rules",
     "documents_ngram_novelty",
     "documents_curriculum_order",
@@ -5657,7 +5986,6 @@ _R6_HEAD = [
     # entries to the tail per the rotation policy
     "documents_classifier_score",
     "documents_classifier_stream",
-    "ob_book_asof",
     "ann_mmr_rerank",
     "dedup_recall_banding",
     "documents_leakage_split",
@@ -5668,7 +5996,6 @@ _R6_HEAD = [
     "documents_quality_correlation",
     "embeddings_pq_ivf_residual_topk",
     "embeddings_pq_trained_topk",
-    "ann_recall_pq_trained",
     # (2e) never sampled: new in the r6 fifth session (count-min sketch
     # rollup, Bloom runtime-filter audit, OOV rate, capped inverted index).
     # Never-sampled outranks behavior-changed per the amended policy, so the
@@ -5706,6 +6033,39 @@ _R6_HEAD = [
     "documents_zipf_profile",
     "orders_rollup_stream",
     "events_reservoir_sample",
+    # (2g) never sampled: new in the r6 seventh session (sliding-window
+    # distinct, exponential time-decay, negative sampling, hard-negative
+    # mining, MRR eval, k-anonymity audit, sliding streaming windows).
+    # To hold the 50-entry cap, seven never-sampled entries whose code
+    # paths are covered by a retained head sibling or a historically
+    # driver-green row moved to the tail (rationale per entry):
+    #   text_bm25 — its scoring chain is verbatim the lexical leg of the
+    #     retained documents_hybrid_search;
+    #   ann_recall_pq_trained — trained-codebook chain inside the retained
+    #     embeddings_pq_trained_topk; the recall harness is ann_recall_lsh
+    #     (r1-r3 green) shared code;
+    #   embeddings_semdedup_incremental — bipartite band shape driver-green
+    #     via dedup_incremental (r5); cell-join + centroid chain via the
+    #     retained embeddings_semdedup;
+    #   embeddings_kmeans_train — each iteration IS embeddings_kmeans_step
+    #     (r2-green, tail) and the chain is pinned by the exact-chain local
+    #     oracle + pytest;
+    #   documents_temperature_mix — deterministic threshold-sampler
+    #     machinery shared with documents_domain_mix (r5 green);
+    #   dedup_components_prop — the prop algorithm carries r2/r3 driver-green
+    #     rows from when it was dedup_components' default;
+    #   ob_book_asof — composes the keyed fold (multi-round green) with
+    #     asof_join (events_asof_purchase, head slot 2 this round).
+    # ann_recall_dims (new) starts in the tail by the same rule: its approx
+    # side is cosine_topk_bruteforce on sliced vectors (ann_cosine_topk,
+    # triple-green) and its harness is topk_recall (ann_recall_lsh green).
+    "events_sliding_active_users",
+    "events_time_decay",
+    "events_negative_samples",
+    "embeddings_hard_negatives",
+    "ann_eval_mrr",
+    "events_k_anonymity",
+    "events_sliding_stream",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -5835,6 +6195,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": hq.events_anomaly_mad,
         "documents_char_entropy": hq.documents_char_entropy,
         "documents_quality_correlation": hq.documents_quality_correlation,
+        # --- new in r6 session 7 ---
+        "events_sliding_active_users": _events_sliding_active_users,
+        "events_time_decay": _events_time_decay,
+        "events_negative_samples": _events_negative_samples,
+        "embeddings_hard_negatives": _embeddings_hard_negatives,
+        "ann_eval_mrr": _ann_eval_mrr,
+        "ann_recall_dims": _ann_recall_dims,
+        "events_k_anonymity": hq.events_k_anonymity,
+        "events_sliding_stream": _events_sliding_stream,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -6078,6 +6447,14 @@ def oracle_sql() -> dict[str, str]:
         # batch operator — deliberately the identical oracle
         "orders_rollup_stream": ORDERS_INCREMENTAL_AGG_SQL,
         "events_reservoir_sample": EVENTS_RESERVOIR_SQL,
+        "events_sliding_active_users": EVENTS_SLIDING_ACTIVE_SQL,
+        "events_time_decay": EVENTS_TIME_DECAY_SQL,
+        "events_negative_samples": EVENTS_NEGATIVE_SAMPLES_SQL,
+        "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
+        "ann_eval_mrr": ANN_EVAL_MRR_SQL,
+        "ann_recall_dims": ANN_RECALL_DIMS_SQL,
+        "events_k_anonymity": hq.EVENTS_K_ANONYMITY_SQL,
+        "events_sliding_stream": EVENTS_SLIDING_STREAM_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

@@ -149,6 +149,18 @@ def main() -> None:
         "events_hll_rollup",
         "documents_pmi_keywords",
         "documents_zipf_profile",
+        # r6 session-7 additions: sliding-window distinct (bounded ×W explode
+        # + one bucket shuffle), exponential time-decay (exact decimal chain,
+        # two key aggs + co-partitioned join), negative sampling (broadcast
+        # pool + left_anti), hard-negative mining (brute scan + pairs-sized
+        # anti join), and the k-anonymity audit (event-sized distinct).
+        # ann_eval_mrr / ann_recall_dims / events_sliding_stream are
+        # registry-only: top-k-sized joins / stream startup dominates.
+        "events_sliding_active_users",
+        "events_time_decay",
+        "events_negative_samples",
+        "embeddings_hard_negatives",
+        "events_k_anonymity",
     ]
     qs = E.queries()
 

@@ -215,3 +215,76 @@ def mmr_rerank(
         greedy,
         schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
     )
+
+
+# --- hard-negative mining -----------------------------------------------------
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    positive_id_col: str = "positive_id",
+    k: int = 10,
+    sim_ceiling: "float | None" = None,
+) -> DataFrame:
+    """Mine hard negatives for contrastive training: per query, the top-``k``
+    most-similar corpus vectors that are NOT the query itself and NOT in its
+    ``positives`` set — the highest-loss negatives a dual-encoder trainer
+    wants (Karpukhin et al., DPR, EMNLP'20 §3.2 pick exactly this: top BM25/
+    dense candidates minus gold passages).
+
+    ``positives`` is a (query_id, positive_id) relation of pairs to exclude
+    (gold answers, same-label members, known near-dups). ``sim_ceiling``, if
+    set, additionally drops candidates with cosine >= ceiling — the standard
+    false-negative guard: a candidate nearly identical to the query is far
+    more likely an unlabeled positive than a useful negative (CTRLsum/ANCE
+    denoising rule).
+
+    Returns ``(query_id, neighbor_id, rank, cosine)``, rank 1-based by
+    (cosine desc, neighbor_id asc) AFTER all exclusions, so every query gets
+    its k best admissible negatives — never an under-filled list from
+    filtering a pre-cut top-k.
+
+    Scale: scoring is the brute ``crossJoin(broadcast(queries))`` map scan —
+    the query set is the bounded side by contract (training batches, not the
+    corpus). The positives exclusion is a left_anti join ON
+    (query_id, neighbor_id) — pairs-sized, co-partitioned with the score
+    shuffle key. For corpus-scale query sets, mine per shard with the IVF
+    index instead; this operator is the exact baseline that evaluates that
+    index (same contract as cosine_topk_bruteforce, similarity.py).
+    """
+    from polars_order_book_spark.operators.similarity import (  # noqa: PLC0415
+        _as_double,
+        _dot,
+        _topk,
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    sim = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    if sim_ceiling is not None:
+        sim = sim.where(F.col("cosine") < F.lit(float(sim_ceiling)))
+    excl = positives.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(positive_id_col).alias("neighbor_id"),
+    )
+    return _topk(sim.join(excl, ["query_id", "neighbor_id"], "left_anti"), k)

@@ -586,3 +586,77 @@ def reservoir_per_key(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    k: int = 5,
+    candidate_pool: int = 50,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training: per
+    user, ``k`` items drawn from the ``candidate_pool`` most popular items
+    that the user never interacted with — the standard "popularity-biased
+    negatives" a ranker/recsys trainer pairs with observed positives
+    (uniform negatives are trivially easy; sampling from the popular head is
+    the BPR/word2vec-frequency-table practice).
+
+    Returns ``(user, item, sample_rank)``, rank 1-based in hash order. The
+    draw is by portable-hash rank over (user, item, salt) — reproducible
+    across runs/engines, independent redraws via ``salt`` (the repo-wide
+    convention, see :func:`reservoir_per_key`). A user who interacted with
+    every pooled item yields fewer than k rows (never a non-negative).
+
+    Scale shape — the trap this operator exists to avoid is the
+    users × catalog cross join:
+    1. popularity: one groupBy(item) over interactions, map-side partial;
+       top ``candidate_pool`` via TakeOrderedAndProject (count desc, item
+       asc — total order).
+    2. users × pool expansion: crossJoin(broadcast(pool)) — a BOUNDED
+       constant fan-out (×pool per user), map-side, never catalog-sized.
+    3. exclusion: left_anti join against the user's own interactions,
+       co-partitioned on (user, item).
+    4. per-user top-k window over ≤pool rows — O(pool log pool) per user.
+    At 100 TB everything is linear in |users| with constant factor ``pool``.
+    """
+    if k < 1 or candidate_pool < k:
+        raise ValueError(
+            f"need candidate_pool >= k >= 1, got k={k}, pool={candidate_pool}"
+        )
+    from pyspark.sql import Window
+
+    inter = (
+        interactions.where(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    pool = (
+        inter.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("item").asc())
+        .limit(candidate_pool)
+        .select("item")
+    )
+    users = inter.select("user").distinct()
+    # bounded fan-out: |users| × candidate_pool rows, pool broadcast (1-row-
+    # scale relation; whitelisted BNLJ pattern)
+    cand = users.crossJoin(F.broadcast(pool))
+    neg = cand.join(inter, ["user", "item"], "left_anti")
+    rank_key = hash64(
+        F.concat(
+            F.col("user").cast("string"),
+            F.lit(":"),
+            F.col("item").cast("string"),
+            F.lit(salt),
+        )
+    )
+    w = Window.partitionBy("user").orderBy(rank_key.asc(), F.col("item").asc())
+    return (
+        neg.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -746,6 +746,50 @@ def topk_recall(
     )
 
 
+def topk_mrr(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query MRR / hit@k of an approximate ranking against the exact
+    one — the rank-sensitive complement to :func:`topk_recall` (recall is
+    blind to WHERE in the list the true neighbor lands; serving quality is
+    not). For each query: the approx-list rank of the exact TOP-1 neighbor.
+
+    Returns ``(query_id, best_rank, rr, hit)``: ``best_rank`` is the 1-based
+    position of the exact rank-1 neighbor in the approx list (null if it is
+    absent), ``rr`` its reciprocal (0.0 when absent — the standard MRR
+    convention), ``hit`` whether it appeared at all. Rows are PER QUERY, not
+    a corpus mean: the mean of 1/rank terms is an order-dependent float sum,
+    so aggregation is left to the caller's tolerance convention; every value
+    emitted here is a single exact IEEE division.
+
+    Scale: both inputs are top-k tables (queries × k rows); one equi-join on
+    (query, neighbor) + a left join back to the exact top-1 set. Nothing
+    corpus-sized.
+    """
+    top1 = exact.where(F.col(rank_col) == 1).select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("_q"),
+        F.col(neighbor_col).alias("_n"),
+        F.col(rank_col).cast("long").alias("_r"),
+    )
+    found = top1.join(a, ["_q", "_n"], "left")
+    return found.select(
+        F.col("_q").alias(query_col),
+        F.col("_r").alias("best_rank"),
+        F.when(F.col("_r").isNotNull(), F.lit(1.0) / F.col("_r").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+        F.col("_r").isNotNull().alias("hit"),
+    )
+
+
 def kmeans_step(
     vectors: DataFrame,
     centroids: "list[list[float]]",

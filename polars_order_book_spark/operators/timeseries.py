@@ -1,5 +1,6 @@
-"""Time-series regularization: gap-fill a per-key integer grid and linearly
-interpolate missing values.
+"""Time-series regularization and windowed activity metrics: gap-fill a
+per-key integer grid with linear interpolation, trailing sliding-window
+distinct counts, and exponential time-decay scores.
 
 The reference's world is event streams sorted by timestamp (reference
 ``README.md:182``); the downstream consumer of any such stream eventually
@@ -95,4 +96,137 @@ def gap_fill_linear(
         idx_col,
         filled.alias(value_col),
         F.col("_v").isNotNull().alias("is_observed"),
+    )
+
+
+def sliding_window_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_buckets: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Trailing sliding-window distinct-key counts per bucket — "active users
+    over the last 24 hours, reported hourly", the canonical engagement
+    metric. Returns one row per window END bucket that any in-window event
+    feeds: ``(window_end, n_active, n_events)``.
+
+    Spark's window functions cannot express COUNT(DISTINCT) over a RANGE
+    frame, and a per-bucket self-join over the trailing range rescans the
+    fact table ``window_buckets`` times. The scale-correct shape is the
+    bounded fan-out expansion: each event contributes to exactly
+    ``window_buckets`` window-end buckets via ``sequence() + explode``
+    (map-side, ×W row growth with W a small constant), then ONE shuffle on
+    the window-end bucket with a distinct-key agg. At 100 TB the cost is
+    W × |events| map output — linear, skew-free (bucket keys are time,
+    load-balanced by definition), and no rescan.
+
+    ``n_active`` counts distinct ``key_col`` over events in
+    ``(window_end - W, window_end]``; ``n_events`` counts rows. Windows
+    whose end bucket lies after the last observed event (the trailing W-1
+    partial windows) are emitted — they are real trailing-window values as
+    of those future report times, and dropping them would need a global max
+    (a 1-row broadcast this operator deliberately avoids).
+    """
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    expanded = df.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.sequence(
+                b,
+                b + F.expr(f"INTERVAL {window_buckets - 1} {bucket}"),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ).alias("window_end"),
+    )
+    return expanded.groupBy("window_end").agg(
+        F.countDistinct("_k").alias("n_active"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def time_decay_score(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    halflife_buckets: int = 1,
+    bucket: str = "day",
+    max_age_buckets: int = 40,
+) -> DataFrame:
+    """Per-key exponentially time-decayed value score — the recency
+    weighting every engagement/quality ranking uses: an event ``age``
+    buckets before the key's LATEST event contributes
+    ``value · 2^(-age / halflife_buckets)``.
+
+    Returns ``(key, decayed_value, n_events, last_bucket)`` with one row per
+    key. Events older than ``max_age_buckets`` (weight < 2^-40 by default)
+    are truncated to zero — documented cutoff, not silent FP underflow.
+
+    Exactness discipline (the repo-wide oracle convention): the weighted sum
+    runs ENTIRELY in integer arithmetic — value is scaled to micros
+    (BIGINT), the weight ``2^(max_age - age)`` is an exact integer power of
+    two, and the accumulator is DECIMAL(38,0), so the fold is associative
+    and engine-order-independent. One final cast + one IEEE division by the
+    constant ``2^max_age · 1e6`` produce the double — bit-identical on any
+    engine with correctly-rounded casts (Spark, DuckDB, and IEEE-754 all
+    guarantee this). No libm ``exp``/``pow`` with non-integer args anywhere.
+
+    Scale: one groupBy on the key for the per-key max bucket (keys-sized
+    output), one co-partitioned join back on the same key (single shuffle
+    reused), one final groupBy on the key — map-side partials throughout.
+    Decay anchored to each key's OWN latest event avoids a global-max
+    broadcast and keeps dormant keys comparable by recency shape.
+    """
+    if halflife_buckets < 1:
+        raise ValueError(f"halflife_buckets must be >= 1, got {halflife_buckets}")
+    if not 0 < max_age_buckets <= 60:
+        raise ValueError(
+            f"max_age_buckets must be in (0, 60] to keep 2^max_age exact in "
+            f"the decimal accumulator, got {max_age_buckets}"
+        )
+    bucket_idx = (
+        F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col)))
+    ).alias("_b")
+    base = df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k"),
+        bucket_idx,
+        F.round(F.col(value_col).cast("double") * 1e6).cast("long").alias("_vmicros"),
+    )
+    bucket_secs = {"hour": 3600, "day": 86400, "week": 604800}[bucket]
+    latest = base.groupBy("_k").agg(F.max("_b").alias("_bmax"))
+    aged = base.join(latest, "_k").withColumn(
+        "_age",
+        ((F.col("_bmax") - F.col("_b")) / F.lit(bucket_secs)).cast("long"),
+    )
+    # age is halflife-scaled with integer floor division: weight exponent
+    # max_age - floor(age / halflife) stays an exact integer power of two.
+    exponent = F.lit(max_age_buckets) - F.floor(
+        F.col("_age") / F.lit(halflife_buckets)
+    ).cast("long")
+    scaled = F.when(
+        exponent > 0,
+        F.col("_vmicros").cast("decimal(38,0)")
+        * F.pow(F.lit(2.0), exponent.cast("double")).cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    divisor = float(2**max_age_buckets) * 1e6
+    return (
+        aged.groupBy(F.col("_k").alias(key_col))
+        .agg(
+            F.sum(scaled).alias("_ssum"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_bmax").alias("_lb"),
+        )
+        .select(
+            key_col,
+            (F.col("_ssum").cast("double") / F.lit(divisor)).alias("decayed_value"),
+            "n_events",
+            F.col("_lb").alias("last_bucket"),
+        )
     )

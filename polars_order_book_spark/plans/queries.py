@@ -2422,3 +2422,46 @@ SELECT c.pattern, c.n_occurrences, u.n_users,
 FROM counts c JOIN users u ON c.pattern = u.pattern, tot
 WHERE u.n_users >= 2
 """
+
+
+# --- k-anonymity audit ---------------------------------------------------------
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the release-candidate quasi-identifier tuple
+    (event_type, day, item-decile): for every QI group, how many distinct
+    users share it and whether the group clears k=5 — the check a privacy
+    review runs BEFORE exporting interaction data (a QI group smaller than k
+    re-identifies its members; Sweeney 2002). Generalization is explicit:
+    ts -> day, item -> item % 10. One distinct + one groupBy, both map-side
+    partial; output is QI-domain-sized, never event-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        # string day, not DATE: the repo's cross-engine output convention
+        # (pandas date objects vs datetime64 hash differently)
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.pmod(
+            F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(10)
+        ).alias("item_bucket"),
+        "user_id",
+    ).distinct()
+    return (
+        qi.groupBy("event_type", "day", "item_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("is_k_anonymous", F.col("group_size") >= 5)
+    )
+
+
+EVENTS_K_ANONYMITY_SQL = """
+WITH qi AS (
+    SELECT DISTINCT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS item_bucket,
+           user_id
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_type, day, item_bucket,
+       count(*) AS group_size,
+       count(*) >= 5 AS is_k_anonymous
+FROM qi GROUP BY event_type, day, item_bucket
+"""

@@ -188,6 +188,20 @@ _BNLJ_WHITELIST = {
     # 1-row global exact-distinct aggregate broadcast-crossed against the
     # 1-row unioned-sketch estimate — both sides single-row by construction
     "events_hll_rollup",
+    # the same bounded vectors x broadcast-query scan as ann_cosine_topk;
+    # the positives exclusion is a pairs-sized left_anti equi-join
+    # (operators/retrieval.py hard_negatives)
+    "embeddings_hard_negatives",
+    # composes ann_cosine_topk's whitelisted broadcast-query cross join on
+    # the exact (truth) side; the LSH approx side stays bucketed
+    "ann_eval_mrr",
+    # BOTH sides are the whitelisted broadcast-query scan (sliced approx,
+    # full-dim exact) — the dimension-ablation eval
+    "ann_recall_dims",
+    # users x broadcast candidate-pool expansion — the pool is a hard
+    # 30-row LIMIT by construction (operators/sampling.py negative_samples,
+    # the bounded fan-out that replaces the users x catalog trap)
+    "events_negative_samples",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -221,6 +221,21 @@ DEMOTED_TAIL = {
     "ann_recall_pq_residual",
     "embeddings_pq_ivf_topk",
     "documents_lm_score",
+    # r6 session-7 demotions for the seven new never-sampled entries
+    # (events_sliding_active_users, events_time_decay,
+    # events_negative_samples, embeddings_hard_negatives, ann_eval_mrr,
+    # events_k_anonymity, events_sliding_stream). Rationale per entry in
+    # the _R6_HEAD comment block; ann_recall_dims starts in the tail (its
+    # approx side is driver-covered cosine_topk_bruteforce, its harness
+    # the driver-covered topk_recall).
+    "text_bm25",
+    "ann_recall_pq_trained",
+    "embeddings_semdedup_incremental",
+    "embeddings_kmeans_train",
+    "documents_temperature_mix",
+    "dedup_components_prop",
+    "ob_book_asof",
+    "ann_recall_dims",
 }
 
 

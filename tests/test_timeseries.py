@@ -49,3 +49,120 @@ def test_requires_key(spark):
     df = spark.createDataFrame([("a", 0, 1.0)], "k string, idx long, value double")
     with pytest.raises(ValueError):
         gap_fill_linear(df, by=[])
+
+
+# --- sliding_window_distinct ---------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from polars_order_book_spark.operators.timeseries import (  # noqa: E402
+    sliding_window_distinct,
+    time_decay_score,
+)
+
+
+def _ts_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_sliding_distinct_counts_trailing_window(spark):
+    rows = [
+        ("2024-01-01 00:10:00", 1, 1.0),
+        ("2024-01-01 00:20:00", 2, 1.0),
+        ("2024-01-01 01:10:00", 1, 1.0),
+        ("2024-01-01 03:05:00", 3, 1.0),
+    ]
+    df = _ts_rows(spark, [(r[0], r[1], r[2]) for r in rows]).selectExpr(
+        "CAST(ts AS TIMESTAMP) ts", "user_id", "value"
+    )
+    out = {
+        r["window_end"].strftime("%Y-%m-%d %H:00"): (r["n_active"], r["n_events"])
+        for r in sliding_window_distinct(
+            df, ts_col="ts", key_col="user_id", window_buckets=2, bucket="hour"
+        ).collect()
+    }
+    # window W=2: bucket h counts events in hours [h-1, h]
+    assert out["2024-01-01 00:00"] == (2, 2)
+    assert out["2024-01-01 01:00"] == (2, 3)  # users {1,2} (hour 0) + {1} (hour 1)
+    assert out["2024-01-01 02:00"] == (1, 1)  # only hour-1 event trails in
+    assert out["2024-01-01 03:00"] == (1, 1)
+    assert out["2024-01-01 04:00"] == (1, 1)  # trailing partial window
+
+
+def test_sliding_distinct_total_events_is_w_times_rows(spark):
+    df = _ts_rows(
+        spark,
+        [(f"2024-01-01 0{h}:15:00", u, 1.0) for h in range(5) for u in (1, 2, 3)],
+    )
+    out = sliding_window_distinct(
+        df, ts_col="ts", key_col="user_id", window_buckets=4, bucket="hour"
+    )
+    total = sum(r["n_events"] for r in out.collect())
+    assert total == 4 * 15  # every event lands in exactly W buckets
+
+
+def test_sliding_distinct_rejects_bad_window(spark):
+    df = _ts_rows(spark, [("2024-01-01 00:00:00", 1, 1.0)])
+    with pytest.raises(ValueError, match="window_buckets"):
+        sliding_window_distinct(df, window_buckets=0)
+
+
+# --- time_decay_score ----------------------------------------------------------
+
+
+def test_time_decay_exact_halving(spark):
+    # user 1: 8.0 today (age 0), 8.0 yesterday (age 1, halflife 1 -> x0.5),
+    # 8.0 two days back (x0.25) => 8 + 4 + 2 = 14
+    df = _ts_rows(
+        spark,
+        [
+            ("2024-01-03 12:00:00", 1, 8.0),
+            ("2024-01-02 09:00:00", 1, 8.0),
+            ("2024-01-01 01:00:00", 1, 8.0),
+        ],
+    )
+    out = time_decay_score(
+        df, halflife_buckets=1, bucket="day", max_age_buckets=40
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["decayed_value"] == 14.0
+    assert out[0]["n_events"] == 3
+
+
+def test_time_decay_anchors_to_each_keys_own_latest(spark):
+    # user 2's only event is old in absolute time but age-0 relative to
+    # their own latest -> full weight
+    df = _ts_rows(
+        spark,
+        [
+            ("2024-06-01 00:00:00", 1, 4.0),
+            ("2024-01-01 00:00:00", 2, 4.0),
+        ],
+    )
+    out = {r["user_id"]: r["decayed_value"] for r in time_decay_score(df).collect()}
+    assert out[1] == 4.0
+    assert out[2] == 4.0
+
+
+def test_time_decay_truncates_past_max_age(spark):
+    df = _ts_rows(
+        spark,
+        [
+            ("2024-12-31 00:00:00", 1, 2.0),
+            ("2020-01-01 00:00:00", 1, 1000000.0),  # >40 halflives old -> 0
+        ],
+    )
+    out = time_decay_score(
+        df, halflife_buckets=1, bucket="day", max_age_buckets=40
+    ).collect()
+    assert out[0]["decayed_value"] == 2.0
+
+
+def test_time_decay_guardrails(spark):
+    df = _ts_rows(spark, [("2024-01-01 00:00:00", 1, 1.0)])
+    with pytest.raises(ValueError, match="halflife"):
+        time_decay_score(df, halflife_buckets=0)
+    with pytest.raises(ValueError, match="max_age"):
+        time_decay_score(df, max_age_buckets=61)
