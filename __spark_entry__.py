@@ -5931,6 +5931,181 @@ HAVING window_start_us + 7200000000 <= wm.wm_us
 """
 
 
+def _events_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2-style attribute history (operators/timeseries.py
+    attribute_runs): each user's timeline collapsed into maximal runs of a
+    constant event_type with validity bounds — the gaps-and-islands build.
+    Two windows over ONE (user, ts, event_id) sort + a runs-sized groupBy;
+    the (ts, event_id) tiebreak makes run boundaries a total order, so the
+    oracle reproduces them exactly."""
+    from polars_order_book_spark.operators.timeseries import attribute_runs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = attribute_runs(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_rows",
+    )
+
+
+EVENTS_USER_TYPE_HISTORY_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR event_type <> lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, ts,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM ordered
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, min(event_type) AS event_type,
+       epoch_us(min(ts)) AS valid_from_us, epoch_us(max(ts)) AS valid_to_us,
+       count(*) AS n_rows
+FROM runs GROUP BY user_id, run_id
+"""
+
+
+def _events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit (operators/timeseries.py out_of_order_stats):
+    per user, how many events arrive (by event_id order) with a timestamp
+    BELOW the running max — exactly the rows a too-tight withWatermark
+    would silently drop. One key sort + one window + one groupBy; the only
+    float is the final exact division."""
+    from polars_order_book_spark.operators.timeseries import out_of_order_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return out_of_order_stats(
+        ev, key_col="user_id", ts_col="ts", arrival_col="event_id"
+    )
+
+
+EVENTS_LATE_ARRIVALS_SQL = """
+WITH m AS (
+    SELECT user_id, epoch_us(ts) AS tsu,
+           max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+    SELECT user_id,
+           CASE WHEN prev_max IS NOT NULL AND prev_max > tsu
+                THEN prev_max - tsu ELSE 0 END AS late_us
+    FROM m
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       max(late_us) AS max_lateness_us,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS frac_late
+FROM l GROUP BY user_id
+"""
+
+
+def _events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-hygiene debounce (operators/timeseries.py debounce): at most
+    one event per (user, type) per aligned 10-minute bucket — the earliest
+    by (ts, event_id) — plus how many rows it absorbed. Deliberately the
+    aligned-bucket variant: greedy debounce is a serial state machine whose
+    output depends on unbounded look-back; buckets are a pure row function,
+    so batch backfill and streaming agree. One groupBy with map-side
+    partials, no window sort."""
+    from polars_order_book_spark.operators.timeseries import debounce
+
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce(
+        ev, keys=["user_id", "event_type"], ts_col="ts",
+        tiebreak_col="event_id", interval_seconds=600,
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_suppressed",
+    )
+
+
+EVENTS_DEBOUNCED_SQL = """
+WITH b AS (
+    SELECT user_id, event_type, event_id, ts,
+           epoch_us(ts) // 600000000 AS bkt
+    FROM events WHERE ts IS NOT NULL
+),
+r AS (
+    SELECT user_id, event_type, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, event_type, bkt
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id, event_type, bkt) AS cnt
+    FROM b
+)
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+       CAST(cnt - 1 AS BIGINT) AS n_suppressed
+FROM r WHERE rn = 1
+"""
+
+
+def _docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage matrix (operators/text.py
+    split_contamination_matrix): after the deterministic 90/5/5 hash split,
+    the fraction of val/test documents sharing a token 4-gram with ANY
+    train document — the audit that MEASURES the leakage
+    documents_leakage_split exists to prevent (hash-keyed splits scatter
+    near-duplicates across the wall; this is the proof). Train grams are
+    corpus-sized, so the gram match is a plain shuffled equi-join — the
+    reverse of text_contamination's broadcast-probe shape."""
+    from polars_order_book_spark.operators.text import split_contamination_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_contamination_matrix(docs, n=4)
+
+
+def _docs_split_contamination_sql() -> str:
+    from polars_order_book_spark.functions.hashing import hash64_sql
+
+    b = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000000"
+    return f"""
+WITH lbl AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t,
+           CASE WHEN {b} < 900000 THEN 'train'
+                WHEN {b} < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+tg AS (
+    SELECT DISTINCT concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]) AS g
+    FROM lbl, range(0, 4096) r(i)
+    WHERE split = 'train' AND len(t) >= 4 AND i <= len(t) - 4
+),
+eg AS (
+    SELECT DISTINCT doc_id, split,
+           concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]) AS g
+    FROM lbl, range(0, 4096) r(i)
+    WHERE split <> 'train' AND len(t) >= 4 AND i <= len(t) - 4
+),
+hit AS (SELECT DISTINCT doc_id, split FROM eg JOIN tg USING (g)),
+per AS (SELECT split, count(*) AS n_docs FROM lbl WHERE split <> 'train' GROUP BY split),
+h AS (SELECT split, count(*) AS n_contaminated FROM hit GROUP BY split)
+SELECT per.split, per.n_docs,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+           / CAST(per.n_docs AS DOUBLE) AS contamination_rate
+FROM per LEFT JOIN h ON per.split = h.split
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5962,12 +6137,9 @@ _R6_HEAD = [
     # labels, bigram LM, knn graph, streaming ANN) — displace five
     # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
     "embeddings_semdedup",
-    "documents_split_assign",
-    "embeddings_knn_graph",
     "embeddings_ann_stream",
     "documents_dsir_weights",
     "text_apply_span_cuts",
-    "embeddings_random_projection",
     # (2c) never sampled: new in the r6 third session (product quantization
     # family, IVF-PQ composite, PQ recall eval, two-iteration Lloyd training,
     # Gopher rules, n-gram novelty, curriculum interleave) — displace eight
@@ -6026,13 +6198,11 @@ _R6_HEAD = [
     #     subset of the retained documents_lm_heldout (train/val split on
     #     top of the same scorer).
     "events_item_cooccurrence",
-    "events_top_similar_items",
     "orders_incremental_agg",
     "events_hll_rollup",
     "documents_pmi_keywords",
     "documents_zipf_profile",
     "orders_rollup_stream",
-    "events_reservoir_sample",
     # (2g) never sampled: new in the r6 seventh session (sliding-window
     # distinct, exponential time-decay, negative sampling, hard-negative
     # mining, MRR eval, k-anonymity audit, sliding streaming windows).
@@ -6066,6 +6236,29 @@ _R6_HEAD = [
     "ann_eval_mrr",
     "events_k_anonymity",
     "events_sliding_stream",
+    # (2h) never sampled: new in the r6 eighth session (gaps-and-islands
+    # attribute runs, out-of-order watermark audit, bucket debounce,
+    # per-lang percentile normalization, cross-split contamination matrix).
+    # Five sibling-covered never-sampled entries moved to the tail:
+    #   embeddings_knn_graph — banded-LSH pair generation is dedup_embedding
+    #     (r1-r3 green) code; the per-point rerank window is the _topk shape
+    #     driver-green across the ANN family;
+    #   documents_split_assign — the hash-threshold CASE labeling inside the
+    #     retained documents_leakage_split (same split_assign call) and
+    #     documents_split_contamination (new, head);
+    #   events_top_similar_items — strict suffix of the retained
+    #     events_item_cooccurrence (symmetrize + one bounded window);
+    #   events_reservoir_sample — hash-rank per-key window selection, the
+    #     same machinery as documents_weighted_sample (r3/r4 green) and the
+    #     retained events_negative_samples;
+    #   embeddings_random_projection — map-only array transform like
+    #     embeddings_quantize_int8 (r5 green); JL distortion pinned by
+    #     pytest + local gate.
+    "events_user_type_history",
+    "events_late_arrivals",
+    "events_debounced",
+    "documents_quality_percentile",
+    "documents_split_contamination",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6204,6 +6397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_dims": _ann_recall_dims,
         "events_k_anonymity": hq.events_k_anonymity,
         "events_sliding_stream": _events_sliding_stream,
+        "events_user_type_history": _events_user_type_history,
+        "events_late_arrivals": _events_late_arrivals,
+        "events_debounced": _events_debounced,
+        "documents_quality_percentile": hq.documents_quality_percentile,
+        "documents_split_contamination": _docs_split_contamination,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -6455,6 +6653,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_dims": ANN_RECALL_DIMS_SQL,
         "events_k_anonymity": hq.EVENTS_K_ANONYMITY_SQL,
         "events_sliding_stream": EVENTS_SLIDING_STREAM_SQL,
+        "events_user_type_history": EVENTS_USER_TYPE_HISTORY_SQL,
+        "events_late_arrivals": EVENTS_LATE_ARRIVALS_SQL,
+        "events_debounced": EVENTS_DEBOUNCED_SQL,
+        "documents_quality_percentile": hq.DOCS_QUALITY_PERCENTILE_SQL,
+        "documents_split_contamination": _docs_split_contamination_sql(),
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

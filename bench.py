@@ -161,6 +161,15 @@ def main() -> None:
         "events_negative_samples",
         "embeddings_hard_negatives",
         "events_k_anonymity",
+        # r6 session-8 additions: gaps-and-islands runs (one key sort, two
+        # windows), bucket debounce (one grouped min), out-of-order audit
+        # (key sort + running max), and the cross-split contamination
+        # matrix (two distinct gram builds + shuffled gram join).
+        # documents_quality_percentile is registry-only (one per-lang window).
+        "events_user_type_history",
+        "events_debounced",
+        "events_late_arrivals",
+        "documents_split_contamination",
     ]
     qs = E.queries()
 

@@ -1380,3 +1380,77 @@ def zipf_profile(
         .groupBy("segment", "bucket")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("n").alias("mass"))
     )
+
+
+def split_contamination_matrix(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: "list[float]" = None,
+    names: "list[str]" = None,
+    train_name: str = "train",
+    n: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Cross-split leakage matrix: after deterministic split assignment, how
+    many EVAL-split documents share a token n-gram with ANY train document?
+    This is the audit that proves (or disproves) the train/eval wall a
+    hash-keyed split promises — near-duplicate documents hash to different
+    splits unless the split key is a near-dup component id (see
+    dedup.leakage_split), and this matrix is how that failure is measured.
+
+    Returns one row per non-train split:
+    ``(split, n_docs, n_contaminated, contamination_rate)`` — docs counted
+    over ALL split members (zero-gram docs can never be contaminated but
+    belong in the denominator).
+
+    Scale shape: split labels are a map-only hash projection
+    (sampling.split_assign); both gram sides are array-transform + explode +
+    DISTINCT (map-side partial); the gram match is a plain shuffled
+    equi-join on the gram string — the TRAIN side is corpus-sized, so no
+    broadcast hint (the reverse of ngram_contamination, whose probe side is
+    benchmark-sized); the rollup is splits-sized. Stop-gram skew is bounded
+    by the DISTINCT-per-doc pre-agg.
+    """
+    from polars_order_book_spark.operators.sampling import split_assign
+
+    if weights is None:
+        weights = [0.9, 0.05, 0.05]
+    if names is None:
+        names = ["train", "val", "test"]
+    if train_name not in names:
+        raise ValueError(f"train_name {train_name!r} not in names {names}")
+    labeled = split_assign(df, id_col, weights, names, salt=salt).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+        "split",
+    )
+    train_grams = (
+        labeled.where(F.col("split") == train_name)
+        .select(F.explode(_token_ngrams(F.col("__toks"), n)).alias("g"))
+        .distinct()
+    )
+    eval_docs = labeled.where(F.col("split") != train_name)
+    eval_grams = eval_docs.select(
+        "doc_id", "split", F.explode(_token_ngrams(F.col("__toks"), n)).alias("g")
+    ).distinct()
+    hit_docs = (
+        eval_grams.join(train_grams, "g")
+        .select("doc_id", "split")
+        .distinct()
+    )
+    per_split = eval_docs.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = hit_docs.groupBy("split").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        per_split.join(hits, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("contamination_rate"),
+        )
+    )

@@ -230,3 +230,142 @@ def time_decay_score(
             F.col("_lb").alias("last_bucket"),
         )
     )
+
+
+def attribute_runs(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's timeline into maximal runs of a
+    constant attribute value — the SCD-Type-2 history build (validity
+    intervals of "the user's current state") and the classic sessionless
+    sequence summary. One row per run:
+    ``(key, run_id, attr, valid_from, valid_to, n_rows)`` with ``run_id``
+    1-based per key in time order.
+
+    The island id is the standard two-window derivation: a change flag
+    (``attr != lag(attr)``) followed by its running sum — both over the SAME
+    (key) partition and (ts, tiebreak) order, so Spark evaluates them in one
+    sort. ``tiebreak_col`` makes the order total (equal timestamps would
+    otherwise make run boundaries nondeterministic across engines).
+
+    Scale: one hash exchange on the key + one in-partition sort + one
+    groupBy(key, run) with map-side partials. Output is runs-sized. Skewed
+    keys cost their own partition's sort — the floor for any per-key
+    ordered pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.col(attr_col) != F.lag(attr_col).over(w))
+    ).cast("long")
+    runs = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn(
+        "run_id",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # attr is constant within a (key, run_id) group by construction, so
+    # min() is "the" value — no order-dependent first()
+    return runs.groupBy(key_col, "run_id").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def out_of_order_stats(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Per-key out-of-order audit: how late do events arrive relative to the
+    running maximum event time in ARRIVAL order (``arrival_col``, e.g. a
+    log offset or monotone ingest id)? This is the measurement that sizes
+    streaming watermarks: ``withWatermark(ts, X)`` silently drops exactly
+    the rows this query counts at lateness > X, so run the audit BEFORE
+    picking X, not after the drops happen.
+
+    Returns one row per key:
+    ``(key, n_events, n_late, max_lateness_us, frac_late)`` where a row is
+    late iff its ts is strictly below the running max of PRIOR rows' ts, and
+    lateness is that deficit in microseconds. The only float is the final
+    fraction (one exact IEEE division of BIGINTs).
+
+    Scale: one hash exchange on the key + in-partition sort + one window
+    pass (running max over preceding rows) + one groupBy — the same
+    single-sort shape as any per-key ordered audit; keys-sized output.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.unix_micros(F.col(ts_col))).over(w)
+    lateness = F.when(
+        prev_max.isNotNull() & (prev_max > F.unix_micros(F.col(ts_col))),
+        prev_max - F.unix_micros(F.col(ts_col)),
+    ).otherwise(F.lit(0))
+    marked = df.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("_late_us", lateness)
+    return marked.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+        F.max("_late_us").alias("max_lateness_us"),
+        (
+            F.sum((F.col("_late_us") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_late"),
+    )
+
+
+def debounce(
+    df: DataFrame,
+    *,
+    keys: "list[str]",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    interval_seconds: int = 600,
+) -> DataFrame:
+    """Bucket debounce: keep at most ONE row per key group per aligned
+    ``interval_seconds`` bucket — the earliest by (ts, tiebreak) — and count
+    what it suppressed. The stream-hygiene pass that collapses repeated
+    telemetry (retry storms, duplicate clicks) before aggregation.
+
+    Deliberately the ALIGNED-bucket variant, not greedy debounce: greedy
+    ("suppress anything within N of the last KEPT event") is a sequential
+    state machine whose output depends on unbounded look-back — fine in a
+    single-node stream, hostile to distributed replay. Aligned buckets give
+    the same ≤1-per-interval guarantee, are a pure function of the row (so
+    backfill and streaming agree), and need no state. Returns the kept rows'
+    identifying columns plus ``n_suppressed`` (rows it absorbed).
+
+    Scale: one hash exchange on (keys, bucket) + per-group min — map-side
+    partial aggregation, no window sort needed.
+    """
+    if interval_seconds < 1:
+        raise ValueError(f"interval_seconds must be >= 1, got {interval_seconds}")
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(interval_seconds)
+    ).alias("_bkt")
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        *keys, F.col(ts_col), F.col(tiebreak_col), bucket
+    )
+    pick = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return base.groupBy(*keys, "_bkt").agg(
+        F.min_by(tiebreak_col, pick).alias(tiebreak_col),
+        F.min(ts_col).alias(ts_col),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    ).drop("_bkt")

@@ -2465,3 +2465,34 @@ SELECT event_type, day, item_bucket,
        count(*) >= 5 AS is_k_anonymous
 FROM qi GROUP BY event_type, day, item_bucket
 """
+
+
+# --- per-lang percentile normalization ----------------------------------------
+
+def documents_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile normalization of a quality signal (here
+    n_chars): percent_rank + a decile bucket — the calibration step before
+    mixing quality scores across languages (raw score scales are not
+    comparable between langs; percentile ranks are). percent_rank is the
+    exact rational (rank-1)/(n-1) with identical tie semantics in Spark and
+    DuckDB, so the double is engine-identical. Scale: one window per lang
+    partition — bounded by the largest language, the floor for any per-group
+    ranking; never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    pct = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        pct.alias("pct_rank"),
+        F.least(F.floor(pct * 10).cast("long"), F.lit(9)).alias("decile"),
+    )
+
+
+DOCS_QUALITY_PERCENTILE_SQL = """
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS pct_rank,
+       least(CAST(floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) * 10) AS BIGINT), 9) AS decile
+FROM documents
+"""

@@ -236,6 +236,15 @@ DEMOTED_TAIL = {
     "dedup_components_prop",
     "ob_book_asof",
     "ann_recall_dims",
+    # r6 session-8 demotions for the five new never-sampled entries
+    # (events_user_type_history, events_late_arrivals, events_debounced,
+    # documents_quality_percentile, documents_split_contamination).
+    # Rationale per entry in the _R6_HEAD comment block.
+    "embeddings_knn_graph",
+    "documents_split_assign",
+    "events_top_similar_items",
+    "events_reservoir_sample",
+    "embeddings_random_projection",
 }
 
 

@@ -648,3 +648,34 @@ def test_zipf_bucket_boundaries_and_mass_conservation(spark):
     # bucket 0 = rank 1; bucket 1 = ranks 2-3; bucket 2 = ranks 4-7; 3 = rank 8
     assert {b: out[b]["n_tokens"] for b in sorted(out)} == {0: 1, 1: 2, 2: 4, 3: 1}
     assert sum(r["mass"] for r in out.values()) == len(toks)
+
+
+def test_split_contamination_matrix_counts_cross_split_grams(spark):
+    from polars_order_book_spark.operators.text import split_contamination_matrix
+
+    # doc 0 -> "train" by construction of weights [1-eps...]? Instead force
+    # splits via a 50/50 and check invariants rather than specific hashing.
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = split_contamination_matrix(
+        docs, weights=[0.5, 0.5], names=["train", "eval"], n=4
+    ).collect()
+    assert len(out) == 1 and out[0]["split"] == "eval"
+    # every doc shares the long 4-gram prefix -> full contamination
+    assert out[0]["n_contaminated"] == out[0]["n_docs"]
+    assert out[0]["contamination_rate"] == 1.0
+
+
+def test_split_contamination_rejects_unknown_train_name(spark):
+    import pytest
+
+    from polars_order_book_spark.operators.text import split_contamination_matrix
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train_name"):
+        split_contamination_matrix(
+            docs, weights=[0.5, 0.5], names=["a", "b"], train_name="train"
+        )

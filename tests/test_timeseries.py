@@ -166,3 +166,94 @@ def test_time_decay_guardrails(spark):
         time_decay_score(df, halflife_buckets=0)
     with pytest.raises(ValueError, match="max_age"):
         time_decay_score(df, max_age_buckets=61)
+
+
+# --- attribute_runs (gaps-and-islands) ----------------------------------------
+
+from polars_order_book_spark.operators.timeseries import (  # noqa: E402
+    attribute_runs,
+    debounce,
+    out_of_order_stats,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts string, user_id long, event_type string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_attribute_runs_collapses_islands(spark):
+    df = _ev(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "a", 1),
+            ("2024-01-01 00:01:00", 1, "a", 2),
+            ("2024-01-01 00:02:00", 1, "b", 3),
+            ("2024-01-01 00:03:00", 1, "a", 4),  # a again -> NEW run, not merged
+        ],
+    )
+    out = sorted(
+        attribute_runs(df).collect(), key=lambda r: r["run_id"]
+    )
+    assert [(r["run_id"], r["event_type"], r["n_rows"]) for r in out] == [
+        (1, "a", 2),
+        (2, "b", 1),
+        (3, "a", 1),
+    ]
+    assert out[0]["valid_from"].minute == 0 and out[0]["valid_to"].minute == 1
+
+
+def test_attribute_runs_equal_ts_breaks_by_tiebreak(spark):
+    df = _ev(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "b", 2),
+            ("2024-01-01 00:00:00", 1, "a", 1),  # same ts: event_id orders
+        ],
+    )
+    out = sorted(attribute_runs(df).collect(), key=lambda r: r["run_id"])
+    assert [(r["run_id"], r["event_type"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+# --- out_of_order_stats ---------------------------------------------------------
+
+
+def test_out_of_order_counts_regressions(spark):
+    df = _ev(
+        spark,
+        [
+            ("2024-01-01 00:10:00", 1, "x", 1),
+            ("2024-01-01 00:05:00", 1, "x", 2),  # 5 min late
+            ("2024-01-01 00:20:00", 1, "x", 3),
+            ("2024-01-01 00:20:00", 1, "x", 4),  # equal to max -> NOT late
+        ],
+    )
+    r = out_of_order_stats(df).collect()[0]
+    assert r["n_events"] == 4 and r["n_late"] == 1
+    assert r["max_lateness_us"] == 5 * 60 * 1_000_000
+    assert r["frac_late"] == 0.25
+
+
+# --- debounce -------------------------------------------------------------------
+
+
+def test_debounce_keeps_earliest_per_bucket(spark):
+    df = _ev(
+        spark,
+        [
+            ("2024-01-01 00:00:30", 1, "click", 10),
+            ("2024-01-01 00:05:00", 1, "click", 11),  # same 10-min bucket
+            ("2024-01-01 00:11:00", 1, "click", 12),  # next bucket
+            ("2024-01-01 00:00:30", 1, "view", 13),   # other key group
+        ],
+    )
+    out = debounce(df, keys=["user_id", "event_type"], interval_seconds=600)
+    got = {(r["event_type"], r["event_id"]): r["n_suppressed"] for r in out.collect()}
+    assert got == {("click", 10): 1, ("click", 12): 0, ("view", 13): 0}
+
+
+def test_debounce_guardrail(spark):
+    df = _ev(spark, [("2024-01-01 00:00:00", 1, "x", 1)])
+    with pytest.raises(ValueError, match="interval_seconds"):
+        debounce(df, keys=["user_id"], interval_seconds=0)
