@@ -6106,6 +6106,117 @@ FROM per LEFT JOIN h ON per.split = h.split
 """
 
 
+def _events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/profiling.py
+    distribution_drift): per event_type, total-variation + KS between the
+    first-half and second-half value distributions (10 fixed-width
+    buckets). Both statistics reduce to EXACT integer forms —
+    Σ|n·M−m·N|/(2NM) and max|cumΔ|/(NM) in DECIMAL(38,0) — which is why
+    TV/KS and not PSI/KL (log ratios would drag libm rounding into the
+    oracle hash). Bucket-domain-sized shuffles only."""
+    from polars_order_book_spark.operators.profiling import distribution_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        "event_type",
+        F.when(F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), "base")
+        .otherwise("current")
+        .alias("cohort"),
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    return distribution_drift(
+        labeled, by=["event_type"], cohort_col="cohort", bucket_col="bucket"
+    )
+
+
+EVENTS_VALUE_DRIFT_SQL = """
+WITH lab AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'base'
+                ELSE 'current' END AS cohort,
+           least(CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT), 9) AS bucket
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+counts AS (
+    SELECT event_type, bucket,
+           sum(CASE WHEN cohort = 'base' THEN 1 ELSE 0 END) AS n,
+           sum(CASE WHEN cohort = 'current' THEN 1 ELSE 0 END) AS m
+    FROM lab GROUP BY event_type, bucket
+),
+tot AS (SELECT event_type, sum(n) AS nn, sum(m) AS mm FROM counts GROUP BY event_type),
+j AS (
+    SELECT c.event_type, c.bucket, c.n, c.m, t.nn, t.mm
+    FROM counts c JOIN tot t USING (event_type)
+    WHERE t.nn > 0 AND t.mm > 0
+),
+terms AS (
+    SELECT event_type, nn, mm,
+           abs(CAST(n AS DECIMAL(38,0)) * CAST(mm AS DECIMAL(38,0))
+               - CAST(m AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))) AS ad,
+           abs(CAST(sum(n) OVER w AS DECIMAL(38,0)) * CAST(mm AS DECIMAL(38,0))
+               - CAST(sum(m) OVER w AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))) AS acd
+    FROM j
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(min(nn) AS BIGINT) AS n_base,
+       CAST(min(mm) AS BIGINT) AS n_current,
+       CAST(sum(ad) AS DOUBLE)
+           / (CAST(2 AS DOUBLE) * CAST(min(nn) AS DOUBLE) * CAST(min(mm) AS DOUBLE)) AS tv,
+       CAST(max(acd) AS DOUBLE)
+           / (CAST(min(nn) AS DOUBLE) * CAST(min(mm) AS DOUBLE)) AS ks
+FROM terms GROUP BY event_type
+"""
+
+
+def _embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (operators/linalg.py centroid_drift):
+    per label, the cosine between the even-id and odd-id cohort centroids —
+    the cheap encoder/corpus-shift alarm (a swinging centroid is drift no
+    matter what individual neighbors do). Exact DECIMAL(30,12) per-dim
+    sums, fixed-order centroid arrays, the ANN family's fused dot — the
+    shuffle is model-sized (labels × cohorts × 64)."""
+    from polars_order_book_spark.operators.linalg import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "base").otherwise("current").alias("cohort"),
+        "embedding",
+    )
+    return centroid_drift(labeled, by="label", cohort_col="cohort", dim=64)
+
+
+EMBEDDINGS_CENTROID_DRIFT_SQL = """
+WITH e AS (
+    SELECT label,
+           CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'current' END AS c,
+           CAST(d AS INT) AS d,
+           (CAST(embedding AS DOUBLE[]))[CAST(d AS INT) + 1] AS x
+    FROM embeddings, range(0, 64) r(d)
+),
+sums AS (
+    SELECT label, c, d,
+           sum(CAST(x AS DECIMAL(30,12))) AS s, count(*) AS n
+    FROM e GROUP BY label, c, d
+),
+cent AS (
+    SELECT label, c,
+           list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY d) AS cent,
+           CAST(min(n) AS BIGINT) AS nrows
+    FROM sums GROUP BY label, c
+),
+a AS (SELECT label, cent AS ca, nrows AS n_base FROM cent WHERE c = 'base'),
+b AS (SELECT label, cent AS cb, nrows AS n_current FROM cent WHERE c = 'current')
+SELECT a.label, a.n_base, b.n_current,
+       round(list_dot_product(ca, cb)
+           / (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb))), 9) AS centroid_cosine
+FROM a JOIN b USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6176,7 +6287,6 @@ _R6_HEAD = [
     # gate green since the change) yield their slots to the tail.
     "events_countmin_rollup",
     "orders_bloom_semijoin",
-    "documents_oov_rate",
     "text_postings",
     # (2f) never sampled: new in the r6 sixth session (item co-occurrence
     # recommender, incremental aggregate maintenance, mergeable HLL rollup,
@@ -6234,7 +6344,6 @@ _R6_HEAD = [
     "events_negative_samples",
     "embeddings_hard_negatives",
     "ann_eval_mrr",
-    "events_k_anonymity",
     "events_sliding_stream",
     # (2h) never sampled: new in the r6 eighth session (gaps-and-islands
     # attribute runs, out-of-order watermark audit, bucket debounce,
@@ -6259,6 +6368,17 @@ _R6_HEAD = [
     "events_debounced",
     "documents_quality_percentile",
     "documents_split_contamination",
+    # (2i) never sampled: new in the r6 ninth session (TV/KS distribution
+    # drift, embedding centroid drift). Two sibling-covered demotions:
+    #   documents_oov_rate — vocab build inside the retained
+    #     text_vocabulary, per-doc token explode inside the retained
+    #     text_token_counts; OOV adds one broadcast join + one division;
+    #   events_k_anonymity — a plans-level distinct + groupBy composition
+    #     (no new operator code) whose plan shape is multi-green
+    #     (dedup_exact r1-r3, events_user_distinct_approx r2-r4); its
+    #     semantics stay pinned by the full local gate + pytest.
+    "events_value_drift",
+    "embeddings_centroid_drift",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6402,6 +6522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_debounced": _events_debounced,
         "documents_quality_percentile": hq.documents_quality_percentile,
         "documents_split_contamination": _docs_split_contamination,
+        "events_value_drift": _events_value_drift,
+        "embeddings_centroid_drift": _embeddings_centroid_drift,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -6658,6 +6780,8 @@ def oracle_sql() -> dict[str, str]:
         "events_debounced": EVENTS_DEBOUNCED_SQL,
         "documents_quality_percentile": hq.DOCS_QUALITY_PERCENTILE_SQL,
         "documents_split_contamination": _docs_split_contamination_sql(),
+        "events_value_drift": EVENTS_VALUE_DRIFT_SQL,
+        "embeddings_centroid_drift": EMBEDDINGS_CENTROID_DRIFT_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

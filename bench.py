@@ -170,6 +170,10 @@ def main() -> None:
         "events_debounced",
         "events_late_arrivals",
         "documents_split_contamination",
+        # r6 session-9 additions: the drift monitors (TV/KS integer chains;
+        # centroid drift's ×dim explode + model-sized groupBy).
+        "events_value_drift",
+        "embeddings_centroid_drift",
     ]
     qs = E.queries()
 

@@ -197,3 +197,84 @@ def pca_project(
     return vectors.select(
         F.col(id_col), F.expr(v).alias("__v")
     ).select(F.col(id_col), F.expr(arr).alias(out_col))
+
+
+def centroid_drift(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    by: str = "label",
+    cohort_col: str = "cohort",
+    base_label: str = "base",
+    current_label: str = "current",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space drift monitor: per segment, the cosine between the
+    two cohorts' mean vectors — the cheap first alarm that an encoder,
+    upstream corpus, or feature pipeline shifted between snapshots (a
+    centroid that swings is drift regardless of what individual neighbors
+    do; SemDeDup-style per-pair checks are 10^6× more expensive).
+
+    Returns one row per segment present in BOTH cohorts:
+    ``(by, n_base, n_current, centroid_cosine)``.
+
+    Exactness: per-dimension sums accumulate in DECIMAL(30,12)
+    (order-independent, the covariance_matrix discipline); each mean is ONE
+    cast + ONE division; the centroid arrays are assembled in fixed
+    dimension order (array_sort on the (d, mean) struct, not
+    collect-order), and the final cosine is the same fused
+    aggregate-of-products expression the ANN family hashes against DuckDB's
+    list_dot_product. Scale: one explode (×dim map-side) + one
+    (segment, cohort, d) groupBy with partial aggregation — the shuffle is
+    model-sized (segments × cohorts × dim), never data-sized.
+    """
+    from polars_order_book_spark.operators.similarity import _dot  # noqa: PLC0415
+
+    v = F.expr(_v_expr(vec_col))
+    exploded = vectors.where(
+        F.col(cohort_col).isin(base_label, current_label)
+    ).select(
+        F.col(by),
+        F.col(cohort_col).alias("_c"),
+        F.posexplode(F.slice(v, 1, dim)).alias("_d", "_x"),
+    )
+    sums = exploded.groupBy(by, "_c", "_d").agg(
+        F.sum(F.col("_x").cast("decimal(30,12)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    means = sums.select(
+        by,
+        "_c",
+        "_d",
+        (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("_mean"),
+        "_n",
+    )
+    cent = means.groupBy(by, "_c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_mean"))), lambda s: s["_mean"]
+        ).alias("_cent"),
+        F.min("_n").alias("_rows"),
+    )
+    a = cent.where(F.col("_c") == base_label).select(
+        by, F.col("_cent").alias("_a"), F.col("_rows").alias("n_base")
+    )
+    b = cent.where(F.col("_c") == current_label).select(
+        by, F.col("_cent").alias("_b"), F.col("_rows").alias("n_current")
+    )
+    return a.join(b, by).select(
+        by,
+        "n_base",
+        "n_current",
+        # covariance_matrix's rounding convention: the decimal quantization
+        # of double inputs can differ by 1 ulp between engines (HALF_UP vs
+        # HALF_EVEN at the 12th decimal), which surfaces as ~1e-14 in the
+        # cosine — round at 1e-9, far above the noise, far below any signal
+        F.round(
+            _dot(F.col("_a"), F.col("_b"))
+            / (
+                F.sqrt(_dot(F.col("_a"), F.col("_a")))
+                * F.sqrt(_dot(F.col("_b"), F.col("_b")))
+            ),
+            9,
+        ).alias("centroid_cosine"),
+    )

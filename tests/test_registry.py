@@ -245,6 +245,11 @@ DEMOTED_TAIL = {
     "events_top_similar_items",
     "events_reservoir_sample",
     "embeddings_random_projection",
+    # r6 session-9 demotions for the two drift monitors
+    # (events_value_drift, embeddings_centroid_drift); rationale in the
+    # _R6_HEAD comment block.
+    "documents_oov_rate",
+    "events_k_anonymity",
 }
 
 
