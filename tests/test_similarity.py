@@ -760,3 +760,45 @@ def test_pq_ivf_residual_guardrails(spark):
         pq_ivf_residual_topk(vecs, q, m=5)
     with pytest.raises(ValueError, match="n_probe"):
         pq_ivf_residual_topk(vecs, q, n_probe=0)
+
+
+def test_pq_fused_training_matches_unfused_chain(spark):
+    """The r6 fused trainer (one job per Lloyd iteration across all m
+    subspaces) must emit codebooks BIT-IDENTICAL to the per-subspace
+    kmeans_step chain it replaced — same expression text, same decimal
+    sums, same keep-previous semantics."""
+    from polars_order_book_spark.operators.similarity import (
+        kmeans_step,
+        pq_codeword_component,
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.range(200)
+        .selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), j -> CAST(pmod(id * j, 17) AS DOUBLE) / 17.0)"
+            " AS embedding",
+        )
+    )
+    m, ksub, dim, n_iter = 2, 4, 8, 2
+    fused = train_pq_codebooks(emb, m=m, ksub=ksub, dim=dim, n_iter=n_iter)
+
+    subdim = dim // m
+    expected = []
+    for s in range(m):
+        sub = emb.selectExpr(
+            f"slice(CAST(embedding AS ARRAY<DOUBLE>), {s * subdim + 1}, {subdim}) AS __sub"
+        )
+        cents = [
+            [pq_codeword_component(s, c, j) for j in range(subdim)]
+            for c in range(ksub)
+        ]
+        for _ in range(n_iter):
+            step = kmeans_step(sub, cents, vec_col="__sub")
+            nxt = [list(c) for c in cents]
+            for row in step.collect():
+                nxt[row["cell"]][row["d"]] = float(row["centroid"])
+            cents = nxt
+        expected.append(cents)
+    assert fused == expected
