@@ -6217,6 +6217,84 @@ FROM a JOIN b USING (label)
 """
 
 
+def _events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the frozen BASELINE histogram (first-half
+    events, computed offline) vs a CURRENT histogram maintained by
+    foreachBatch "+= delta" over the arriving second half (two
+    micro-batches through streaming/agg_stream.py, _CURRENT-marker replay
+    guard), compared with operators/profiling.py drift_from_counts — no
+    rescan of either cohort's facts, ever. Additive counts are associative,
+    so the final TV/KS equal the batch recompute however the stream was
+    micro-batched: the oracle IS events_value_drift's SQL, verbatim."""
+    import tempfile
+
+    from polars_order_book_spark.operators.profiling import drift_from_counts
+    from polars_order_book_spark.streaming.agg_stream import (
+        init_table,
+        maintain_rollup_stream,
+        read_current,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    bucketed = ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        "event_type",
+        F.col("ts"),
+        F.col("event_id"),
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    baseline = (
+        bucketed.where(F.col("ts") < cut)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    current_facts = bucketed.where(F.col("ts") >= cut)
+
+    tmp = tempfile.mkdtemp(prefix="drift_stream_")
+    tbl = os.path.join(tmp, "table")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    # current-cohort histogram starts EMPTY; the stream builds it
+    init_table(
+        current_facts.where(F.lit(False))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows")),
+        tbl,
+    )
+    schema = current_facts.schema
+    for i in (0, 1):
+        part = current_facts.where(F.col("event_id") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq_file = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(pdir, pq_file), os.path.join(in_dir, f"{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = maintain_rollup_stream(
+        stream,
+        tbl,
+        ["event_type", "bucket"],
+        count_col="n_rows",
+        checkpoint=os.path.join(tmp, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("drift maintenance stream did not finish in 600s")
+    return drift_from_counts(
+        baseline,
+        read_current(spark, tbl),
+        by=["event_type"],
+        bucket_col="bucket",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6312,7 +6390,6 @@ _R6_HEAD = [
     "events_hll_rollup",
     "documents_pmi_keywords",
     "documents_zipf_profile",
-    "orders_rollup_stream",
     # (2g) never sampled: new in the r6 seventh session (sliding-window
     # distinct, exponential time-decay, negative sampling, hard-negative
     # mining, MRR eval, k-anonymity audit, sliding streaming windows).
@@ -6379,6 +6456,16 @@ _R6_HEAD = [
     #     semantics stay pinned by the full local gate + pytest.
     "events_value_drift",
     "embeddings_centroid_drift",
+    # (2j) never sampled: new in the r6 tenth session — the streaming drift
+    # monitor (frozen baseline histogram vs foreachBatch-maintained current
+    # counts, final TV/KS == the batch recompute). One sibling-covered
+    # demotion: orders_rollup_stream — its entire machinery
+    # (maintain_rollup_stream / fold_batch / _CURRENT replay guard /
+    # init_table / read_current) is exercised verbatim by the retained
+    # events_drift_stream, and its sum/max combine arithmetic by the
+    # retained orders_incremental_agg (fold_batch delegates to
+    # incremental_agg).
+    "events_drift_stream",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6524,6 +6611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_split_contamination": _docs_split_contamination,
         "events_value_drift": _events_value_drift,
         "embeddings_centroid_drift": _embeddings_centroid_drift,
+        "events_drift_stream": _events_drift_stream,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -6782,6 +6870,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_split_contamination": _docs_split_contamination_sql(),
         "events_value_drift": EVENTS_VALUE_DRIFT_SQL,
         "embeddings_centroid_drift": EMBEDDINGS_CENTROID_DRIFT_SQL,
+        # the streaming monitor's final state must equal the batch
+        # recompute: the oracle is events_value_drift's SQL, verbatim
+        "events_drift_stream": EVENTS_VALUE_DRIFT_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

@@ -102,6 +102,48 @@ def distribution_drift(
             F.sum(F.when(c == current_label, 1).otherwise(0)).alias("_m"),
         )
     )
+    return _drift_chain(counts, keys, bucket_col)
+
+
+def drift_from_counts(
+    base_counts: DataFrame,
+    current_counts: DataFrame,
+    *,
+    by: "Sequence[str]",
+    bucket_col: str,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """:func:`distribution_drift` evaluated from two PRE-AGGREGATED
+    histograms — (by, bucket, count) relations — instead of raw rows. This
+    is the serving shape: a frozen baseline histogram persisted offline and
+    a maintained current histogram (e.g. streaming/agg_stream.py's rollup)
+    compared WITHOUT rescanning either cohort's facts. Exact chain and
+    output schema are shared with distribution_drift (same code), so a
+    stream that accumulated counts batch-by-batch drifts to bit-identical
+    TV/KS as the batch recompute — which is the driver-oracle contract.
+    Buckets absent from one histogram count as zero (full-outer join)."""
+    keys = list(by)
+    b = base_counts.select(
+        *keys, bucket_col, F.col(count_col).cast("long").alias("_n")
+    )
+    cur = current_counts.select(
+        *keys, bucket_col, F.col(count_col).cast("long").alias("_m")
+    )
+    counts = (
+        b.join(cur, [*keys, bucket_col], "full_outer")
+        .select(
+            *keys,
+            bucket_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+            F.coalesce(F.col("_m"), F.lit(0)).alias("_m"),
+        )
+    )
+    return _drift_chain(counts, keys, bucket_col)
+
+
+def _drift_chain(counts: DataFrame, keys: "list[str]", bucket_col: str) -> DataFrame:
+    """Shared exact TV/KS chain over a (keys, bucket, _n, _m) count relation
+    — see :func:`distribution_drift` for the arithmetic contract."""
     totals = counts.groupBy(*keys).agg(
         F.sum("_n").alias("_tn"), F.sum("_m").alias("_tm")
     )

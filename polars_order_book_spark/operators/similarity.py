@@ -1271,16 +1271,18 @@ def pq_encode(
     if codebooks is not None:
         if len(codebooks) != m or any(len(cb) != ksub for cb in codebooks):
             raise ValueError("codebooks must be list[m][ksub][dim//m]")
-    from polars_order_book_spark.functions.runtime import fan_out_for_compute
-
     v = _sql_as_double(vec_col)
     exprs = _pq_code_exprs(v, m, ksub, dim, codebooks)
     structs = ",".join(
         f"named_struct('sub', {s}, 'code', {e})" for s, e in enumerate(exprs)
     )
-    # m·ksub·subdim fused ops per row over a bytes-narrow scan — provision
-    # parallelism by compute (functions/runtime.py); map-only, values exact
-    return fan_out_for_compute(vectors).select(
+    # NO fan_out_for_compute here, deliberately: encode-as-pure-projection
+    # (zero Exchanges, codes built in the read pass) is the 100 TB contract
+    # this operator exists for, and it is plan-pinned
+    # (tests/test_plans.py::test_pq_encode_plan_is_map_only). The fused
+    # TRAINER fans out instead — that is where the narrow-scan compute
+    # bottleneck actually was.
+    return vectors.select(
         F.col(id_col).alias("vec_id"), F.explode(F.expr(f"array({structs})")).alias("sc")
     ).select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
 

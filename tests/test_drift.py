@@ -77,3 +77,42 @@ def test_centroid_drift_requires_both_cohorts(spark):
     rows = [(1, "base", [1.0, 0.0]), (2, "current", [1.0, 0.0])]
     df = spark.createDataFrame(rows, "label int, cohort string, embedding array<double>")
     assert centroid_drift(df, by="label", cohort_col="cohort", dim=2).count() == 0
+
+
+def test_drift_from_counts_matches_row_level(spark):
+    """The count-level entry point (the streaming/serving shape) must be
+    bit-identical to distribution_drift over the raw rows — including
+    buckets absent from one histogram."""
+    from polars_order_book_spark.operators.profiling import drift_from_counts
+
+    rows = (
+        [("a", "base", 0)] * 3
+        + [("a", "base", 1)]
+        + [("a", "current", 0), ("a", "current", 2)]  # bucket 2 absent in base
+    )
+    df = _lab(spark, rows)
+    expected = sorted(
+        map(
+            tuple,
+            distribution_drift(
+                df, by=["seg"], cohort_col="cohort", bucket_col="bucket"
+            ).collect(),
+        )
+    )
+    base = (
+        df.where(F.col("cohort") == "base")
+        .groupBy("seg", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    cur = (
+        df.where(F.col("cohort") == "current")
+        .groupBy("seg", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    got = sorted(
+        map(
+            tuple,
+            drift_from_counts(base, cur, by=["seg"], bucket_col="bucket").collect(),
+        )
+    )
+    assert got == expected

@@ -250,6 +250,9 @@ DEMOTED_TAIL = {
     # _R6_HEAD comment block.
     "documents_oov_rate",
     "events_k_anonymity",
+    # r6 session-10 demotion for events_drift_stream (which exercises the
+    # same agg_stream machinery verbatim; rationale in _R6_HEAD (2j))
+    "orders_rollup_stream",
 }
 
 
