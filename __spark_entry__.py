@@ -6295,6 +6295,139 @@ def _events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip: a dataset written in TWO schema versions
+    (v2 adds a `value` column) read back as one relation with
+    ``mergeSchema`` — the connector behavior every long-lived table needs
+    when a producer adds a field (old files surface the new column as
+    null; no rewrite of history). Verified by a per-type aggregate that
+    touches both the shared and the added column. mergeSchema costs one
+    footer read per FILE at planning time — fine per-batch, not something
+    to leave on for a million-file table (persist the merged schema
+    instead)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/data"
+    ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    ).write.parquet(out)
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SINK_SCHEMA_EVOLUTION_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(CASE WHEN event_id % 2 = 1 THEN value END) AS n_with_value,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN CAST(value AS DECIMAL(20,6)) END) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def _docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-choice eval: per-language BPE fertility (tokens per word)
+    and compression (chars per token) under the corpus-learned merge table —
+    the measurement that decides whether a tokenizer is fair across
+    languages BEFORE a 100 TB tokenization run (high-fertility langs pay
+    more sequence length per character of content). Reuses the
+    documents_bpe_tokens chain (learn top merge driver-side, apply_bpe
+    mapInPandas) plus one lang-sized rollup; ratios are single divisions
+    over exact BIGINT sums."""
+    from polars_order_book_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+    from polars_order_book_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(word_frequencies(docs), 1)
+    per_doc = apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("long").alias("n_words"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+    return (
+        stats.join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("tokens_per_word"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+DOCS_BPE_FERTILITY_SQL = r"""
+WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+w AS (SELECT word, count(*) AS freq FROM tk WHERE word <> '' GROUP BY word),
+pc AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS l,
+         CASE WHEN i = length(word) THEN '</w>' ELSE substr(word, CAST(i AS INT) + 1, 1) END AS r,
+         sum(freq) AS pair_freq
+  FROM w, UNNEST(range(1, length(word) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+best AS (SELECT l, r FROM pc ORDER BY pair_freq DESC, l, r LIMIT 1),
+dw AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS word
+  FROM documents d
+),
+per_word AS (
+  SELECT dw.doc_id,
+         length(word) + 1
+         - CASE WHEN b.r = '</w>'
+                THEN CASE WHEN substr(word, length(word), 1) = b.l THEN 1 ELSE 0 END
+                ELSE (length(word) - length(replace(word, b.l || b.r, ''))) // 2
+           END AS n_word
+  FROM dw, best b
+  WHERE word <> ''
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+         len(string_split_regex(lower(trim(d.text)), '\s+')) AS n_words,
+         length(d.text) AS n_chars,
+         COALESCE(s.n, 0) AS n_bpe
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(n_word) AS n FROM per_word GROUP BY doc_id) s
+    ON d.doc_id = s.doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS tokens_per_word,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE) AS chars_per_token
+FROM per_doc GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6321,7 +6454,6 @@ _R6_HEAD = [
     "documents_bpe_tokens",
     "events_heavy_hitters_stream",
     "documents_hybrid_search",
-    "documents_wordfreq_stream",
     # (2b) never sampled: new in the r6 second session (SemDeDup, split
     # labels, bigram LM, knn graph, streaming ANN) — displace five
     # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
@@ -6466,6 +6598,16 @@ _R6_HEAD = [
     # retained orders_incremental_agg (fold_batch delegates to
     # incremental_agg).
     "events_drift_stream",
+    # (2k) never sampled: new in the r6 eleventh session — the
+    # schema-evolution connector roundtrip (two schema versions of one
+    # dataset read back under mergeSchema). documents_bpe_fertility (new)
+    # starts in the tail: it is the retained documents_bpe_tokens chain
+    # plus one lang-sized rollup of exact sums. One sibling-covered
+    # demotion: documents_wordfreq_stream — its foreachBatch counter
+    # maintenance is exercised by the retained events_drift_stream (same
+    # versioned-parquet fold) and streaming-docs ingestion by the retained
+    # documents_classifier_stream.
+    "sink_schema_evolution",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6612,6 +6754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": _events_value_drift,
         "embeddings_centroid_drift": _embeddings_centroid_drift,
         "events_drift_stream": _events_drift_stream,
+        "sink_schema_evolution": _sink_schema_evolution,
+        "documents_bpe_fertility": _docs_bpe_fertility,
         # --- DEMOTED TAIL (past the driver's 50-entry cap): every entry below
         # supplier_nation_summary: r2-green plain join-agg whose shape q5/q9
         # cover in recent samples; demoted for the new incremental-dedup entry.
@@ -6873,6 +7017,8 @@ def oracle_sql() -> dict[str, str]:
         # the streaming monitor's final state must equal the batch
         # recompute: the oracle is events_value_drift's SQL, verbatim
         "events_drift_stream": EVENTS_VALUE_DRIFT_SQL,
+        "sink_schema_evolution": SINK_SCHEMA_EVOLUTION_SQL,
+        "documents_bpe_fertility": DOCS_BPE_FERTILITY_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
         "ob_book_asof": _ob_book_asof_sql(),

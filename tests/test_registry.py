@@ -253,6 +253,11 @@ DEMOTED_TAIL = {
     # r6 session-10 demotion for events_drift_stream (which exercises the
     # same agg_stream machinery verbatim; rationale in _R6_HEAD (2j))
     "orders_rollup_stream",
+    # r6 session-11: documents_wordfreq_stream demoted for
+    # sink_schema_evolution; documents_bpe_fertility tail-born (rationale
+    # in _R6_HEAD (2k))
+    "documents_wordfreq_stream",
+    "documents_bpe_fertility",
 }
 
 
