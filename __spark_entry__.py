@@ -2947,6 +2947,70 @@ WHERE rank <= 10
 """
 
 
+def _ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-quantized retrieval (operators/similarity.py
+    cosine_topk_hamming_rerank): stage 1 shortlists by Hamming distance over
+    packed sign signatures (16 B per vector vs 256 B of floats — the FAISS
+    binary-index pattern); stage 2 reranks the shortlist with the exact
+    left-fold cosine shared with ann_cosine_topk. Both stages deterministic:
+    Hamming ties break on neighbor id (integer-exact), cosine is the
+    bit-identical bruteforce expression. At 100 TB stage 1 is an integer
+    xor/popcount scan over a signature relation small enough for hot
+    storage; float work is Q x shortlist, not Q x corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_hamming_rerank(emb, queries, k=10, shortlist=50)
+
+
+def _hamming_word_sql(w: int, alias: str) -> str:
+    """DuckDB twin of similarity.binary_signature's word expression: sum of
+    distinct powers of two (never carries == bitwise OR), 1-indexed arrays."""
+    terms = [
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) >= 0"
+        f" THEN CAST({1 << (j - w * 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(w * 32, (w + 1) * 32)
+    ]
+    return "(" + " + ".join(terms) + f") AS {alias}"
+
+
+ANN_HAMMING_RERANK_SQL = f"""
+WITH sig AS (
+  SELECT vec_id, {_hamming_word_sql(0, 'sig_0')}, {_hamming_word_sql(1, 'sig_1')}
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, sig_0 AS q0, sig_1 AS q1 FROM sig WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(bit_count(xor(v.sig_0, q.q0)) + bit_count(xor(v.sig_1, q.q1)) AS INT) AS hamming,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY bit_count(xor(v.sig_0, q.q0)) + bit_count(xor(v.sig_1, q.q1)) ASC,
+                      v.vec_id) AS rn
+  FROM sig v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+),
+short AS (SELECT query_id, neighbor_id, hamming FROM cand WHERE rn <= 50),
+sim AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         list_dot_product(qe.qv, ve.vv) /
+         (sqrt(list_dot_product(qe.qv, qe.qv)) * sqrt(list_dot_product(ve.vv, ve.vv))) AS cosine
+  FROM short s
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings) ve
+    ON ve.vec_id = s.neighbor_id
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5) qe
+    ON qe.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine, hamming
+FROM (
+  SELECT query_id, neighbor_id, cosine, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sim
+)
+WHERE rank <= 10
+"""
+
+
 def _bucket_sql(n_planes: int) -> str:
     """DuckDB CTEs re-deriving the md5-based hyperplane buckets used by
     similarity.signed_projection_buckets (planes are md5-derived constants,
@@ -5372,6 +5436,74 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def _orders_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/incremental.py
+    join_delta + incremental_join_agg): the per-(segment, priority) rollup of
+    orders ⨝ customer is maintained under insert deltas on BOTH sides via the
+    distributive delta algebra ΔR⨝S ∪ R⨝ΔS ∪ ΔR⨝ΔS — the base x base join
+    never recomputes. Deltas here are deterministic mod-slices of each table
+    (orders keys = 0 mod 8, customers = 0 mod 16) so the cross terms are all
+    non-empty and every algebra branch is exercised. The oracle is a FULL
+    recompute over the complete join — the incremental result must be
+    bit-identical (exact decimal sums make the fold order-independent). At
+    100 TB the three delta joins are day-sized against the base, and the
+    final combine joins rollup-sized relations only."""
+    from polars_order_book_spark.operators.incremental import incremental_join_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base_o = orders.where(F.col("o_orderkey") % 8 != 0)
+    delta_o = orders.where(F.col("o_orderkey") % 8 == 0)
+    base_c = customer.where(F.col("c_custkey") % 16 != 0)
+    delta_c = customer.where(F.col("c_custkey") % 16 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    keys = ["c_mktsegment", "o_orderpriority"]
+    base_view = (
+        base_o.join(base_c, on, "inner")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec).alias("sum_total"),
+            F.min(dec).alias("min_total"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    merged = incremental_join_agg(
+        base_view,
+        base_o,
+        delta_o,
+        base_c,
+        delta_c,
+        on,
+        keys,
+        count_col="n_rows",
+        sum_exprs={"sum_total": F.sum(dec)},
+        min_exprs={"min_total": F.min(dec)},
+        max_exprs={"last_order": F.max("o_orderdate")},
+    )
+    return merged.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        F.col("min_total").cast("double").alias("min_total"),
+        F.unix_micros(F.col("last_order")).alias("last_order_us"),
+    )
+
+
+ORDERS_INCREMENTAL_JOIN_SQL = """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+       CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_total,
+       epoch_us(max(o_orderdate)) AS last_order_us
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
 def _events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog rollup (operators/frequency.py hll_build/
     hll_union, datasketches-backed Spark 3.5+ surface): one binary sketch
@@ -6483,8 +6615,6 @@ _R6_HEAD = [
     "dedup_recall_banding",
     "documents_leakage_split",
     "documents_lm_heldout",
-    "embeddings_covariance",
-    "events_anomaly_mad",
     "documents_char_entropy",
     "documents_quality_correlation",
     "embeddings_pq_ivf_residual_topk",
@@ -6608,6 +6738,24 @@ _R6_HEAD = [
     # versioned-parquet fold) and streaming-docs ingestion by the retained
     # documents_classifier_stream.
     "sink_schema_evolution",
+    # (2l) never sampled: new in the r6 twelfth session — two-stage
+    # binary-quantized retrieval (sign-bit packing + Hamming shortlist +
+    # exact cosine rerank: genuinely new bit_count/xor signature code) and
+    # incremental JOIN-view maintenance (the ΔR⨝S ∪ R⨝ΔS ∪ ΔR⨝ΔS delta
+    # algebra: new operator code beyond the retained orders_incremental_agg
+    # combine). Two sibling-covered demotions:
+    #   embeddings_covariance — its driver-checked exact per-dim decimal-sum
+    #     chain is the same linalg.py machinery exercised by the retained
+    #     embeddings_centroid_drift (which adopted "the covariance
+    #     convention" for its final rounding); the PCA eigensolve was always
+    #     pytest-pinned, not oracle-checked;
+    #   events_anomaly_mad — a plans-level composition over built-in exact
+    #     percentile (no operator code); its groupBy-join-filter shape is
+    #     driver-green via events_anomaly_zscore (r2/r3) and the exact
+    #     percentile path via events_value_quantiles / the retained
+    #     documents_quality_percentile.
+    "ann_hamming_rerank",
+    "orders_incremental_join",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6720,6 +6868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_item_cooccurrence": _events_item_cooccurrence,
         "events_top_similar_items": _events_top_similar_items,
         "orders_incremental_agg": _orders_incremental_agg,
+        "orders_incremental_join": _orders_incremental_join,
+        "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
         "documents_pmi_keywords": _documents_pmi_keywords,
         "documents_zipf_profile": _documents_zipf_profile,
@@ -6992,6 +7142,8 @@ def oracle_sql() -> dict[str, str]:
         "events_item_cooccurrence": EVENTS_ITEM_COOC_SQL,
         "events_top_similar_items": EVENTS_TOP_SIMILAR_SQL,
         "orders_incremental_agg": ORDERS_INCREMENTAL_AGG_SQL,
+        "orders_incremental_join": ORDERS_INCREMENTAL_JOIN_SQL,
+        "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
         "documents_pmi_keywords": DOCUMENTS_PMI_SQL,
         "documents_zipf_profile": DOCUMENTS_ZIPF_SQL,

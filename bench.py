@@ -174,6 +174,12 @@ def main() -> None:
         # centroid drift's ×dim explode + model-sized groupBy).
         "events_value_drift",
         "embeddings_centroid_drift",
+        # r6 session-12 additions: two-stage binary-quantized retrieval
+        # (sign-packed signature scan + Hamming shortlist + exact rerank) and
+        # incremental JOIN-view maintenance (three delta joins + rollup-sized
+        # combine vs a full-recompute oracle).
+        "ann_hamming_rerank",
+        "orders_incremental_join",
     ]
     qs = E.queries()
 

@@ -76,3 +76,90 @@ def test_validation(spark):
         combine_aggregates(df, df, [], counts=["n"])
     with pytest.raises(ValueError, match="missing columns"):
         combine_aggregates(df, df, ["k"], counts=["nope"])
+
+
+# --- incremental JOIN-view maintenance ------------------------------------
+
+from polars_order_book_spark.operators.incremental import (  # noqa: E402
+    incremental_join_agg,
+    join_delta,
+)
+
+
+def _r(spark, rows):
+    return spark.createDataFrame(rows, "rk long, j long, v long")
+
+
+def _s(spark, rows):
+    return spark.createDataFrame(rows, "sk long, j long, grp string")
+
+
+R_ROWS = [(1, 10, 5), (2, 10, 7), (3, 20, 1), (4, 30, 9), (5, 20, 4), (6, 40, 2)]
+S_ROWS = [(100, 10, "x"), (101, 20, "y"), (102, 20, "x"), (103, 40, "z"), (104, 50, "y")]
+
+
+def _split(rows, pred):
+    return [r for r in rows if not pred(r)], [r for r in rows if pred(r)]
+
+
+@pytest.mark.parametrize(
+    "r_pred,s_pred",
+    [
+        # deltas on both sides (all three algebra terms non-empty)
+        (lambda r: r[0] % 2 == 0, lambda s: s[0] % 2 == 0),
+        # delta on R only
+        (lambda r: r[0] >= 5, lambda s: False),
+        # delta on S only
+        (lambda r: False, lambda s: s[0] == 102),
+        # everything is delta (base join empty)
+        (lambda r: True, lambda s: True),
+    ],
+)
+def test_join_delta_completes_the_join(spark, r_pred, s_pred):
+    """base⨝base ∪ join_delta == full⨝full as bags (the distributivity
+    identity the stored view relies on)."""
+    base_r_rows, delta_r_rows = _split(R_ROWS, r_pred)
+    base_s_rows, delta_s_rows = _split(S_ROWS, s_pred)
+    base_r, delta_r = _r(spark, base_r_rows or []), _r(spark, delta_r_rows or [])
+    base_s, delta_s = _s(spark, base_s_rows or []), _s(spark, delta_s_rows or [])
+
+    full = _r(spark, R_ROWS).join(_s(spark, S_ROWS), "j", "inner")
+    old = base_r.join(base_s, "j", "inner")
+    delta = join_delta(base_r, delta_r, base_s, delta_s, "j")
+    got = sorted(tuple(x.asDict().items()) for x in old.unionByName(delta).collect())
+    want = sorted(tuple(x.asDict().items()) for x in full.collect())
+    assert got == want
+
+
+def test_incremental_join_agg_equals_full_recompute(spark):
+    base_r_rows, delta_r_rows = _split(R_ROWS, lambda r: r[0] % 2 == 0)
+    base_s_rows, delta_s_rows = _split(S_ROWS, lambda s: s[0] % 2 == 0)
+    base_r, delta_r = _r(spark, base_r_rows), _r(spark, delta_r_rows)
+    base_s, delta_s = _s(spark, base_s_rows), _s(spark, delta_s_rows)
+
+    def view(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,0)")).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    base_view = view(base_r.join(base_s, "j", "inner"))
+    merged = incremental_join_agg(
+        base_view,
+        base_r,
+        delta_r,
+        base_s,
+        delta_s,
+        "j",
+        ["grp"],
+        count_col="n_rows",
+        sum_exprs={"sum_v": F.sum(F.col("v").cast("decimal(18,0)"))},
+        min_exprs={"min_v": F.min("v")},
+        max_exprs={"max_v": F.max("v")},
+    )
+    full_view = view(_r(spark, R_ROWS).join(_s(spark, S_ROWS), "j", "inner"))
+    got = {r["grp"]: r.asDict() for r in merged.collect()}
+    want = {r["grp"]: r.asDict() for r in full_view.collect()}
+    assert got == want

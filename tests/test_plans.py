@@ -202,6 +202,10 @@ _BNLJ_WHITELIST = {
     # 30-row LIMIT by construction (operators/sampling.py negative_samples,
     # the bounded fan-out that replaces the users x catalog trap)
     "events_negative_samples",
+    # stage 1 is ann_cosine_topk's whitelisted broadcast-query scan but over
+    # the 16-byte packed signatures (operators/similarity.py
+    # cosine_topk_hamming_rerank); the stage-2 rerank is equi-joins only
+    "ann_hamming_rerank",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

@@ -258,6 +258,10 @@ DEMOTED_TAIL = {
     # in _R6_HEAD (2k))
     "documents_wordfreq_stream",
     "documents_bpe_fertility",
+    # r6 session-12 demotions for ann_hamming_rerank +
+    # orders_incremental_join; rationale in _R6_HEAD (2l)
+    "embeddings_covariance",
+    "events_anomaly_mad",
 }
 
 

@@ -802,3 +802,89 @@ def test_pq_fused_training_matches_unfused_chain(spark):
             cents = nxt
         expected.append(cents)
     assert fused == expected
+
+
+# --- binary (sign) quantization + Hamming-shortlist rerank -----------------
+
+
+def test_binary_signature_packs_sign_bits(spark):
+    # dim=4 with word_bits=2 -> two words; signs chosen per bit position
+    rows = [(0, [1.0, -2.0, 0.0, -0.5]), (1, [-1.0, 1.0, -1.0, 1.0])]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = {r["vec_id"]: (r["sig_0"], r["sig_1"]) for r in
+           similarity.binary_signature(df, dim=4, word_bits=2).collect()}
+    # vec 0: bits [+,-,+(zero counts as >=0),-] -> word0 = 0b01, word1 = 0b01
+    assert out[0] == (1, 1)
+    # vec 1: [-,+,-,+] -> word0 = 0b10, word1 = 0b10
+    assert out[1] == (2, 2)
+
+
+def test_binary_signature_word_bits_guard(spark):
+    df = spark.createDataFrame(_vectors(4), VEC_SCHEMA)
+    with pytest.raises(ValueError, match="word_bits"):
+        similarity.binary_signature(df, dim=16, word_bits=63)
+
+
+def test_hamming_rerank_full_shortlist_equals_bruteforce(spark):
+    """With shortlist >= corpus size, stage 1 keeps everything, so the rerank
+    must reproduce the exact bruteforce ranking bit-for-bit."""
+    rows = _vectors(n=60, dim=16)
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(4)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=7).collect()
+    }
+    rer = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_hamming_rerank(
+            df, queries, k=7, shortlist=60, dim=16
+        ).collect()
+    }
+    assert brute == rer
+
+
+def test_hamming_rerank_shortlist_bounds_candidates(spark):
+    rows = _vectors(n=80, dim=16)
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_hamming_rerank(
+        df, queries, k=50, shortlist=10, dim=16
+    ).collect()
+    # k > shortlist: per query at most `shortlist` rows survive stage 1
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == 10
+        # the shortlist members are the 10 Hamming-nearest (ties by id):
+        # recompute hamming driver-side from signatures
+        sigs = {r["vec_id"]: (r["sig_0"],)
+                for r in similarity.binary_signature(df, dim=16, word_bits=16).collect()}
+        # rerank output ordering is by cosine desc within the shortlist
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hamming_rerank_identical_vector_is_rank_one(spark):
+    """A duplicated vector has Hamming distance 0 and cosine 1 — it must
+    survive the shortlist and rank first."""
+    rows = _vectors(n=40, dim=16)
+    dup = (999, list(rows[0][1]))
+    df = spark.createDataFrame(rows + [dup], VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sorted(
+        similarity.cosine_topk_hamming_rerank(
+            df, queries, k=5, shortlist=8, dim=16
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["neighbor_id"] == 999
+    assert out[0]["hamming"] == 0
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-12)
