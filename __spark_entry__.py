@@ -5553,6 +5553,66 @@ SELECT '__total__', count(DISTINCT user_id), TRUE FROM events
 """
 
 
+def _events_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (operators/frequency.py value_histogram /
+    histogram_merge / histogram_quantiles) — the quantile member of the
+    stored-sketch family (HLL = distinct, count-min = item counts): per
+    (event_type, day) fixed-bin cells are built once (one cells-sized
+    shuffle with map-side partial agg), then any window's quantiles come
+    from merging the STORED cells — never rescanning raw events. p50/p90/p99
+    per type with ranks in pure integer DIV (no float ceil, the r5
+    heavy-hitters advice) and bin edges in engine-identical IEEE doubles;
+    error bounded by one bin width by construction. At 100 TB the persisted
+    cells relation is (types x days x <=50) rows — the week/month/segment
+    re-aggregation is a laptop-sized job."""
+    from polars_order_book_spark.operators.frequency import (
+        histogram_merge,
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cells = value_histogram(
+        ev, "value", ["event_type", "day"], lo=0.0, hi=500.0, n_bins=50
+    )
+    merged = histogram_merge(cells, ["event_type"])
+    return histogram_quantiles(
+        merged, ["event_type"], [(1, 2), (9, 10), (99, 100)],
+        lo=0.0, hi=500.0, n_bins=50,
+    )
+
+
+EVENTS_QUANTILE_HISTOGRAM_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 50.0), 0), 49) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events WHERE CAST(value AS DOUBLE) IS NOT NULL
+  GROUP BY 1,2,3
+),
+merged AS (SELECT event_type, bin, sum(n) AS n FROM cells GROUP BY 1,2),
+cum AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS n_total
+  FROM merged
+),
+ex AS (SELECT c.*, t.num, t.den
+       FROM cum c CROSS JOIN (VALUES (1,2),(9,10),(99,100)) AS t(num, den)),
+q AS (
+  SELECT event_type, num, den,
+         min(CASE WHEN cum >= (num*n_total + den - 1) // den THEN bin END) AS qbin,
+         max(n_total) AS n_total
+  FROM ex GROUP BY 1,2,3
+)
+SELECT event_type,
+       CAST(num AS DOUBLE)/CAST(den AS DOUBLE) AS prob,
+       0.0 + (qbin + 1) * (500.0 / 50.0) AS est,
+       CAST(n_total AS BIGINT) AS n_total
+FROM q
+"""
+
+
 def _documents_pmi_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinctive vocabulary via PMI (operators/text.py
     pmi_keywords): rank tokens by p(tok|lang)/p(tok) — log-free so every
@@ -6625,7 +6685,6 @@ _R6_HEAD = [
     # three r6-behavior-changed entries (dedup_components, documents_deduped,
     # ob_chunked_mutations_top2 — star default + streamed fold, all local-
     # gate green since the change) yield their slots to the tail.
-    "events_countmin_rollup",
     "orders_bloom_semijoin",
     "text_postings",
     # (2f) never sampled: new in the r6 sixth session (item co-occurrence
@@ -6756,6 +6815,15 @@ _R6_HEAD = [
     #     documents_quality_percentile.
     "ann_hamming_rerank",
     "orders_incremental_join",
+    # also session 12: the mergeable quantile-histogram rollup (new
+    # cells-build / merge / integer-rank quantile chain in
+    # operators/frequency.py). One sibling-covered demotion:
+    #   events_countmin_rollup — its bounded cell-grid build + broadcast
+    #     probe machinery lives in the same sketch family with the retained
+    #     events_hll_rollup (store-then-merge counters) and
+    #     events_heavy_hitters_by_type (exact-verify probe); its own output
+    #     stays pinned by the local gate + pytest.
+    "events_quantile_histogram",
     # (ob_updates_top3, ob_stream_keyed_mutations_top2,
     # ob_relational_mutations_top2, events_hourly_pivot,
     # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
@@ -6871,6 +6939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incremental_join": _orders_incremental_join,
         "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
+        "events_quantile_histogram": _events_quantile_histogram,
         "documents_pmi_keywords": _documents_pmi_keywords,
         "documents_zipf_profile": _documents_zipf_profile,
         "orders_rollup_stream": _orders_rollup_stream,
@@ -7145,6 +7214,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_incremental_join": ORDERS_INCREMENTAL_JOIN_SQL,
         "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
+        "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,
         "documents_pmi_keywords": DOCUMENTS_PMI_SQL,
         "documents_zipf_profile": DOCUMENTS_ZIPF_SQL,
         # the streaming fold must converge to the same full recompute as the

@@ -180,6 +180,7 @@ def main() -> None:
         # combine vs a full-recompute oracle).
         "ann_hamming_rerank",
         "orders_incremental_join",
+        "events_quantile_histogram",
     ]
     qs = E.queries()
 

@@ -258,3 +258,95 @@ def test_hll_nulls_excluded_and_validation(spark):
     assert hll_build(df, "item").collect()[0]["est"] == 1
     with pytest.raises(ValueError, match="lg_k"):
         hll_build(df, "item", lg_k=2)
+
+
+# --- mergeable value-histogram quantile rollup ------------------------------
+
+from polars_order_book_spark.operators.frequency import (  # noqa: E402
+    histogram_merge,
+    histogram_quantiles,
+    value_histogram,
+)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "k string, d string, v double")
+
+
+def test_value_histogram_bins_clamp_and_null_exclusion(spark):
+    rows = [
+        ("a", "d1", 0.0),    # bin 0
+        ("a", "d1", 9.99),   # bin 0
+        ("a", "d1", 10.0),   # bin 1
+        ("a", "d1", 100.0),  # == hi -> clamped to last bin (9)
+        ("a", "d1", -5.0),   # below lo -> clamped to 0
+        ("a", "d1", 999.0),  # above hi -> clamped to 9
+        ("a", "d1", None),   # excluded
+    ]
+    out = {
+        r["bin"]: r["n"]
+        for r in value_histogram(
+            _vals(spark, rows), "v", ["k"], lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert out == {0: 3, 1: 1, 9: 2}
+
+
+def test_histogram_merge_equals_direct_build(spark):
+    rows = [("a", d, float(v)) for d in ("d1", "d2") for v in range(0, 100, 7)]
+    df = _vals(spark, rows)
+    fine = value_histogram(df, "v", ["k", "d"], lo=0.0, hi=100.0, n_bins=8)
+    merged = {
+        (r["k"], r["bin"]): r["n"]
+        for r in histogram_merge(fine, ["k"]).collect()
+    }
+    direct = {
+        (r["k"], r["bin"]): r["n"]
+        for r in value_histogram(df, "v", ["k"], lo=0.0, hi=100.0, n_bins=8).collect()
+    }
+    assert merged == direct
+
+
+def test_histogram_quantiles_exact_rank_rule(spark):
+    # 10 values 5,15,...,95 -> one per bin with n_bins=10, width 10.
+    # p50: rank ceil(10/2)=5 -> first bin with cum>=5 is bin 4 -> est 50.0
+    # p90: rank 9 -> bin 8 -> est 90.0; p99: rank ceil(990/100)=10 -> bin 9 -> 100.0
+    rows = [("a", "d", 5.0 + 10 * i) for i in range(10)]
+    hist = value_histogram(_vals(spark, rows), "v", ["k"], lo=0.0, hi=100.0, n_bins=10)
+    out = {
+        round(r["prob"], 4): (r["est"], r["n_total"])
+        for r in histogram_quantiles(
+            hist, ["k"], [(1, 2), (9, 10), (99, 100)], lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert out == {0.5: (50.0, 10), 0.9: (90.0, 10), 0.99: (100.0, 10)}
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 100, size=500)
+    rows = [("a", "d", float(v)) for v in vals]
+    hist = value_histogram(_vals(spark, rows), "v", ["k"], lo=0.0, hi=100.0, n_bins=50)
+    out = {
+        round(r["prob"], 4): r["est"]
+        for r in histogram_quantiles(
+            hist, ["k"], [(1, 2), (9, 10)], lo=0.0, hi=100.0, n_bins=50
+        ).collect()
+    }
+    width = 100.0 / 50
+    for p in (0.5, 0.9):
+        exact = float(np.quantile(vals, p))
+        assert abs(out[p] - exact) <= width + 1e-9
+
+
+def test_histogram_guards(spark):
+    df = _vals(spark, [("a", "d", 1.0)])
+    with pytest.raises(ValueError, match="n_bins"):
+        value_histogram(df, "v", ["k"], lo=0.0, hi=1.0, n_bins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(df, "v", ["k"], lo=1.0, hi=1.0, n_bins=4)
+    hist = value_histogram(df, "v", ["k"], lo=0.0, hi=1.0, n_bins=4)
+    with pytest.raises(ValueError, match="prob"):
+        histogram_quantiles(hist, ["k"], [(3, 2)], lo=0.0, hi=1.0, n_bins=4)

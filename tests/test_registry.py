@@ -259,9 +259,11 @@ DEMOTED_TAIL = {
     "documents_wordfreq_stream",
     "documents_bpe_fertility",
     # r6 session-12 demotions for ann_hamming_rerank +
-    # orders_incremental_join; rationale in _R6_HEAD (2l)
+    # orders_incremental_join + events_quantile_histogram; rationale in
+    # _R6_HEAD (2l)
     "embeddings_covariance",
     "events_anomaly_mad",
+    "events_countmin_rollup",
 }
 
 
