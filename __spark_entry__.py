@@ -5613,6 +5613,84 @@ FROM q
 """
 
 
+def _events_quantiles_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles without a global sort (operators/frequency.py
+    exact_quantile_two_pass): pass 1 is the value_histogram cells build
+    (<= n_bins-row shuffle), the driver walks the bounded cumulative counts
+    to the target bin + residual rank (integer DIV), pass 2 takes the
+    residual-rank-th smallest within the one target bin via orderBy+limit
+    (TakeOrderedAndProject). Exactness holds for ANY declared (lo, hi)
+    because clamped binning is monotone in the value — a bad range only
+    unbalances bins. The oracle is the brutal row_number definition over the
+    full relation; results must agree to the bit. At 100 TB this replaces a
+    full-relation sort with two scans + a rank-bounded top-k."""
+    from polars_order_book_spark.operators.frequency import exact_quantile_two_pass
+
+    ev = load_table(spark, sf_dir, "events")
+    res = exact_quantile_two_pass(
+        ev, "value", [(1, 2), (9, 10), (99, 100)], lo=0.0, hi=500.0, n_bins=64
+    )
+    return spark.createDataFrame(res, "prob double, value double, n_total long")
+
+
+EVENTS_QUANTILES_TWOPASS_SQL = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n_total FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+pr AS (SELECT * FROM (VALUES (1,2),(9,10),(99,100)) t(num, den))
+SELECT CAST(pr.num AS DOUBLE)/CAST(pr.den AS DOUBLE) AS prob,
+       min(r.v) AS value,
+       CAST(max(n.n_total) AS BIGINT) AS n_total
+FROM pr CROSS JOIN n JOIN r ON r.rn = (pr.num * n.n_total + pr.den - 1) // pr.den
+GROUP BY pr.num, pr.den
+"""
+
+
+def _events_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size / skew audit (functions/skew.py join_size_estimate): the
+    exact cardinality of events ⋈ events on user_id — Σ n_u², the second
+    frequency moment — computed from per-key COUNTS (rollup-sized join),
+    never by running the row-level join. Top-10 heaviest users + a total
+    row tell you whether the join needs salting BEFORE you pay for it; at
+    100 TB this audit is two aggregations and a distinct-key-sized join.
+    join_rows is decimal(38,0) in the operator (BIGINT overflows first);
+    cast to long here for the cross-engine hash at test scale."""
+    from polars_order_book_spark.functions.skew import join_size_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = join_size_estimate(ev, ev, ["user_id"], top_k=10)
+    return est.select(
+        "key",
+        "n_left",
+        "n_right",
+        F.col("join_rows").cast("long").alias("join_rows"),
+    )
+
+
+EVENTS_SELFJOIN_SIZE_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, n AS n_left, n AS n_right,
+         n * n AS join_rows
+  FROM c
+),
+top AS (
+  SELECT key, n_left, n_right, join_rows FROM cells
+  ORDER BY join_rows DESC, key LIMIT 10
+)
+SELECT key, CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       CAST(join_rows AS BIGINT) AS join_rows
+FROM top
+UNION ALL
+SELECT '__total__', CAST(sum(n_left) AS BIGINT), CAST(sum(n_right) AS BIGINT),
+       CAST(sum(join_rows) AS BIGINT)
+FROM cells
+"""
+
+
 def _documents_pmi_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinctive vocabulary via PMI (operators/text.py
     pmi_keywords): rank tokens by p(tok|lang)/p(tok) — log-free so every
@@ -6940,6 +7018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
         "events_quantile_histogram": _events_quantile_histogram,
+        "events_quantiles_exact_twopass": _events_quantiles_exact_twopass,
+        "events_selfjoin_size": _events_selfjoin_size,
         "documents_pmi_keywords": _documents_pmi_keywords,
         "documents_zipf_profile": _documents_zipf_profile,
         "orders_rollup_stream": _orders_rollup_stream,
@@ -7215,6 +7295,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
         "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,
+        "events_quantiles_exact_twopass": EVENTS_QUANTILES_TWOPASS_SQL,
+        "events_selfjoin_size": EVENTS_SELFJOIN_SIZE_SQL,
         "documents_pmi_keywords": DOCUMENTS_PMI_SQL,
         "documents_zipf_profile": DOCUMENTS_ZIPF_SQL,
         # the streaming fold must converge to the same full recompute as the

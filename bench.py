@@ -181,6 +181,8 @@ def main() -> None:
         "ann_hamming_rerank",
         "orders_incremental_join",
         "events_quantile_histogram",
+        "events_quantiles_exact_twopass",
+        "events_selfjoin_size",
     ]
     qs = E.queries()
 

@@ -175,3 +175,51 @@ def salted_bipartite_join(
         .drop("__nl")
     )
     return l.join(r, on=[*keys, "__sl", "__sr"]).drop("__sl", "__sr")
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    top_k: int = 10,
+    total_label: str = "__total__",
+) -> DataFrame:
+    """EXACT inner-join cardinality accounting WITHOUT running the join —
+    the audit that decides whether a join needs ``salted_*`` treatment (or a
+    different key) before paying for it.
+
+    Per-key counts on each side are rollup-sized aggregations (map-side
+    partial), their equi-join is counts x counts (distinct-key-sized, never
+    row-sized), and ``n_left * n_right`` summed over keys IS the inner-join
+    cardinality — for a self-join this is the second frequency moment
+    Σ n_k², the classic skew statistic. Returns the ``top_k`` heaviest keys
+    (ordered by contribution desc, key asc — deterministic under ties) plus
+    one ``total_label`` row whose columns are the sums over ALL matched
+    keys. ``join_rows`` is DECIMAL(38,0): 100 TB-scale products overflow
+    BIGINT long before they overflow the accounting.
+
+    Null join keys never match in an equi-join, so they are excluded here
+    too (same SQL semantics both engines).
+    """
+    keys = list(keys)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    cells = lc.join(rc, on=keys, how="inner").withColumn(
+        "join_rows",
+        (
+            F.col("n_left").cast("decimal(19,0)")
+            * F.col("n_right").cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    labeled = cells.select(
+        key_str.alias("key"), "n_left", "n_right", "join_rows"
+    )
+    top = labeled.orderBy(F.col("join_rows").desc(), F.col("key")).limit(top_k)
+    total = labeled.agg(
+        F.sum("n_left").alias("n_left"),
+        F.sum("n_right").alias("n_right"),
+        F.sum("join_rows").cast("decimal(38,0)").alias("join_rows"),
+    ).select(F.lit(total_label).alias("key"), "n_left", "n_right", "join_rows")
+    return top.unionByName(total)

@@ -350,3 +350,48 @@ def test_histogram_guards(spark):
     hist = value_histogram(df, "v", ["k"], lo=0.0, hi=1.0, n_bins=4)
     with pytest.raises(ValueError, match="prob"):
         histogram_quantiles(hist, ["k"], [(3, 2)], lo=0.0, hi=1.0, n_bins=4)
+
+
+# --- exact two-pass quantiles ------------------------------------------------
+
+from polars_order_book_spark.operators.frequency import (  # noqa: E402
+    exact_quantile_two_pass,
+)
+
+
+def test_exact_quantile_two_pass_matches_rank_definition(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(0, 100, size=400), 2)
+    vals[:50] = vals[0]  # heavy ties
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    probs = [(1, 2), (9, 10), (1, 4)]
+    got = exact_quantile_two_pass(df, "v", probs, lo=0.0, hi=100.0, n_bins=16)
+    srt = np.sort(vals)
+    for (num, den), (p, q, n) in zip(probs, got):
+        rank = (num * len(vals) + den - 1) // den
+        assert n == len(vals)
+        assert q == srt[rank - 1]
+
+
+def test_exact_quantile_two_pass_robust_to_bad_range(spark):
+    """All data outside [lo, hi]: everything clamps into the edge bins, and
+    the answer is still exact (clamped binning is order-monotone)."""
+    import numpy as np
+
+    vals = [float(v) for v in range(1000, 1100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = exact_quantile_two_pass(df, "v", [(1, 2)], lo=0.0, hi=1.0, n_bins=8)
+    assert got[0][1] == np.sort(vals)[(len(vals) + 1) // 2 - 1]
+
+
+def test_exact_quantile_two_pass_guards(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="prob"):
+        exact_quantile_two_pass(df, "v", [(0, 2)], lo=0.0, hi=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        exact_quantile_two_pass(df, "v", [(1, 2)], lo=0.0, hi=1.0, n_bins=0)
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="no non-null rows"):
+        exact_quantile_two_pass(empty, "v", [(1, 2)], lo=0.0, hi=1.0)

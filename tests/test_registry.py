@@ -264,6 +264,15 @@ DEMOTED_TAIL = {
     "embeddings_covariance",
     "events_anomaly_mad",
     "events_countmin_rollup",
+    # tail-born (ann_recall_dims precedent): pass 1 is the retained
+    # events_quantile_histogram's value_histogram cells build, pass 2 an
+    # orderBy+limit TakeOrderedAndProject (multi-green topk shape); the
+    # driver-side bin walk is pure Python pinned by pytest
+    "events_quantiles_exact_twopass",
+    # tail-born: composition-only plan (count aggs, counts-sized inner
+    # join, TakeOrderedAndProject, unionByName — every shape multi-green);
+    # the Σ n_l·n_r accounting is pinned by tests/test_skew.py
+    "events_selfjoin_size",
 }
 
 

@@ -140,3 +140,47 @@ def test_salted_bipartite_join_equals_plain_join_under_tiny_cap(spark):
         for r in left.join(right, on="k").collect()
     )
     assert got == expected and len(expected) == 7 * 3 + 2 * 9
+
+
+# --- join-size / skew audit --------------------------------------------------
+
+from polars_order_book_spark.functions.skew import join_size_estimate  # noqa: E402
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    left = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)] + [(100 + i, 0) for i in range(20)],
+        "id long, k long",
+    )
+    right = spark.createDataFrame(
+        [(i, i % 5) for i in range(30)], "rid long, k long"
+    )
+    est = {r["key"]: r for r in join_size_estimate(left, right, ["k"], top_k=100).collect()}
+    actual = left.join(right, "k", "inner").count()
+    assert int(est["__total__"]["join_rows"]) == actual
+    # per-key contribution: key 0 has 10+20=30 left rows, 6 right rows
+    assert est["0"]["n_left"] == 30 and est["0"]["n_right"] == 6
+    assert int(est["0"]["join_rows"]) == 180
+
+
+def test_join_size_estimate_self_join_is_f2(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(12)], "id long, k long")
+    est = {r["key"]: r for r in join_size_estimate(df, df, ["k"]).collect()}
+    # each key has 4 rows -> F2 = 3 * 16
+    assert int(est["__total__"]["join_rows"]) == 48
+    assert df.alias("a").join(df.alias("b"), "k", "inner").count() == 48
+
+
+def test_join_size_estimate_top_k_deterministic_and_null_keys_excluded(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "id long, k string"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None)], "rid long, k string"
+    )
+    rows = join_size_estimate(left, right, ["k"], top_k=1).collect()
+    keys = [r["key"] for r in rows]
+    # ties 2x1 vs 1x2 broken by key asc -> 'a' wins the single top slot
+    assert keys == ["a", "__total__"]
+    total = [r for r in rows if r["key"] == "__total__"][0]
+    assert int(total["join_rows"]) == 4  # nulls never match
