@@ -861,10 +861,6 @@ def test_hamming_rerank_shortlist_bounds_candidates(spark):
         per_q.setdefault(r["query_id"], []).append(r)
     for q, rs in per_q.items():
         assert len(rs) == 10
-        # the shortlist members are the 10 Hamming-nearest (ties by id):
-        # recompute hamming driver-side from signatures
-        sigs = {r["vec_id"]: (r["sig_0"],)
-                for r in similarity.binary_signature(df, dim=16, word_bits=16).collect()}
         # rerank output ordering is by cosine desc within the shortlist
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)

@@ -137,6 +137,39 @@ HEADLINE = [
     "documents_quality_correlation",
     "embeddings_pq_ivf_residual_topk",
     "embeddings_pq_trained_topk",
+    # r6 session 5-6: sketch rollups, Bloom audit, inverted index, recsys,
+    # incremental agg maintenance, PMI/Zipf
+    "events_countmin_rollup",
+    "orders_bloom_semijoin",
+    "text_postings",
+    "events_item_cooccurrence",
+    "orders_incremental_agg",
+    "events_hll_rollup",
+    "documents_pmi_keywords",
+    "documents_zipf_profile",
+    # r6 session 7-8: sliding distinct, time decay, negative sampling,
+    # hard negatives, runs/debounce/late audits, split contamination
+    "events_sliding_active_users",
+    "events_time_decay",
+    "events_negative_samples",
+    "embeddings_hard_negatives",
+    "events_user_type_history",
+    "events_debounced",
+    "events_late_arrivals",
+    "documents_split_contamination",
+    "documents_quality_percentile",
+    # r6 session 9-11: drift monitors, schema evolution, BPE fertility
+    "events_value_drift",
+    "embeddings_centroid_drift",
+    "sink_schema_evolution",
+    "documents_bpe_fertility",
+    # r6 session 12: binary-quantized retrieval, incremental join views,
+    # quantile-histogram rollup, two-pass exact quantiles, join-size audit
+    "ann_hamming_rerank",
+    "orders_incremental_join",
+    "events_quantile_histogram",
+    "events_quantiles_exact_twopass",
+    "events_selfjoin_size",
 ]
 
 
