@@ -1287,6 +1287,71 @@ def pq_encode(
     ).select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
 
 
+def _seq_sq_norm(xs: "list[float]") -> float:
+    """Sequential left-to-right Σx² — bit-identical to the engines' dot
+    folds (aggregate/zip_with and list_dot_product), the same equivalence
+    pq_ivf_residual_topk's ``cc`` column already relies on."""
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
+
+
+def _pq_lut_builder(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    subdim: int,
+    codebooks: "list | None",
+) -> DataFrame:
+    """Shared ADC lookup-table build for :func:`pq_topk` /
+    :func:`pq_ivf_topk`: per query, per subspace, the ksub entries
+    ``((|q_s|² - 2⟨q_s,c⟩) + |c|²)`` with pinned associativity.
+
+    Two codegen-size reductions that change NO value: ``|c|²`` is a
+    driver-computed literal (sequential fold == the engine fold bit-for-bit,
+    see :func:`_seq_sq_norm`), and ``|q_s|²`` is projected ONCE per subspace
+    instead of re-folded in all ksub entries (same expression, same bits —
+    referenced as a column). Before this the LUT stage carried 3 dot-folds
+    per entry (m·ksub·3 = 192 inlined 16-component folds) through parse +
+    whole-stage codegen; now it carries m·ksub = 64 plus m hoisted ones.
+    """
+    qv = _sql_as_double(vec_col)
+    pre = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col),
+        *[
+            F.expr(
+                _sql_dot(
+                    f"slice({qv}, {s * subdim + 1}, {subdim})",
+                    f"slice({qv}, {s * subdim + 1}, {subdim})",
+                )
+            ).alias(f"__qq_{s}")
+            for s in range(m)
+        ],
+    )
+    lut_cols = []
+    for s in range(m):
+        qs = f"slice({qv}, {s * subdim + 1}, {subdim})"
+        entries = []
+        for c in range(ksub):
+            cw = (
+                codebooks[s][c]
+                if codebooks is not None
+                else [pq_codeword_component(s, c, j) for j in range(subdim)]
+            )
+            cl = _sql_const_array(cw)
+            cc = _seq_sq_norm([float(x) for x in cw])
+            entries.append(
+                f"((__qq_{s} - (2.0D * {_sql_dot(qs, cl)}))"
+                f" + CAST('{cc!r}' AS DOUBLE))"
+            )
+        lut_cols.append(F.expr(f"array({','.join(entries)})").alias(f"lut_{s}"))
+    return pre.select("query_id", *lut_cols)
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1330,23 +1395,7 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         *[F.expr(e).alias(f"code_{s}") for s, e in enumerate(code_exprs)],
     )
-    qv = _sql_as_double(vec_col)
-    lut_cols = []
-    for s in range(m):
-        qs = f"slice({qv}, {s * subdim + 1}, {subdim})"
-        entries = []
-        for c in range(ksub):
-            cw = (
-                codebooks[s][c]
-                if codebooks is not None
-                else [pq_codeword_component(s, c, j) for j in range(subdim)]
-            )
-            cl = _sql_const_array(cw)
-            entries.append(
-                f"(({_sql_dot(qs, qs)} - (2.0D * {_sql_dot(qs, cl)})) + {_sql_dot(cl, cl)})"
-            )
-        lut_cols.append(F.expr(f"array({','.join(entries)})").alias(f"lut_{s}"))
-    luts = queries.select(F.col(query_id_col).alias("query_id"), *lut_cols)
+    luts = _pq_lut_builder(queries, query_id_col, vec_col, m, ksub, subdim, codebooks)
     adist = "(" * (m - 1) + " + ".join(
         f"element_at(lut_{s}, code_{s} + 1)" + (")" if s > 0 else "")
         for s in range(m)
@@ -1480,20 +1529,8 @@ def pq_ivf_topk(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
         "query_id", n_cells, dim, n_probe, None,
     )
-    lut_cols = []
-    for s in range(m):
-        qs = f"slice({v}, {s * subdim + 1}, {subdim})"
-        entries = []
-        for c in range(ksub):
-            cl = _sql_const_array(
-                pq_codeword_component(s, c, j) for j in range(subdim)
-            )
-            entries.append(
-                f"(({_sql_dot(qs, qs)} - (2.0D * {_sql_dot(qs, cl)})) + {_sql_dot(cl, cl)})"
-            )
-        lut_cols.append(F.expr(f"array({','.join(entries)})").alias(f"lut_{s}"))
-    luts = queries.select(
-        F.col(query_id_col).alias("query_id"), *lut_cols
+    luts = _pq_lut_builder(
+        queries, query_id_col, vec_col, m, ksub, subdim, None
     ).join(qa, on="query_id")
     if cell_cap:
         from polars_order_book_spark.functions.skew import salted_probe_join
