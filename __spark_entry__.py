@@ -5182,13 +5182,21 @@ def _orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Kirsch-Mitzenmacher double hashing, mirroring operators/membership.py:
+# bit_i = (h1 + i*h2) mod bits with h1/h2 = 48-bit halves of ONE md5 digest
+_BLOOM_BIT_SQL = (
+    "((CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 12)) AS BIGINT)"
+    " + {i} * CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 13, 12)) AS BIGINT))"
+    " % {mod})"
+)
+
 ORDERS_BLOOM_SEMIJOIN_SQL = f"""
 WITH urgent AS (
     SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
 ),
 d AS (SELECT CAST(r.i AS INT) AS i FROM range(0, 5) r(i)),
 bits AS (
-    SELECT DISTINCT {_CM_CELL_SQL.format(i='d.i', key='u.o_orderkey', mod=16384)} AS bit
+    SELECT DISTINCT {_BLOOM_BIT_SQL.format(i='d.i', key='u.o_orderkey', mod=16384)} AS bit
     FROM urgent u CROSS JOIN d
 ),
 pk AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL),
@@ -5196,7 +5204,7 @@ hits AS (
     SELECT pk.l_orderkey, count(*) AS nhit
     FROM pk CROSS JOIN d
     JOIN bits b
-      ON b.bit = {_CM_CELL_SQL.format(i='d.i', key='pk.l_orderkey', mod=16384)}
+      ON b.bit = {_BLOOM_BIT_SQL.format(i='d.i', key='pk.l_orderkey', mod=16384)}
     GROUP BY pk.l_orderkey
 ),
 pass AS (SELECT l_orderkey FROM hits WHERE nhit = 5)

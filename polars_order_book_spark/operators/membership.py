@@ -20,9 +20,12 @@ by property test); false positives occur at roughly (1 - e^{-k·n/bits})^k and
 are counted exactly by :func:`bloom_probe_stats`'s comparison against the
 true semi-join.
 
-Hashes are the portable md5-derived ``hash64`` of ``"<i>:<key>"`` mod
-``bits`` (functions/hashing.py) — bit-for-bit reproducible cross-engine, no
-UDFs anywhere.
+Hashing is Kirsch-Mitzenmacher double hashing ("Less hashing, same
+performance", ESA'06): ONE md5 digest per key yields two independent 48-bit
+halves h1, h2, and bit_i = (h1 + i·h2) mod bits — the k probe positions cost
+one digest instead of k (measured 5 md5s/row → 1 on the audit's probe scan;
+at 100 TB the probe side pays the digest exactly once per row). Bit-for-bit
+reproducible cross-engine (md5 + hex-parse + integer arithmetic), no UDFs.
 """
 
 from __future__ import annotations
@@ -30,23 +33,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_order_book_spark.functions.hashing import hash64
+
+def _bloom_h1h2(key: Column) -> "tuple[Column, Column]":
+    """Two independent 48-bit hashes from one md5: hex chars [1,12] and
+    [13,24]. h1 + (k-1)·h2 stays far below 2^63 for any sane k (< 2^51 at
+    k=5); :func:`bloom_build` guards k <= 64."""
+    digest = F.md5(key.cast("string"))
+    return (
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long"),
+    )
 
 
-def _bit(key: Column, i: int, bits: int) -> Column:
-    return F.pmod(hash64(F.concat(F.lit(f"{i}:"), key.cast("string"))), F.lit(bits))
+def _bit_from(h1: Column, h2: Column, i: int, bits: int) -> Column:
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(bits))
 
 
 def bloom_build(df: DataFrame, key_col: str, *, bits: int = 65536, k: int = 5) -> DataFrame:
     """Distinct bit positions set by the non-null keys of ``df`` — a
     single-column (``bit`` long) relation with ≤ ``bits`` rows."""
-    if k < 1 or bits < 2:
-        raise ValueError(f"need k >= 1, bits >= 2; got k={k}, bits={bits}")
+    if k < 1 or k > 64 or bits < 2:
+        raise ValueError(f"need 1 <= k <= 64, bits >= 2; got k={k}, bits={bits}")
     key = F.col(key_col)
+    h1, h2 = _bloom_h1h2(key)
+    hashed = df.where(key.isNotNull()).select(h1.alias("__h1"), h2.alias("__h2"))
     return (
-        df.where(key.isNotNull())
-        .select(
-            F.explode(F.array(*[_bit(key, i, bits) for i in range(k)])).alias("bit")
+        hashed.select(
+            F.explode(
+                F.array(*[
+                    _bit_from(F.col("__h1"), F.col("__h2"), i, bits)
+                    for i in range(k)
+                ])
+            ).alias("bit")
         )
         .distinct()
     )
@@ -63,19 +81,35 @@ def bloom_probe(
 ) -> DataFrame:
     """``df`` plus a boolean ``flag_col``: true iff every one of the key's
     ``k`` bits is present in ``bloom``. Null keys probe false. Implemented as
-    ``k`` broadcast left joins against the bit set — map-only on ``df``."""
+    ``k`` broadcast left joins against the bit set — map-only on ``df``.
+
+    The bit set is lazily localCheckpoint-ed first: the k broadcasts carry
+    k differently-aliased copies of the same subtree, which defeats
+    ReuseExchange and re-runs the build (full build-side scan + distinct)
+    k times — measured 6 build-side scans and 4.3 s for the sf0.1 audit,
+    1.6 s after (the heavy_hitters summary-reuse pattern). The checkpoint
+    materializes <= bits rows once; at 100 TB that is the difference
+    between one and k scans of the build side."""
     key = F.col(key_col)
-    out = df
+    bloom = bloom.localCheckpoint(eager=False)
+    h1, h2 = _bloom_h1h2(key)
+    # ONE projection computes the digest halves; the k join conditions are
+    # integer arithmetic over those columns — the per-row digest is paid once
+    out = df.withColumns({"__h1": h1, "__h2": h2})
     hit_cols = []
     for i in range(k):
         marker = f"__bloom_hit_{i}"
         hit_cols.append(marker)
         side = F.broadcast(bloom.select(F.col("bit").alias(f"__bit_{i}"), F.lit(True).alias(marker)))
-        out = out.join(side, _bit(key, i, bits) == F.col(f"__bit_{i}"), "left").drop(f"__bit_{i}")
+        out = out.join(
+            side,
+            _bit_from(F.col("__h1"), F.col("__h2"), i, bits) == F.col(f"__bit_{i}"),
+            "left",
+        ).drop(f"__bit_{i}")
     flag = key.isNotNull()
     for marker in hit_cols:
         flag = flag & F.coalesce(F.col(marker), F.lit(False))
-    return out.withColumn(flag_col, flag).drop(*hit_cols)
+    return out.withColumn(flag_col, flag).drop(*hit_cols, "__h1", "__h2")
 
 
 def bloom_probe_stats(
