@@ -191,7 +191,16 @@ def logreg_train(
             f"dim+1 = {dim + 1} exceeds max_collect_weights ({max_collect_weights}); "
             "the inter-iteration collect must stay bounded"
         )
-    feats = doc_features(df, text_col=text_col, id_col=id_col, dim=dim, feature=feature)
+    # Lazily checkpoint the featurization: every iteration's collect()
+    # re-executes the tokenize/hash chain otherwise (n_iter full re-derives;
+    # measured 4.5 s -> 2.5 s for n_iter=2 at sf0.1). Values unchanged — the
+    # checkpoint only truncates lineage; the oracle still re-derives the
+    # same features. The materialized relation is training-set-sized
+    # (docs x <= dim+1 feature rows), the set a classifier trains on being
+    # a SAMPLE of the corpus, not the 100 TB corpus itself.
+    feats = doc_features(
+        df, text_col=text_col, id_col=id_col, dim=dim, feature=feature
+    ).localCheckpoint(eager=False)
     labels = df.select(F.col(id_col), F.col(label_col).cast("int").alias("y"))
     w = [0] * (dim + 1)
     step = logreg_step(feats, labels, w, lr=lr, id_col=id_col)
