@@ -4327,6 +4327,42 @@ SELECT doc_id, score_micro, CAST(score_micro >= 500000 AS INT) AS pred FROM sc
 """
 
 
+def _docs_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (operators/classifier.py reliability_table): train
+    the 2-iteration chain, score every document, bucket score_micro into 10
+    integer bins, and compare mean predicted probability vs the empirical
+    positive rate per bin — the reliability diagram as a table, THE check
+    before a classifier threshold keeps/drops corpus documents at 100 TB
+    (a miscalibrated filter silently shifts the kept distribution). The
+    oracle replays the full train+score chain and the bins rollup; counts
+    and score sums are exact integers, the two ratios one double division
+    each."""
+    docs = _docs_with_weak_label(spark, sf_dir)
+    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5)
+    scored = clf.logreg_score(docs, clf.collect_weights(step, 16))
+    # n_buckets=100: the synthetic corpus' near-collinear docs score in a
+    # ~37k-micro band (all one decile) — centi-bins exercise several rows
+    return clf.reliability_table(scored, docs, n_buckets=100)
+
+
+def _docs_classifier_reliability_sql() -> str:
+    return _classifier_chain_sql(dim=16, n_iter=2) + """,
+m3 AS (SELECT f.doc_id, sum(f.x*w2.w_m) AS mm FROM feats f JOIN w2 USING (j) GROUP BY f.doc_id),
+sc AS (SELECT doc_id, CAST(FLOOR((1.0/(1.0+exp(-(mm/1000000.0))))*1000000 + 0.5) AS BIGINT) AS score_micro FROM m3),
+lab AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+b AS (
+  SELECT least(sc.score_micro * 100 // 1000000, 99) AS bucket, sc.score_micro, lab.y
+  FROM sc JOIN lab USING (doc_id)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(score_micro) AS BIGINT) AS sum_score_micro,
+       CAST(sum(score_micro) AS DOUBLE) / (count(*) * 1000000.0) AS mean_score,
+       CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+FROM b GROUP BY bucket
+"""
+
+
 def _embeddings_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite: coarse cells prune the probe to an equi-join
     (n_probe=2 of 8 cells), PQ codes score candidates by LUT lookups —
@@ -7034,6 +7070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_reservoir_sample": _events_reservoir_sample,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
+        "documents_classifier_reliability": _docs_classifier_reliability,
         "ob_book_asof": _ob_book_asof,
         "ann_mmr_rerank": _ann_mmr,
         "dedup_recall_banding": _dedup_recall_banding,
@@ -7333,6 +7370,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_fertility": DOCS_BPE_FERTILITY_SQL,
         "documents_classifier_step": _docs_classifier_step_sql(),
         "documents_classifier_score": _docs_classifier_score_sql(),
+        "documents_classifier_reliability": _docs_classifier_reliability_sql(),
         "ob_book_asof": _ob_book_asof_sql(),
         "ann_mmr_rerank": _ann_mmr_sql(),
         "dedup_recall_banding": _dedup_recall_banding_sql(),

@@ -183,6 +183,7 @@ def main() -> None:
         "events_quantile_histogram",
         "events_quantiles_exact_twopass",
         "events_selfjoin_size",
+        "documents_classifier_reliability",
     ]
     qs = E.queries()
 

@@ -245,3 +245,58 @@ def logreg_score(
         "score_micro",
         (F.col("score_micro") >= F.lit(thr)).cast("int").alias("pred"),
     )
+
+
+def reliability_table(
+    scored: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Calibration audit of a trained classifier: bucket predicted scores
+    into ``n_buckets`` equal bins and compare mean predicted probability
+    against the empirical positive rate per bin — the reliability-diagram
+    table, THE check run before a classifier's threshold is used to keep or
+    drop corpus documents at scale (a miscalibrated filter silently shifts
+    the kept distribution).
+
+    ``scored`` is :func:`logreg_score` output (id, score_micro, pred);
+    ``labels`` carries (id, label). bucket = ``score_micro·n_buckets DIV
+    MICRO`` clamped to the last bin (pure integer — score_micro is already
+    an integer by the scoring contract). Outputs per bucket: n, n_pos,
+    sum_score_micro (exact integers) plus mean_score and pos_rate (one
+    final double division each — engine-identical). One doc-sized equi-join
+    + one ≤ n_buckets-row aggregation; at 100 TB the eval set is a labeled
+    SAMPLE, and the rollup is bins-sized regardless.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    joined = scored.join(
+        labels.select(F.col(id_col), F.col(label_col).cast("int").alias("__y")),
+        on=id_col,
+    )
+    bucket = F.least(
+        F.expr(f"score_micro * {n_buckets} DIV {MICRO}"),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        joined.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "sum_score_micro",
+            (
+                F.col("sum_score_micro").cast("double")
+                / (F.col("n") * F.lit(float(MICRO)))
+            ).alias("mean_score"),
+            (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        )
+    )

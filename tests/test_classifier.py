@@ -139,3 +139,37 @@ def test_score_threshold_is_integer_compare(docs):
     assert set(out["pred"]) == {1}  # 500000 >= 500000
     out2 = C.logreg_score(docs, w, threshold=0.5000006).toPandas()
     assert set(out2["pred"]) == {0}
+
+
+def test_reliability_table_exact_buckets(spark):
+    from polars_order_book_spark.operators.classifier import reliability_table
+
+    scored = spark.createDataFrame(
+        [(1, 50_000, 0), (2, 149_999, 0), (3, 150_000, 0), (4, 999_999, 1),
+         (5, 1_000_000, 1)],
+        "doc_id long, score_micro long, pred int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 1), (5, 1)], "doc_id long, y int"
+    )
+    rows = {r["bucket"]: r for r in
+            reliability_table(scored, labels, n_buckets=10).collect()}
+    # bin width 100_000: 50_000 -> bucket 0; 149_999 and 150_000 -> bucket 1;
+    # 999_999 -> bucket 9; 1_000_000 clamps to the last bucket (9)
+    assert set(rows) == {0, 1, 9}
+    assert rows[0]["n"] == 1 and rows[0]["n_pos"] == 0
+    assert rows[0]["sum_score_micro"] == 50_000
+    assert rows[1]["n"] == 2 and rows[1]["n_pos"] == 1
+    assert rows[1]["sum_score_micro"] == 299_999
+    assert rows[1]["pos_rate"] == 0.5
+    assert rows[9]["n"] == 2 and rows[9]["n_pos"] == 2
+    assert rows[9]["mean_score"] == (999_999 + 1_000_000) / (2 * 1_000_000)
+
+
+def test_reliability_table_guard(spark):
+    from polars_order_book_spark.operators.classifier import reliability_table
+
+    df = spark.createDataFrame([(1, 1, 0)], "doc_id long, score_micro long, pred int")
+    lab = spark.createDataFrame([(1, 1)], "doc_id long, y int")
+    with pytest.raises(ValueError, match="n_buckets"):
+        reliability_table(df, lab, n_buckets=0)
