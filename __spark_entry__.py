@@ -5877,6 +5877,87 @@ def _orders_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JOIN-view maintenance (streaming/agg_stream.py
+    maintain_join_view_stream): the per-(segment, priority) rollup of
+    orders ⨝ customer is seeded from pre-cutoff orders, then post-cutoff
+    orders arrive as two micro-batches, each enriched against the STATIC
+    customer dimension (ΔS = ∅ ⇒ the delta algebra collapses to ΔR⨝S) and
+    folded via the replay-guarded "+= delta". The oracle is the FULL
+    recompute over the complete join (shared with orders_incremental_join)
+    — the maintained table must equal it however the stream was batched."""
+    import tempfile
+
+    from polars_order_book_spark.streaming.agg_stream import (
+        init_table,
+        maintain_join_view_stream,
+        read_current,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cut = "1995-07-01"
+    on = F.col("o_custkey") == F.col("c_custkey")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    keys = ["c_mktsegment", "o_orderpriority"]
+    base_view = (
+        orders.where(F.col("o_orderdate") < cut)
+        .join(customer, on, "inner")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec).alias("sum_total"),
+            F.min(dec).alias("min_total"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    delta = orders.where(F.col("o_orderdate") >= cut)
+    tmp = tempfile.mkdtemp(prefix="join_view_stream_")
+    tbl = os.path.join(tmp, "table")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    init_table(base_view, tbl)
+    schema = delta.schema
+    for i in (0, 1):
+        part = delta.where(F.col("o_orderkey") % 2 == i)
+        pdir = os.path.join(tmp, f"part_{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pq_file = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(pdir, pq_file), os.path.join(in_dir, f"{i:03d}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = maintain_join_view_stream(
+        stream,
+        customer,
+        on,
+        tbl,
+        keys,
+        count_col="n_rows",
+        sum_exprs={"sum_total": F.sum(dec)},
+        min_exprs={"min_total": F.min(dec)},
+        max_exprs={"last_order": F.max("o_orderdate")},
+        checkpoint=os.path.join(tmp, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("join-view maintenance stream did not finish in 600s")
+    return read_current(spark, tbl).select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        F.col("min_total").cast("double").alias("min_total"),
+        F.unix_micros(F.col("last_order")).alias("last_order_us"),
+    )
+
+
 def _events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-key reservoir (operators/sampling.py
     reservoir_per_key): exactly min(40, |group|) events per event_type,
@@ -7059,6 +7140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_similar_items": _events_top_similar_items,
         "orders_incremental_agg": _orders_incremental_agg,
         "orders_incremental_join": _orders_incremental_join,
+        "orders_join_view_stream": _orders_join_view_stream,
         "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
         "events_quantile_histogram": _events_quantile_histogram,
@@ -7337,6 +7419,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_similar_items": EVENTS_TOP_SIMILAR_SQL,
         "orders_incremental_agg": ORDERS_INCREMENTAL_AGG_SQL,
         "orders_incremental_join": ORDERS_INCREMENTAL_JOIN_SQL,
+        "orders_join_view_stream": ORDERS_INCREMENTAL_JOIN_SQL,
         "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
         "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,

@@ -113,3 +113,58 @@ def maintain_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_join_view_stream(
+    facts: DataFrame,
+    enrich_df: DataFrame,
+    on,
+    base_path: str,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n_rows",
+    sum_exprs: "dict[str, Column] | None" = None,
+    min_exprs: "dict[str, Column] | None" = None,
+    max_exprs: "dict[str, Column] | None" = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming JOIN-view maintenance: each arriving fact batch is enriched
+    against a STATIC dimension (inner join) and folded into the persisted
+    rollup — the continuous twin of
+    :func:`operators.incremental.incremental_join_agg` for the
+    stream + static-dimension case. With the dimension fixed, ΔS = ∅ and
+    the delta algebra collapses to ΔR⨝S per batch, so each micro-batch
+    costs one batch-sized join (the dimension side broadcasts when small)
+    plus the rollup-sized combine. Same versioned-parquet + _CURRENT replay
+    guard as :func:`maintain_rollup_stream` — the enrich join is a pure
+    per-batch map stage, so replay safety is unchanged. After the last
+    batch the table equals the full recompute over
+    (base ∪ all batches) ⨝ dimension, which is the driver oracle.
+
+    Dimension CHANGES (SCD) are out of scope here by design: a mutated
+    dimension row retroactively re-labels already-folded facts, which is a
+    re-aggregation, not a fold — callers with slowly-changing dimensions
+    key the view by the dimension VERSION (attribute_runs' SCD-2 history)
+    so old facts keep their as-of attributes.
+    """
+    keys = list(keys)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            batch_df.join(enrich_df, on, "inner"),
+            batch_id,
+            base_path,
+            keys,
+            count_col=count_col,
+            sum_exprs=sum_exprs,
+            min_exprs=min_exprs,
+            max_exprs=max_exprs,
+        )
+
+    writer = facts.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

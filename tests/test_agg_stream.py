@@ -87,3 +87,35 @@ def test_reservoir_small_group_returns_all(spark):
 
     df = spark.createDataFrame([(1, "g"), (2, "g")], "event_id long, g string")
     assert reservoir_per_key(df, ["g"], 10, id_col="event_id").count() == 2
+
+
+def test_join_view_fold_batches_converge_to_full_join_recompute(spark):
+    """Enrich-then-fold over batches equals a full recompute of the join
+    view — the stream+static collapse of the join-delta algebra."""
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "j long, grp string")
+    base = [("a", 10, 1), ("b", 20, 2)]
+    b0 = [("c", 10, 5), ("d", 30, 9)]  # d's key 30 has no dim row -> dropped
+    b1 = [("e", 20, 7), ("f", 10, 8)]
+
+    def facts(rows):
+        return spark.createDataFrame(rows, "id string, j long, v long")
+
+    def view(df):
+        return df.join(dim, "j", "inner").groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,0)")).alias("sum_v"),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = os.path.join(tmp, "t")
+        init_table(view(facts(base)), tbl)
+        for i, batch in enumerate([b0, b1]):
+            fold_batch(
+                facts(batch).join(dim, "j", "inner"), i, tbl, ["grp"],
+                sum_exprs={"sum_v": F.sum(F.col("v").cast("decimal(18,0)"))},
+            )
+        got = {r["grp"]: (r["n_rows"], int(r["sum_v"]))
+               for r in read_current(spark, tbl).collect()}
+        want = {r["grp"]: (r["n_rows"], int(r["sum_v"]))
+                for r in view(facts(base + b0 + b1)).collect()}
+        assert got == want

@@ -277,6 +277,12 @@ DEMOTED_TAIL = {
     # documents_classifier_score; the bins rollup on top is one doc-sized
     # equi-join + groupBy, exact-bucket math pinned by test_classifier.py
     "documents_classifier_reliability",
+    # tail-born: fold/replay machinery is the retained events_drift_stream's
+    # verbatim (fold_batch/_CURRENT/init_table/read_current), the combine is
+    # head sibling orders_incremental_join's, and the per-batch stream-static
+    # enrich join is driver-green via events_enriched_stream; convergence
+    # pinned by test_agg_stream.py
+    "orders_join_view_stream",
 }
 
 
