@@ -5735,6 +5735,39 @@ FROM cells
 """
 
 
+def _events_quantiles_exact_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles fully in-plan (operators/frequency.py
+    grouped_exact_quantiles): per-key histogram cells → window cumulative +
+    struct-min derive each (key, prob)'s target bin AND residual rank
+    relationally — no driver bin-walk, so key cardinality is unbounded —
+    then one join back on (key, target bin) and a bin-bounded window picks
+    the residual-th smallest value. Integer-DIV ranks; clamped binning
+    keeps any declared range exact. The oracle is the per-key row_number
+    rank definition over the full relation; values must agree to the bit.
+    At 100 TB this replaces a per-key full sort with histogram aggs + a
+    ~N/n_bins-row-per-task selection."""
+    from polars_order_book_spark.operators.frequency import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_exact_quantiles(
+        ev, "value", ["event_type"], [(1, 2), (9, 10)], lo=0.0, hi=500.0, n_bins=64
+    )
+
+
+EVENTS_QUANTILES_BY_TYPE_SQL = """
+WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_total
+      FROM v),
+pr AS (SELECT * FROM (VALUES (1,2),(9,10)) t(num, den))
+SELECT r.event_type, CAST(pr.num AS DOUBLE)/CAST(pr.den AS DOUBLE) AS prob,
+       min(r.v) AS value, CAST(max(r.n_total) AS BIGINT) AS n_total
+FROM pr JOIN r ON r.rn = (pr.num * r.n_total + pr.den - 1) // pr.den
+GROUP BY r.event_type, pr.num, pr.den
+"""
+
+
 def _documents_pmi_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinctive vocabulary via PMI (operators/text.py
     pmi_keywords): rank tokens by p(tok|lang)/p(tok) — log-free so every
@@ -6878,7 +6911,6 @@ _R6_HEAD = [
     "dedup_recall_banding",
     "documents_leakage_split",
     "documents_lm_heldout",
-    "documents_char_entropy",
     "documents_quality_correlation",
     "embeddings_pq_ivf_residual_topk",
     "embeddings_pq_trained_topk",
@@ -7018,6 +7050,14 @@ _R6_HEAD = [
     #     documents_quality_percentile.
     "ann_hamming_rerank",
     "orders_incremental_join",
+    # also session 12: exact per-group quantiles fully in-plan (new
+    # struct-min target/residual derivation — not the tail two-pass
+    # variant's driver walk). One sibling-covered demotion:
+    #   documents_char_entropy — a plans-level map-only signal (no operator
+    #     code); its shape is driver-green via text_quality (r1-r3) and the
+    #     retained plans-level quality signals (documents_quality_percentile
+    #     / documents_quality_correlation).
+    "events_quantiles_exact_by_type",
     # also session 12: the mergeable quantile-histogram rollup (new
     # cells-build / merge / integer-rank quantile chain in
     # operators/frequency.py). One sibling-covered demotion:
@@ -7144,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
         "events_quantile_histogram": _events_quantile_histogram,
+        "events_quantiles_exact_by_type": _events_quantiles_exact_by_type,
         "events_quantiles_exact_twopass": _events_quantiles_exact_twopass,
         "events_selfjoin_size": _events_selfjoin_size,
         "documents_pmi_keywords": _documents_pmi_keywords,
@@ -7423,6 +7464,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
         "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,
+        "events_quantiles_exact_by_type": EVENTS_QUANTILES_BY_TYPE_SQL,
         "events_quantiles_exact_twopass": EVENTS_QUANTILES_TWOPASS_SQL,
         "events_selfjoin_size": EVENTS_SELFJOIN_SIZE_SQL,
         "documents_pmi_keywords": DOCUMENTS_PMI_SQL,

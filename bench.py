@@ -184,6 +184,7 @@ def main() -> None:
         "events_quantiles_exact_twopass",
         "events_selfjoin_size",
         "documents_classifier_reliability",
+        "events_quantiles_exact_by_type",
     ]
     qs = E.queries()
 

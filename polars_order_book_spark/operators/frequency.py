@@ -635,3 +635,100 @@ def exact_quantile_two_pass(
         )
         out.append((num / den, rows[0]["q"], n_total))
     return out
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: "list[str]",
+    probs: "list[tuple[int, int]]",
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """EXACT per-group quantiles, fully in-plan — no global sort, no driver
+    state, so key cardinality is unbounded (the keyed generalization of
+    :func:`exact_quantile_two_pass`, whose driver bin-walk caps it at
+    driver-memory keys x bins).
+
+    Stage 1 builds the per-key histogram (:func:`value_histogram`) and
+    derives, per (key, prob), the target bin and the residual rank WITHIN
+    it using window cumulative counts and a struct-min — all relational:
+    rank = ceil(num·N/den) in integer DIV, target = first bin whose
+    cumulative count reaches rank, residual = rank − (count before target).
+    Stage 2 joins rows back on (key, bin == target) — each row replicates
+    to at most len(probs) matches — and takes the residual-th smallest by a
+    per-(key, prob) window over values. The selected VALUE is the exact
+    k-th smallest (well-defined under duplicates: equal values permute only
+    among themselves). Per-task sort cost is bin-bounded (~N_key/n_bins
+    rows), never key-group-bounded; clamped binning keeps ANY declared
+    (lo, hi) correct, exactly as in the two-pass operator.
+
+    Returns ``keys + [prob, value, n_total]``.
+    """
+    for num, den in probs:
+        if not (0 < num <= den):
+            raise ValueError(f"prob must satisfy 0 < num <= den, got {num}/{den}")
+    hist = value_histogram(df, value_col, keys, lo=lo, hi=hi, n_bins=n_bins)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "n_total", F.sum("n").over(w_all)
+    )
+    pr = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+            for num, den in probs
+        ])
+    ).alias("pr")
+    exploded = cum.select(*keys, "bin", "n", "cum", "n_total", pr).select(
+        *keys, "bin", "n", "cum", "n_total",
+        F.col("pr.num").alias("num"), F.col("pr.den").alias("den"),
+    )
+    rank = F.expr("(num * n_total + den - 1) DIV den")
+    # struct-min picks the FIRST qualifying bin and carries (cum - n) along,
+    # so residual = rank - before needs no second pass over the histogram
+    targets = (
+        exploded.withColumn("__rank", rank)
+        .where(F.col("cum") >= F.col("__rank"))
+        .groupBy(*keys, "num", "den")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("bin").alias("b"),
+                    (F.col("cum") - F.col("n")).alias("before"),
+                )
+            ).alias("_t"),
+            F.max("n_total").alias("n_total"),
+            F.max("__rank").alias("__rank"),
+        )
+        .select(
+            *keys, "num", "den", "n_total",
+            F.col("_t.b").alias("__bin"),
+            (F.col("__rank") - F.col("_t.before")).alias("__residual"),
+        )
+    )
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    rows = df.where(v.isNotNull()).select(*keys, v.alias("__v"), bin_.alias("__bin"))
+    w_sel = Window.partitionBy(*keys, "num", "den").orderBy("__v")
+    return (
+        rows.join(targets, on=[*keys, "__bin"])
+        .withColumn("__rn", F.row_number().over(w_sel))
+        .where(F.col("__rn") == F.col("__residual"))
+        .select(
+            *keys,
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("prob"),
+            F.col("__v").alias("value"),
+            "n_total",
+        )
+    )

@@ -277,6 +277,9 @@ DEMOTED_TAIL = {
     # documents_classifier_score; the bins rollup on top is one doc-sized
     # equi-join + groupBy, exact-bucket math pinned by test_classifier.py
     "documents_classifier_reliability",
+    # r6 session-12 demotion for events_quantiles_exact_by_type; rationale
+    # in _R6_HEAD (2l)
+    "documents_char_entropy",
     # tail-born: fold/replay machinery is the retained events_drift_stream's
     # verbatim (fold_batch/_CURRENT/init_table/read_current), the combine is
     # head sibling orders_incremental_join's, and the per-batch stream-static
