@@ -395,3 +395,50 @@ def test_exact_quantile_two_pass_guards(spark):
     empty = spark.createDataFrame([], "v double")
     with pytest.raises(ValueError, match="no non-null rows"):
         exact_quantile_two_pass(empty, "v", [(1, 2)], lo=0.0, hi=1.0)
+
+
+from polars_order_book_spark.operators.frequency import (  # noqa: E402
+    grouped_exact_quantiles,
+)
+
+
+def test_grouped_exact_quantiles_matches_rank_definition(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for k, n in (("a", 137), ("b", 55), ("c", 1)):
+        vals = np.round(rng.uniform(0, 100, size=n), 2)
+        vals[: n // 4] = vals[0]  # ties
+        rows += [(k, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+    probs = [(1, 2), (9, 10), (1, 100)]
+    got = {
+        (r["k"], round(r["prob"], 4)): (r["value"], r["n_total"])
+        for r in grouped_exact_quantiles(
+            df, "v", ["k"], probs, lo=0.0, hi=100.0, n_bins=16
+        ).collect()
+    }
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        srt = sorted(vals)
+        for num, den in probs:
+            rank = (num * len(vals) + den - 1) // den
+            assert got[(k, round(num / den, 4))] == (srt[rank - 1], len(vals))
+
+
+def test_grouped_exact_quantiles_bad_range_still_exact(spark):
+    rows = [("a", float(v)) for v in range(1000, 1050)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = grouped_exact_quantiles(
+        df, "v", ["k"], [(1, 2)], lo=0.0, hi=1.0, n_bins=8
+    ).collect()
+    assert got[0]["value"] == sorted(v for _, v in rows)[(50 + 1) // 2 - 1]
+
+
+def test_grouped_exact_quantiles_guard(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="prob"):
+        grouped_exact_quantiles(df, "v", ["k"], [(2, 1)], lo=0.0, hi=1.0)
