@@ -287,13 +287,12 @@ def train_ivf_centroids(
     return [list(map(float, c)) for c in cent]
 
 
-def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
-                     top: int, centroids: list | None = None) -> DataFrame:
-    """(id, cell) pairs: the ``top`` nearest coarse centroids per vector by
-    cosine. Assignment is a pure projection (argmax over n_cells dot products
-    against literal centroids — constant-folded, no shuffle, no Python).
-    Built as ONE parsed SQL expression (see ``_sql_const_array``)."""
-    v = _sql_as_double("__v")
+def _cell_ranked_sql(vec_sql: str, n_cells: int, dim: int, top: int,
+                     centroids: list | None = None) -> str:
+    """SQL array expression of the ``top`` nearest coarse cells for the
+    vector expression ``vec_sql`` — the shared text between the standalone
+    assignment relation and the fused single-pass projections (identical
+    expression, identical cells)."""
     sims = []
     for c in range(n_cells):
         comps = centroids[c] if centroids is not None else [
@@ -305,12 +304,22 @@ def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
         # skipping n_cells redundant self-dot folds per row.
         # struct sorts lexicographically: (sim desc, cell asc) via negated cell
         sims.append(
-            f"named_struct('s', {_sql_dot(v, cl)} / sqrt({_sql_dot(cl, cl)}), 'nc', {-c})"
+            f"named_struct('s', {_sql_dot(vec_sql, cl)} / sqrt({_sql_dot(cl, cl)}), 'nc', {-c})"
         )
     ranked = f"slice(reverse(array_sort(array({','.join(sims)}))), 1, {top})"
+    return f"transform({ranked}, x -> -x.nc)"
+
+
+def _cell_assignment(vec_df: DataFrame, id_name: str, n_cells: int, dim: int,
+                     top: int, centroids: list | None = None) -> DataFrame:
+    """(id, cell) pairs: the ``top`` nearest coarse centroids per vector by
+    cosine. Assignment is a pure projection (argmax over n_cells dot products
+    against literal centroids — constant-folded, no shuffle, no Python).
+    Built as ONE parsed SQL expression (see ``_sql_const_array``)."""
+    cells = _cell_ranked_sql(_sql_as_double("__v"), n_cells, dim, top, centroids)
     return vec_df.select(
         F.col(id_name),
-        F.explode(F.expr(f"transform({ranked}, x -> -x.nc)")).alias("cell"),
+        F.explode(F.expr(cells)).alias("cell"),
     )
 
 
@@ -347,17 +356,19 @@ def cosine_topk_ivf(
     side across the cell's salts; None restores the plain cell join."""
     if centroids is not None:
         n_cells = len(centroids)
-    va = _cell_assignment(
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
-        "neighbor_id", n_cells, dim, 1, centroids,
-    )
     qa = _cell_assignment(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
         "query_id", n_cells, dim, n_probe, centroids,
     )
+    # cell is a pure projection — fused into the vector-side select rather
+    # than an id-to-id self-join between two projections of the same scan
+    # (queries keep the tiny join; the corpus side is the one that matters)
+    cell1 = f"element_at({_cell_ranked_sql(_sql_as_double(vec_col), n_cells, dim, 1, centroids)}, 1)"
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv")))).join(va, on="neighbor_id")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("vv"),
+        F.expr(cell1).alias("cell"),
+    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(qa, on="query_id")
@@ -1517,14 +1528,17 @@ def pq_ivf_topk(
     subdim = dim // m
     v = _sql_as_double(vec_col)
     code_exprs = _pq_code_exprs(v, m, ksub, dim, None)
-    va = _cell_assignment(
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
-        "neighbor_id", n_cells, dim, 1, None,
-    )
+    # Codes AND the coarse cell are both pure projections of the same row —
+    # ONE select, never an id-to-id self-join between two projections of the
+    # same scan (that join shuffled the full index relation for nothing).
+    # element_at(top-1 ranked cells, 1) is the same expression text as the
+    # standalone assignment, so cells are identical.
+    cell1 = f"element_at({_cell_ranked_sql(v, n_cells, dim, 1, None)}, 1)"
     codes = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.expr(e).alias(f"code_{s}") for s, e in enumerate(code_exprs)],
-    ).join(va, on="neighbor_id")
+        F.expr(cell1).alias("cell"),
+    )
     qa = _cell_assignment(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__v")),
         "query_id", n_cells, dim, n_probe, None,
@@ -1657,9 +1671,15 @@ def pq_ivf_residual_topk(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
         "neighbor_id", n_cells, dim, 1, None,
     )
+    # cell is a pure projection — fuse it into the sub-slice source instead
+    # of an id-to-id self-join against the assignment relation (va itself is
+    # still needed as a relation for the candidate probe join below)
+    cell1 = f"element_at({_cell_ranked_sql(v, n_cells, dim, 1, None)}, 1)"
     vsub = _sub_rows(
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)).join(
-            va, on="neighbor_id"
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.expr(cell1).alias("cell"),
         ),
         "neighbor_id",
     )
