@@ -442,3 +442,41 @@ def test_grouped_exact_quantiles_guard(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="prob"):
         grouped_exact_quantiles(df, "v", ["k"], [(2, 1)], lo=0.0, hi=1.0)
+
+
+# --- hypothesis: grouped quantiles == rank definition for arbitrary data ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_HSETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    num=st.integers(min_value=1, max_value=10),
+)
+def test_grouped_exact_quantiles_hypothesis(spark, vals, num):
+    """Arbitrary values (incl. outside the declared [0,100] range and heavy
+    duplicates) and an arbitrary prob — the result must equal the sorted
+    rank definition exactly."""
+    den = 10
+    rows = [("k", float(v)) for v in vals] + [("k", float(vals[0]))] * 3
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = grouped_exact_quantiles(
+        df, "v", ["k"], [(num, den)], lo=0.0, hi=100.0, n_bins=7
+    ).collect()
+    srt = sorted(v for _, v in rows)
+    rank = (num * len(rows) + den - 1) // den
+    assert len(got) == 1
+    assert got[0]["value"] == srt[rank - 1]
+    assert got[0]["n_total"] == len(rows)

@@ -163,3 +163,37 @@ def test_incremental_join_agg_equals_full_recompute(spark):
     got = {r["grp"]: r.asDict() for r in merged.collect()}
     want = {r["grp"]: r.asDict() for r in full_view.collect()}
     assert got == want
+
+
+# --- hypothesis: the delta algebra holds for ARBITRARY splits ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_HSETTINGS)
+@given(
+    rmask=st.lists(st.booleans(), min_size=6, max_size=6),
+    smask=st.lists(st.booleans(), min_size=5, max_size=5),
+)
+def test_join_delta_distributivity_any_split(spark, rmask, smask):
+    base_r = _r(spark, [r for r, m in zip(R_ROWS, rmask) if not m])
+    delta_r = _r(spark, [r for r, m in zip(R_ROWS, rmask) if m])
+    base_s = _s(spark, [s for s, m in zip(S_ROWS, smask) if not m])
+    delta_s = _s(spark, [s for s, m in zip(S_ROWS, smask) if m])
+    full = _r(spark, R_ROWS).join(_s(spark, S_ROWS), "j", "inner")
+    old = base_r.join(base_s, "j", "inner")
+    got = sorted(
+        tuple(sorted(x.asDict().items()))
+        for x in old.unionByName(
+            join_delta(base_r, delta_r, base_s, delta_s, "j")
+        ).collect()
+    )
+    want = sorted(tuple(sorted(x.asDict().items())) for x in full.collect())
+    assert got == want
