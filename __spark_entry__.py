@@ -5548,6 +5548,48 @@ GROUP BY c_mktsegment, o_orderpriority
 """
 
 
+def _orders_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-dual of incremental maintenance (operators/incremental.py
+    retract_agg): the per-customer additive rollup over ALL orders has the
+    mod-10 slice of orders RETRACTED from it — one deletion-sized agg + one
+    rollup-sized left join, base facts never rescanned. Customers whose
+    every order is deleted drop from the rollup entirely (the GDPR
+    forgotten-user path — exercised: single-order customers exist in the
+    slice). min/max are deliberately refused by the operator (not
+    self-maintainable under deletes). Oracle = recompute over the
+    complement; results must be bit-identical."""
+    from polars_order_book_spark.operators.incremental import retract_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    base_agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec).alias("sum_total"),
+    )
+    deleted = orders.where(F.col("o_orderkey") % 10 == 0)
+    out = retract_agg(
+        base_agg,
+        deleted,
+        ["o_custkey"],
+        count_col="n_orders",
+        sum_exprs={"sum_total": F.sum(dec)},
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+    )
+
+
+ORDERS_RETRACTION_AGG_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_orderkey % 10 <> 0
+GROUP BY o_custkey
+"""
+
+
 def _events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog rollup (operators/frequency.py hll_build/
     hll_union, datasketches-backed Spark 3.5+ surface): one binary sketch
@@ -6908,7 +6950,6 @@ _R6_HEAD = [
     "documents_classifier_score",
     "documents_classifier_stream",
     "ann_mmr_rerank",
-    "dedup_recall_banding",
     "documents_leakage_split",
     "documents_lm_heldout",
     "documents_quality_correlation",
@@ -7050,6 +7091,14 @@ _R6_HEAD = [
     #     documents_quality_percentile.
     "ann_hamming_rerank",
     "orders_incremental_join",
+    # also session 12: the deletion dual (retract_agg — new subtract +
+    # drop-zero semantics with no prior driver coverage). One
+    # sibling-covered demotion:
+    #   dedup_recall_banding — an eval composition: the LSH side is
+    #     dedup_minhash_lsh (r1-r3 green), the truth side the exact
+    #     shared-shingle machinery (dedup_ngram_jaccard, multi-green), the
+    #     recall division the topk_recall convention (ann_recall_lsh green).
+    "orders_retraction_agg",
     # also session 12: exact per-group quantiles fully in-plan (new
     # struct-min target/residual derivation — not the tail two-pass
     # variant's driver walk). One sibling-covered demotion:
@@ -7181,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incremental_agg": _orders_incremental_agg,
         "orders_incremental_join": _orders_incremental_join,
         "orders_join_view_stream": _orders_join_view_stream,
+        "orders_retraction_agg": _orders_retraction_agg,
         "ann_hamming_rerank": _ann_hamming_rerank,
         "events_hll_rollup": _events_hll_rollup,
         "events_quantile_histogram": _events_quantile_histogram,
@@ -7461,6 +7511,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_incremental_agg": ORDERS_INCREMENTAL_AGG_SQL,
         "orders_incremental_join": ORDERS_INCREMENTAL_JOIN_SQL,
         "orders_join_view_stream": ORDERS_INCREMENTAL_JOIN_SQL,
+        "orders_retraction_agg": ORDERS_RETRACTION_AGG_SQL,
         "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
         "events_hll_rollup": EVENTS_HLL_ROLLUP_SQL,
         "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,

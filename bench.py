@@ -185,6 +185,7 @@ def main() -> None:
         "events_selfjoin_size",
         "documents_classifier_reliability",
         "events_quantiles_exact_by_type",
+        "orders_retraction_agg",
     ]
     qs = E.queries()
 

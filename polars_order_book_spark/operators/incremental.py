@@ -189,3 +189,53 @@ def incremental_join_agg(
         mins=list(min_exprs),
         maxs=list(max_exprs),
     )
+
+
+def retract_agg(
+    base_agg: DataFrame,
+    deleted_rows: DataFrame,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n_rows",
+    sum_exprs: "dict[str, F.Column] | None" = None,
+) -> DataFrame:
+    """Remove deleted facts from an additive rollup WITHOUT rescanning base
+    facts — the deletion dual of :func:`incremental_agg` and the shape of a
+    GDPR/right-to-be-forgotten propagation into derived tables.
+
+    count/sum ARE self-maintainable under deletion (subtract the delta
+    aggregate); min/max are NOT (removing the current extremum requires
+    rescanning that key), so this operator deliberately accepts only
+    counts/sums — callers with min/max re-aggregate the affected keys from
+    base facts. Keys whose count reaches zero DROP from the rollup (the
+    forgotten user disappears, not a zero-row tombstone).
+
+    Contract: ``deleted_rows`` must be a subset of the facts the rollup
+    aggregated — deleting never-aggregated rows would drive counts negative,
+    which this operator surfaces loudly by keeping such rows with their
+    negative count (callers alert on ``n < 0``; silently clamping would hide
+    the reconciliation bug). Pinned by test.
+
+    Scale shape: one deletion-sized aggregation (map-side partial) + one
+    rollup-sized left join — base facts are never touched, the same budget
+    as the insert path.
+    """
+    sum_exprs = dict(sum_exprs or {})
+    keys = list(keys)
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [e.alias(name) for name, e in sum_exprs.items()]
+    del_agg = deleted_rows.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    measures = [count_col, *sum_exprs]
+    b = base_agg.select(
+        *keys, *[F.col(m).alias(f"__b_{m}") for m in measures]
+    )
+    d = del_agg.select(*keys, *[F.col(m).alias(f"__d_{m}") for m in measures])
+    joined = b.join(d, on=keys, how="left")
+    out = joined.select(
+        *keys,
+        *[
+            (F.col(f"__b_{m}") - F.coalesce(F.col(f"__d_{m}"), F.lit(0))).alias(m)
+            for m in measures
+        ],
+    )
+    return out.where(F.col(count_col) != 0)

@@ -197,3 +197,38 @@ def test_join_delta_distributivity_any_split(spark, rmask, smask):
     )
     want = sorted(tuple(sorted(x.asDict().items())) for x in full.collect())
     assert got == want
+
+
+# --- retraction (deletion) maintenance ---------------------------------------
+
+from polars_order_book_spark.operators.incremental import retract_agg  # noqa: E402
+
+
+def test_retract_equals_recompute_over_complement(spark):
+    facts = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), ("b", 3), ("c", 100)],
+        "k string, v long",
+    )
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,0)")).alias("sum_v"),
+        )
+    # delete one of a's rows and ALL of c's rows (the forgotten-user path)
+    deleted = facts.where((F.col("v") == 5) | (F.col("k") == "c"))
+    got = {r["k"]: (r["n_rows"], int(r["sum_v"]))
+           for r in retract_agg(agg(facts), deleted, ["k"],
+                                sum_exprs={"sum_v": F.sum(F.col("v").cast("decimal(18,0)"))}).collect()}
+    keep = facts.where(~((F.col("v") == 5) | (F.col("k") == "c")))
+    want = {r["k"]: (r["n_rows"], int(r["sum_v"])) for r in agg(keep).collect()}
+    assert got == want
+    assert "c" not in got  # zero-count keys drop, no tombstone
+
+
+def test_retract_surfaces_never_aggregated_deletions_as_negative(spark):
+    base = spark.createDataFrame([("a", 1, 10)], "k string, n_rows long, s long")
+    bogus = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    out = retract_agg(base, bogus, ["k"],
+                      sum_exprs={"s": F.sum(F.col("v"))}).collect()
+    # 1 - 2 = -1: kept and negative, loudly wrong rather than silently clamped
+    assert out[0]["n_rows"] == -1

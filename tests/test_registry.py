@@ -280,6 +280,9 @@ DEMOTED_TAIL = {
     # r6 session-12 demotion for events_quantiles_exact_by_type; rationale
     # in _R6_HEAD (2l)
     "documents_char_entropy",
+    # r6 session-12 demotion for orders_retraction_agg; rationale in
+    # _R6_HEAD (2l)
+    "dedup_recall_banding",
     # tail-born: fold/replay machinery is the retained events_drift_stream's
     # verbatim (fold_batch/_CURRENT/init_table/read_current), the combine is
     # head sibling orders_incremental_join's, and the per-batch stream-static
