@@ -5673,7 +5673,8 @@ WITH cells AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 50.0), 0), 49) AS BIGINT) AS bin,
          count(*) AS n
-  FROM events WHERE CAST(value AS DOUBLE) IS NOT NULL
+  FROM events
+  WHERE CAST(value AS DOUBLE) IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
   GROUP BY 1,2,3
 ),
 merged AS (SELECT event_type, bin, sum(n) AS n FROM cells GROUP BY 1,2),
@@ -5720,7 +5721,8 @@ def _events_quantiles_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 EVENTS_QUANTILES_TWOPASS_SQL = """
-WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
 n AS (SELECT count(*) AS n_total FROM v),
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
 pr AS (SELECT * FROM (VALUES (1,2),(9,10),(99,100)) t(num, den))
@@ -5797,7 +5799,9 @@ def _events_quantiles_exact_by_type(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 EVENTS_QUANTILES_BY_TYPE_SQL = """
-WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND event_type IS NOT NULL),
 r AS (SELECT event_type, v,
              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n_total

@@ -201,6 +201,13 @@ def join_size_estimate(
 
     Null join keys never match in an equi-join, so they are excluded here
     too (same SQL semantics both engines).
+
+    Label caveat: multi-key labels concatenate with ``'|'`` and the total
+    row reuses ``total_label`` verbatim, so a key VALUE containing the
+    separator (or equal to the label) is ambiguous in the report — this is
+    a human-facing audit summary, not a machine join target; consumers that
+    need exact keys should call the per-key ``cells`` computation directly
+    (two groupBys + the counts join) rather than parse labels back.
     """
     keys = list(keys)
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))

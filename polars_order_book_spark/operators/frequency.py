@@ -451,6 +451,27 @@ def hll_union(sketches: DataFrame, *, group_cols: "list[str] | None" = None) -> 
 # --- mergeable fixed-bin value histograms (quantile rollup) ----------------
 
 
+def _bin_expr(value_col: str, lo: float, hi: float, n_bins: int) -> "F.Column":
+    """THE clamped-bin expression, defined once: every consumer
+    (:func:`value_histogram` pass, both exact-quantile selection passes)
+    must assign the SAME bin to the same value to the bit — a drifted copy
+    would silently mis-route rows between histogram and selection. Order of
+    IEEE ops mirrors the SQL oracles exactly."""
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+
+
+def _finite(value_col: str) -> "F.Column":
+    """Rows the histogram family counts: non-null AND non-NaN. NaN must be
+    excluded explicitly — Spark's floor(NaN) is (long) 0 (bin 0) while
+    DuckDB's floor(NaN) = NaN clamps to the LAST bin, so a single NaN would
+    silently break the cross-engine bit-identity of every bin count. The
+    registered oracles carry the same ``NOT isnan(...)`` filter."""
+    v = F.col(value_col).cast("double")
+    return v.isNotNull() & ~F.isnan(v)
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,
@@ -468,8 +489,9 @@ def value_histogram(
     ``[0, n_bins-1]`` — out-of-range values land in the edge bins (a
     histogram over a declared domain, not a silent drop). The bin expression
     is the same IEEE double ops in the same order as the SQL oracle, so bin
-    assignment is bit-deterministic cross-engine. Nulls are excluded
-    (counts cover non-null rows; documented like heavy_hitters).
+    assignment is bit-deterministic cross-engine. Nulls and NaNs are
+    excluded (counts cover finite rows; see :func:`_finite` for why NaN
+    cannot be binned portably).
 
     Scale: one groupBy over (keys x <=n_bins) cells with map-side partial
     aggregation — the shuffle carries at most cells-per-partition rows,
@@ -481,12 +503,9 @@ def value_histogram(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
-    v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
     return (
-        df.where(v.isNotNull())
-        .groupBy(*keys, bin_.alias("bin"))
+        df.where(_finite(value_col))
+        .groupBy(*keys, _bin_expr(value_col, lo, hi, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -581,11 +600,13 @@ def exact_quantile_two_pass(
     one map-side-combined shuffle of <= n_bins rows) and the driver walks
     the <= n_bins cumulative counts to find, for each prob's rank
     ``ceil(num*N/den)`` (integer DIV — no float ceil), the target bin and
-    the residual rank within it. Pass 2 filters to the target bin's rows
-    and takes the residual-rank-th smallest via orderBy+limit
-    (TakeOrderedAndProject — distributed partial top-k, never a global
-    sort). The result is the exact k-th smallest VALUE, well-defined under
-    duplicates.
+    the residual rank within it. Pass 2 is ONE job for ALL probs: the
+    per-prob (target bin, residual) table ships back as a tiny broadcast
+    relation, rows join it on their bin (each row matches at most the probs
+    that target its bin), and a per-prob window over values picks the
+    residual-th smallest — so the data really is scanned exactly twice no
+    matter how many probs are asked. The result is the exact k-th smallest
+    VALUE, well-defined under duplicates.
 
     Clamping makes this correct for ANY (lo, hi): bin(v) is monotone
     non-decreasing in v even when out-of-range values clamp to the edge
@@ -595,8 +616,9 @@ def exact_quantile_two_pass(
     collect (guarded), the same budget as a BPE vocab probe.
 
     At 100 TB vs alternatives: a full sort is a terabyte shuffle;
-    percentile_approx is approximate; this is two scans + a rank-bounded
-    top-k. Nulls excluded as in :func:`value_histogram`.
+    percentile_approx is approximate; this is two scans + rank-bounded
+    per-bin selections. Nulls and NaNs excluded as in
+    :func:`value_histogram`.
     """
     if n_bins < 1 or n_bins > 1_000_000:
         raise ValueError(f"n_bins must be in [1, 1e6], got {n_bins}")
@@ -612,10 +634,7 @@ def exact_quantile_two_pass(
     n_total = sum(n for _, n in hist)
     if n_total == 0:
         raise ValueError(f"no non-null rows in {value_col}")
-    v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
-    out: "list[tuple[float, float, int]]" = []
+    targets = []  # (num, den, target_bin, residual)
     for num, den in probs:
         rank = (num * n_total + den - 1) // den
         cum = 0
@@ -625,16 +644,25 @@ def exact_quantile_two_pass(
                 target_bin, residual = b, rank - cum
                 break
             cum += n
-        rows = (
-            df.where(v.isNotNull() & (bin_ == target_bin))
-            .select(v.alias("__v"))
-            .orderBy("__v")
-            .limit(residual)
-            .agg(F.max("__v").alias("q"))
-            .collect()
-        )
-        out.append((num / den, rows[0]["q"], n_total))
-    return out
+        targets.append((num, den, target_bin, residual))
+    tdf = df.sparkSession.createDataFrame(
+        targets, "num long, den long, __bin long, __residual long"
+    )
+    v = F.col(value_col).cast("double")
+    rows = (
+        df.where(_finite(value_col))
+        .select(v.alias("__v"), _bin_expr(value_col, lo, hi, n_bins).alias("__bin"))
+        .join(F.broadcast(tdf), on="__bin")
+    )
+    w_sel = Window.partitionBy("num", "den").orderBy("__v")
+    selected = {
+        (r["num"], r["den"]): r["__v"]
+        for r in rows.withColumn("__rn", F.row_number().over(w_sel))
+        .where(F.col("__rn") == F.col("__residual"))
+        .select("num", "den", "__v")
+        .collect()
+    }
+    return [(num / den, selected[(num, den)], n_total) for num, den, _, _ in targets]
 
 
 def grouped_exact_quantiles(
@@ -665,11 +693,19 @@ def grouped_exact_quantiles(
     rows), never key-group-bounded; clamped binning keeps ANY declared
     (lo, hi) correct, exactly as in the two-pass operator.
 
+    NULL group keys are EXCLUDED up front (both stages): stage 2's equi-join
+    could never match a NULL key anyway (non-null-safe equality), so without
+    the explicit filter the NULL group would be counted in stage 1 and then
+    silently produce no output row — stated rule over silent asymmetry, the
+    heavy_hitters convention. Registered oracles filter the same way.
+
     Returns ``keys + [prob, value, n_total]``.
     """
     for num, den in probs:
         if not (0 < num <= den):
             raise ValueError(f"prob must satisfy 0 < num <= den, got {num}/{den}")
+    for k in keys:
+        df = df.where(F.col(k).isNotNull())
     hist = value_histogram(df, value_col, keys, lo=lo, hi=hi, n_bins=n_bins)
     w_cum = (
         Window.partitionBy(*keys)
@@ -716,10 +752,11 @@ def grouped_exact_quantiles(
             (F.col("__rank") - F.col("_t.before")).alias("__residual"),
         )
     )
-    v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
-    rows = df.where(v.isNotNull()).select(*keys, v.alias("__v"), bin_.alias("__bin"))
+    rows = df.where(_finite(value_col)).select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v"),
+        _bin_expr(value_col, lo, hi, n_bins).alias("__bin"),
+    )
     w_sel = Window.partitionBy(*keys, "num", "den").orderBy("__v")
     return (
         rows.join(targets, on=[*keys, "__bin"])

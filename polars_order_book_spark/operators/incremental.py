@@ -50,9 +50,15 @@ def combine_aggregates(
 
     Both inputs carry ``keys`` plus the named measure columns; the result
     has the same schema with measures combined per self-maintainability
-    rules: counts/sums add, mins take ``least``, maxs take ``greatest``.
-    Keys present in only one side pass through unchanged (their other-side
-    measure is absent, not zero — ``coalesce`` handles it).
+    rules: counts/sums add, mins take the minimum, maxs the maximum. Keys
+    present in only one side pass through unchanged.
+
+    Implemented as union + re-aggregate rather than a full-outer equi-join:
+    groupBy groups NULL keys together exactly like the full recompute the
+    result must equal, where a join's ``NULL != NULL`` would silently split
+    a NULL-keyed rollup row into two partial rows (e.g. a dimension
+    attribute that is NULL for some facts). Same cost — one rollup-sized
+    exchange either way.
     """
     keys = list(keys)
     measures = [*counts, *sums, *mins, *maxs]
@@ -62,22 +68,20 @@ def combine_aggregates(
         missing = [c for c in [*keys, *measures] if c not in side.columns]
         if missing:
             raise ValueError(f"{side_name} is missing columns {missing}")
-    b = base.select(*keys, *[F.col(m).alias(f"__b_{m}") for m in measures])
-    d = delta.select(*keys, *[F.col(m).alias(f"__d_{m}") for m in measures])
-    joined = b.join(d, on=keys, how="full_outer")
-
-    def _combined(m: str) -> F.Column:
-        bm, dm = F.col(f"__b_{m}"), F.col(f"__d_{m}")
-        if m in mins:
-            return F.coalesce(F.least(bm, dm), bm, dm)
-        if m in maxs:
-            return F.coalesce(F.greatest(bm, dm), bm, dm)
-        # counts and sums: additive; absent side contributes nothing
-        return F.coalesce(bm, F.lit(0)) + F.coalesce(dm, F.lit(0))
-
-    return joined.select(
-        *keys, *[_combined(m).alias(m) for m in measures]
+    unioned = base.select(*keys, *measures).unionByName(
+        delta.select(*keys, *measures)
     )
+
+    def _agg(m: str) -> F.Column:
+        if m in mins:
+            return F.min(m)
+        if m in maxs:
+            return F.max(m)
+        # counts and sums: additive; a side absent for a key contributes
+        # no row, which sums the same as the old coalesce-to-zero
+        return F.sum(m)
+
+    return unioned.groupBy(*keys).agg(*[_agg(m).alias(m) for m in measures])
 
 
 def incremental_agg(
@@ -213,12 +217,18 @@ def retract_agg(
     Contract: ``deleted_rows`` must be a subset of the facts the rollup
     aggregated — deleting never-aggregated rows would drive counts negative,
     which this operator surfaces loudly by keeping such rows with their
-    negative count (callers alert on ``n < 0``; silently clamping would hide
-    the reconciliation bug). Pinned by test.
+    negative count, INCLUDING deletions whose key is absent from the rollup
+    entirely (full-outer join, base side coalesced to zero → the orphan
+    deletion appears as ``n = -k``; a left join would have silently
+    swallowed exactly the reconciliation bug this is meant to expose).
+    Callers alert on ``n < 0``. Pinned by test.
 
     Scale shape: one deletion-sized aggregation (map-side partial) + one
-    rollup-sized left join — base facts are never touched, the same budget
-    as the insert path.
+    rollup-sized full-outer join — base facts are never touched, the same
+    budget as the insert path. NULL keys: a NULL-keyed deletion cannot
+    equi-join its NULL-keyed rollup row, so both surface unmatched (the
+    rollup row unchanged, the deletion as a negative orphan) — loud, not
+    wrong, and documented.
     """
     sum_exprs = dict(sum_exprs or {})
     keys = list(keys)
@@ -230,11 +240,14 @@ def retract_agg(
         *keys, *[F.col(m).alias(f"__b_{m}") for m in measures]
     )
     d = del_agg.select(*keys, *[F.col(m).alias(f"__d_{m}") for m in measures])
-    joined = b.join(d, on=keys, how="left")
+    joined = b.join(d, on=keys, how="full_outer")
     out = joined.select(
         *keys,
         *[
-            (F.col(f"__b_{m}") - F.coalesce(F.col(f"__d_{m}"), F.lit(0))).alias(m)
+            (
+                F.coalesce(F.col(f"__b_{m}"), F.lit(0))
+                - F.coalesce(F.col(f"__d_{m}"), F.lit(0))
+            ).alias(m)
             for m in measures
         ],
     )

@@ -59,11 +59,13 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("__norm", F.sqrt(_dot(v, v)))
 
 
-def _topk(sim: DataFrame, k: int) -> DataFrame:
+def _topk(sim: DataFrame, k: int, extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
     """Shared top-k epilogue: rank per query by (cosine desc, neighbor id)
     and keep k. ONE definition so the tie-break rule — which the
     cross-engine determinism contract and topk_recall comparisons depend
-    on — cannot drift between the exact and approximate paths."""
+    on — cannot drift between the exact and approximate paths.
+    ``extra_cols`` pass through after the standard four (e.g. the Hamming
+    rerank's shortlist distance)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -75,6 +77,7 @@ def _topk(sim: DataFrame, k: int) -> DataFrame:
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
             "cosine",
+            *extra_cols,
         )
     )
 
@@ -1962,17 +1965,4 @@ def cosine_topk_hamming_rerank(
             (_dot(F.col("qv"), F.col("vv")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        sim.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            "cosine",
-            "hamming",
-        )
-    )
+    return _topk(sim, k, extra_cols=("hamming",))

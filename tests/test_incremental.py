@@ -232,3 +232,25 @@ def test_retract_surfaces_never_aggregated_deletions_as_negative(spark):
                       sum_exprs={"s": F.sum(F.col("v"))}).collect()
     # 1 - 2 = -1: kept and negative, loudly wrong rather than silently clamped
     assert out[0]["n_rows"] == -1
+
+
+def test_retract_surfaces_orphan_key_deletions(spark):
+    """A deletion whose key never existed in the rollup must appear as a
+    negative row (full-outer semantics), not vanish."""
+    base = spark.createDataFrame([("a", 2, 10)], "k string, n_rows long, s long")
+    orphan = spark.createDataFrame([("z", 5)], "k string, v long")
+    out = {r["k"]: r for r in
+           retract_agg(base, orphan, ["k"],
+                       sum_exprs={"s": F.sum(F.col("v"))}).collect()}
+    assert out["a"]["n_rows"] == 2  # untouched
+    assert out["z"]["n_rows"] == -1 and out["z"]["s"] == -5
+
+
+def test_combine_groups_null_keys_like_a_recompute(spark):
+    """NULL keys must combine into ONE row (groupBy semantics), not split
+    into two partial rows the way a full-outer equi-join would."""
+    left = spark.createDataFrame([(None, 2, 10)], "k string, n long, s long")
+    right = spark.createDataFrame([(None, 3, 7)], "k string, n long, s long")
+    rows = combine_aggregates(left, right, ["k"], counts=["n"], sums=["s"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 5 and rows[0]["s"] == 17
