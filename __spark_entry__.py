@@ -5700,6 +5700,72 @@ FROM q
 """
 
 
+def _documents_token_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED doc-length quantiles (operators/frequency.py
+    value_histogram with weight_col + histogram_merge + histogram_quantiles):
+    per-(lang, source) cells sum token counts per length bin, merge to
+    per-lang, and the p50/p90 answer "at what document length do the TOKENS
+    concentrate" — the tokenizer-budget/packing question an unweighted doc
+    quantile gets wrong (many short docs ≠ many tokens). Integer weights
+    keep rank arithmetic exact; the chain is events_quantile_histogram's
+    with sum(weight) in place of count."""
+    from polars_order_book_spark.operators.frequency import (
+        histogram_merge,
+        histogram_quantiles,
+        value_histogram,
+    )
+    from polars_order_book_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__w", token_count(F.col("text")).cast("long")
+    )
+    cells = value_histogram(
+        docs, "n_chars", ["lang", "source"],
+        lo=0.0, hi=600.0, n_bins=30, weight_col="__w",
+    )
+    merged = histogram_merge(cells, ["lang"])
+    return histogram_quantiles(
+        merged, ["lang"], [(1, 2), (9, 10)], lo=0.0, hi=600.0, n_bins=30
+    )
+
+
+DOCUMENTS_TOKEN_WEIGHTED_LENGTH_SQL = """
+WITH w AS (
+  SELECT lang, source, n_chars,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS wt
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+cells AS (
+  SELECT lang, source,
+         CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 600.0 * 30.0), 0), 29) AS BIGINT) AS bin,
+         sum(wt) AS n
+  FROM w WHERE wt IS NOT NULL
+  GROUP BY 1,2,3
+),
+merged AS (SELECT lang, bin, sum(n) AS n FROM cells GROUP BY 1,2),
+cum AS (
+  SELECT lang, bin,
+         sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS n_total
+  FROM merged
+),
+ex AS (SELECT c.*, t.num, t.den
+       FROM cum c CROSS JOIN (VALUES (1,2),(9,10)) AS t(num, den)),
+q AS (
+  SELECT lang, num, den,
+         min(CASE WHEN cum >= (num*n_total + den - 1) // den THEN bin END) AS qbin,
+         max(n_total) AS n_total
+  FROM ex GROUP BY 1,2,3
+)
+SELECT lang,
+       CAST(num AS DOUBLE)/CAST(den AS DOUBLE) AS prob,
+       0.0 + (qbin + 1) * (600.0 / 30.0) AS est,
+       CAST(n_total AS BIGINT) AS n_total
+FROM q
+"""
+
+
 def _events_quantiles_exact_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global quantiles without a global sort (operators/frequency.py
     exact_quantile_two_pass): pass 1 is the value_histogram cells build
@@ -7240,6 +7306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_histogram": _events_quantile_histogram,
         "events_quantiles_exact_by_type": _events_quantiles_exact_by_type,
         "events_quantiles_exact_twopass": _events_quantiles_exact_twopass,
+        "documents_token_weighted_length": _documents_token_weighted_length,
         "events_selfjoin_size": _events_selfjoin_size,
         "documents_pmi_keywords": _documents_pmi_keywords,
         "documents_zipf_profile": _documents_zipf_profile,
@@ -7521,6 +7588,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_histogram": EVENTS_QUANTILE_HISTOGRAM_SQL,
         "events_quantiles_exact_by_type": EVENTS_QUANTILES_BY_TYPE_SQL,
         "events_quantiles_exact_twopass": EVENTS_QUANTILES_TWOPASS_SQL,
+        "documents_token_weighted_length": DOCUMENTS_TOKEN_WEIGHTED_LENGTH_SQL,
         "events_selfjoin_size": EVENTS_SELFJOIN_SIZE_SQL,
         "documents_pmi_keywords": DOCUMENTS_PMI_SQL,
         "documents_zipf_profile": DOCUMENTS_ZIPF_SQL,

@@ -186,6 +186,7 @@ def main() -> None:
         "documents_classifier_reliability",
         "events_quantiles_exact_by_type",
         "orders_retraction_agg",
+        "documents_token_weighted_length",
     ]
     qs = E.queries()
 

@@ -480,6 +480,7 @@ def value_histogram(
     lo: float,
     hi: float,
     n_bins: int = 64,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Fixed-bin histogram of ``value_col`` per key group: the mergeable
     quantile summary completing the sketch-rollup family (HLL = distinct,
@@ -498,15 +499,27 @@ def value_histogram(
     never one row per distinct value. Persist (keys, bin, n) per day and any
     later window's quantiles come from :func:`histogram_merge` over the
     stored cells — the rollup-without-rescan move.
+
+    ``weight_col``: integer weights summed per bin instead of row counts —
+    WEIGHTED quantiles downstream (e.g. doc length weighted by token count:
+    "where do the tokens live", the tokenizer-budget question). Rows with a
+    NULL weight are excluded like NULL values (a weightless row cannot
+    shift a weighted rank); weights must be non-negative integers for the
+    rank arithmetic to stay exact.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    filtered = df.where(_finite(value_col))
+    if weight_col is None:
+        n = F.count(F.lit(1))
+    else:
+        filtered = filtered.where(F.col(weight_col).isNotNull())
+        n = F.sum(F.col(weight_col).cast("long"))
     return (
-        df.where(_finite(value_col))
-        .groupBy(*keys, _bin_expr(value_col, lo, hi, n_bins).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        filtered.groupBy(*keys, _bin_expr(value_col, lo, hi, n_bins).alias("bin"))
+        .agg(n.alias("n"))
     )
 
 

@@ -480,3 +480,23 @@ def test_grouped_exact_quantiles_hypothesis(spark, vals, num):
     assert len(got) == 1
     assert got[0]["value"] == srt[rank - 1]
     assert got[0]["n_total"] == len(rows)
+
+
+def test_value_histogram_weighted_sums_and_null_weight_exclusion(spark):
+    rows = [("a", 5.0, 3), ("a", 5.0, 2), ("a", 95.0, 10), ("a", 50.0, None)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    out = {r["bin"]: r["n"] for r in value_histogram(
+        df, "v", ["k"], lo=0.0, hi=100.0, n_bins=10, weight_col="w").collect()}
+    # bin 0 sums weights 3+2; bin 9 sums 10; the null-weight row is excluded
+    assert out == {0: 5, 9: 10}
+
+
+def test_weighted_quantiles_answer_where_the_weight_lives(spark):
+    # 9 docs of length ~10 with tiny weights vs 1 doc of length ~90 carrying
+    # nearly all tokens: the weighted median must sit at the heavy doc's bin
+    rows = [("a", 10.0, 1)] * 9 + [("a", 90.0, 100)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    hist = value_histogram(df, "v", ["k"], lo=0.0, hi=100.0, n_bins=10, weight_col="w")
+    out = {round(r["prob"], 2): r["est"] for r in histogram_quantiles(
+        hist, ["k"], [(1, 2)], lo=0.0, hi=100.0, n_bins=10).collect()}
+    assert out[0.5] == 100.0  # upper edge of the heavy doc's bin (bin 9)

@@ -273,6 +273,10 @@ DEMOTED_TAIL = {
     # join, TakeOrderedAndProject, unionByName — every shape multi-green);
     # the Σ n_l·n_r accounting is pinned by tests/test_skew.py
     "events_selfjoin_size",
+    # tail-born: the chain is the retained (head) events_quantile_histogram's
+    # verbatim with sum(weight) replacing count in the cells build; the
+    # weighted branch is pinned by test_frequency.py + the local gate
+    "documents_token_weighted_length",
     # tail-born: the train+score chain is verbatim the retained (head)
     # documents_classifier_score; the bins rollup on top is one doc-sized
     # equi-join + groupBy, exact-bucket math pinned by test_classifier.py
