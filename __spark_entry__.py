@@ -5807,16 +5807,17 @@ def _events_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by running the row-level join. Top-10 heaviest users + a total
     row tell you whether the join needs salting BEFORE you pay for it; at
     100 TB this audit is two aggregations and a distinct-key-sized join.
-    join_rows is decimal(38,0) in the operator (BIGINT overflows first);
-    cast to long here for the cross-engine hash at test scale."""
+    All three measures are decimal(38,0) in the operator (BIGINT overflows
+    first at audit scale); cast to long here for the cross-engine hash at
+    test scale."""
     from polars_order_book_spark.functions.skew import join_size_estimate
 
     ev = load_table(spark, sf_dir, "events")
     est = join_size_estimate(ev, ev, ["user_id"], top_k=10)
     return est.select(
         "key",
-        "n_left",
-        "n_right",
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
         F.col("join_rows").cast("long").alias("join_rows"),
     )
 

@@ -1,6 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line (kept under the
+driver's 2000-char stdout tail, queries trimmed slowest-first if needed):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+and writes the FULL per-query detail (all timings + medians) to
+$BENCH_FULL_OUT (default bench_full_last.json).
 """
 
 from __future__ import annotations
@@ -238,7 +241,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -249,7 +252,38 @@ def main() -> None:
         "loadavg_1min_start": round(load_start, 2),
         "loadavg_1min_end": round(load_end, 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # The driver keeps only the last 2000 chars of stdout and parses them as
+    # JSON — the full per-query detail (~6 KB at 105 queries) decapitated
+    # that line in r5/r6 ("parsed": null). So: full detail goes to a file,
+    # and stdout carries ONE compact line under the driver's tail budget,
+    # with the queries dict trimmed slowest-first (the perf signal) until it
+    # fits. `value`/`total_median` always cover ALL timed queries.
+    full_out = os.environ.get("BENCH_FULL_OUT", "bench_full_last.json")
+    with open(full_out, "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    slow_first = sorted(timings, key=timings.get, reverse=True)
+    kept = dict.fromkeys(slow_first, None)
+    while True:
+        compact = {
+            "metric": full["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in kept},
+            "queries_omitted": len(timings) - len(kept),
+            "errors": errors,
+            "total_median": full["total_median"],
+            "loadavg_1min_start": full["loadavg_1min_start"],
+            "loadavg_1min_end": full["loadavg_1min_end"],
+            "sf": full["sf"],
+            "full_in": full_out,
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900 or not kept:
+            break
+        kept.popitem()  # drop the fastest remaining query
+    print(line)
     spark.stop()
 
 

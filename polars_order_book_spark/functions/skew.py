@@ -220,13 +220,20 @@ def join_size_estimate(
         ).cast("decimal(38,0)"),
     )
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # n_left/n_right are decimal(38,0) like join_rows: the total row sums
+    # them over ALL matched keys, and at the 100 TB scales this audits a
+    # plain BIGINT sum can silently wrap (non-ANSI Spark) — keep the whole
+    # accounting overflow-proof, not just the products.
     labeled = cells.select(
-        key_str.alias("key"), "n_left", "n_right", "join_rows"
+        key_str.alias("key"),
+        F.col("n_left").cast("decimal(38,0)").alias("n_left"),
+        F.col("n_right").cast("decimal(38,0)").alias("n_right"),
+        "join_rows",
     )
     top = labeled.orderBy(F.col("join_rows").desc(), F.col("key")).limit(top_k)
     total = labeled.agg(
-        F.sum("n_left").alias("n_left"),
-        F.sum("n_right").alias("n_right"),
+        F.sum("n_left").cast("decimal(38,0)").alias("n_left"),
+        F.sum("n_right").cast("decimal(38,0)").alias("n_right"),
         F.sum("join_rows").cast("decimal(38,0)").alias("join_rows"),
     ).select(F.lit(total_label).alias("key"), "n_left", "n_right", "join_rows")
     return top.unionByName(total)

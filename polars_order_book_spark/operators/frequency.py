@@ -632,6 +632,13 @@ def exact_quantile_two_pass(
     percentile_approx is approximate; this is two scans + rank-bounded
     per-bin selections. Nulls and NaNs excluded as in
     :func:`value_histogram`.
+
+    Contract: ``df`` must be DETERMINISTIC across the two scans — the bin
+    counts from pass 1 locate the residual rank pass 2 selects, so a source
+    that re-evaluates differently per job (sampling, rate limits, mutable
+    tables) can leave pass 2 empty at the counted rank. Persist or
+    checkpoint such sources first; the mismatch raises a named error, never
+    a silent wrong quantile.
     """
     if n_bins < 1 or n_bins > 1_000_000:
         raise ValueError(f"n_bins must be in [1, 1e6], got {n_bins}")
@@ -675,7 +682,22 @@ def exact_quantile_two_pass(
         .select("num", "den", "__v")
         .collect()
     }
-    return [(num / den, selected[(num, den)], n_total) for num, den, _, _ in targets]
+    out = []
+    for num, den, target_bin, residual in targets:
+        if (num, den) not in selected:
+            # The two passes are separate jobs over `df`; a source that
+            # recomputes non-deterministically between them (e.g. a
+            # re-sampled or rate-limited scan) can leave pass 2 without the
+            # residual-th row pass 1 counted. Name the prob and bin instead
+            # of a bare KeyError.
+            raise RuntimeError(
+                f"exact_quantile_two_pass: pass 2 found no row at residual "
+                f"rank {residual} in bin {target_bin} for prob {num}/{den} "
+                f"— the input must be deterministic across the two scans "
+                f"(persist or checkpoint a non-deterministic source)"
+            )
+        out.append((num / den, selected[(num, den)], n_total))
+    return out
 
 
 def grouped_exact_quantiles(

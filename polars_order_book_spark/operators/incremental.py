@@ -211,8 +211,11 @@ def retract_agg(
     aggregate); min/max are NOT (removing the current extremum requires
     rescanning that key), so this operator deliberately accepts only
     counts/sums — callers with min/max re-aggregate the affected keys from
-    base facts. Keys whose count reaches zero DROP from the rollup (the
-    forgotten user disappears, not a zero-row tombstone).
+    base facts. Keys where EVERY measure cancels to zero DROP from the
+    rollup (the forgotten user disappears, not a zero-row tombstone); a key
+    whose count cancels but whose sums do not is KEPT — that state is only
+    reachable by deleting rows that were never aggregated, and hiding it
+    would defeat the negative-count alerting contract below.
 
     Contract: ``deleted_rows`` must be a subset of the facts the rollup
     aggregated — deleting never-aggregated rows would drive counts negative,
@@ -251,4 +254,12 @@ def retract_agg(
             for m in measures
         ],
     )
-    return out.where(F.col(count_col) != 0)
+    # Keep-it-loud: drop a key only when EVERY measure cancelled to zero.
+    # Filtering on count alone would silently swallow a contract violation
+    # where deleted counts exactly cancel base counts but sums differ —
+    # precisely the reconciliation bug the negative-count convention exists
+    # to surface.
+    keep = F.col(count_col) != 0
+    for m in sum_exprs:
+        keep = keep | (F.col(m) != 0)
+    return out.where(keep)

@@ -1880,13 +1880,27 @@ def binary_signature(
         raise ValueError(f"word_bits must be in [1, 62], got {word_bits}")
     n_words = (dim + word_bits - 1) // word_bits
     v = f"`{vec_col}`"
+    # Per-row contract check: a caller-declared dim beyond the true vector
+    # length makes the out-of-range subscripts NULL, which the CASE below
+    # would silently encode as 0-bits — consistently in both engines, so
+    # recall degrades with no error the oracle gate could ever catch. One
+    # cheap size() assertion per row (word 0 only) turns that into a loud
+    # failure; a SHORTER declared dim (prefix-bits signature) stays legal.
+    guard = (
+        f"COALESCE(CAST(ASSERT_TRUE(size({v}) >= {dim}, "
+        f"'binary_signature: dim={dim} exceeds actual vector length') "
+        f"AS BIGINT), CAST(0 AS BIGINT))"
+    )
     words = []
     for w in range(n_words):
         terms = [
             f"(CASE WHEN CAST({v}[{j}] AS DOUBLE) >= 0 THEN CAST({1 << (j - w * word_bits)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
             for j in range(w * word_bits, min((w + 1) * word_bits, dim))
         ]
-        words.append(F.expr(" + ".join(terms)).alias(f"sig_{w}"))
+        expr = " + ".join(terms)
+        if w == 0:
+            expr = guard + " + " + expr
+        words.append(F.expr(expr).alias(f"sig_{w}"))
     return df.select(F.col(id_col).alias(id_col), *words)
 
 

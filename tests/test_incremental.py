@@ -234,6 +234,20 @@ def test_retract_surfaces_never_aggregated_deletions_as_negative(spark):
     assert out[0]["n_rows"] == -1
 
 
+def test_retract_keeps_key_when_counts_cancel_but_sums_differ(spark):
+    """Contract-violation visibility: deleted counts that exactly cancel the
+    base count while the sums disagree must KEEP the row (nonzero sum), not
+    drop it on the count==0 test alone — that residue is exactly the
+    reconciliation bug the keep-it-loud guarantee exists to expose."""
+    base = spark.createDataFrame([("a", 2, 10)], "k string, n_rows long, s long")
+    # two deletions for key a (count cancels) but their sum is 13, not 10
+    deleted = spark.createDataFrame([("a", 6), ("a", 7)], "k string, v long")
+    out = {r["k"]: r for r in
+           retract_agg(base, deleted, ["k"],
+                       sum_exprs={"s": F.sum(F.col("v"))}).collect()}
+    assert out["a"]["n_rows"] == 0 and out["a"]["s"] == -3
+
+
 def test_retract_surfaces_orphan_key_deletions(spark):
     """A deletion whose key never existed in the rollup must appear as a
     negative row (full-outer semantics), not vanish."""

@@ -825,6 +825,27 @@ def test_binary_signature_word_bits_guard(spark):
         similarity.binary_signature(df, dim=16, word_bits=63)
 
 
+def test_binary_signature_raises_when_dim_exceeds_vector_length(spark):
+    """A caller-declared dim beyond the actual vector length would make the
+    out-of-range subscripts NULL and silently encode them as 0-bits —
+    degraded recall with no error in EITHER engine, which the oracle gate
+    can never catch. The per-row assertion must turn it into a loud job
+    failure instead."""
+    rows = [(0, [1.0, -2.0, 0.0, -0.5])]  # actual length 4
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    with pytest.raises(Exception, match="binary_signature"):
+        similarity.binary_signature(df, dim=8, word_bits=4).collect()
+
+
+def test_binary_signature_shorter_dim_prefix_stays_legal(spark):
+    """Declaring a SHORTER dim (prefix-bits signature, the ann_recall_dims
+    storage-halving pattern) must keep working."""
+    rows = [(0, [1.0, -2.0, 0.0, -0.5])]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = similarity.binary_signature(df, dim=2, word_bits=2).collect()
+    assert out[0]["sig_0"] == 1  # bits [+,-] -> 0b01
+
+
 def test_hamming_rerank_full_shortlist_equals_bruteforce(spark):
     """With shortlist >= corpus size, stage 1 keeps everything, so the rerank
     must reproduce the exact bruteforce ranking bit-for-bit."""

@@ -171,6 +171,18 @@ def test_join_size_estimate_self_join_is_f2(spark):
     assert df.alias("a").join(df.alias("b"), "k", "inner").count() == 48
 
 
+def test_join_size_estimate_all_measures_decimal38(spark):
+    """The total row sums counts over ALL matched keys; at the 100 TB scales
+    this audits, a plain BIGINT sum can silently wrap (non-ANSI Spark) — so
+    n_left/n_right carry the same decimal(38,0) overflow-proofing as the
+    join_rows products."""
+    df = spark.createDataFrame([(1, 0)], "id long, k long")
+    out = join_size_estimate(df, df, ["k"])
+    dtypes = dict(out.dtypes)
+    for c in ("n_left", "n_right", "join_rows"):
+        assert dtypes[c] == "decimal(38,0)", (c, dtypes[c])
+
+
 def test_join_size_estimate_top_k_deterministic_and_null_keys_excluded(spark):
     left = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b"), (4, None)], "id long, k string"
