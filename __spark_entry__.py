@@ -3120,6 +3120,70 @@ GROUP BY 1, 2
 """
 
 
+def _docs_bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py learn_bpe_merges_distributed):
+    the iterative merge loop with the segmentation state kept as a DataFrame —
+    per merge, one pair-count shuffle (vocab-bounded cardinality) + a 1-row
+    argmax collect + a map-only string replace, which IS the greedy
+    non-overlapping BPE merge under the bracketed-symbol encoding. This is
+    the 100 TB path the capped driver-side trainer fails fast toward; the
+    two are byte-identical (pinned by test). Returns the 4-merge table
+    (rank, sym_left, sym_right); the oracle unrolls the same four
+    iterations as CTEs — replace() shares the exact left-to-right
+    non-overlap semantics across Spark, DuckDB, and Python."""
+    from polars_order_book_spark.operators.bpe import (
+        learn_bpe_merges_distributed,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges_distributed(word_frequencies(docs), 4)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, sym_left string, sym_right string",
+    )
+
+
+def _bpe_train_iter_cte(k: int) -> str:
+    prev = f"seg{k - 1}"
+    return f"""
+pc{k} AS (
+  SELECT p.l AS l, p.r AS r, sum(freq) AS pair_freq
+  FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           i -> struct_pack(l := syms[CAST(i AS INT)], r := syms[CAST(i AS INT) + 1]))) AS p
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2), chr(30) || chr(31)) AS syms, freq
+          FROM {prev})
+  ) GROUP BY 1, 2
+),
+best{k} AS (SELECT l, r FROM pc{k} ORDER BY pair_freq DESC, l, r LIMIT 1),
+seg{k} AS (
+  SELECT replace(s, chr(31) || b.l || chr(30) || chr(31) || b.r || chr(30),
+                 chr(31) || b.l || b.r || chr(30)) AS s, freq
+  FROM {prev}, best{k} b
+)"""
+
+
+DOCS_BPE_TRAIN_DISTRIBUTED_SQL = (
+    r"""
+WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+w AS (SELECT word, count(*) AS freq FROM tk WHERE word <> '' GROUP BY word),
+seg0 AS (
+  SELECT chr(31) || array_to_string(list_transform(range(1, length(word) + 1),
+           i -> substr(word, CAST(i AS INT), 1)) || ['</w>'], chr(30) || chr(31)) || chr(30) AS s,
+         freq
+  FROM w
+),"""
+    + ",".join(_bpe_train_iter_cte(k) for k in (1, 2, 3, 4))
+    + """
+SELECT CAST(1 AS BIGINT) AS rank, l AS sym_left, r AS sym_right FROM best1
+UNION ALL SELECT 2, l, r FROM best2
+UNION ALL SELECT 3, l, r FROM best3
+UNION ALL SELECT 4, l, r FROM best4
+"""
+)
+
+
 def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous BPE-vocab maintenance: the exact (word, freq) table the
     tokenizer trainer consumes (operators/bpe.py word_frequencies), kept
@@ -7264,6 +7328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters_by_type": _events_heavy_hitters_by_type,
         "events_heavy_hitters_windowed": _events_heavy_hitters_windowed,
         "documents_bpe_tokens": _docs_bpe_tokens,
+        "documents_bpe_train_distributed": _docs_bpe_train_distributed,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
@@ -7632,6 +7697,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_quality_correlation": hq.DOCS_QUALITY_CORR_SQL,
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
+        "documents_bpe_train_distributed": DOCS_BPE_TRAIN_DISTRIBUTED_SQL,
         "dedup_incremental": _minhash_incremental_sql(),
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

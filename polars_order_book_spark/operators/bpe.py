@@ -14,6 +14,12 @@ trains on the word-frequency table, not the corpus:
    corpus whose DISTINCT-word table exceeds the cap fails fast instead of
    OOMing the driver. Deterministic: ties break on the lexicographically
    smallest pair.
+2b. ``learn_bpe_merges_distributed`` — the same loop with the segmentation
+   state kept DISTRIBUTED: per merge, one pair-count shuffle + a 1-row
+   argmax collect + a map-only string ``replace`` (greedy non-overlapping
+   replace IS the BPE merge step under the bracketed-symbol encoding — see
+   ``_seg_init_sql``). Byte-identical merges to the driver loop (pinned by
+   test); use it when the distinct-word table exceeds the driver cap.
 3. ``apply_bpe`` — distributed tokenization with the learned ranks
    (mapInPandas; the merge table ships in the closure). Each Arrow batch
    deduplicates its words first, so the greedy merge loop runs once per
@@ -149,6 +155,110 @@ def learn_bpe_merges(
             t = tuple(out)
             new_vocab[t] = new_vocab.get(t, 0) + f
         vocab = new_vocab
+    return merges
+
+
+def _seg_init_sql(word_sql: str) -> str:
+    """Bracketed-symbol string encoding of a word's initial char-level BPE
+    segmentation: each symbol wrapped as chr(31)||sym||chr(30), plus the
+    end-of-word sentinel. ``[a, b, </w>]`` renders as
+    ``\\x1fa\\x1e\\x1fb\\x1e\\x1f</w>\\x1e``.
+
+    Why a STRING, not an array: merging pair (l, r) greedily left-to-right
+    without overlap — the BPE step — is exactly ``replace(s, open||l||close
+    ||open||r||close, open||l||r||close)``. Every engine's ``replace``
+    (Spark UTF8String, DuckDB, Python str.replace) scans left-to-right and
+    resumes AFTER the substitution, and adjacent matches share no characters
+    under this bracketing, so all three produce the identical segmentation —
+    the property that makes the distributed trainer byte-identical to the
+    driver loop and the oracle. Pinned by
+    test_string_replace_is_greedy_nonoverlapping_bpe.
+
+    Contract: symbols must not contain chr(30)/chr(31) — whitespace-split
+    corpus words never do unless the corpus embeds those control bytes.
+    """
+    return (
+        f"concat(concat_ws('', transform(sequence(1, length({word_sql})), "
+        f"i -> concat(chr(31), substring({word_sql}, i, 1), chr(30)))), "
+        f"concat(chr(31), '{EOW}', chr(30)))"
+    )
+
+
+# Adjacent (l, r) symbol pairs from a bracketed segmentation string: strip
+# the outer brackets, split on close||open, pair index i with i+1. The
+# size<2 guard matters: a fully-merged word is ONE symbol, and Spark's
+# sequence(1, 0) counts DOWN ([1, 0]) rather than returning empty — the
+# unguarded transform would index past the array.
+_SEG_PAIRS_SQL = (
+    "CASE WHEN size(__syms) < 2 "
+    "THEN CAST(array() AS array<struct<l:string,r:string>>) "
+    "ELSE transform(sequence(1, size(__syms) - 1), i -> named_struct("
+    "'l', __syms[i - 1], 'r', __syms[i])) END"
+)
+
+
+def learn_bpe_merges_distributed(
+    word_freqs: DataFrame,
+    n_merges: int,
+) -> "list[tuple[str, str]]":
+    """Learn ``n_merges`` BPE merges with the corpus-sized state DISTRIBUTED —
+    the 100 TB path :func:`learn_bpe_merges` caps out of.
+
+    The driver loop holds the whole distinct-word table in memory; here the
+    segmentation table stays a DataFrame and each iteration is one
+    pair-count aggregation (the :func:`bpe_pair_counts` shape: map-side
+    partial, shuffle = one row per distinct PAIR) plus a 1-row collect of
+    the argmax — driver state is the merge list itself, exactly like the
+    classifier's model-dim-bounded GD loop. The merge is applied to every
+    segmentation by a map-only ``replace`` on the bracketed-symbol encoding
+    (see :func:`_seg_init_sql` for why string replace IS the greedy
+    non-overlapping BPE step), and the relation is lazily localCheckpoint-ed
+    per iteration so lineage/plan size stays constant across iterations (the
+    connected-components convention).
+
+    Determinism matches the driver trainer bit-for-bit: best pair = highest
+    summed freq, ties to the lexicographically smallest (l, r) — Spark's
+    UTF-8 binary string order equals Python's code-point order. Byte-identity
+    of the returned merges (and thus of downstream ``apply_bpe`` tokens) is
+    pinned by test on the real corpus.
+
+    Scale: per merge, one shuffle whose cardinality is the distinct-pair
+    count (vocab-bounded) over a distinct-word-sized scan. n_merges is
+    typically 1e4-1e5; for very large vocabularies batch this by pre-pruning
+    rare words — the classic frequency-threshold trick — before training.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be > 0, got {n_merges}")
+    seg = word_freqs.where(F.col("word") != "").select(
+        F.expr(_seg_init_sql("word")).alias("s"),
+        F.col("freq").cast("long").alias("freq"),
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    open_, close = "\x1f", "\x1e"
+    for _ in range(n_merges):
+        pairs = (
+            seg.select(
+                "freq",
+                F.split(
+                    F.expr("substring(s, 2, length(s) - 2)"), close + open_
+                ).alias("__syms"),
+            )
+            .select("freq", F.explode(F.expr(_SEG_PAIRS_SQL)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_freq").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        pat = open_ + left + close + open_ + right + close
+        rep = open_ + left + right + close
+        seg = seg.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "freq"
+        ).localCheckpoint(eager=False)
     return merges
 
 

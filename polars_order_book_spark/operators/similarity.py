@@ -295,21 +295,39 @@ def _cell_ranked_sql(vec_sql: str, n_cells: int, dim: int, top: int,
     """SQL array expression of the ``top`` nearest coarse cells for the
     vector expression ``vec_sql`` — the shared text between the standalone
     assignment relation and the fused single-pass projections (identical
-    expression, identical cells)."""
-    sims = []
+    expression, identical cells).
+
+    Shape matters more than size here: the old form inlined n_cells
+    independent dot-fold/struct terms, and whole-stage codegen compiled all
+    of them PER STAGE (~0.45 s per consuming stage at n_cells=8, dim=64 —
+    the r6 ann_cosine_topk_ivf regression, where salted_probe_join's
+    hot-count scan added a second such stage). This form is loop-shaped:
+    ONE literal array-of-centroid-arrays and one indexed ``transform``
+    lambda, so codegen emits a single loop body no matter how many cells.
+    The per-row arithmetic is the same folds in the same IEEE order (the
+    per-centroid ``sqrt(dot(cl,cl))`` moves from a constant-folded literal
+    to an in-lambda eval — n_cells×dim extra mults/row, noise), so ranked
+    cells — and every oracle — are bit-identical. Same lesson as the PQ
+    codebook JIT bomb in SCALE.md: keep big constants DATA, not code.
+    """
+    rows = []
     for c in range(n_cells):
         comps = centroids[c] if centroids is not None else [
             centroid_component(c, j) for j in range(dim)
         ]
-        cl = _sql_const_array(comps)
-        # |v| is a common positive factor across cells — dropping it leaves
-        # the cosine ranking (and thus the assignment) unchanged while
-        # skipping n_cells redundant self-dot folds per row.
-        # struct sorts lexicographically: (sim desc, cell asc) via negated cell
-        sims.append(
-            f"named_struct('s', {_sql_dot(vec_sql, cl)} / sqrt({_sql_dot(cl, cl)}), 'nc', {-c})"
-        )
-    ranked = f"slice(reverse(array_sort(array({','.join(sims)}))), 1, {top})"
+        rows.append(_sql_const_array(comps))
+    cents = f"array({','.join(rows)})"
+    # |v| is a common positive factor across cells — dropping it leaves the
+    # cosine ranking (and thus the assignment) unchanged while skipping
+    # n_cells redundant self-dot folds per row.
+    # struct sorts lexicographically: (sim desc, cell asc) via negated cell;
+    # transform's index lambda arg i is the 0-based cell id (INT, as before).
+    sims = (
+        f"transform({cents}, (cl, i) -> named_struct("
+        f"'s', {_sql_dot(vec_sql, 'cl')} / sqrt({_sql_dot('cl', 'cl')}), "
+        f"'nc', -i))"
+    )
+    ranked = f"slice(reverse(array_sort({sims})), 1, {top})"
     return f"transform({ranked}, x -> -x.nc)"
 
 
