@@ -212,3 +212,81 @@ def test_real_png_payload_through_spark_pipeline(spark):
     by_id = {r["doc_id"]: r for r in mm.extract_image_features(df).collect()}
     assert (by_id[1]["fake_width"], by_id[1]["fake_height"], by_id[1]["fake_channels"]) == (64, 48, 3)
     assert by_id[2]["fake_width"] == 64 + len(TEXT_PAYLOAD) % 512  # stub path intact
+
+
+# --- committed real-format fixtures (no fake-codec injection) ----------------
+# tests/fixtures/tiny_rgb_3x2.png: hand-built complete PNG (signature, IHDR
+# 3x2 / bit depth 8 / color type 2, zlib IDAT, IEND, correct CRCs).
+# tests/fixtures/tiny_pcm16_2ch_8k.wav: complete RIFF/WAVE (PCM16, 2 ch,
+# 8000 Hz, 4 frames). These exercise the codec-free header-parse branch with
+# REAL container bytes end-to-end through the mapInPandas operators — the
+# branch a codec-less cluster takes on genuine media payloads.
+
+import os as _os
+
+_FIXTURES = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "fixtures")
+
+
+def _fixture_bytes(name):
+    with open(_os.path.join(_FIXTURES, name), "rb") as fh:
+        return fh.read()
+
+
+def test_parse_png_header_real_fixture():
+    png = _fixture_bytes("tiny_rgb_3x2.png")
+    assert mm.parse_png_header(png) == {"width": 3, "height": 2, "channels": 3}
+    # real magic routes it away from the stub
+    assert mm._has_magic(png, mm._IMAGE_MAGIC)
+
+
+def test_parse_wav_header_real_fixture():
+    wav = _fixture_bytes("tiny_pcm16_2ch_8k.wav")
+    assert mm.parse_wav_header(wav) == {
+        "sample_rate": 8000, "channels": 2, "frames": 4,
+    }
+    assert mm._has_magic(wav, mm._AUDIO_MAGIC)
+
+
+def test_image_features_real_png_end_to_end(spark):
+    """The registered multimodal_features machinery (extract_image_features'
+    mapInPandas) over a REAL PNG payload: with no codec in the container the
+    detected-module branch falls back to parse_png_header and must emit the
+    true dimensions; with PIL present it must agree (import-gated assert)."""
+    png = _fixture_bytes("tiny_rgb_3x2.png")
+    text = b"plain utf-8 payload"
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(text))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r.asDict() for r in mm.extract_image_features(df).collect()}
+    assert rows[1]["fake_width"] == 3
+    assert rows[1]["fake_height"] == 2
+    assert rows[1]["fake_channels"] == 3
+    assert rows[1]["n_bytes"] == len(png)
+    stub = mm.decode_image_stub(text)
+    assert rows[2]["fake_width"] == stub["fake_width"]  # stub tier untouched
+    if mm._PIL_IMAGE is not None:  # codec-equipped environments must agree
+        out = mm.decode_image(png)
+        assert (out["fake_width"], out["fake_height"], out["fake_channels"]) == (3, 2, 3)
+
+
+def test_audio_features_real_wav_end_to_end(spark):
+    wav = _fixture_bytes("tiny_pcm16_2ch_8k.wav")
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, payload binary")
+    rows = mm.extract_audio_features_stub(df).collect()
+    r = rows[0].asDict()
+    assert r["fake_sample_rate"] == 8000
+    assert r["fake_channels"] == 2
+    assert r["fake_duration_ms"] == 4 * 1000 // 8000  # frames/rate
+    if mm._SOUNDFILE is not None:
+        out = mm.decode_audio(wav)
+        assert out["fake_sample_rate"] == 8000 and out["fake_channels"] == 2
+
+
+def test_resize_real_png_raises_without_codec(spark):
+    """Resizing a REAL image needs pixel decode — header parsing cannot fake
+    it, so a codec-less container must fail loudly, not crop bytes."""
+    if mm._PIL_IMAGE is not None:
+        pytest.skip("PIL present: the real-resize branch applies instead")
+    png = _fixture_bytes("tiny_rgb_3x2.png")
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="no codec"):
+        mm.resize_image_stub(df).collect()
