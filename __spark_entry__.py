@@ -6168,6 +6168,133 @@ def _orders_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust trend of value over time
+    (operators/timeseries.py theil_sen_trend): slope = LOWER median of all
+    pairwise slopes, intercept = lower median of the residuals — the
+    29%-breakdown robust twin of events_ols_trend (one outlying event
+    cannot move it). Theil-Sen is inherently quadratic per key, so the
+    operator caps each key at 24 points by the portable deterministic
+    reservoir BEFORE pairing (the item-cooccurrence convention), bounding
+    per-key work at 24²/2 pairs no matter how hot the user. Slopes and
+    residuals are single IEEE divisions/fused ops of identical operands and
+    the medians are exact rank selections (integer DIV), so every value
+    hash-matches the oracle bit-for-bit. NULL users excluded up front (the
+    pair equi-join could never keep them — grouped-quantiles convention);
+    NaN values excluded like every binned/ordered family."""
+    from polars_order_book_spark.operators.timeseries import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value").cast("double"))
+    ).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("x_us"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return theil_sen_trend(
+        pts, ["user_id"], "x_us", "y", id_col="event_id", max_points=24, salt="ts7"
+    )
+
+
+EVENTS_THEIL_SEN_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS DOUBLE) AS x, CAST(value AS DOUBLE) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+cap AS (
+  SELECT user_id, event_id, x, y FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), 'ts7')), 1, 15)) AS BIGINT) ASC,
+               event_id ASC
+    ) AS rn FROM base
+  ) WHERE rn <= 24
+),
+pairs AS (
+  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM cap a JOIN cap b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id AND a.x <> b.x
+),
+slr AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM pairs
+),
+sl AS (SELECT user_id, slope, m AS n_pairs FROM slr WHERE rn = (m + 1) // 2),
+resid AS (
+  SELECT c.user_id, sl.slope, sl.n_pairs, c.y - sl.slope * c.x AS r
+  FROM cap c JOIN sl ON c.user_id = sl.user_id
+),
+rr AS (
+  SELECT user_id, slope, n_pairs, r,
+         row_number() OVER (PARTITION BY user_id ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM resid
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_points, CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope, r AS intercept
+FROM rr WHERE rn = (n + 1) // 2
+"""
+
+
+def _events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/2/3 autocorrelation of event value
+    (operators/timeseries.py lag_autocorrelation): the seasonality/momentum
+    diagnostic run before engineering lag features. Pairwise-Pearson over
+    lead(v, k) pairs; values floor-quantized to millis (floor, never CAST —
+    Spark's double→long cast truncates where DuckDB's rounds), all sums and
+    cross-products exact DECIMAL(38,0)/HUGEINT, three final IEEE ops — so
+    every acf double hash-matches bit-for-bit. Keyed per USER so window
+    partitions stay bounded at corpus scale (a per-type key would sort one
+    giant partition per type); shuffles scale with keys."""
+    from polars_order_book_spark.operators.timeseries import lag_autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    return lag_autocorrelation(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"], "value", [1, 2, 3],
+    )
+
+
+EVENTS_ACF_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) AND user_id IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, lag, q AS x,
+         CASE lag WHEN 1 THEN lead(q, 1) OVER w WHEN 2 THEN lead(q, 2) OVER w
+                  ELSE lead(q, 3) OVER w END AS y
+  FROM base, (SELECT unnest([1, 2, 3]) AS lag) lags
+  WINDOW w AS (PARTITION BY user_id, lag ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT user_id, lag, count(*) AS n_pairs,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY user_id, lag
+)
+SELECT user_id, CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+       END AS acf
+FROM agg
+"""
+
+
 def _events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-key reservoir (operators/sampling.py
     reservoir_per_key): exactly min(40, |group|) events per event_type,
@@ -7298,6 +7425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pack_sequences": _docs_pack_sequences,
         "events_zorder_key": _events_zorder_key,
         "sink_roundtrip": _sink_roundtrip,
+        "sink_bucketed_join": hq.sink_bucketed_join,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
         "events_csv_roundtrip": _events_csv_roundtrip,
@@ -7378,6 +7506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_zipf_profile": _documents_zipf_profile,
         "orders_rollup_stream": _orders_rollup_stream,
         "events_reservoir_sample": _events_reservoir_sample,
+        "events_theil_sen": _events_theil_sen,
+        "events_acf": _events_acf,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "documents_classifier_reliability": _docs_classifier_reliability,
@@ -7516,6 +7646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "text_quality": _text_quality,
         "events_sessionize": hq.events_sessionize,
+        "events_session_overlap": hq.events_session_overlap,
         "events_lead_lag": hq.events_lead_lag,
         "events_asof_purchase": _events_asof,
         "events_sessionize_stream": _events_sessionize_stream,
@@ -7662,6 +7793,8 @@ def oracle_sql() -> dict[str, str]:
         # batch operator — deliberately the identical oracle
         "orders_rollup_stream": ORDERS_INCREMENTAL_AGG_SQL,
         "events_reservoir_sample": EVENTS_RESERVOIR_SQL,
+        "events_theil_sen": EVENTS_THEIL_SEN_SQL,
+        "events_acf": EVENTS_ACF_SQL,
         "events_sliding_active_users": EVENTS_SLIDING_ACTIVE_SQL,
         "events_time_decay": EVENTS_TIME_DECAY_SQL,
         "events_negative_samples": EVENTS_NEGATIVE_SAMPLES_SQL,
@@ -7722,6 +7855,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": hq.EVENTS_HOURLY_SQL,
         "events_user_running_total": hq.EVENTS_RUNNING_SQL,
         "events_sessionize": hq.EVENTS_SESSIONS_SQL,
+        "events_session_overlap": hq.EVENTS_SESSION_OVERLAP_SQL,
         "events_rollup": hq.EVENTS_ROLLUP_SQL,
         "events_hourly_pivot": hq.EVENTS_HOURLY_PIVOT_SQL,
         "orders_rolling_revenue": hq.ORDERS_ROLLING_REVENUE_SQL,
@@ -7734,6 +7868,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_stream_append": EVENTS_SESSIONS_STREAM_APPEND_SQL,
         "ob_consistency_n1_n2": _ob_consistency_sql(),
         "sink_roundtrip": SINK_ROUNDTRIP_SQL,
+        "sink_bucketed_join": hq.SINK_BUCKETED_JOIN_SQL,
         "dedup_stream_survivors": DEDUP_STREAM_SQL,
         "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
         "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,

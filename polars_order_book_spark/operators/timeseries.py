@@ -369,3 +369,166 @@ def debounce(
         F.min(ts_col).alias(ts_col),
         (F.count(F.lit(1)) - 1).alias("n_suppressed"),
     ).drop("_bkt")
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    keys: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    id_col: str = "event_id",
+    max_points: int = 24,
+    salt: str = "",
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: slope = lower median of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)``, intercept = lower median of
+    ``y - slope * x`` — the 29%-breakdown-point robust alternative to the
+    OLS trend (events_ols_trend), immune to the outliers MAD flags.
+
+    Exactness discipline: slopes and residuals are single IEEE divisions /
+    fused multiply-subtract of identical operands, so both engines produce
+    bit-identical doubles; the LOWER median (rank ``(m+1) DIV 2`` by
+    row_number) selects the exact k-th smallest VALUE, well-defined under
+    duplicates — no float averaging of middle elements, the repo's exact
+    quantile convention.
+
+    Scale shape: Theil-Sen is inherently quadratic per key, so points are
+    first capped at ``max_points`` per key by the portable deterministic
+    reservoir (:func:`..sampling.reservoir_per_key` hash-rank — the
+    item-cooccurrence "cap before pairing" convention), bounding per-key
+    pair work at max_points²/2 no matter how hot the key. The pair join is
+    a key-partitioned self-join of the CAPPED relation (lazily
+    localCheckpoint-ed: it feeds both join sides plus the intercept pass).
+    Pairs with equal x carry no slope information and are excluded; keys
+    with fewer than 2 distinct-x points yield no output row (documented, 
+    mirrored by oracles).
+
+    Returns ``keys + (n_points, n_pairs, slope, intercept)``.
+    """
+    from polars_order_book_spark.operators.sampling import reservoir_per_key
+
+    if max_points < 2:
+        raise ValueError(f"max_points must be >= 2, got {max_points}")
+    pts = (
+        reservoir_per_key(
+            df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()),
+            keys, max_points, id_col=id_col, salt=salt,
+        )
+        .select(
+            *keys,
+            F.col(id_col).alias("__id"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = pts.select(*keys, F.col("__id").alias("__ia"),
+                   F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = pts.select(*keys, F.col("__id").alias("__ib"),
+                   F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = (
+        a.join(b, on=keys)
+        .where((F.col("__ia") < F.col("__ib")) & (F.col("__xa") != F.col("__xb")))
+        .select(
+            *keys,
+            ((F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa"))).alias("__slope"),
+        )
+    )
+    w_rank = Window.partitionBy(*keys).orderBy("__slope")
+    w_all = Window.partitionBy(*keys)
+    slope = (
+        pairs.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__m", F.count(F.lit(1)).over(w_all))
+        .where(F.expr("__rn = (__m + 1) DIV 2"))
+        .select(*keys, F.col("__slope").alias("slope"), F.col("__m").alias("n_pairs"))
+    )
+    resid = pts.join(slope, on=keys).select(
+        *keys, "slope", "n_pairs",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__resid"),
+    )
+    w_rrank = Window.partitionBy(*keys).orderBy("__resid")
+    return (
+        resid.withColumn("__rn", F.row_number().over(w_rrank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .where(F.expr("__rn = (__n + 1) DIV 2"))
+        .select(*keys, F.col("__n").alias("n_points"), "n_pairs", "slope",
+                F.col("__resid").alias("intercept"))
+    )
+
+
+def lag_autocorrelation(
+    df: DataFrame,
+    keys: "list[str]",
+    order_cols: "list[str]",
+    value_col: str,
+    lags: "list[int]",
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation: the Pearson correlation of the pairs
+    ``(v_i, v_{i+k})`` in ``order_cols`` order, for each k in ``lags`` —
+    the seasonality/momentum diagnostic run before choosing window features
+    (a lag whose ACF ~ 0 adds no signal; ACF ~ 1 means yesterday predicts
+    today).
+
+    Exactness discipline: values are floor-quantized to ``quantize`` units
+    (floor, never CAST — Spark's double→long cast truncates where DuckDB's
+    rounds), every sum/cross-product runs in DECIMAL(38,0) exactly, and the
+    correlation is three final IEEE ops (two casts' products, sqrt, divide)
+    of identical operands — so both engines emit bit-identical doubles.
+    Pairwise-Pearson definition (not the global-mean autocovariance): each
+    lag's statistic uses exactly its own m = n_key - k pairs, which keeps
+    the whole chain integer-exact. Constant series (zero variance on either
+    leg) are emitted with NULL acf rather than a divide-by-zero.
+
+    Scale shape: one window pass per lag over the key partition (lead(v, k)
+    — no self-join), then a rollup-sized aggregation; shuffles scale with
+    keys, not time. NULL/NaN values and NULL keys are excluded up front
+    (binned/ordered-family convention).
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v)
+        & F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
+    ).select(
+        *keys, *order_cols,
+        F.floor(v * F.lit(float(quantize))).cast("long").alias("__q"),
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    outs = []
+    for k in lags:
+        pairs = base.select(
+            *keys,
+            F.col("__q").alias("__x"),
+            F.lead("__q", k).over(w).alias("__y"),
+        ).where(F.col("__y").isNotNull())
+        agg = pairs.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec(F.col("__x"))).alias("__sx"),
+            F.sum(dec(F.col("__y"))).alias("__sy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+            F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+        )
+        m = dec(F.col("n_pairs"))
+        num = (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        varx = (m * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        vary = (m * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+        outs.append(
+            agg.select(
+                *keys,
+                F.lit(k).cast("long").alias("lag"),
+                "n_pairs",
+                F.when(
+                    (varx > 0) & (vary > 0), num / F.sqrt(varx * vary)
+                ).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -65,6 +65,57 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed managed tables (sources/sinks.py
+    write_bucketed): orders and lineitem are both written bucketed 8-ways on
+    the order key (sorted within buckets), so the fact-fact equi-join reads
+    bucket i against bucket i with NO shuffle exchange and NO sort on either
+    side — the layout investment that turns every subsequent key-join/agg
+    against these tables into a map-side operation. At 100 TB this is THE
+    difference between re-shuffling terabytes per query and paying the
+    shuffle once at write time; tests/test_plans.py pins the exchange-free
+    plan shape. Values hash the plain-join oracle exactly (decimal revenue
+    chain, the q1 convention)."""
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Overwrite-mode fixed names: idempotent per run, no table leak growth.
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderstatus"),
+        "bj_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bj_lineitem", ["l_orderkey"], 8, sort_by=["l_orderkey"],
+    )
+    o = spark.table("bj_orders")
+    l = spark.table("bj_lineitem")
+    ext = _dec(F.col("l_extendedprice"))
+    one_minus = _dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    # hint("merge"): at test SF the orders side is broadcast-sized and Spark
+    # would pick BHJ, hiding the layout win; the 100 TB fact-fact shape is
+    # the sort-merge join, which with both sides bucketed+sorted on the key
+    # runs with NO exchange and NO sort (pinned by tests/test_plans.py).
+    return (
+        o.hint("merge").join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(ext * one_minus).cast("double").alias("revenue"),
+        )
+    )
+
+
+SINK_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderstatus, count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
 # --- Q3: shipping-priority style join + top-k ------------------------------
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +427,71 @@ SELECT user_id, session_no, count(*) AS n_events,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us
 FROM sess GROUP BY user_id, session_no
+"""
+
+
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session pairs across users via the bucketed interval-overlap
+    join (operators/ranges.py interval_overlap_join): session intervals from
+    the gap sessionizer, both sides exploded onto 1-hour time buckets, a hash
+    equi-join on the bucket id + the exact overlap refine, and the
+    canonical-bucket rule (keep the pair only in the bucket of the overlap's
+    left edge) so each pair is emitted exactly once with NO distinct pass.
+
+    A bare `a.lo < b.hi AND b.lo < a.hi` join is a CartesianProduct at
+    corpus scale — the bucket id turns it into a shuffled hash join whose
+    skew AQE can split; the 1-hour width covers the longest session (~57 min
+    at this gap), so the explode factor is <= 2. user_a < user_b orients
+    pairs (same-user sessions can never overlap — the gap rule separates
+    them by construction). Output: the pair keys + the exact overlap length
+    in microseconds (half-open semantics: touching endpoints don't overlap).
+    """
+    from polars_order_book_spark.operators.ranges import interval_overlap_join
+
+    sess = events_sessionize(spark, sf_dir).localCheckpoint(eager=False)
+    a = sess.select(
+        F.col("user_id").alias("user_a"), F.col("session_no").alias("session_a"),
+        F.col("start_us").alias("a_lo"), F.col("end_us").alias("a_hi"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"), F.col("session_no").alias("session_b"),
+        F.col("start_us").alias("b_lo"), F.col("end_us").alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, left_lo="a_lo", left_hi="a_hi", right_lo="b_lo", right_hi="b_hi",
+        bucket_width=3600.0 * 1_000_000,
+    )
+    return pairs.where(F.col("user_a") < F.col("user_b")).select(
+        "user_a", "session_a", "user_b", "session_b",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_us"),
+    )
+
+
+EVENTS_SESSION_OVERLAP_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no,
+           ts
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, session_no, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+    FROM s GROUP BY user_id, session_no
+)
+SELECT a.user_id AS user_a, a.session_no AS session_a,
+       b.user_id AS user_b, b.session_no AS session_b,
+       least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
 """
 
 

@@ -16,6 +16,8 @@ the partitions it produced — idempotent backfills.
 
 from __future__ import annotations
 
+import os
+
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +62,30 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Write a bucketed (optionally sorted) managed table. Equi-joins between
-    tables bucketed the same way on the same keys skip the shuffle."""
+    tables bucketed the same way on the same keys skip the shuffle.
+
+    Overwrite semantics across SESSIONS: a fresh SparkSession starts with an
+    empty in-memory catalog, but the previous run's managed location is
+    still on disk — saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    because the table isn't registered to overwrite. Drop any registered
+    table AND clear an orphaned location first so overwrite means overwrite.
+    """
+    if mode == "overwrite":
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(warehouse, table.split(".")[-1].lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    # One FILE per bucket: Spark trusts sortBy metadata (and skips the SMJ
+    # sort) only when every bucket is a single file; without the repartition
+    # each write task emits its own file per bucket it touches.
+    if sort_by:
+        df = df.repartition(n_buckets, *[df[c] for c in bucket_by])
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

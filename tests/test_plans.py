@@ -362,3 +362,20 @@ def test_pq_topk_scan_side_carries_codes_not_vectors(spark):
     # codes are computed; the only embedding read feeding the BNLJ build side
     # is the bounded query relation
     assert plan.count("Scan parquet") == 2, plan
+
+
+@needs_testdata
+def test_sink_bucketed_join_is_exchange_free(spark):
+    """The registered bucketed co-located join: SortMergeJoin over two
+    Bucketed:true scans; the only exchanges in the whole plan belong to the
+    downstream groupBy (initial + AQE final), never to the join inputs."""
+    df = hq.sink_bucketed_join(spark, SF_DIR)
+    df.collect()  # tables must exist; AQE finalizes the plan
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2
+    # in toString the join's subtree (its inputs) prints AFTER the join
+    # node: sorted bucketed scans only — any Exchange there means the
+    # co-location failed
+    join_inputs = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_inputs, plan

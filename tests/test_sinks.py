@@ -118,3 +118,61 @@ def test_compact_partitions_consolidates_files(spark, tmp_path):
         (r["id"], r["p"]) for r in spark.read.parquet(path).collect()
     )
     assert data_after == data_before
+
+
+def test_bucketed_sorted_single_file_elides_sort_too(spark):
+    """With sort_by metadata AND one file per bucket (write_bucketed
+    repartitions to n_buckets on the bucket key), the SMJ needs no Sort
+    node either — scan order satisfies the join's ordering requirement."""
+    import glob
+
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_sl", ["k"], 4, sort_by=["k"])
+    write_bucketed(right, "bkt_sr", ["k"], 4, sort_by=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("bkt_sl", "bkt_sr"):
+            import os
+
+            files = glob.glob(os.path.join(warehouse, t, "part-*"))
+            assert len(files) == 4, (t, files)  # one file per bucket
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_sl").join(spark.table("bkt_sr"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Sort [" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_sl")
+        spark.sql("DROP TABLE IF EXISTS bkt_sr")
+
+
+def test_bucketed_overwrite_survives_orphaned_location(spark):
+    """A fresh session's catalog doesn't know about last session's managed
+    table, but its directory is still on disk — overwrite must clear the
+    orphan instead of failing with LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    df = spark.range(0, 10).selectExpr("id AS k", "id AS v")
+    write_bucketed(df, "bkt_orphan", ["k"], 2, sort_by=["k"])
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "bkt_orphan")
+    try:
+        # simulate the cross-session orphan: catalog entry gone, dir present
+        spark.sql("DROP TABLE bkt_orphan")  # managed drop removes the dir
+        os.makedirs(os.path.join(loc, "stale"), exist_ok=True)
+        write_bucketed(df, "bkt_orphan", ["k"], 2, sort_by=["k"])
+        assert spark.table("bkt_orphan").count() == 10
+        assert not os.path.isdir(os.path.join(loc, "stale"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -257,3 +257,108 @@ def test_debounce_guardrail(spark):
     df = _ev(spark, [("2024-01-01 00:00:00", 1, "x", 1)])
     with pytest.raises(ValueError, match="interval_seconds"):
         debounce(df, keys=["user_id"], interval_seconds=0)
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+from polars_order_book_spark.operators.timeseries import theil_sen_trend  # noqa: E402
+
+
+def _ts_points(spark, rows):
+    return spark.createDataFrame(rows, "k long, event_id long, x double, y double")
+
+
+def test_theil_sen_hand_computed_and_outlier_robust(spark):
+    """(0,0),(1,1),(2,2),(3,100): five of six pairwise slopes involve the
+    outlier but the three clean pairs all have slope 1, so the lower median
+    of [1,1,1,33.3,49.5,98] is 1 and the median residual is 0 — the outlier
+    that would wreck OLS moves Theil-Sen not at all."""
+    pts = _ts_points(spark, [(1, 1, 0.0, 0.0), (1, 2, 1.0, 1.0),
+                             (1, 3, 2.0, 2.0), (1, 4, 3.0, 100.0)])
+    out = theil_sen_trend(pts, ["k"], "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["slope"] == 1.0 and r["intercept"] == 0.0
+    assert r["n_pairs"] == 6 and r["n_points"] == 4
+
+
+def test_theil_sen_equal_x_pairs_excluded(spark):
+    """Vertical pairs carry no slope information; a key whose points all
+    share one x yields no output row."""
+    pts = _ts_points(spark, [(1, 1, 5.0, 0.0), (1, 2, 5.0, 10.0),
+                             (2, 1, 0.0, 0.0), (2, 2, 5.0, 2.0), (2, 3, 5.0, 3.0)])
+    out = {r["k"]: r for r in theil_sen_trend(pts, ["k"], "x", "y").collect()}
+    assert 1 not in out                      # all-equal-x key drops
+    assert out[2]["n_pairs"] == 2            # (1,2) and (1,3); (2,3) is vertical
+
+
+def test_theil_sen_cap_bounds_pairs(spark):
+    rows = [(1, i, float(i), float(2 * i)) for i in range(1, 101)]
+    out = theil_sen_trend(_ts_points(spark, rows), ["k"], "x", "y",
+                          id_col="event_id", max_points=8).collect()
+    r = out[0]
+    assert r["n_points"] == 8 and r["n_pairs"] == 28  # 8C2, never 100C2
+    assert r["slope"] == 2.0 and r["intercept"] == 0.0
+
+
+def test_theil_sen_guardrail(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen_trend(_ts_points(spark, [(1, 1, 0.0, 0.0)]), ["k"], "x", "y",
+                        max_points=1)
+
+
+# --- lag autocorrelation -------------------------------------------------------
+
+from polars_order_book_spark.operators.timeseries import lag_autocorrelation  # noqa: E402
+
+
+def _acf_df(spark, vals, key=1):
+    rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "k long, seq long, value double")
+
+
+def test_acf_linear_series_is_one(spark):
+    out = {r["lag"]: r for r in lag_autocorrelation(
+        _acf_df(spark, [1, 2, 3, 4, 5, 6]), ["k"], ["seq"], "value", [1, 2]
+    ).collect()}
+    assert out[1]["acf"] == 1.0 and out[2]["acf"] == 1.0
+    assert out[1]["n_pairs"] == 5 and out[2]["n_pairs"] == 4
+
+
+def test_acf_alternating_series(spark):
+    out = {r["lag"]: r for r in lag_autocorrelation(
+        _acf_df(spark, [1, -1, 1, -1, 1, -1]), ["k"], ["seq"], "value", [1, 2]
+    ).collect()}
+    assert out[1]["acf"] == -1.0  # perfect anti-correlation at lag 1
+    assert out[2]["acf"] == 1.0   # perfect correlation at lag 2
+
+
+def test_acf_constant_series_is_null_not_divide_by_zero(spark):
+    out = lag_autocorrelation(
+        _acf_df(spark, [5, 5, 5, 5]), ["k"], ["seq"], "value", [1]
+    ).collect()
+    assert out[0]["acf"] is None
+
+
+def test_acf_matches_numpy_pearson(spark):
+    """Cross-check the exact integer chain against numpy's float Pearson on
+    the QUANTIZED values (the statistic the operator defines)."""
+    import numpy as np
+
+    vals = [3.1, 0.7, 2.9, 4.4, 1.2, 5.0, 2.2, 3.8, 0.1, 4.9]
+    q = np.floor(np.array(vals) * 1000.0)
+    out = {r["lag"]: r["acf"] for r in lag_autocorrelation(
+        _acf_df(spark, vals), ["k"], ["seq"], "value", [1, 3]
+    ).collect()}
+    for k in (1, 3):
+        want = np.corrcoef(q[:-k], q[k:])[0, 1]
+        assert abs(out[k] - want) < 1e-12, (k, out[k], want)
+
+
+def test_acf_guardrail(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="lags"):
+        lag_autocorrelation(_acf_df(spark, [1, 2]), ["k"], ["seq"], "value", [0])

@@ -1,0 +1,100 @@
+"""Scale spot-check: run the heaviest query families at sf0.1 AND at the
+derived sf1 (tools/make_scale_data.py) and verify the SCALE.md claims hold an
+order of magnitude above the benchmark point — shuffle-bound families should
+scale ~linearly, so anything above --max-ratio (default 10x for 10x data) is
+flagged as a scale defect.
+
+Writes one JSON file (default BENCH_LOCAL_sf1.json) with per-query times at
+both SFs, the ratio, row counts, and any errors. Usage:
+  python tools/scale_check.py [--sf1 .scale/sf1] [--json BENCH_LOCAL_sf1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The five heaviest families from the r6 plan audit, plus the LSH dedup leg
+# (same shuffle family as ngram-jaccard but banded).
+QUERIES = [
+    "dedup_ngram_jaccard",          # prefix-filter + verify joins
+    "dedup_minhash_lsh",            # banded LSH buckets
+    "embeddings_pq_ivf_topk",       # PQ/IVF composite
+    "ann_cosine_topk_ivf",          # plain IVF (r6 regression, now fixed)
+    "ob_relational_mutations_top2", # strategy-B grid scan
+    "ob_nbbo_keyed",                # keyed fold + global ffill
+    "ob_mutations_top2",            # production fold path
+    "documents_classifier_reliability",  # GD training + calibration
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default=os.path.join(REPO, ".scale", "sf1"))
+    ap.add_argument("--json", default=os.path.join(REPO, "BENCH_LOCAL_sf1.json"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--max-ratio", type=float, default=10.0)
+    ap.add_argument("--only", default="", help="comma-separated query subset")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing --json instead of replacing")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from polars_order_book_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    # warm JVM/codegen + the Python UDF worker pool
+    qs["q1_pricing_summary"](spark, args.sf01).count()
+    qs["ob_updates_top1"](spark, args.sf01).count()
+
+    report = {"sf01_dir": args.sf01, "sf1_dir": args.sf1,
+              "loadavg_1min_start": round(os.getloadavg()[0], 2),
+              "queries": {}, "flags": []}
+    if args.merge and os.path.exists(args.json):
+        with open(args.json) as fh:
+            prior = json.load(fh)
+        report["queries"].update(prior.get("queries", {}))
+        report["flags"] = [f for f in prior.get("flags", [])]
+    targets = [q for q in args.only.split(",") if q] or QUERIES
+    for name in targets:
+        entry = {}
+        for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
+            try:
+                runs, n = [], None
+                for _ in range(args.runs):
+                    t0 = time.time()
+                    n = qs[name](spark, sf_dir).count()
+                    runs.append(time.time() - t0)
+                entry[label] = {"best_sec": round(min(runs), 3),
+                                "runs": [round(r, 3) for r in runs], "rows": n}
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                entry[label] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        ok = "error" not in entry.get("sf0.1", {}) and "error" not in entry.get("sf1", {})
+        if ok and entry["sf0.1"]["best_sec"] > 0:
+            entry["ratio"] = round(entry["sf1"]["best_sec"] / entry["sf0.1"]["best_sec"], 2)
+            if entry["ratio"] > args.max_ratio:
+                report["flags"].append(
+                    f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
+        report["queries"][name] = entry
+        print(name, json.dumps(entry))
+    report["loadavg_1min_end"] = round(os.getloadavg()[0], 2)
+    with open(args.json, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"wrote {args.json}; flags: {report['flags'] or 'none'}")
+    spark.stop()
+    if report["flags"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
