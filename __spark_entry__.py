@@ -6168,6 +6168,147 @@ def _orders_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 2-D Pareto frontier (operators/profiling.py
+    pareto_frontier): documents not dominated in (n_chars, distinct word
+    count) — the multi-objective "longest AND lexically richest" selection a
+    single-score top-k gets wrong. Two-phase distributed skyline: local
+    skylines per (lang, salt) partition, then the same two-window pass over
+    the frontier-sized survivors — no key-sized single-task window at any
+    scale. Both measures integer, so the value-range frame is engine-exact;
+    the oracle is the NOT EXISTS dominance definition itself."""
+    from polars_order_book_spark.operators.profiling import pareto_frontier
+    from polars_order_book_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "doc_id", "n_chars",
+        F.size(F.array_distinct(F.filter(tokens("text"), lambda w: w != ""))
+               ).cast("long").alias("n_distinct_words"),
+    )
+    return pareto_frontier(
+        base, ["lang"], "n_chars", "n_distinct_words", id_col="doc_id"
+    )
+
+
+DOCS_PARETO_FRONTIER_SQL = r"""
+WITH base AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(len(list_distinct(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), w -> w <> ''
+         ))) AS BIGINT) AS n_distinct_words
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+)
+SELECT a.lang, a.doc_id, a.n_chars, a.n_distinct_words
+FROM base a
+WHERE NOT EXISTS (
+  SELECT 1 FROM base b
+  WHERE b.lang = a.lang
+    AND b.n_chars >= a.n_chars AND b.n_distinct_words >= a.n_distinct_words
+    AND (b.n_chars > a.n_chars OR b.n_distinct_words > a.n_distinct_words)
+)
+"""
+
+
+def _events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event types' DAILY activity
+    (operators/timeseries.py series_cross_correlation): for every ordered
+    type pair and lag 0-3 days, the Pearson correlation of (a[d], b[d+k])
+    over the grid-completed day range — "do views today predict purchases
+    in two days". The series relation is rollup-sized (days × types), so
+    every join/agg after the one daily-count aggregation is model-sized;
+    counts are integers and the chain is the ACF discipline (exact
+    DECIMAL(38,0), three final IEEE ops), so ccf doubles hash exactly."""
+    from polars_order_book_spark.operators.timeseries import series_cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return series_cross_correlation(daily, "event_type", "day_idx", "n", [0, 1, 2, 3])
+
+
+EVENTS_CCF_SQL = """
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         count(*) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM daily),
+grid AS (
+  SELECT k.event_type AS key, b.lo + r.n AS i
+  FROM (SELECT DISTINCT event_type FROM daily) k,
+       bounds b, (SELECT unnest(range(0, 100000)) AS n) r
+  WHERE b.lo + r.n <= b.hi
+),
+dense AS (
+  SELECT g.key, g.i, COALESCE(d.n, 0) AS v
+  FROM grid g LEFT JOIN daily d ON d.event_type = g.key AND d.day_idx = g.i
+),
+lagged AS (
+  SELECT a.key AS key_a, b.key AS key_b, l.lag AS lag, a.v AS x, b.v AS y
+  FROM dense a
+  JOIN (SELECT unnest([0, 1, 2, 3]) AS lag) l ON TRUE
+  JOIN dense b ON b.i = a.i + l.lag
+),
+agg AS (
+  SELECT key_a, key_b, lag, count(*) AS n_pairs,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM lagged GROUP BY 1, 2, 3
+)
+SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+       END AS ccf
+FROM agg
+"""
+
+
+def _sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance round trip (sources/sinks.py
+    compact_partitions): write events hive-partitioned by event_type with
+    MANY files per partition (8-way repartition before the write — the
+    shape a streaming/append producer leaves behind), compact to one file
+    per partition, read back and hash against DuckDB reading the ORIGINAL
+    table — proves the rewrite loses no rows/values. The one-file-per-
+    partition property itself is pinned by tests/test_sinks.py; at 100 TB
+    this pass is what keeps scan planning off the listing bottleneck."""
+    import tempfile
+
+    from polars_order_book_spark.sources.sinks import (
+        compact_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="compact_rt_") + "/events"
+    write_partitioned(ev.repartition(8), path, ["event_type"])
+    compact_partitions(spark, path, ["event_type"])
+    back = read_partitioned(spark, path)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+SINK_COMPACTION_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def _events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Theil-Sen robust trend of value over time
     (operators/timeseries.py theil_sen_trend): slope = LOWER median of all
@@ -7172,220 +7313,60 @@ FROM per_doc GROUP BY lang
 # entries wait in the tail. tests/test_registry.py pins the split; every
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
-_R6_HEAD = [
-    # (1) the only four entries whose latest driver row is red (r3, the
-    # TIMESTAMP_NTZ bug fixed in r4 — green locally ever since, but the
-    # driver has never re-sampled them)
-    "events_sessionize",
-    "events_asof_purchase",
-    "events_lead_lag",
-    "events_sessionize_stream",
-    # (2) never sampled: new in r6, plus the rename keeping the opt-in
-    # label-propagation components under oracle
-    "events_heavy_hitters_by_type",
-    "documents_bpe_tokens",
-    "events_heavy_hitters_stream",
-    "documents_hybrid_search",
-    # (2b) never sampled: new in the r6 second session (SemDeDup, split
-    # labels, bigram LM, knn graph, streaming ANN) — displace five
-    # oldest-green entries (r2/r3 rows) to the tail per the rotation policy
-    "embeddings_semdedup",
-    "embeddings_ann_stream",
-    "documents_dsir_weights",
-    "text_apply_span_cuts",
-    # (2c) never sampled: new in the r6 third session (product quantization
-    # family, IVF-PQ composite, PQ recall eval, two-iteration Lloyd training,
-    # Gopher rules, n-gram novelty, curriculum interleave) — displace eight
-    # more r1-r3 multi-green entries to the tail per the rotation policy
-    # (ann_recall_pq demoted to the tail in session 5: the recall-eval join
-    # path gets driver signal through ann_recall_pq_residual and
-    # ann_recall_pq_trained below, which share the identical harness code;
-    # its own output stays pinned by the local gate + pytest)
-    "documents_gopher_rules",
-    "documents_ngram_novelty",
-    "documents_curriculum_order",
-    # (2d) never sampled: new in the r6 fourth session (trainable classifier
-    # train/score/stream, as-of book sampling, MMR rerank, banding-recall
-    # eval, leakage-safe split, held-out LM, covariance, MAD outliers,
-    # char entropy, Spearman) — displace twelve more r1-r3 multi-green
-    # entries to the tail per the rotation policy
-    "documents_classifier_score",
-    "documents_classifier_stream",
-    "ann_mmr_rerank",
-    "documents_leakage_split",
-    "documents_lm_heldout",
-    "documents_quality_correlation",
-    "embeddings_pq_ivf_residual_topk",
-    "embeddings_pq_trained_topk",
-    # (2e) never sampled: new in the r6 fifth session (count-min sketch
-    # rollup, Bloom runtime-filter audit, OOV rate, capped inverted index).
-    # Never-sampled outranks behavior-changed per the amended policy, so the
-    # three r6-behavior-changed entries (dedup_components, documents_deduped,
-    # ob_chunked_mutations_top2 — star default + streamed fold, all local-
-    # gate green since the change) yield their slots to the tail.
-    "orders_bloom_semijoin",
-    "text_postings",
-    # (2f) never sampled: new in the r6 sixth session (item co-occurrence
-    # recommender, incremental aggregate maintenance, mergeable HLL rollup,
-    # PMI keywords, Zipf profile). To hold the 50-entry cap, six
-    # never-sampled entries whose code paths are fully exercised by a
-    # RETAINED head sibling moved to the tail (the ann_recall_pq precedent;
-    # each stays pinned by the local gate + pytest):
-    #   events_heavy_hitters_windowed — same heavy_hitters_by path as
-    #     events_heavy_hitters_by_type (only the key expr differs);
-    #   text_dup_span_cuts — the exact prefix of text_apply_span_cuts' chain;
-    #   embeddings_pq_codes — encode path inside every retained pq_topk;
-    #   embeddings_pq_topk — same ADC harness as embeddings_pq_trained_topk;
-    #   documents_classifier_step — GD chain inside documents_classifier_score;
-    #   ann_recall_pq_residual — recall harness via ann_recall_pq_trained,
-    #     residual chain via embeddings_pq_ivf_residual_topk;
-    #   embeddings_pq_ivf_topk — cell-prune equi-join + ADC chain is the
-    #     strict subset of the retained embeddings_pq_ivf_residual_topk;
-    #   documents_lm_score — full-corpus bigram scoring chain is the strict
-    #     subset of the retained documents_lm_heldout (train/val split on
-    #     top of the same scorer).
-    "events_item_cooccurrence",
-    "orders_incremental_agg",
-    "events_hll_rollup",
-    "documents_pmi_keywords",
-    "documents_zipf_profile",
-    # (2g) never sampled: new in the r6 seventh session (sliding-window
-    # distinct, exponential time-decay, negative sampling, hard-negative
-    # mining, MRR eval, k-anonymity audit, sliding streaming windows).
-    # To hold the 50-entry cap, seven never-sampled entries whose code
-    # paths are covered by a retained head sibling or a historically
-    # driver-green row moved to the tail (rationale per entry):
-    #   text_bm25 — its scoring chain is verbatim the lexical leg of the
-    #     retained documents_hybrid_search;
-    #   ann_recall_pq_trained — trained-codebook chain inside the retained
-    #     embeddings_pq_trained_topk; the recall harness is ann_recall_lsh
-    #     (r1-r3 green) shared code;
-    #   embeddings_semdedup_incremental — bipartite band shape driver-green
-    #     via dedup_incremental (r5); cell-join + centroid chain via the
-    #     retained embeddings_semdedup;
-    #   embeddings_kmeans_train — each iteration IS embeddings_kmeans_step
-    #     (r2-green, tail) and the chain is pinned by the exact-chain local
-    #     oracle + pytest;
-    #   documents_temperature_mix — deterministic threshold-sampler
-    #     machinery shared with documents_domain_mix (r5 green);
-    #   dedup_components_prop — the prop algorithm carries r2/r3 driver-green
-    #     rows from when it was dedup_components' default;
-    #   ob_book_asof — composes the keyed fold (multi-round green) with
-    #     asof_join (events_asof_purchase, head slot 2 this round).
-    # ann_recall_dims (new) starts in the tail by the same rule: its approx
-    # side is cosine_topk_bruteforce on sliced vectors (ann_cosine_topk,
-    # triple-green) and its harness is topk_recall (ann_recall_lsh green).
-    "events_sliding_active_users",
-    "events_time_decay",
-    "events_negative_samples",
-    "embeddings_hard_negatives",
-    "ann_eval_mrr",
-    "events_sliding_stream",
-    # (2h) never sampled: new in the r6 eighth session (gaps-and-islands
-    # attribute runs, out-of-order watermark audit, bucket debounce,
-    # per-lang percentile normalization, cross-split contamination matrix).
-    # Five sibling-covered never-sampled entries moved to the tail:
-    #   embeddings_knn_graph — banded-LSH pair generation is dedup_embedding
-    #     (r1-r3 green) code; the per-point rerank window is the _topk shape
-    #     driver-green across the ANN family;
-    #   documents_split_assign — the hash-threshold CASE labeling inside the
-    #     retained documents_leakage_split (same split_assign call) and
-    #     documents_split_contamination (new, head);
-    #   events_top_similar_items — strict suffix of the retained
-    #     events_item_cooccurrence (symmetrize + one bounded window);
-    #   events_reservoir_sample — hash-rank per-key window selection, the
-    #     same machinery as documents_weighted_sample (r3/r4 green) and the
-    #     retained events_negative_samples;
-    #   embeddings_random_projection — map-only array transform like
-    #     embeddings_quantize_int8 (r5 green); JL distortion pinned by
-    #     pytest + local gate.
-    "events_user_type_history",
-    "events_late_arrivals",
-    "events_debounced",
-    "documents_quality_percentile",
-    "documents_split_contamination",
-    # (2i) never sampled: new in the r6 ninth session (TV/KS distribution
-    # drift, embedding centroid drift). Two sibling-covered demotions:
-    #   documents_oov_rate — vocab build inside the retained
-    #     text_vocabulary, per-doc token explode inside the retained
-    #     text_token_counts; OOV adds one broadcast join + one division;
-    #   events_k_anonymity — a plans-level distinct + groupBy composition
-    #     (no new operator code) whose plan shape is multi-green
-    #     (dedup_exact r1-r3, events_user_distinct_approx r2-r4); its
-    #     semantics stay pinned by the full local gate + pytest.
-    "events_value_drift",
-    "embeddings_centroid_drift",
-    # (2j) never sampled: new in the r6 tenth session — the streaming drift
-    # monitor (frozen baseline histogram vs foreachBatch-maintained current
-    # counts, final TV/KS == the batch recompute). One sibling-covered
-    # demotion: orders_rollup_stream — its entire machinery
-    # (maintain_rollup_stream / fold_batch / _CURRENT replay guard /
-    # init_table / read_current) is exercised verbatim by the retained
-    # events_drift_stream, and its sum/max combine arithmetic by the
-    # retained orders_incremental_agg (fold_batch delegates to
-    # incremental_agg).
-    "events_drift_stream",
-    # (2k) never sampled: new in the r6 eleventh session — the
-    # schema-evolution connector roundtrip (two schema versions of one
-    # dataset read back under mergeSchema). documents_bpe_fertility (new)
-    # starts in the tail: it is the retained documents_bpe_tokens chain
-    # plus one lang-sized rollup of exact sums. One sibling-covered
-    # demotion: documents_wordfreq_stream — its foreachBatch counter
-    # maintenance is exercised by the retained events_drift_stream (same
-    # versioned-parquet fold) and streaming-docs ingestion by the retained
-    # documents_classifier_stream.
-    "sink_schema_evolution",
-    # (2l) never sampled: new in the r6 twelfth session — two-stage
-    # binary-quantized retrieval (sign-bit packing + Hamming shortlist +
-    # exact cosine rerank: genuinely new bit_count/xor signature code) and
-    # incremental JOIN-view maintenance (the ΔR⨝S ∪ R⨝ΔS ∪ ΔR⨝ΔS delta
-    # algebra: new operator code beyond the retained orders_incremental_agg
-    # combine). Two sibling-covered demotions:
-    #   embeddings_covariance — its driver-checked exact per-dim decimal-sum
-    #     chain is the same linalg.py machinery exercised by the retained
-    #     embeddings_centroid_drift (which adopted "the covariance
-    #     convention" for its final rounding); the PCA eigensolve was always
-    #     pytest-pinned, not oracle-checked;
-    #   events_anomaly_mad — a plans-level composition over built-in exact
-    #     percentile (no operator code); its groupBy-join-filter shape is
-    #     driver-green via events_anomaly_zscore (r2/r3) and the exact
-    #     percentile path via events_value_quantiles / the retained
-    #     documents_quality_percentile.
-    "ann_hamming_rerank",
-    "orders_incremental_join",
-    # also session 12: the deletion dual (retract_agg — new subtract +
-    # drop-zero semantics with no prior driver coverage). One
-    # sibling-covered demotion:
-    #   dedup_recall_banding — an eval composition: the LSH side is
-    #     dedup_minhash_lsh (r1-r3 green), the truth side the exact
-    #     shared-shingle machinery (dedup_ngram_jaccard, multi-green), the
-    #     recall division the topk_recall convention (ann_recall_lsh green).
-    "orders_retraction_agg",
-    # also session 12: exact per-group quantiles fully in-plan (new
-    # struct-min target/residual derivation — not the tail two-pass
-    # variant's driver walk). One sibling-covered demotion:
-    #   documents_char_entropy — a plans-level map-only signal (no operator
-    #     code); its shape is driver-green via text_quality (r1-r3) and the
-    #     retained plans-level quality signals (documents_quality_percentile
-    #     / documents_quality_correlation).
-    "events_quantiles_exact_by_type",
-    # also session 12: the mergeable quantile-histogram rollup (new
-    # cells-build / merge / integer-rank quantile chain in
-    # operators/frequency.py). One sibling-covered demotion:
-    #   events_countmin_rollup — its bounded cell-grid build + broadcast
-    #     probe machinery lives in the same sketch family with the retained
-    #     events_hll_rollup (store-then-merge counters) and
-    #     events_heavy_hitters_by_type (exact-verify probe); its own output
-    #     stays pinned by the local gate + pytest.
-    "events_quantile_histogram",
-    # (ob_updates_top3, ob_stream_keyed_mutations_top2,
-    # ob_relational_mutations_top2, events_hourly_pivot,
-    # orders_rolling_revenue, events_value_quantiles_approx, dedup_exact,
-    # dedup_minhash_lsh — r1-r3 multi-green — fell to the tail for the eight
-    # new session-3 entries, joining the ten session-2 displacements:
-    # dedup_embedding, text_quality, ob_mutations_top2, ob_modify_top2,
-    # ob_keyed_mutations_top2, text_redact_pii, ann_cosine_topk,
-    # text_docfreq_score, documents_budget_pack, dedup_ngram_jaccard)
+_R7_HEAD = [
+    # GENERATED by tools/apply_rotation.py --round 7 --changed ann_cosine_topk_ivf,embeddings_pq_ivf_residual_topk,embeddings_pq_trained_topk,orders_retraction_agg
+    # policy: stale-red > never-sampled > behavior-changed > oldest-green
+    # registry=241 driver-green-union=196 never-sampled=45
+    "ann_recall_dims",  # never-sampled
+    "ann_recall_pq",  # never-sampled
+    "ann_recall_pq_residual",  # never-sampled
+    "ann_recall_pq_trained",  # never-sampled
+    "dedup_components_prop",  # never-sampled
+    "dedup_recall_banding",  # never-sampled
+    "documents_bpe_fertility",  # never-sampled
+    "documents_bpe_train_distributed",  # never-sampled
+    "documents_char_entropy",  # never-sampled
+    "documents_classifier_reliability",  # never-sampled
+    "documents_classifier_step",  # never-sampled
+    "documents_lm_score",  # never-sampled
+    "documents_oov_rate",  # never-sampled
+    "documents_pareto_frontier",  # never-sampled
+    "documents_split_assign",  # never-sampled
+    "documents_temperature_mix",  # never-sampled
+    "documents_token_weighted_length",  # never-sampled
+    "documents_wordfreq_stream",  # never-sampled
+    "embeddings_covariance",  # never-sampled
+    "embeddings_kmeans_train",  # never-sampled
+    "embeddings_knn_graph",  # never-sampled
+    "embeddings_pq_codes",  # never-sampled
+    "embeddings_pq_ivf_topk",  # never-sampled
+    "embeddings_pq_topk",  # never-sampled
+    "embeddings_random_projection",  # never-sampled
+    "embeddings_semdedup_incremental",  # never-sampled
+    "events_acf",  # never-sampled
+    "events_anomaly_mad",  # never-sampled
+    "events_ccf",  # never-sampled
+    "events_countmin_rollup",  # never-sampled
+    "events_heavy_hitters_windowed",  # never-sampled
+    "events_k_anonymity",  # never-sampled
+    "events_quantiles_exact_twopass",  # never-sampled
+    "events_reservoir_sample",  # never-sampled
+    "events_selfjoin_size",  # never-sampled
+    "events_session_overlap",  # never-sampled
+    "events_theil_sen",  # never-sampled
+    "events_top_similar_items",  # never-sampled
+    "ob_book_asof",  # never-sampled
+    "orders_join_view_stream",  # never-sampled
+    "orders_rollup_stream",  # never-sampled
+    "sink_bucketed_join",  # never-sampled
+    "sink_compaction",  # never-sampled
+    "text_bm25",  # never-sampled
+    "text_dup_span_cuts",  # never-sampled
+    "ann_cosine_topk_ivf",  # behavior-changed
+    "embeddings_pq_ivf_residual_topk",  # behavior-changed
+    "embeddings_pq_trained_topk",  # behavior-changed
+    "orders_retraction_agg",  # behavior-changed
+    "supplier_nation_summary",  # oldest-green
 ]
 
 
@@ -7426,6 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_key": _events_zorder_key,
         "sink_roundtrip": _sink_roundtrip,
         "sink_bucketed_join": hq.sink_bucketed_join,
+        "sink_compaction": _sink_compaction,
         "text_clean": _text_clean,
         "documents_category_index": _docs_category_index,
         "events_csv_roundtrip": _events_csv_roundtrip,
@@ -7507,7 +7489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup_stream": _orders_rollup_stream,
         "events_reservoir_sample": _events_reservoir_sample,
         "events_theil_sen": _events_theil_sen,
+        "documents_pareto_frontier": _docs_pareto_frontier,
         "events_acf": _events_acf,
+        "events_ccf": _events_ccf,
         "documents_classifier_step": _docs_classifier_step,
         "documents_classifier_score": _docs_classifier_score,
         "documents_classifier_reliability": _docs_classifier_reliability,
@@ -7658,8 +7642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_categorize": hq.part_categorize,
     }
     # Rotation applied as an explicit reorder so the priority list is one
-    # auditable block (_R6_HEAD) instead of implicit dict-literal order.
-    out = {name: base[name] for name in _R6_HEAD}
+    # auditable block (_R7_HEAD) instead of implicit dict-literal order.
+    out = {name: base[name] for name in _R7_HEAD}
     out.update({name: fn for name, fn in base.items() if name not in out})
     return out
 
@@ -7794,7 +7778,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup_stream": ORDERS_INCREMENTAL_AGG_SQL,
         "events_reservoir_sample": EVENTS_RESERVOIR_SQL,
         "events_theil_sen": EVENTS_THEIL_SEN_SQL,
+        "documents_pareto_frontier": DOCS_PARETO_FRONTIER_SQL,
         "events_acf": EVENTS_ACF_SQL,
+        "events_ccf": EVENTS_CCF_SQL,
         "events_sliding_active_users": EVENTS_SLIDING_ACTIVE_SQL,
         "events_time_decay": EVENTS_TIME_DECAY_SQL,
         "events_negative_samples": EVENTS_NEGATIVE_SAMPLES_SQL,
@@ -7869,6 +7855,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_consistency_n1_n2": _ob_consistency_sql(),
         "sink_roundtrip": SINK_ROUNDTRIP_SQL,
         "sink_bucketed_join": hq.SINK_BUCKETED_JOIN_SQL,
+        "sink_compaction": SINK_COMPACTION_SQL,
         "dedup_stream_survivors": DEDUP_STREAM_SQL,
         "events_csv_roundtrip": EVENTS_CSV_ROUNDTRIP_SQL,
         "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_SQL,

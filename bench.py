@@ -190,6 +190,18 @@ def main() -> None:
         "events_quantiles_exact_by_type",
         "orders_retraction_agg",
         "documents_token_weighted_length",
+        # r7 additions: bucketed-interval overlap join, Theil-Sen robust
+        # trend (reservoir-capped pairs), lag-k autocorrelation, co-located
+        # bucketed-table join (write + exchange-free SMJ), and the
+        # distributed BPE training loop (4 merges, per-iteration jobs).
+        "events_session_overlap",
+        "events_theil_sen",
+        "events_acf",
+        "sink_bucketed_join",
+        "documents_bpe_train_distributed",
+        "documents_pareto_frontier",
+        "events_ccf",
+        "sink_compaction",
     ]
     qs = E.queries()
 

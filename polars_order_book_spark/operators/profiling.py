@@ -195,3 +195,69 @@ def _drift_chain(counts: DataFrame, keys: "list[str]", bucket_col: str) -> DataF
             ).alias("ks"),
         )
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    keys: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    id_col: str,
+    salt_parts: int = 32,
+) -> DataFrame:
+    """Per-key 2-D Pareto frontier (skyline, maxima in both dimensions): keep
+    each row not dominated by another row of the same key — dominated means
+    the other row is >= in BOTH measures and strictly greater in at least
+    one. Mutually-equal points are all kept (neither dominates). The
+    multi-objective selection step of a curation pipeline ("longest AND
+    richest documents", "cheapest AND freshest snapshot") that a top-k on
+    any single score gets wrong.
+
+    One skyline pass is two window functions over (key [, x]): the max y
+    among STRICTLY greater x (a value-range frame — exact for integer x)
+    and the max y within the same x; a row survives iff neither beats it.
+
+    Scale shape — the classic two-phase distributed skyline: a per-key
+    window puts the whole key on one task, so phase 1 computes LOCAL
+    skylines per (key, salt(id) mod salt_parts) partition and phase 2
+    re-runs the same pass per key over the survivors only. Correct because
+    skyline is composable: a globally non-dominated row has no dominator in
+    ANY subset, so it survives every local pass; phase 2 removes the
+    locally-undominated impostors. Survivor sets are frontier-sized
+    (~O(log n) per salt for non-degenerate data), so the phase-2 window is
+    tiny no matter how large the key group. Both measures must be integer
+    (exact value-range frames both engines agree on); NULL keys/measures
+    are excluded up front (ordered-family convention).
+    """
+    if salt_parts < 1:
+        raise ValueError(f"salt_parts must be >= 1, got {salt_parts}")
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.where(
+        x.isNotNull() & y.isNotNull()
+        & F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
+    )
+
+    def skyline(rel: DataFrame, part: "list[str]") -> DataFrame:
+        w_gt = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(x_col).desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part, x_col)
+        max_gt = F.max(y).over(w_gt)
+        max_eq = F.max(y).over(w_eq)
+        return (
+            rel.withColumn("__mg", max_gt)
+            .withColumn("__me", max_eq)
+            .where((F.col("__mg").isNull() | (F.col("__mg") < y)) & (F.col("__me") == y))
+            .drop("__mg", "__me")
+        )
+
+    local = skyline(
+        base.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int")
+        ),
+        [*keys, "__salt"],
+    ).drop("__salt")
+    return skyline(local, list(keys))

@@ -532,3 +532,80 @@ def lag_autocorrelation(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def series_cross_correlation(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    lags: "list[int]",
+) -> DataFrame:
+    """Cross-correlation between every ordered pair of keyed integer series:
+    for keys (a, b) and lag k, the Pearson correlation of
+    ``(a[i], b[i + k])`` over the common integer index grid — the lead-lag
+    diagnostic ("do views today predict purchases in two days?") behind
+    feature-lag selection, run on ROLLUP-SIZED series (daily counts), never
+    on raw events.
+
+    Callers pass an already-aggregated (key, idx, value) relation with
+    integer values; indices missing from a key's [min, max] range count as
+    0 (grid completion — correlation over a shared clock, not over
+    coincidentally-present rows). Same exactness discipline as
+    :func:`lag_autocorrelation`: all sums/cross-products in DECIMAL(38,0),
+    three final IEEE ops, zero-variance legs emit NULL.
+
+    Scale shape: the series relation is (keys × index-range)-sized — a
+    model, not a fact table. The lag join is an equi-join on the shifted
+    index; everything downstream is a rollup-sized aggregation. Building
+    the input series from raw facts is the caller's one big aggregation.
+    """
+    if not lags or any(k < 0 for k in lags):
+        raise ValueError(f"lags must be >= 0, got {lags}")
+    bounds = series.agg(
+        F.min(idx_col).alias("__lo"), F.max(idx_col).alias("__hi")
+    )
+    keys_rel = series.select(F.col(key_col).alias("__k")).distinct()
+    grid = keys_rel.crossJoin(F.broadcast(bounds)).select(
+        "__k", F.explode(F.sequence("__lo", "__hi")).alias("__i")
+    )
+    dense = grid.join(
+        series.select(
+            F.col(key_col).alias("__k"),
+            F.col(idx_col).alias("__i"),
+            F.col(val_col).cast("long").alias("__v"),
+        ),
+        ["__k", "__i"],
+        "left",
+    ).select("__k", "__i", F.coalesce(F.col("__v"), F.lit(0)).alias("__v"))
+    dense = dense.localCheckpoint(eager=False)  # feeds every lag's both sides
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = dense.select(F.col("__k").alias("key_a"), F.col("__i").alias("__i"),
+                     F.col("__v").alias("__x"))
+    outs = []
+    for k in lags:
+        b = dense.select(F.col("__k").alias("key_b"),
+                         (F.col("__i") - F.lit(k)).alias("__i"),
+                         F.col("__v").alias("__y"))
+        pairs = a.join(b, "__i")
+        agg = pairs.groupBy("key_a", "key_b").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec(F.col("__x"))).alias("__sx"),
+            F.sum(dec(F.col("__y"))).alias("__sy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
+            F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+            F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+        )
+        m = dec(F.col("n_pairs"))
+        num = (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        varx = (m * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        vary = (m * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+        outs.append(agg.select(
+            "key_a", "key_b", F.lit(k).cast("long").alias("lag"), "n_pairs",
+            F.when((varx > 0) & (vary > 0), num / F.sqrt(varx * vary)).alias("ccf"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -104,3 +104,65 @@ def test_negative_samples_guardrails(spark):
     df = _inter(spark, [(0, 1)])
     with pytest.raises(ValueError, match="candidate_pool"):
         negative_samples(df, k=5, candidate_pool=3)
+
+
+# --- 2-D Pareto frontier (two-phase distributed skyline) -----------------------
+
+from polars_order_book_spark.operators.profiling import pareto_frontier  # noqa: E402
+
+
+def _sky(spark, rows):
+    return spark.createDataFrame(rows, "k string, id long, x long, y long")
+
+
+def test_pareto_hand_case_with_ties_and_dominance(spark):
+    rows = [
+        ("a", 1, 10, 1),   # frontier (max x)
+        ("a", 2, 8, 5),    # frontier
+        ("a", 3, 8, 5),    # duplicate of 2: mutually non-dominated, kept
+        ("a", 4, 8, 4),    # dominated by 2 (same x, smaller y)
+        ("a", 5, 3, 9),    # frontier (max y)
+        ("a", 6, 2, 9),    # dominated by 5 (smaller x, same y)
+        ("a", 7, 1, 1),    # dominated by everything
+        ("b", 8, 1, 1),    # other key: its own frontier
+    ]
+    got = sorted(r["id"] for r in pareto_frontier(
+        _sky(spark, rows), ["k"], "x", "y", id_col="id").collect())
+    assert got == [1, 2, 3, 5, 8]
+
+
+def test_pareto_salt_composability(spark):
+    """skyline(union of local skylines) == skyline(full): any salt split
+    yields the same frontier."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("k", i, rng.randrange(50), rng.randrange(50)) for i in range(300)]
+    base = _sky(spark, rows)
+    a = sorted(r["id"] for r in pareto_frontier(
+        base, ["k"], "x", "y", id_col="id", salt_parts=1).collect())
+    b = sorted(r["id"] for r in pareto_frontier(
+        base, ["k"], "x", "y", id_col="id", salt_parts=8).collect())
+    # brute-force truth
+    pts = {i: (x, y) for _, i, x, y in rows}
+    def dominated(i):
+        xi, yi = pts[i]
+        return any((xb >= xi and yb >= yi and (xb > xi or yb > yi))
+                   for j, (xb, yb) in pts.items() if j != i)
+    want = sorted(i for i in pts if not dominated(i))
+    assert a == want and b == want
+
+
+def test_pareto_null_measures_excluded(spark):
+    rows = [("k", 1, 5, 5), ("k", 2, None, 9), ("k", 3, 9, None)]
+    df = spark.createDataFrame(rows, "k string, id long, x long, y long")
+    got = [r["id"] for r in pareto_frontier(df, ["k"], "x", "y", id_col="id").collect()]
+    assert got == [1]
+
+
+def test_pareto_guardrail(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_parts"):
+        pareto_frontier(_sky(spark, [("k", 1, 1, 1)]), ["k"], "x", "y",
+                        id_col="id", salt_parts=0)

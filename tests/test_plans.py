@@ -206,6 +206,11 @@ _BNLJ_WHITELIST = {
     # the 16-byte packed signatures (operators/similarity.py
     # cosine_topk_hamming_rerank); the stage-2 rerank is equi-joins only
     "ann_hamming_rerank",
+    # 1-row (min, max) index-bounds aggregate broadcast-crossed against the
+    # distinct-keys relation to build the shared day grid — the model-sized
+    # grid completion in operators/timeseries.py series_cross_correlation;
+    # the lag joins are equi-joins on the shifted index
+    "events_ccf",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

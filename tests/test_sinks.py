@@ -120,10 +120,14 @@ def test_compact_partitions_consolidates_files(spark, tmp_path):
     assert data_after == data_before
 
 
-def test_bucketed_sorted_single_file_elides_sort_too(spark):
-    """With sort_by metadata AND one file per bucket (write_bucketed
-    repartitions to n_buckets on the bucket key), the SMJ needs no Sort
-    node either — scan order satisfies the join's ordering requirement."""
+def test_bucketed_sorted_single_file_sort_elision(spark):
+    """write_bucketed's repartition gives ONE file per bucket — the
+    precondition for sort-order propagation from sorted buckets. Spark 3+
+    still inserts a (bucket-local, exchange-free) Sort by default
+    (SPARK-28595 turned scan outputOrdering off); under
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true the Sort is
+    elided too. Pin both behaviors so the layout contract is explicit:
+    the EXCHANGE elision is unconditional, the SORT elision is opt-in."""
     import glob
 
     from polars_order_book_spark.sources.sinks import write_bucketed
@@ -133,6 +137,8 @@ def test_bucketed_sorted_single_file_elides_sort_too(spark):
     write_bucketed(left, "bkt_sl", ["k"], 4, sort_by=["k"])
     write_bucketed(right, "bkt_sr", ["k"], 4, sort_by=["k"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    legacy = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev_legacy = spark.conf.get(legacy, "false")
     try:
         warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for t in ("bkt_sl", "bkt_sr"):
@@ -145,10 +151,19 @@ def test_bucketed_sorted_single_file_elides_sort_too(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
-        assert "Sort [" not in plan, plan
+        assert "Sort [" in plan  # default: bucket-local sort kept
         assert joined.count() == 500
+
+        spark.conf.set(legacy, "true")
+        joined2 = spark.table("bkt_sl").join(spark.table("bkt_sr"), on="k")
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan2
+        assert "Exchange" not in plan2, plan2
+        assert "Sort [" not in plan2, plan2  # scan order satisfies the SMJ
+        assert joined2.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(legacy, prev_legacy)
         spark.sql("DROP TABLE IF EXISTS bkt_sl")
         spark.sql("DROP TABLE IF EXISTS bkt_sr")
 

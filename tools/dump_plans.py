@@ -170,6 +170,17 @@ HEADLINE = [
     "events_quantile_histogram",
     "events_quantiles_exact_twopass",
     "events_selfjoin_size",
+    # r7: bucketed-interval session overlap, Theil-Sen capped pairs, lag-k
+    # autocorrelation, co-located bucketed SMJ, distributed BPE training,
+    # two-phase Pareto skyline
+    "events_session_overlap",
+    "events_theil_sen",
+    "events_acf",
+    "sink_bucketed_join",
+    "documents_bpe_train_distributed",
+    "documents_pareto_frontier",
+    "events_ccf",
+    "sink_compaction",
 ]
 
 
