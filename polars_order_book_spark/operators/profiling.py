@@ -239,12 +239,22 @@ def pareto_frontier(
     )
 
     def skyline(rel: DataFrame, part: "list[str]") -> DataFrame:
+        # Both window frames share ONE partitioning and ordering (x desc),
+        # so Spark computes them in a single exchange + sort: the strict-x
+        # max via the value-range frame ending 1 before the current value,
+        # the equal-x group max via the [0, 0] value-range frame. A
+        # partitionBy(part, x) spec for the equal-x max would force a
+        # second exchange per pass (measured in PLANS.md).
         w_gt = (
             Window.partitionBy(*part)
             .orderBy(F.col(x_col).desc())
             .rangeBetween(Window.unboundedPreceding, -1)
         )
-        w_eq = Window.partitionBy(*part, x_col)
+        w_eq = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(x_col).desc())
+            .rangeBetween(0, 0)
+        )
         max_gt = F.max(y).over(w_gt)
         max_eq = F.max(y).over(w_eq)
         return (

@@ -497,41 +497,54 @@ def lag_autocorrelation(
         *keys, *order_cols,
         F.floor(v * F.lit(float(quantize))).cast("long").alias("__q"),
     )
+    # ALL lags in ONE window pass: every lead() shares the same partition
+    # and ordering, so Spark evaluates them in a single sort — one scan,
+    # one exchange, one sort, however many lags. The per-lag formulation
+    # (one select + union per lag) re-scanned and re-sorted the input per
+    # lag (measured: 6 scans / 3 sorts for lags [1,2,3] in PLANS.md).
     w = Window.partitionBy(*keys).orderBy(*order_cols)
+    leads = base.select(
+        *keys,
+        F.col("__q").alias("__x"),
+        *[F.lead("__q", k).over(w).alias(f"__y{k}") for k in lags],
+    )
+    stacked = leads.select(
+        *keys,
+        "__x",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("long").alias("lag"),
+                    F.col(f"__y{k}").alias("y"),
+                )
+                for k in lags
+            ])
+        ).alias("__p"),
+    ).select(
+        *keys,
+        F.col("__p.lag").alias("lag"),
+        "__x",
+        F.col("__p.y").alias("__y"),
+    ).where(F.col("__y").isNotNull())
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    outs = []
-    for k in lags:
-        pairs = base.select(
-            *keys,
-            F.col("__q").alias("__x"),
-            F.lead("__q", k).over(w).alias("__y"),
-        ).where(F.col("__y").isNotNull())
-        agg = pairs.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(dec(F.col("__x"))).alias("__sx"),
-            F.sum(dec(F.col("__y"))).alias("__sy"),
-            F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
-            F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
-            F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
-        )
-        m = dec(F.col("n_pairs"))
-        num = (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
-        varx = (m * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
-        vary = (m * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
-        outs.append(
-            agg.select(
-                *keys,
-                F.lit(k).cast("long").alias("lag"),
-                "n_pairs",
-                F.when(
-                    (varx > 0) & (vary > 0), num / F.sqrt(varx * vary)
-                ).alias("acf"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    agg = stacked.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec(F.col("__x"))).alias("__sx"),
+        F.sum(dec(F.col("__y"))).alias("__sy"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__y"))).alias("__sxy"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__x"))).alias("__sxx"),
+        F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+    )
+    m = dec(F.col("n_pairs"))
+    num = (m * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    varx = (m * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vary = (m * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return agg.select(
+        *keys,
+        "lag",
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), num / F.sqrt(varx * vary)).alias("acf"),
+    )
 
 
 def series_cross_correlation(
