@@ -297,14 +297,35 @@ DEMOTED_TAIL = {
 
 
 def test_priority_queries_within_driver_cap():
+    """r7+: the head-50 is GENERATED from the recorded driver history
+    (tools/apply_rotation.py), so 'needs signal' is no longer the r6
+    hand-curated DEMOTED_TAIL complement — it is exactly the stale-red and
+    never-driver-sampled entries. Every one of those must occupy the head,
+    up to the 50-entry driver cap; when they exceed the cap, the entire
+    head must come from that priority class (nothing green may displace
+    an unsampled entry)."""
+    from tools.rotation import load_history
+
     names = list(E.queries())
-    first50 = set(names[:50])
-    needs_signal = [n for n in names if n not in DEMOTED_TAIL]
-    missed = [n for n in needs_signal if n not in first50]
-    assert not missed, (
-        f"registry entries needing driver signal fell past the 50-entry cap: "
-        f"{missed} — demote a double-green variant instead"
-    )
+    first50 = names[:50]
+    hist = load_history()
+    priority = []
+    for n in names:
+        runs = hist.get(n)
+        if not runs or not runs[-1][1]:  # never sampled, or latest row red
+            priority.append(n)
+    if len(priority) <= 50:
+        missed = [n for n in priority if n not in set(first50)]
+        assert not missed, (
+            f"stale-red/never-sampled entries fell past the 50-entry driver "
+            f"cap: {missed} — regenerate the head (tools/apply_rotation.py)"
+        )
+    else:
+        impostors = [n for n in first50 if n not in set(priority)]
+        assert not impostors, (
+            f"driver-green entries occupy head slots while unsampled ones "
+            f"wait: {impostors} — regenerate the head (tools/apply_rotation.py)"
+        )
 
 
 @needs_testdata
