@@ -3184,6 +3184,86 @@ UNION ALL SELECT 4, l, r FROM best4
 )
 
 
+def _docs_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer vocabulary (operators/unigram.py unigram_vocab):
+    every character plus the top-50 multi-char substrings (len <= 4) by
+    corpus-weighted occurrence count, with the integer bit-length cost
+    surrogate for -log p (bits(max_count) - bits(count) + 1 — floor(log2)+1
+    both engines compute without libm). One substring explode + counted
+    groupBy; the 1-row max-count aggregate broadcasts (the text_tfidf
+    global-normalizer pattern, whitelisted)."""
+    from polars_order_book_spark.operators.unigram import unigram_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_vocab(docs)
+
+
+DOCS_UNIGRAM_VOCAB_SQL = """
+WITH\nwuv AS (\n  SELECT word, count(*) AS freq FROM (\n    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents\n  ) WHERE word <> '' GROUP BY word\n),\nuv_subs AS (\n  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,\n         CAST(sum(freq) AS BIGINT) AS n\n  FROM wuv, range(1, 4096) r(i), range(1, 5) sl(l)\n  WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= length(word)\n  GROUP BY 1\n),\nuv_multi AS (\n  SELECT piece, n FROM uv_subs WHERE length(piece) > 1\n  ORDER BY n DESC, piece LIMIT 50\n),\nuv_vocab AS (\n  SELECT piece, n,\n         CAST((SELECT length(bin(max(n))) FROM uv_subs)\n              - length(bin(n)) + 1 AS BIGINT) AS cost\n  FROM (SELECT piece, n FROM uv_subs WHERE length(piece) = 1\n        UNION ALL SELECT piece, n FROM uv_multi)\n)
+SELECT piece, n, cost FROM uv_vocab
+"""
+
+
+def _docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-shaped tokenization under the corpus-derived unigram
+    vocabulary (operators/unigram.py): EXACT min-(cost, n_pieces) Viterbi
+    segmentation per word — the lexicographic objective encodes as ONE
+    BIGINT (cost * 2^20 + pieces), so the per-doc totals are unique and
+    hash the oracle bit-for-bit however path ties break. The oracle
+    re-derives the full DP per distinct word as a list_reduce fold over a
+    piece->cost MAP — the same recurrence, engine-side. Model ships in the
+    mapInPandas closure (vocab-sized, the BPE-ranks convention); per-batch
+    distinct-word caching keeps Viterbi off the token hot path."""
+    from polars_order_book_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs)
+    return unigram_tokenize(docs, vocab).select(
+        "doc_id", "n_pieces", "total_cost"
+    )
+
+
+DOCS_UNIGRAM_TOKENS_SQL = """
+WITH\nwuv AS (\n  SELECT word, count(*) AS freq FROM (\n    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents\n  ) WHERE word <> '' GROUP BY word\n),\nuv_subs AS (\n  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,\n         CAST(sum(freq) AS BIGINT) AS n\n  FROM wuv, range(1, 4096) r(i), range(1, 5) sl(l)\n  WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= length(word)\n  GROUP BY 1\n),\nuv_multi AS (\n  SELECT piece, n FROM uv_subs WHERE length(piece) > 1\n  ORDER BY n DESC, piece LIMIT 50\n),\nuv_vocab AS (\n  SELECT piece, n,\n         CAST((SELECT length(bin(max(n))) FROM uv_subs)\n              - length(bin(n)) + 1 AS BIGINT) AS cost\n  FROM (SELECT piece, n FROM uv_subs WHERE length(piece) = 1\n        UNION ALL SELECT piece, n FROM uv_multi)\n),
+uv_map AS (SELECT map(list(piece), list(cost)) AS m FROM uv_vocab),
+uv_dp AS (
+  SELECT word, freq,
+    list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+        list_transform(range(1, length(word) + 1), i -> [CAST(i AS BIGINT)])),
+      (acc, x) -> list_append(acc,
+        list_min(list_transform(range(1, least(4, x[1]) + 1), j ->
+          CASE WHEN map_extract(uv_map.m, substr(word, CAST(x[1] - j + 1 AS INT), CAST(j AS INT)))[1] IS NULL
+               THEN NULL
+               ELSE acc[CAST(x[1] - j + 1 AS INT)]
+                    + 1048576 * CAST(map_extract(uv_map.m, substr(word, CAST(x[1] - j + 1 AS INT), CAST(j AS INT)))[1] AS BIGINT)
+                    + 1
+          END)))
+    )[length(word) + 1] AS combined
+  FROM wuv, uv_map
+),
+dw AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS word
+  FROM documents d
+),
+per_doc AS (
+  SELECT dw.doc_id,
+         sum(uv_dp.combined % 1048576) AS n_pieces,
+         sum(uv_dp.combined // 1048576) AS total_cost
+  FROM dw JOIN uv_dp ON dw.word = uv_dp.word
+  WHERE dw.word <> ''
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(p.total_cost, 0) AS BIGINT) AS total_cost
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous BPE-vocab maintenance: the exact (word, freq) table the
     tokenizer trainer consumes (operators/bpe.py word_frequencies), kept
@@ -7316,7 +7396,7 @@ FROM per_doc GROUP BY lang
 _R7_HEAD = [
     # GENERATED by tools/apply_rotation.py --round 7 --changed ann_cosine_topk_ivf,embeddings_pq_ivf_residual_topk,embeddings_pq_trained_topk,orders_retraction_agg
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
-    # registry=241 driver-green-union=196 never-sampled=45
+    # registry=243 driver-green-union=196 never-sampled=47
     "ann_recall_dims",  # never-sampled
     "ann_recall_pq",  # never-sampled
     "ann_recall_pq_residual",  # never-sampled
@@ -7334,6 +7414,8 @@ _R7_HEAD = [
     "documents_split_assign",  # never-sampled
     "documents_temperature_mix",  # never-sampled
     "documents_token_weighted_length",  # never-sampled
+    "documents_unigram_tokens",  # never-sampled
+    "documents_unigram_vocab",  # never-sampled
     "documents_wordfreq_stream",  # never-sampled
     "embeddings_covariance",  # never-sampled
     "embeddings_kmeans_train",  # never-sampled
@@ -7365,8 +7447,6 @@ _R7_HEAD = [
     "ann_cosine_topk_ivf",  # behavior-changed
     "embeddings_pq_ivf_residual_topk",  # behavior-changed
     "embeddings_pq_trained_topk",  # behavior-changed
-    "orders_retraction_agg",  # behavior-changed
-    "supplier_nation_summary",  # oldest-green
 ]
 
 
@@ -7439,6 +7519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters_windowed": _events_heavy_hitters_windowed,
         "documents_bpe_tokens": _docs_bpe_tokens,
         "documents_bpe_train_distributed": _docs_bpe_train_distributed,
+        "documents_unigram_vocab": _docs_unigram_vocab,
+        "documents_unigram_tokens": _docs_unigram_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
@@ -7817,6 +7899,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_pair_counts": DOCS_BPE_PAIR_COUNTS_SQL,
         "documents_bpe_tokens": DOCS_BPE_TOKENS_SQL,
         "documents_bpe_train_distributed": DOCS_BPE_TRAIN_DISTRIBUTED_SQL,
+        "documents_unigram_vocab": DOCS_UNIGRAM_VOCAB_SQL,
+        "documents_unigram_tokens": DOCS_UNIGRAM_TOKENS_SQL,
         "dedup_incremental": _minhash_incremental_sql(),
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

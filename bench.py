@@ -202,6 +202,8 @@ def main() -> None:
         "documents_pareto_frontier",
         "events_ccf",
         "sink_compaction",
+        "documents_unigram_vocab",
+        "documents_unigram_tokens",
     ]
     qs = E.queries()
 

@@ -211,6 +211,10 @@ _BNLJ_WHITELIST = {
     # grid completion in operators/timeseries.py series_cross_correlation;
     # the lag joins are equi-joins on the shifted index
     "events_ccf",
+    # 1-row max-count aggregate broadcast-crossed against the vocab-sized
+    # piece relation — the text_tfidf global-normalizer pattern
+    # (operators/unigram.py unigram_vocab)
+    "documents_unigram_vocab",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

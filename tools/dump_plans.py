@@ -181,6 +181,8 @@ HEADLINE = [
     "documents_pareto_frontier",
     "events_ccf",
     "sink_compaction",
+    "documents_unigram_vocab",
+    "documents_unigram_tokens",
 ]
 
 
