@@ -6261,7 +6261,10 @@ def _docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_order_book_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # text IS NOT NULL explicitly: Spark's size(NULL array) is -1 (legacy
+    # sizeOfNull), which would smuggle NULL-text docs in with a junk
+    # measure instead of excluding them; the oracle filters identically.
+    base = docs.where(F.col("text").isNotNull()).select(
         "lang", "doc_id", "n_chars",
         F.size(F.array_distinct(F.filter(tokens("text"), lambda w: w != ""))
                ).cast("long").alias("n_distinct_words"),
@@ -6278,7 +6281,7 @@ WITH base AS (
              string_split_regex(lower(trim(text)), '\s+'), w -> w <> ''
          ))) AS BIGINT) AS n_distinct_words
   FROM documents
-  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
 )
 SELECT a.lang, a.doc_id, a.n_chars, a.n_distinct_words
 FROM base a
@@ -7394,7 +7397,7 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R7_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 7 --changed ann_cosine_topk_ivf,embeddings_pq_ivf_residual_topk,embeddings_pq_trained_topk,orders_retraction_agg
+    # GENERATED by tools/apply_rotation.py --round 7 --changed ann_cosine_topk_ivf,embeddings_pq_ivf_residual_topk,embeddings_pq_trained_topk,orders_retraction_agg,ann_hamming_rerank,documents_pareto_frontier
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
     # registry=243 driver-green-union=196 never-sampled=47
     "ann_recall_dims",  # never-sampled
@@ -7445,8 +7448,8 @@ _R7_HEAD = [
     "text_bm25",  # never-sampled
     "text_dup_span_cuts",  # never-sampled
     "ann_cosine_topk_ivf",  # behavior-changed
+    "ann_hamming_rerank",  # behavior-changed
     "embeddings_pq_ivf_residual_topk",  # behavior-changed
-    "embeddings_pq_trained_topk",  # behavior-changed
 ]
 
 

@@ -279,6 +279,12 @@ def main() -> None:
         fh.write("\n")
     slow_first = sorted(timings, key=timings.get, reverse=True)
     kept = dict.fromkeys(slow_first, None)
+    # The errors dict is unbounded (a bad session can fail most of the 115
+    # queries with 300-char messages) — cap it in the compact line or it
+    # alone would blow the tail budget after every query was trimmed,
+    # reproducing the decapitation this path exists to prevent. Full
+    # messages live in $BENCH_FULL_OUT.
+    compact_errors = {n: errors[n][:80] for n in sorted(errors)[:5]}
     while True:
         compact = {
             "metric": full["metric"],
@@ -286,7 +292,8 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: timings[n] for n in kept},
             "queries_omitted": len(timings) - len(kept),
-            "errors": errors,
+            "errors": compact_errors,
+            "errors_count": len(errors),
             "total_median": full["total_median"],
             "loadavg_1min_start": full["loadavg_1min_start"],
             "loadavg_1min_end": full["loadavg_1min_end"],
@@ -294,9 +301,14 @@ def main() -> None:
             "full_in": full_out,
         }
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1900 or not kept:
+        if len(line) <= 1900:
             break
-        kept.popitem()  # drop the fastest remaining query
+        if kept:
+            kept.popitem()  # drop the fastest remaining query
+        elif compact_errors:
+            compact_errors.popitem()  # then shed error samples
+        else:
+            break
     print(line)
     spark.stop()
 

@@ -232,6 +232,18 @@ def pareto_frontier(
     """
     if salt_parts < 1:
         raise ValueError(f"salt_parts must be >= 1, got {salt_parts}")
+    # The strictly-greater-x dominance frame is a value-range frame ending 1
+    # BEFORE the current value — exact only for integer x. A fractional x
+    # would silently hide dominators within (x, x+1) and emit dominated rows
+    # as frontier; refuse rather than be quietly wrong. y shares the
+    # integer-exactness contract (range [0,0] groups equal values).
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    for c in (x_col, y_col):
+        if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"pareto_frontier requires INTEGER measures; {c} is "
+                f"{dtypes.get(c)} — quantize first (floor to units)"
+            )
     x, y = F.col(x_col), F.col(y_col)
     base = df.where(
         x.isNotNull() & y.isNotNull()

@@ -1903,9 +1903,11 @@ def binary_signature(
     # would silently encode as 0-bits — consistently in both engines, so
     # recall degrades with no error the oracle gate could ever catch. One
     # cheap size() assertion per row (word 0 only) turns that into a loud
-    # failure; a SHORTER declared dim (prefix-bits signature) stays legal.
+    # failure; a SHORTER declared dim (prefix-bits signature) stays legal,
+    # and a NULL vector keeps its long-standing all-zero signature (the
+    # assertion must not fire on NULL — assert_true raises on NULL input).
     guard = (
-        f"COALESCE(CAST(ASSERT_TRUE(size({v}) >= {dim}, "
+        f"COALESCE(CAST(ASSERT_TRUE({v} IS NULL OR size({v}) >= {dim}, "
         f"'binary_signature: dim={dim} exceeds actual vector length') "
         f"AS BIGINT), CAST(0 AS BIGINT))"
     )

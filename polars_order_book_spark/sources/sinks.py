@@ -78,7 +78,15 @@ def write_bucketed(
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        loc = os.path.join(warehouse, table.split(".")[-1].lower())
+        # Managed-table location layout: <warehouse>/<table> for the default
+        # database, <warehouse>/<db>.db/<table> for db-qualified names —
+        # deriving only the last name component would rmtree the WRONG path
+        # for 'db.table' and leave the real orphan in place.
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) == 1:
+            loc = os.path.join(warehouse, parts[0])
+        else:
+            loc = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
     # One FILE per bucket: Spark trusts sortBy metadata (and skips the SMJ

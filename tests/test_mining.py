@@ -166,3 +166,12 @@ def test_pareto_guardrail(spark):
     with pytest.raises(ValueError, match="salt_parts"):
         pareto_frontier(_sky(spark, [("k", 1, 1, 1)]), ["k"], "x", "y",
                         id_col="id", salt_parts=0)
+
+
+def test_pareto_refuses_fractional_measures(spark):
+    """The strictly-greater-x range frame is exact only for integers; a
+    double measure would silently hide dominators within (x, x+1)."""
+    df = spark.createDataFrame([("k", 1, 2.0, 5.0)],
+                               "k string, id long, x double, y double")
+    with pytest.raises(ValueError, match="INTEGER measures"):
+        pareto_frontier(df, ["k"], "x", "y", id_col="id")

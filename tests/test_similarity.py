@@ -905,3 +905,15 @@ def test_hamming_rerank_identical_vector_is_rank_one(spark):
     assert out[0]["neighbor_id"] == 999
     assert out[0]["hamming"] == 0
     assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_binary_signature_null_vector_keeps_zero_signature(spark):
+    """A NULL embedding must keep its long-standing all-zero signature, not
+    crash the job: assert_true raises on NULL input, so the dim guard is
+    explicitly NULL-tolerant."""
+    rows = [(0, [1.0, -2.0]), (1, None)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    out = {r["vec_id"]: r["sig_0"] for r in
+           similarity.binary_signature(df, dim=2, word_bits=2).collect()}
+    assert out[0] == 1
+    assert out[1] == 0

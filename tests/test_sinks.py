@@ -191,3 +191,28 @@ def test_bucketed_overwrite_survives_orphaned_location(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orphan")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_overwrite_handles_db_qualified_orphan(spark):
+    """db-qualified managed tables live at <warehouse>/<db>.db/<table>; the
+    orphan cleanup must target that path, not <warehouse>/<table>."""
+    import os
+    import shutil
+
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    df = spark.range(0, 6).selectExpr("id AS k", "id AS v")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "bktdb.db", "bkt_q")
+    try:
+        write_bucketed(df, "bktdb.bkt_q", ["k"], 2, sort_by=["k"])
+        spark.sql("DROP TABLE bktdb.bkt_q")  # catalog forgets, then orphan:
+        os.makedirs(os.path.join(loc, "stale"), exist_ok=True)
+        write_bucketed(df, "bktdb.bkt_q", ["k"], 2, sort_by=["k"])
+        assert spark.table("bktdb.bkt_q").count() == 6
+        assert not os.path.isdir(os.path.join(loc, "stale"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.bkt_q")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -73,8 +73,14 @@ def plan_rotation(
             green.append((last_green, name))
     green.sort()  # oldest green round first, then name asc
     ordered = stale_red + never + behavior + [n for _, n in green]
+    # priority entries (everything above oldest-green) that the head cap
+    # cuts off — callers MUST surface these: a truncated behavior-changed
+    # entry is an operator whose semantics changed getting no driver
+    # re-validation for ~registry/50 rounds
+    truncated_priority = (stale_red + never + behavior)[head_n:]
     unknown_changed = sorted(changed_set - set(registry))
     return {
+        "truncated_priority": truncated_priority,
         "registry_size": len(registry),
         "driver_green_union": len(registry) - len(never) - len(stale_red),
         "stale_red": stale_red,
@@ -109,6 +115,11 @@ def main() -> None:
     if plan["unknown_changed_names"]:
         print(f"WARNING --changed names not in registry: "
               f"{plan['unknown_changed_names']}")
+    if plan["truncated_priority"]:
+        print(f"WARNING {len(plan['truncated_priority'])} priority entries "
+              f"(stale-red/never-sampled/changed) fall past the head-"
+              f"{args.head} cap and get NO driver signal this round: "
+              f"{plan['truncated_priority']}")
     print(f"\nrecommended head-{args.head}:")
     for i, name in enumerate(plan["head"], 1):
         bucket = (

@@ -63,8 +63,10 @@ def main() -> None:
     if args.merge and os.path.exists(args.json):
         with open(args.json) as fh:
             prior = json.load(fh)
+        # carry prior per-query ENTRIES only; flags are recomputed from the
+        # merged state below — carrying them verbatim would resurrect a
+        # fixed regression's stale flag (and duplicate still-failing ones)
         report["queries"].update(prior.get("queries", {}))
-        report["flags"] = [f for f in prior.get("flags", [])]
     targets = [q for q in args.only.split(",") if q] or QUERIES
     for name in targets:
         entry = {}
@@ -82,11 +84,13 @@ def main() -> None:
         ok = "error" not in entry.get("sf0.1", {}) and "error" not in entry.get("sf1", {})
         if ok and entry["sf0.1"]["best_sec"] > 0:
             entry["ratio"] = round(entry["sf1"]["best_sec"] / entry["sf0.1"]["best_sec"], 2)
-            if entry["ratio"] > args.max_ratio:
-                report["flags"].append(
-                    f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
         report["queries"][name] = entry
         print(name, json.dumps(entry))
+    # flags from the MERGED state, exactly once per query
+    for name, entry in report["queries"].items():
+        if entry.get("ratio", 0) > args.max_ratio:
+            report["flags"].append(
+                f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
     report["loadavg_1min_end"] = round(os.getloadavg()[0], 2)
     with open(args.json, "w") as fh:
         json.dump(report, fh, indent=1)
