@@ -7700,6 +7700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_conversion_top2": _ob_conversion(2),
         "ob_updates_top1": _ob_updates(1),
         "ob_updates_top3": _ob_updates(3),
+        # deep book: the derived updates stream has 10 possible prices per
+        # side (user_id parity fixes price parity), so n=10 emits the FULL
+        # side — the wide-struct emit path the reference monomorphizes up to
+        # 20 levels (ref: calculate_bbo.rs:115-125), under the oracle
+        "ob_updates_top10": _ob_updates(10),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "events_hourly_pivot": hq.events_hourly_pivot,
@@ -7736,6 +7741,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ob_updates_top1": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 1, "updates"),
         "ob_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
+        "ob_updates_top10": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 10, "updates"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
         "ob_keyed_mutations_top2": bs.oracle_book_sql(

@@ -45,3 +45,23 @@ def signed_qty(message_type: Column | str, qty: Column | str,
     mt = F.col(message_type) if isinstance(message_type, str) else message_type
     q = F.col(qty) if isinstance(qty, str) else qty
     return F.when(F.lower(mt).isin(list(delete_types)), -q).otherwise(q)
+
+
+def hash_stable_double(col: Column | str, digits: int = 6) -> Column:
+    """Round a double for cross-engine hash-stable emission: ``round(x, d)
+    + 0.0``. The ``+ 0.0`` maps IEEE ``-0.0`` → ``+0.0`` (round-to-nearest
+    addition of opposite-signed zeros yields +0.0), closing the one hash
+    divergence float emission can hit after rounding: a tiny negative that
+    rounds to zero keeps its sign bit under Spark's round() on some inputs
+    and DuckDB's on others, compares ``==`` equal, but hashes differently.
+    Every float column a query emits should pass through this helper (and
+    its SQL twin below) in BOTH renderings.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, digits) + F.lit(0.0)
+
+
+def hash_stable_double_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB/ANSI rendering of :func:`hash_stable_double`; embed in
+    oracle_sql strings: ``(round(<expr>, d) + 0.0)``."""
+    return f"(round({expr}, {digits}) + 0.0)"

@@ -35,6 +35,10 @@ def salted_pair_join(
     out_a: str,
     out_b: str,
     cap: int,
+    *,
+    payload: "Sequence[tuple[str, str, str]] | None" = None,
+    pair_budget: int | None = None,
+    budget_msg: str | None = None,
 ) -> DataFrame:
     """Self-equi-join of ``rows`` on ``keys`` → ordered id pairs
     (``out_a`` < ``out_b``), with per-task pair counts bounded by ~cap².
@@ -47,14 +51,56 @@ def salted_pair_join(
     (y, x) and is removed by the ``<`` filter. Replication cost is S× per row
     — paid only inside oversized groups. Output may contain duplicates across
     different key values (same as the unsalted join); callers dedup as before.
+
+    ``payload``: optional (col, out_left, out_right) triples — each named
+    input column rides through the join and lands twice in the output, once
+    from each pair member (e.g. ``("n_sh", "na", "nb")`` for a length
+    filter applied downstream).
+
+    ``pair_budget``: optional fail-fast on the join's EXACT output
+    cardinality Σ n_k² (the second frequency moment — see
+    :func:`join_size_estimate`). The bound is computed from the same
+    group-size aggregate salting already needs, broadcast as one row, and
+    enforced with ``assert_true`` on the rows FEEDING the join — tasks die
+    on their first row instead of OOMing mid-quadratic-stage, inside the
+    one lazy plan (no eager driver action, caller keeps a plain DataFrame).
+    ``budget_msg`` names the caller (and its recommended unbounded-scale
+    alternative) in the error.
     """
     keys = list(keys)
     # Only OVER-CAP groups need salting, and there are few of them by
     # construction (each holds > cap rows) — broadcast that tiny relation
     # instead of equi-joining the full group-size table; rows without a match
     # keep S = 1 and the salted join degenerates to the plain one for them.
-    hot = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    grp = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
+    hot = grp.where(F.col(_N) > cap)
     r = rows.join(F.broadcast(hot), on=keys, how="left")
+    if pair_budget is not None:
+        # Σ n² in double: an estimate-grade bound (exact until ~2^53 pairs,
+        # far past any budget a caller would set).
+        est = grp.agg(
+            F.sum(F.col(_N).cast("double") * F.col(_N).cast("double")).alias(
+                "__pair_est__"
+            )
+        )
+        msg = F.concat(
+            F.lit(f"{budget_msg or 'salted_pair_join'}: estimated candidate "
+                  f"pairs "),
+            F.col("__pair_est__").cast("bigint").cast("string"),
+            F.lit(f" exceed pair_budget={pair_budget}"),
+        )
+        r = (
+            r.crossJoin(F.broadcast(est))
+            .where(
+                F.assert_true(
+                    F.coalesce(F.col("__pair_est__"), F.lit(0.0))
+                    <= F.lit(float(pair_budget)),
+                    msg,
+                ).isNull()
+            )
+            .drop("__pair_est__")
+        )
+    payload = list(payload or [])
     s = F.coalesce(_salt_count(cap), F.lit(1))
     salt = F.pmod(F.xxhash64(F.col(id_col)), s).cast("int")
     left = r.select(
@@ -62,17 +108,20 @@ def salted_pair_join(
         salt.alias(_SA),
         F.explode(F.sequence(F.lit(0), s - 1)).alias(_SB),
         F.col(id_col).alias(out_a),
+        *[F.col(c).alias(la) for c, la, _ in payload],
     )
     right = r.select(
         *keys,
         F.explode(F.sequence(F.lit(0), s - 1)).alias(_SA),
         salt.alias(_SB),
         F.col(id_col).alias(out_b),
+        *[F.col(c).alias(rb) for c, _, rb in payload],
     )
     return (
         left.join(right, on=[*keys, _SA, _SB])
         .where(F.col(out_a) < F.col(out_b))
-        .select(out_a, out_b)
+        .select(out_a, out_b, *[la for _, la, _ in payload],
+                *[rb for _, _, rb in payload])
     )
 
 

@@ -633,6 +633,8 @@ def ngram_jaccard_pairs_arrays(
     block_col: str | None = None,
     threshold: float = 0.5,
     spread: int | None = None,
+    prefix_group_cap: int | None = 4096,
+    candidate_budget: int | None = 10_000_000,
 ) -> DataFrame:
     """Array-native exact n-gram Jaccard pairs ≥ threshold — identical results
     to :func:`ngram_jaccard_pairs` (same prefix-filter theorem, same hash
@@ -686,18 +688,46 @@ def ngram_jaccard_pairs_arrays(
         n_sh.alias("n_sh"),
         F.explode(F.slice("__sh", 1, prefix_len)).alias("shingle"),
     )
-    a = pref.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
-    b = pref.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
-    cands = (
-        a.join(b, on=[*blk, "shingle"])
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= _ceil_t(F.col("nb")))
-            & (F.col("nb") >= _ceil_t(F.col("na")))
+    if prefix_group_cap is not None or candidate_budget is not None:
+        from polars_order_book_spark.functions.skew import salted_pair_join
+
+        cands = (
+            salted_pair_join(
+                pref.select(*blk, "shingle", "doc_id", "n_sh"),
+                [*blk, "shingle"],
+                "doc_id",
+                "doc_a",
+                "doc_b",
+                prefix_group_cap if prefix_group_cap is not None else 1 << 62,
+                payload=[("n_sh", "na", "nb")],
+                pair_budget=candidate_budget,
+                budget_msg=(
+                    "ngram_jaccard_pairs_arrays: exact prefix-filter join is "
+                    "the bounded-block path; for unbounded corpora use "
+                    "MinHash-LSH (dedup_minhash_lsh / "
+                    "minhash_duplicate_pairs)"
+                ),
+            )
+            .where(
+                (F.col("na") >= _ceil_t(F.col("nb")))
+                & (F.col("nb") >= _ceil_t(F.col("na")))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    else:
+        a = pref.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
+        b = pref.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+        cands = (
+            a.join(b, on=[*blk, "shingle"])
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("na") >= _ceil_t(F.col("nb")))
+                & (F.col("nb") >= _ceil_t(F.col("na")))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     sets = arr.select("doc_id", "__sh")
     return (
         cands.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sa")), on="doc_a")
@@ -722,6 +752,8 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     order_by: str = "freq",
+    prefix_group_cap: int | None = 4096,
+    candidate_budget: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING — never
     all-pairs.
@@ -746,7 +778,24 @@ def ngram_jaccard_pairs(
     candidates, costs a frequency groupBy + join. ``"hash"`` orders by the
     portable shingle hash — skips both (two fewer passes over the shingle
     relation) at the price of more candidates on skewed real-text corpora.
-    Results are identical either way."""
+    Results are identical either way.
+
+    Guards (both on by default — this operator is the BOUNDED-block exact
+    path; MinHash-LSH is the unbounded-corpus path):
+
+    * ``candidate_budget`` fail-fast: the candidate join's exact output
+      cardinality Σ df(prefix-shingle)² is computed from one extra
+      model-sized aggregate and asserted ≤ budget on the rows feeding the
+      join — a boilerplate-heavy corpus that saturates the shingle space
+      (measured at sf1: 18.5M candidates killed an 8 GiB heap mid-stage
+      with no warning, SCALE.md) now dies instantly with a message naming
+      ``dedup_minhash_lsh`` instead of OOMing. ``None`` disables.
+    * ``prefix_group_cap`` salting: prefix-shingle groups above the cap
+      salt-split via :func:`functions.skew.salted_pair_join` (triangle
+      decomposition — same results, pair meets exactly once), so one hot
+      shingle can't concentrate its df² pair space in a single task.
+      ``None`` disables (budget check still applies if set).
+    """
     sh = shingles(df, text_col, id_col, k).distinct()
     blk: list[str] = []
     if block_col is not None:
@@ -784,19 +833,50 @@ def ngram_jaccard_pairs(
 
     prefix = ranked.where(F.col("__rn") <= F.col("n_sh") - _ceil_t(F.col("n_sh")) + 1)
 
-    a = prefix.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
-    b = prefix.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
-    cands = (
-        a.join(b, on=[*blk, "shingle"])
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
+    if prefix_group_cap is not None or candidate_budget is not None:
+        from polars_order_book_spark.functions.skew import salted_pair_join
+
+        cands = (
+            salted_pair_join(
+                prefix.select(*blk, "shingle", "doc_id", "n_sh"),
+                [*blk, "shingle"],
+                "doc_id",
+                "doc_a",
+                "doc_b",
+                # budget-only mode: a cap past any real group size makes the
+                # triangle decomposition degenerate to the plain self-join
+                prefix_group_cap if prefix_group_cap is not None else 1 << 62,
+                payload=[("n_sh", "na", "nb")],
+                pair_budget=candidate_budget,
+                budget_msg=(
+                    "ngram_jaccard_pairs: exact prefix-filter join is the "
+                    "bounded-block path; for unbounded corpora use "
+                    "MinHash-LSH (dedup_minhash_lsh / "
+                    "minhash_duplicate_pairs)"
+                ),
+            )
             # length filter: J >= t forces t·|B| <= |A| (and symmetrically)
-            & (F.col("na") >= _ceil_t(F.col("nb")))
-            & (F.col("nb") >= _ceil_t(F.col("na")))
+            .where(
+                (F.col("na") >= _ceil_t(F.col("nb")))
+                & (F.col("nb") >= _ceil_t(F.col("na")))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    else:
+        a = prefix.select(*blk, F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
+        b = prefix.select(*blk, F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+        cands = (
+            a.join(b, on=[*blk, "shingle"])
+            .where(
+                (F.col("doc_a") < F.col("doc_b"))
+                # length filter: J >= t forces t·|B| <= |A| (and symmetrically)
+                & (F.col("na") >= _ceil_t(F.col("nb")))
+                & (F.col("nb") >= _ceil_t(F.col("na")))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
 
     # Measured NON-optimization (sf0.1, fresh session, identical checksums):
     # semi-joining the shingle relation down to candidate docs before the

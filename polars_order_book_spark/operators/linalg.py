@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.conversion import hash_stable_double, hash_stable_double_sql
+
 
 def _v_expr(vec_col: str) -> str:
     return f"CAST({vec_col} AS ARRAY<DOUBLE>)"
@@ -80,11 +82,15 @@ def covariance_matrix(
         F.expr("sum(CAST(xi AS DECIMAL(30,12)))").alias("si"),
         F.expr("sum(CAST(xj AS DECIMAL(30,12)))").alias("sj"),
     )
+    # hash_stable_double: round at 1e-6 then sign-normalize (-0.0 → +0.0).
+    # A covariance that is a tiny negative rounds to zero with its sign bit
+    # set under DuckDB's round() but cleared under Spark's — values compare
+    # == equal yet value-hash differently (r7 driver red on cov(5,9)).
     return a.select(
         "i",
         "j",
         "n",
-        F.round(
+        hash_stable_double(
             (
                 F.col("sp").cast("double")
                 - F.col("si").cast("double")
@@ -118,8 +124,9 @@ a AS (
     FROM e GROUP BY i, j
 )
 SELECT i, j, CAST(n AS BIGINT) AS n,
-       round((CAST(sp AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) - 1.0), 6) AS cov
+       {hash_stable_double_sql(
+           "(CAST(sp AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(n AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) - 1.0)", 6)} AS cov
 FROM a
 """
 

@@ -302,3 +302,56 @@ def test_banding_recall_eval_counts_truth_and_caught(spark):
     assert got["recall_micro"] == 1_000_000
     empty = D.banding_recall_eval(docs, sample_filter=F.lit(False)).collect()[0]
     assert empty["n_true"] == 0 and empty["recall_micro"] is None
+
+
+def test_ngram_jaccard_guards_do_not_change_results(spark):
+    """Default guards (budget assert + prefix-group salting) vs both
+    disabled vs a tiny cap that actually triggers salting — identical
+    pairs in all three shapes."""
+    docs = spark.createDataFrame(_doc_rows(), DOC_SCHEMA)
+
+    def run(**kw):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.4, block_col="lang", order_by="hash", **kw
+            ).collect()
+        )
+
+    guarded = run()  # defaults: cap=4096, budget=10M
+    plain = run(prefix_group_cap=None, candidate_budget=None)
+    salted_hot = run(prefix_group_cap=2, candidate_budget=None)
+    budget_only = run(prefix_group_cap=None, candidate_budget=10_000_000)
+    assert guarded == plain == salted_hot == budget_only and guarded
+
+
+def test_ngram_jaccard_candidate_budget_fails_fast(spark):
+    """Over-budget corpora must die with a message naming the MinHash-LSH
+    path, not OOM mid-join (the sf1 finding: 18.5M candidates killed an
+    8 GiB heap silently)."""
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame(_doc_rows(), DOC_SCHEMA)
+    q = dedup.ngram_jaccard_pairs(docs, threshold=0.4, candidate_budget=1)
+    with pytest.raises(Exception) as ei:
+        q.collect()
+    msg = str(ei.value)
+    assert "pair_budget" in msg and "dedup_minhash_lsh" in msg
+
+
+def test_ngram_jaccard_arrays_guards_identical(spark):
+    docs = spark.createDataFrame(_doc_rows(), DOC_SCHEMA)
+    guarded = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs_arrays(
+            docs, threshold=0.4, block_col="lang", spread=4
+        ).collect()
+    )
+    plain = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs_arrays(
+            docs, threshold=0.4, block_col="lang", spread=4,
+            prefix_group_cap=None, candidate_budget=None,
+        ).collect()
+    )
+    assert guarded == plain and guarded

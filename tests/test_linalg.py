@@ -71,3 +71,56 @@ def test_guardrails(spark, vecs):
         linalg.pca_fit(df, dim=6, n_components=7)
     with pytest.raises(ValueError, match="dimensionality"):
         linalg.pca_project(df, [[1.0, 0.0]], [0.0, 0.0, 0.0])
+
+
+def test_covariance_sign_normalized_zero(spark):
+    """A covariance whose exact value is a tiny negative must emit +0.0
+    after hash_stable_double (r7 driver red: Spark round() emitted +0.0
+    where DuckDB emitted -0.0 for cov(5,9); both renderings now
+    sign-normalize so neither engine can ship -0.0)."""
+    import math
+
+    # Two dims engineered so cov(0,1) is a tiny negative (-1e-9): dim 1 is
+    # anti-correlated with dim 0 at 1e-9 amplitude — rounds to zero at 1e-6
+    # and would keep the sign bit without normalization.
+    rows = [
+        (0, [1.0, 1e-9]),
+        (1, [2.0, 0.0]),
+        (2, [3.0, -1e-9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in linalg.covariance_matrix(df, dim=2).collect()}
+    v = got[(0, 1)]
+    assert v == 0.0
+    assert math.copysign(1.0, v) == 1.0, f"-0.0 leaked: {v!r}"
+
+
+def test_hash_stable_double_normalizes_negative_zero(spark):
+    from polars_order_book_spark.functions.conversion import (
+        hash_stable_double, hash_stable_double_sql)
+    import math
+
+    df = spark.createDataFrame([(-1e-9,), (1.5,), (-2.25,)], "x double")
+    out = [r[0] for r in df.select(hash_stable_double("x", 6)).collect()]
+    assert out == [0.0, 1.5, -2.25]
+    assert math.copysign(1.0, out[0]) == 1.0
+    import duckdb
+
+    dv = duckdb.sql(
+        f"SELECT {hash_stable_double_sql('-0.0000000001', 6)}"
+    ).fetchone()[0]
+    assert dv == 0.0 and math.copysign(1.0, dv) == 1.0
+
+
+def test_gate_is_zero_sign_sensitive():
+    """tools/check_correctness.compare must red-flag a deliberate -0.0."""
+    import pandas as pd
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    a = pd.DataFrame({"x": [0.0, 1.5]})
+    b = pd.DataFrame({"x": [-0.0, 1.5]})
+    assert compare("t", a, b), "gate blind to -0.0 vs +0.0"
+    assert not compare("t", a.copy(), a.copy())

@@ -82,7 +82,7 @@ CYCLE_EXP_BID = [1, 2, 3, 3, 3, 3, 2, 2, None, None, None, None]
 CYCLE_EXP_ASK = [None, None, None, 6, 5, 4, 4, 4, 4, 4, 6, None]
 
 
-@pytest.mark.parametrize("n_levels", [1, 2, 4])
+@pytest.mark.parametrize("n_levels", [1, 2, 4, 10])
 @pytest.mark.parametrize("reps", [1, 10, 100])
 def test_cyclic_12_event_suite(spark, n_levels, reps):
     """FIXTURES 3.4 (ref: test_calculate_bbo.py:12-127): the 12-event cycle

@@ -215,6 +215,10 @@ _BNLJ_WHITELIST = {
     # piece relation — the text_tfidf global-normalizer pattern
     # (operators/unigram.py unigram_vocab)
     "documents_unigram_vocab",
+    # 1-row Σ df² candidate-budget aggregate broadcast-crossed onto the
+    # prefix relation feeding the pair join — the assert_true fail-fast
+    # added in r8 (functions/skew.py salted_pair_join pair_budget)
+    "dedup_ngram_jaccard",
 }
 
 # Streaming executes on construction; exercised by driver + streaming tests.

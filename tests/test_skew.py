@@ -196,3 +196,43 @@ def test_join_size_estimate_top_k_deterministic_and_null_keys_excluded(spark):
     assert keys == ["a", "__total__"]
     total = [r for r in rows if r["key"] == "__total__"][0]
     assert int(total["join_rows"]) == 4  # nulls never match
+
+
+def test_salted_pair_join_payload_rides_through(spark):
+    """payload=(col, out_a, out_b): each pair carries both members' values,
+    identical to joining sizes back on after the fact."""
+    rows = spark.createDataFrame(
+        [(0, "h", i, 100 + i) for i in range(10)],
+        ["band", "band_hash", "doc_id", "n_sh"],
+    )
+    got = sorted(
+        map(tuple, salted_pair_join(
+            rows, ["band", "band_hash"], "doc_id", "a", "b", 4,
+            payload=[("n_sh", "na", "nb")],
+        ).distinct().collect())
+    )
+    expect = sorted(
+        (a, b, 100 + a, 100 + b)
+        for a in range(10) for b in range(a + 1, 10)
+    )
+    assert got == expect
+
+
+def test_salted_pair_join_pair_budget_enforced(spark):
+    rows = spark.createDataFrame(
+        [(0, "h", i) for i in range(10)], ["band", "band_hash", "doc_id"]
+    )
+    # sum n^2 = 100 > budget 50 -> assert_true fires with the caller's name
+    q = salted_pair_join(
+        rows, ["band", "band_hash"], "doc_id", "a", "b", 4,
+        pair_budget=50, budget_msg="my_caller (use the_lsh_path)",
+    )
+    import pytest as _pt
+    with _pt.raises(Exception) as ei:
+        q.collect()
+    assert "my_caller" in str(ei.value) and "pair_budget=50" in str(ei.value)
+    # under budget: plain results
+    ok = salted_pair_join(
+        rows, ["band", "band_hash"], "doc_id", "a", "b", 4, pair_budget=1000,
+    )
+    assert ok.distinct().count() == 45

@@ -52,7 +52,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
-            eq = (av == bv) | both_nan
+            # Zero-sign sensitivity: the driver's value-hash distinguishes
+            # -0.0 from +0.0 even though they compare == equal (r7's one
+            # red, embeddings_covariance). copysign(1, x) differs exactly
+            # when the sign bit differs.
+            import numpy as np
+
+            same_sign = np.copysign(1.0, av.fillna(0.0)) == np.copysign(
+                1.0, bv.fillna(0.0)
+            )
+            eq = ((av == bv) & same_sign) | both_nan
             if not eq.all():
                 n_bad = int((~eq).sum())
                 idx = (~eq).idxmax()
