@@ -3264,6 +3264,166 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _docs_unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hard-EM refinement of the unigram vocabulary, 2 rounds
+    (operators/unigram.py unigram_em_vocab): E-step = exact Viterbi piece
+    counts as a mapInPandas pass over the distinct-word table, M-step = one
+    vocab-sized aggregate rebuilding the integer bit-length cost table;
+    unused multi-char pieces prune, characters persist at usage 0. Pinned
+    byte-identical to the pure-Python reference trainer (pytest); the
+    oracle replays both rounds with a forward DP carrying encoded
+    back-pointers plus a backtracking fold."""
+    from polars_order_book_spark.operators.unigram import unigram_em_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_em_vocab(docs, iters=2)
+
+
+def _docs_unigram_em_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization under the 2-round EM-trained unigram vocabulary — the
+    end-to-end train-then-tokenize pipeline, all distributed."""
+    from polars_order_book_spark.operators.unigram import (
+        unigram_em_vocab,
+        unigram_tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_em_vocab(docs, iters=2)
+    return unigram_tokenize(docs, vocab).select(
+        "doc_id", "n_pieces", "total_cost"
+    )
+
+
+def _unigram_em_sql(iters: int, out: str) -> str:
+    """DuckDB rendering of unigram_em_vocab / the EM-trained tokenization,
+    with the EM loop UNROLLED one CTE block per round (the BPE-trainer
+    oracle convention). Each round: a piece→cost MAP, the forward Viterbi
+    DP as a list_reduce fold that stores ``(best * 8 + last_piece_len)``
+    per position (same lexicographic (cost, n_pieces) objective in one
+    BIGINT, same shortest-last-piece tie-break — min over the encoding IS
+    the tie-break), a second fold walking the back-pointers to collect the
+    chosen pieces, and the usage-count M-step (chars persist at 0, unused
+    multis prune, bits(max)-bits(n)+1 recost)."""
+    dp_cand = (
+        "CASE WHEN map_extract(m{t}.m, substr(word, CAST(x[1] - j + 1 AS INT), CAST(j AS INT)))[1] IS NULL\n"
+        "             THEN NULL\n"
+        "             ELSE ((acc[CAST(x[1] - j + 1 AS INT)] // 8)\n"
+        "                  + 1048576 * CAST(map_extract(m{t}.m, substr(word, CAST(x[1] - j + 1 AS INT), CAST(j AS INT)))[1] AS BIGINT)\n"
+        "                  + 1) * 8 + j\n"
+        "        END"
+    )
+    blocks = []
+    for t in range(1, iters + 1):
+        cand = dp_cand.format(t=t)
+        blocks.append(f"""
+m{t} AS (SELECT map(list(piece), list(cost)) AS m FROM v{t - 1}),
+dp{t} AS (
+  SELECT word, freq,
+    list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+        list_transform(range(1, length(word) + 1), i -> [CAST(i AS BIGINT)])),
+      (acc, x) -> list_append(acc,
+        list_min(list_transform(range(1, least(4, x[1]) + 1), j ->
+          {cand})))
+    ) AS enc
+  FROM wuv, m{t}
+),
+bt{t} AS (
+  SELECT word, freq,
+    list_reduce(
+      list_prepend([CAST(length(word) AS VARCHAR)],
+        list_transform(range(1, length(word) + 1), i -> ['x'])),
+      (acc, x) -> CASE WHEN CAST(acc[1] AS INT) > 0 THEN
+          list_prepend(
+            CAST(CAST(acc[1] AS INT) - CAST(enc[CAST(acc[1] AS INT) + 1] % 8 AS INT) AS VARCHAR),
+            list_append(list_slice(acc, 2, length(acc)),
+              substr(word,
+                CAST(acc[1] AS INT) - CAST(enc[CAST(acc[1] AS INT) + 1] % 8 AS INT) + 1,
+                CAST(enc[CAST(acc[1] AS INT) + 1] % 8 AS INT))))
+          ELSE acc END
+    ) AS walked
+  FROM dp{t}
+),
+cnt{t} AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT freq, unnest(list_slice(walked, 2, length(walked))) AS piece FROM bt{t})
+  GROUP BY piece
+),
+vn{t} AS (
+  SELECT c.piece, CAST(coalesce(k.n, 0) AS BIGINT) AS n
+  FROM uv_chars c LEFT JOIN cnt{t} k USING (piece)
+  UNION ALL
+  SELECT piece, n FROM cnt{t} WHERE length(piece) > 1
+),
+v{t} AS (
+  SELECT piece, n,
+         CAST((SELECT length(bin(max(n))) FROM vn{t})
+              - length(bin(n)) + 1 AS BIGINT) AS cost
+  FROM vn{t}
+)""")
+    base = """
+wuv AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+uv_subs AS (
+  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM wuv, range(1, 4096) r(i), range(1, 5) sl(l)
+  WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= length(word)
+  GROUP BY 1
+),
+uv_multi AS (
+  SELECT piece, n FROM uv_subs WHERE length(piece) > 1
+  ORDER BY n DESC, piece LIMIT 50
+),
+uv_chars AS (SELECT piece FROM uv_subs WHERE length(piece) = 1),
+v0 AS (
+  SELECT piece, n,
+         CAST((SELECT length(bin(max(n))) FROM uv_subs)
+              - length(bin(n)) + 1 AS BIGINT) AS cost
+  FROM (SELECT piece, n FROM uv_subs WHERE length(piece) = 1
+        UNION ALL SELECT piece, n FROM uv_multi)
+)"""
+    chain = "WITH " + base.strip() + "," + ",".join(blocks)
+    if out == "vocab":
+        return f"{chain}\nSELECT piece, n, cost FROM v{iters}"
+    # tokens under the final cost table: forward DP only (no backtrack) —
+    # n_pieces/total_cost decode from the combined BIGINT directly
+    fcand = dp_cand.format(t="f")
+    return f"""{chain},
+mf AS (SELECT map(list(piece), list(cost)) AS m FROM v{iters}),
+dpf AS (
+  SELECT word,
+    list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+        list_transform(range(1, length(word) + 1), i -> [CAST(i AS BIGINT)])),
+      (acc, x) -> list_append(acc,
+        list_min(list_transform(range(1, least(4, x[1]) + 1), j ->
+          {fcand})))
+    )[length(word) + 1] // 8 AS combined
+  FROM wuv, mf
+),
+dw AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS word
+  FROM documents d
+),
+per_doc AS (
+  SELECT dw.doc_id,
+         sum(dpf.combined % 1048576) AS n_pieces,
+         sum(dpf.combined // 1048576) AS total_cost
+  FROM dw JOIN dpf ON dw.word = dpf.word
+  WHERE dw.word <> ''
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(p.total_cost, 0) AS BIGINT) AS total_cost
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous BPE-vocab maintenance: the exact (word, freq) table the
     tokenizer trainer consumes (operators/bpe.py word_frequencies), kept
@@ -7524,6 +7684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_train_distributed": _docs_bpe_train_distributed,
         "documents_unigram_vocab": _docs_unigram_vocab,
         "documents_unigram_tokens": _docs_unigram_tokens,
+        "documents_unigram_em_vocab": _docs_unigram_em_vocab,
+        "documents_unigram_em_tokens": _docs_unigram_em_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
@@ -7910,6 +8072,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_bpe_train_distributed": DOCS_BPE_TRAIN_DISTRIBUTED_SQL,
         "documents_unigram_vocab": DOCS_UNIGRAM_VOCAB_SQL,
         "documents_unigram_tokens": DOCS_UNIGRAM_TOKENS_SQL,
+        "documents_unigram_em_vocab": _unigram_em_sql(2, "vocab"),
+        "documents_unigram_em_tokens": _unigram_em_sql(2, "tokens"),
         "dedup_incremental": _minhash_incremental_sql(),
         "orders_quality_report": ORDERS_QUALITY_SQL,
         "events_funnel": hq.EVENTS_FUNNEL_SQL,

@@ -203,3 +203,152 @@ def unigram_tokenize(
         ]
     )
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def _collect_costs(vocab: DataFrame, max_vocab_rows: int) -> "dict[str, int]":
+    """Vocab-bounded collect of the (piece, cost) model — the BPE-trainer
+    fail-fast contract (model state ships in closures, never data)."""
+    if vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; prune "
+            "pieces (top_multi) before training/tokenizing"
+        )
+    return {r["piece"]: int(r["cost"]) for r in vocab.select("piece", "cost").collect()}
+
+
+def _em_piece_counts(
+    word_freqs: DataFrame, costs: "dict[str, int]", max_piece_len: int
+) -> DataFrame:
+    """E-step (hard EM): Viterbi-segment every distinct word under the
+    current cost table and count piece usage weighted by word frequency.
+    mapInPandas pre-aggregates per Arrow batch (each batch yields at most
+    vocab-sized rows), one groupBy finishes — shuffle volume is
+    batches × vocab, never corpus-sized."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            agg: dict = {}
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                _, pieces = viterbi_segment(str(w), costs, max_piece_len)
+                fi = int(f)
+                for p in pieces:
+                    agg[p] = agg.get(p, 0) + fi
+            yield pd.DataFrame(
+                {"piece": list(agg.keys()),
+                 "n": pd.Series(list(agg.values()), dtype="int64")}
+            )
+
+    return (
+        word_freqs.mapInPandas(run, "piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def _em_recost(counts: DataFrame, chars: DataFrame) -> DataFrame:
+    """M-step: new vocab = every single character (kept at usage 0 so any
+    word stays segmentable) plus each multi-char piece the E-step actually
+    used; cost(piece) = bits(max_n) - bits(n) + 1 (bits = length of the
+    binary rendering, bits(0) = 1 — bin(0) is '0' in both engines). All
+    relations are vocab-sized; the 1-row max broadcasts."""
+    char_rows = chars.join(counts, on="piece", how="left").select(
+        "piece", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    multi = counts.where(F.length("piece") > 1).select(
+        "piece", F.col("n").cast("long").alias("n")
+    )
+    vocab_n = char_rows.unionByName(multi)
+    mx = vocab_n.agg(F.max("n").alias("__mx"))
+    return vocab_n.crossJoin(F.broadcast(mx)).select(
+        "piece",
+        "n",
+        (F.length(F.bin(F.col("__mx"))) - F.length(F.bin(F.col("n"))) + 1)
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def unigram_em_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    iters: int = 2,
+    max_piece_len: int = 4,
+    top_multi: int = 50,
+    max_vocab_rows: int = 1_000_000,
+) -> DataFrame:
+    """DISTRIBUTED hard-EM (Viterbi) refinement of the unigram vocabulary:
+    start from :func:`unigram_vocab`'s bit-length proxy costs and run
+    ``iters`` EM rounds — E-step = the existing exact Viterbi as a
+    mapInPandas piece-count pass over the distinct-word table, M-step = one
+    vocab-sized aggregate rebuilding the cost table (the documented
+    injection point). The loop is shaped like
+    :func:`bpe.learn_bpe_merges_distributed`: per round one corpus-scan
+    aggregation whose shuffle is vocab-bounded plus one vocab-sized collect
+    (model state, never data); each round's vocabulary lineage restarts from
+    the collected cost literal, so plan size stays constant across rounds.
+
+    Integer costs keep the whole loop engine-exact: the DuckDB oracle
+    replays every round (forward DP with encoded back-pointers + a
+    backtracking fold), and the result is hash-checkable bit-for-bit.
+    Multi-char pieces the E-step never uses are pruned (SentencePiece's
+    prune step, deterministic here); single characters are kept at usage 0
+    so segmentability is invariant. Returns (piece, n, cost) after the
+    final M-step.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from polars_order_book_spark.operators.bpe import word_frequencies
+
+    wf = word_frequencies(df, text_col).localCheckpoint(eager=False)
+    vocab = unigram_vocab(
+        df, text_col, max_piece_len=max_piece_len, top_multi=top_multi
+    )
+    chars = vocab.where(F.length("piece") == 1).select("piece")
+    for _ in range(iters):
+        costs = _collect_costs(vocab, max_vocab_rows)
+        counts = _em_piece_counts(wf, costs, max_piece_len)
+        vocab = _em_recost(counts, chars)
+    return vocab
+
+
+def unigram_em_vocab_local(
+    word_freqs: "dict[str, int]",
+    *,
+    iters: int = 2,
+    max_piece_len: int = 4,
+    top_multi: int = 50,
+) -> "dict[str, tuple[int, int]]":
+    """Pure-Python reference of :func:`unigram_em_vocab` over a word→freq
+    table — the byte-identity witness the distributed trainer is pinned
+    against (the learn_bpe_merges / _distributed relationship). Returns
+    piece -> (n, cost)."""
+    def bl(n: int) -> int:
+        return max(1, int(n).bit_length())
+
+    subs: "dict[str, int]" = {}
+    for w, f in word_freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, max_piece_len + 1):
+                if i + ln <= len(w):
+                    p = w[i:i + ln]
+                    subs[p] = subs.get(p, 0) + f
+    chars = sorted(p for p in subs if len(p) == 1)
+    multi = sorted(
+        (p for p in subs if len(p) > 1), key=lambda p: (-subs[p], p)
+    )[:top_multi]
+    mx = max(subs.values(), default=0)
+    vocab = {p: (subs[p], bl(mx) - bl(subs[p]) + 1) for p in [*chars, *multi]}
+    for _ in range(iters):
+        costs = {p: c for p, (_, c) in vocab.items()}
+        counts: "dict[str, int]" = {}
+        for w, f in word_freqs.items():
+            _, pieces = viterbi_segment(w, costs, max_piece_len)
+            for p in pieces:
+                counts[p] = counts.get(p, 0) + f
+        new = {p: counts.get(p, 0) for p in chars}
+        new.update({p: n for p, n in counts.items() if len(p) > 1})
+        mx2 = max(new.values(), default=0)
+        vocab = {p: (n, bl(mx2) - bl(n) + 1) for p, n in new.items()}
+    return vocab

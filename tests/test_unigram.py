@@ -110,3 +110,86 @@ def test_tokenize_vocab_cap_fails_fast(spark):
     vocab = unigram_vocab(docs)
     with pytest.raises(ValueError, match="max_vocab_rows"):
         unigram_tokenize(docs, vocab, max_vocab_rows=3)
+
+
+def _em_corpus_rows():
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a bat and a cat and a rat",
+        "mat rat bat sat that",
+        "the theme of the thesis",
+        "rats eat oats and cats eat bats",
+    ]
+    return [(i, t) for i, t in enumerate(texts)]
+
+
+def test_em_vocab_distributed_equals_local(spark):
+    """The distributed hard-EM trainer must reproduce the pure-Python
+    reference byte-for-byte: same pieces, same usage counts, same costs —
+    the learn_bpe_merges(_distributed) identity contract."""
+    from polars_order_book_spark.operators.unigram import (
+        unigram_em_vocab, unigram_em_vocab_local)
+
+    df = spark.createDataFrame(_em_corpus_rows(), "doc_id long, text string")
+    got = {
+        r["piece"]: (r["n"], r["cost"])
+        for r in unigram_em_vocab(df, iters=2).collect()
+    }
+    wf: dict = {}
+    for _, t in _em_corpus_rows():
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    expect = unigram_em_vocab_local(wf, iters=2)
+    assert got == expect and got
+
+
+def test_em_tokens_identical_to_local_em_costs(spark):
+    """Tokenizing under the EM-trained vocab matches per-word Viterbi under
+    the local reference's final cost table."""
+    from polars_order_book_spark.operators.unigram import (
+        unigram_em_vocab, unigram_em_vocab_local, viterbi_segment)
+
+    df = spark.createDataFrame(_em_corpus_rows(), "doc_id long, text string")
+    vocab = unigram_em_vocab(df, iters=2)
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["total_cost"])
+        for r in unigram_tokenize(df, vocab).select(
+            "doc_id", "n_pieces", "total_cost").collect()
+    }
+    wf: dict = {}
+    for _, t in _em_corpus_rows():
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    costs = {p: c for p, (_, c) in unigram_em_vocab_local(wf, iters=2).items()}
+    expect = {}
+    for i, t in _em_corpus_rows():
+        tot_c = tot_n = 0
+        for w in t.lower().split():
+            comb, _ = viterbi_segment(w, costs)
+            tot_c += comb // COMBINE
+            tot_n += comb % COMBINE
+        expect[i] = (tot_n, tot_c)
+    assert got == expect
+
+
+def test_em_vocab_chars_survive_at_zero_usage(spark):
+    """Characters the E-step stops using must stay in the vocab (n=0) so
+    segmentability is invariant across EM rounds."""
+    from polars_order_book_spark.operators.unigram import unigram_em_vocab
+
+    df = spark.createDataFrame(_em_corpus_rows(), "doc_id long, text string")
+    rows = unigram_em_vocab(df, iters=1).collect()
+    chars = {r["piece"] for r in rows if len(r["piece"]) == 1}
+    corpus_chars = {
+        ch for _, t in _em_corpus_rows() for ch in t.lower() if not ch.isspace()
+    }
+    assert corpus_chars <= chars
+
+
+def test_em_vocab_iters_guardrail(spark):
+    from polars_order_book_spark.operators.unigram import unigram_em_vocab
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="iters"):
+        unigram_em_vocab(df, iters=0)
