@@ -229,7 +229,20 @@ def learn_bpe_merges_distributed(
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be > 0, got {n_merges}")
-    seg = word_freqs.where(F.col("word") != "").select(
+    # The bracketed-symbol encoding reserves \x1f/\x1e as symbol delimiters;
+    # a corpus word embedding either control byte would silently corrupt the
+    # encoding and break byte-identity with learn_bpe_merges (which handles
+    # such symbols fine as tuple elements). Keep the divergence LOUD: every
+    # row asserts the contract before entering the loop.
+    clean = F.assert_true(
+        ~F.col("word").rlike("[\x1e\x1f]"),
+        F.concat(
+            F.lit("learn_bpe_merges_distributed: word contains reserved "
+                  "control byte \\x1e/\\x1f: "),
+            F.col("word"),
+        ),
+    )
+    seg = word_freqs.where(F.col("word") != "").where(clean.isNull()).select(
         F.expr(_seg_init_sql("word")).alias("s"),
         F.col("freq").cast("long").alias("freq"),
     ).localCheckpoint(eager=False)

@@ -489,6 +489,10 @@ def lag_autocorrelation(
     """
     if not lags or any(k < 1 for k in lags):
         raise ValueError(f"lags must be >= 1, got {lags}")
+    if len(set(lags)) != len(lags):
+        # duplicate lags would alias two lead() columns identically and die
+        # later with an ambiguous-column error; fail with a named cause
+        raise ValueError(f"lags must be distinct, got {lags}")
     v = F.col(value_col).cast("double")
     base = df.where(
         v.isNotNull() & ~F.isnan(v)
@@ -562,9 +566,11 @@ def series_cross_correlation(
     on raw events.
 
     Callers pass an already-aggregated (key, idx, value) relation with
-    integer values; indices missing from a key's [min, max] range count as
-    0 (grid completion — correlation over a shared clock, not over
-    coincidentally-present rows). Same exactness discipline as
+    integer values; every key is densified over the GLOBAL [min, max] index
+    range (grid completion — correlation over one shared clock, not over
+    coincidentally-present rows), so a key active only in a short window is
+    zero-padded across the whole grid; that padding is part of n_pairs and
+    of the correlation it computes. Same exactness discipline as
     :func:`lag_autocorrelation`: all sums/cross-products in DECIMAL(38,0),
     three final IEEE ops, zero-variance legs emit NULL.
 

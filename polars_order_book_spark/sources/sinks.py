@@ -23,6 +23,27 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _warehouse_local_path(raw: str) -> "str | None":
+    """Local-filesystem path of a warehouse URI, or None for remote schemes.
+
+    Bare 'file:' prefix-stripping was wrong two ways (review finding): an
+    hdfs:/s3a: warehouse kept its scheme (os.path.isdir then always false,
+    so the orphan cleanup silently no-oped while overwrite could still fail
+    with LOCATION_ALREADY_EXISTS), and 'file://host/path' stripped to a
+    scheme-relative '//host/path'. urlparse handles both: local paths and
+    file: URIs return a real path; anything else returns None so the caller
+    can warn loudly instead of doing nothing.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(raw)
+    if parsed.scheme == "":
+        return raw
+    if parsed.scheme == "file":
+        return parsed.path or None
+    return None
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -72,23 +93,33 @@ def write_bucketed(
     """
     if mode == "overwrite":
         import shutil
+        import warnings
 
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        # Managed-table location layout: <warehouse>/<table> for the default
-        # database, <warehouse>/<db>.db/<table> for db-qualified names —
-        # deriving only the last name component would rmtree the WRONG path
-        # for 'db.table' and leave the real orphan in place.
-        parts = [p.lower() for p in table.split(".")]
-        if len(parts) == 1:
-            loc = os.path.join(warehouse, parts[0])
+        raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        warehouse = _warehouse_local_path(raw)
+        if warehouse is None:
+            warnings.warn(
+                f"write_bucketed: warehouse {raw!r} is not a local "
+                "filesystem; skipping orphaned-location cleanup — if the "
+                "previous run left data at the managed location, overwrite "
+                "may fail with LOCATION_ALREADY_EXISTS (drop the location "
+                "with the appropriate filesystem tool)",
+                stacklevel=2,
+            )
         else:
-            loc = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+            # Managed-table location layout: <warehouse>/<table> for the
+            # default database, <warehouse>/<db>.db/<table> for db-qualified
+            # names — deriving only the last name component would rmtree the
+            # WRONG path for 'db.table' and leave the real orphan in place.
+            parts = [p.lower() for p in table.split(".")]
+            if len(parts) == 1:
+                loc = os.path.join(warehouse, parts[0])
+            else:
+                loc = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     # One FILE per bucket: Spark trusts sortBy metadata (and skips the SMJ
     # sort) only when every bucket is a single file; without the repartition
     # each write task emits its own file per bucket it touches.

@@ -219,3 +219,19 @@ def test_distributed_trainer_stops_when_fully_merged(spark):
     wf = spark.createDataFrame([("ab", 3)], "word string, freq long")
     a, b = learn_bpe_merges(wf, 10), learn_bpe_merges_distributed(wf, 10)
     assert a == b and len(a) == 2  # (a,b), (ab,</w>) then nothing left
+
+
+def test_distributed_trainer_rejects_reserved_control_bytes(spark):
+    """Words embedding the \\x1e/\\x1f bracket delimiters would silently
+    corrupt the bracketed-symbol encoding; the contract is enforced loudly
+    per row (review finding)."""
+    from polars_order_book_spark.operators.bpe import (
+        learn_bpe_merges_distributed,
+    )
+
+    wf = spark.createDataFrame(
+        [("ab\x1fcd", 3), ("plain", 2)], "word string, freq long"
+    )
+    with pytest.raises(Exception) as ei:
+        learn_bpe_merges_distributed(wf, 1)
+    assert "reserved control byte" in str(ei.value)

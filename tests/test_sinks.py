@@ -216,3 +216,16 @@ def test_bucketed_overwrite_handles_db_qualified_orphan(spark):
         spark.sql("DROP TABLE IF EXISTS bktdb.bkt_q")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_warehouse_local_path_parses_uris():
+    """Review finding: removeprefix('file:') left hdfs:/s3a: schemes intact
+    (cleanup silently no-oped) and turned file://host/path scheme-relative."""
+    from polars_order_book_spark.sources.sinks import _warehouse_local_path
+
+    assert _warehouse_local_path("spark-warehouse") == "spark-warehouse"
+    assert _warehouse_local_path("/abs/warehouse") == "/abs/warehouse"
+    assert _warehouse_local_path("file:/abs/warehouse") == "/abs/warehouse"
+    assert _warehouse_local_path("file:///abs/warehouse") == "/abs/warehouse"
+    assert _warehouse_local_path("hdfs://nn:8020/wh") is None
+    assert _warehouse_local_path("s3a://bucket/wh") is None

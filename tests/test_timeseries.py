@@ -424,3 +424,10 @@ def test_ccf_guardrail(spark):
 
     with pytest.raises(ValueError, match="lags"):
         series_cross_correlation(_series(spark, [("a", 0, 1)]), "k", "i", "v", [-1])
+
+
+def test_acf_duplicate_lags_named_error(spark):
+    with pytest.raises(ValueError, match="distinct"):
+        lag_autocorrelation(
+            _acf_df(spark, [1, 2, 3, 4]), ["k"], ["seq"], "value", [1, 1]
+        )
