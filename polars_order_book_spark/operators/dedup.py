@@ -673,7 +673,13 @@ def ngram_jaccard_pairs_arrays(
     """
     if spread:
         df = df.repartition(spread)
-    arr = _shingle_arrays(df, text_col, id_col, k, block_col)
+    # arr feeds the prefix explode, both pair-join sides (via pref), the
+    # group-size/budget aggregate, and both verify-array joins — the
+    # map-heavy shingling would re-execute per consumer; compute it once
+    # (same lazy-checkpoint rationale as the relational path's prefix)
+    arr = _shingle_arrays(df, text_col, id_col, k, block_col).localCheckpoint(
+        eager=False
+    )
     blk = ["__blk"] if block_col is not None else []
     n_sh = F.size("__sh")
 
@@ -802,12 +808,11 @@ def ngram_jaccard_pairs(
         blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, on="doc_id")
         blk = ["__blk"]
-    # The shingle relation feeds five subtrees (freq, rank, sizes, both
-    # verify joins). Measured: explicit persist() is a net LOSS here — the
+    # The shingle relation feeds several subtrees (freq, rank, both verify
+    # joins). Measured: explicit persist() is a net LOSS here — the
     # distinct's shuffle files already get reused across subtrees
     # (ReusedExchange), so caching only adds materialization cost.
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if order_by == "freq":
         freq = sh.groupBy(*blk, "shingle").agg(F.count(F.lit(1)).alias("__freq"))
         keyed = sh.join(freq, on=[*blk, "shingle"])
@@ -817,13 +822,14 @@ def ngram_jaccard_pairs(
         order_cols = [F.col("__hkey"), F.col("shingle")]
     else:
         raise ValueError(f"unknown order_by {order_by!r}")
-    ranked = (
-        keyed.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy(*order_cols)),
-        )
-        .join(sizes, on="doc_id")
-    )
+    # n_sh as a window count over the SAME doc_id partitioning the rank
+    # needs — one exchange serves both (r8: replaces a groupBy + join; the
+    # set sizes then ride the candidate pairs as payload so the final
+    # per-pair sizes joins disappear too).
+    ranked = keyed.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy(*order_cols)),
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     # ceil(t·n) in float arithmetic can land one ULP above an exact integer
     # product (0.435·1000 = 435.00000000000006 → ceil 436), shortening the
     # prefix below what the theorem requires and silently dropping a boundary
@@ -832,6 +838,16 @@ def ngram_jaccard_pairs(
         return F.ceil(F.lit(threshold) * n_col - F.lit(1e-9))
 
     prefix = ranked.where(F.col("__rn") <= F.col("n_sh") - _ceil_t(F.col("n_sh")) + 1)
+    # The prefix relation feeds three subtrees (both pair-join sides + the
+    # group-size/budget aggregate); unlike the full shingle relation (whose
+    # distinct shuffle is reused for free), the rank WINDOW re-executes per
+    # consumer. Lazy localCheckpoint computes it once — measured at sf0.1:
+    # guarded best-of 6.4 -> 4.9 s, below even the unguarded no-checkpoint
+    # shape (the unguarded self-join pays the double window too). Storage
+    # cost: the prefix rows (docs x prefix_len, narrow), disk-backed.
+    prefix = prefix.select(*blk, "shingle", "doc_id", "n_sh").localCheckpoint(
+        eager=False
+    )
 
     if prefix_group_cap is not None or candidate_budget is not None:
         from polars_order_book_spark.functions.skew import salted_pair_join
@@ -860,7 +876,7 @@ def ngram_jaccard_pairs(
                 (F.col("na") >= _ceil_t(F.col("nb")))
                 & (F.col("nb") >= _ceil_t(F.col("na")))
             )
-            .select("doc_a", "doc_b")
+            .select("doc_a", "doc_b", "na", "nb")
             .distinct()
         )
     else:
@@ -874,7 +890,7 @@ def ngram_jaccard_pairs(
                 & (F.col("na") >= _ceil_t(F.col("nb")))
                 & (F.col("nb") >= _ceil_t(F.col("na")))
             )
-            .select("doc_a", "doc_b")
+            .select("doc_a", "doc_b", "na", "nb")
             .distinct()
         )
 
@@ -883,17 +899,18 @@ def ngram_jaccard_pairs(
     # verify joins — shuffled (best 6.1s vs 5.3s) or broadcast (7.3s) — LOSES:
     # the candidate subtree gets re-executed for the prune/broadcast build,
     # costing more than the pruned verify bytes save. The plain formulation
-    # below reuses the distinct's shuffle files across all subtrees.
+    # below reuses the distinct's shuffle files across all subtrees. The set
+    # sizes ride the candidate pairs (na/nb are functionally dependent on the
+    # ids, so grouping by them keeps cardinality) — no per-pair sizes joins.
     sh_plain = sh.select("doc_id", "shingle")
     inter = (
         cands.join(sh_plain.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
         .join(sh_plain.withColumnRenamed("doc_id", "doc_b"), on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), on="doc_b")
+        inter
         .withColumn("jaccard", F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
