@@ -7556,60 +7556,60 @@ FROM per_doc GROUP BY lang
 # entries wait in the tail. tests/test_registry.py pins the split; every
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
-_R7_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 7 --changed ann_cosine_topk_ivf,embeddings_pq_ivf_residual_topk,embeddings_pq_trained_topk,orders_retraction_agg,ann_hamming_rerank,documents_pareto_frontier
+_R8_HEAD = [
+    # GENERATED by tools/apply_rotation.py --round 8 --changed dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components,dedup_components_prop,dedup_components_star,dedup_incremental,dedup_embedding,documents_leakage_split,documents_deduped,supplier_similarity,documents_bpe_train_distributed,events_acf,events_ccf,sink_bucketed_join,embeddings_pq_trained_topk,orders_retraction_agg
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
-    # registry=243 driver-green-union=196 never-sampled=47
-    "ann_recall_dims",  # never-sampled
-    "ann_recall_pq",  # never-sampled
-    "ann_recall_pq_residual",  # never-sampled
-    "ann_recall_pq_trained",  # never-sampled
-    "dedup_components_prop",  # never-sampled
-    "dedup_recall_banding",  # never-sampled
-    "documents_bpe_fertility",  # never-sampled
-    "documents_bpe_train_distributed",  # never-sampled
-    "documents_char_entropy",  # never-sampled
-    "documents_classifier_reliability",  # never-sampled
-    "documents_classifier_step",  # never-sampled
-    "documents_lm_score",  # never-sampled
-    "documents_oov_rate",  # never-sampled
-    "documents_pareto_frontier",  # never-sampled
-    "documents_split_assign",  # never-sampled
-    "documents_temperature_mix",  # never-sampled
-    "documents_token_weighted_length",  # never-sampled
-    "documents_unigram_tokens",  # never-sampled
-    "documents_unigram_vocab",  # never-sampled
-    "documents_wordfreq_stream",  # never-sampled
-    "embeddings_covariance",  # never-sampled
-    "embeddings_kmeans_train",  # never-sampled
-    "embeddings_knn_graph",  # never-sampled
-    "embeddings_pq_codes",  # never-sampled
-    "embeddings_pq_ivf_topk",  # never-sampled
-    "embeddings_pq_topk",  # never-sampled
-    "embeddings_random_projection",  # never-sampled
-    "embeddings_semdedup_incremental",  # never-sampled
-    "events_acf",  # never-sampled
-    "events_anomaly_mad",  # never-sampled
-    "events_ccf",  # never-sampled
-    "events_countmin_rollup",  # never-sampled
-    "events_heavy_hitters_windowed",  # never-sampled
-    "events_k_anonymity",  # never-sampled
-    "events_quantiles_exact_twopass",  # never-sampled
-    "events_reservoir_sample",  # never-sampled
-    "events_selfjoin_size",  # never-sampled
-    "events_session_overlap",  # never-sampled
-    "events_theil_sen",  # never-sampled
-    "events_top_similar_items",  # never-sampled
-    "ob_book_asof",  # never-sampled
-    "orders_join_view_stream",  # never-sampled
-    "orders_rollup_stream",  # never-sampled
-    "sink_bucketed_join",  # never-sampled
-    "sink_compaction",  # never-sampled
-    "text_bm25",  # never-sampled
-    "text_dup_span_cuts",  # never-sampled
-    "ann_cosine_topk_ivf",  # behavior-changed
-    "ann_hamming_rerank",  # behavior-changed
-    "embeddings_pq_ivf_residual_topk",  # behavior-changed
+    # registry=246 driver-green-union=242 never-sampled=3
+    "embeddings_covariance",  # stale-red
+    "documents_unigram_em_tokens",  # never-sampled
+    "documents_unigram_em_vocab",  # never-sampled
+    "ob_updates_top10",  # never-sampled
+    "dedup_components",  # behavior-changed
+    "dedup_components_prop",  # behavior-changed
+    "dedup_components_star",  # behavior-changed
+    "dedup_embedding",  # behavior-changed
+    "dedup_incremental",  # behavior-changed
+    "dedup_minhash_lsh",  # behavior-changed
+    "dedup_ngram_jaccard",  # behavior-changed
+    "documents_bpe_train_distributed",  # behavior-changed
+    "documents_deduped",  # behavior-changed
+    "documents_leakage_split",  # behavior-changed
+    "embeddings_pq_trained_topk",  # behavior-changed
+    "events_acf",  # behavior-changed
+    "events_ccf",  # behavior-changed
+    "orders_retraction_agg",  # behavior-changed
+    "sink_bucketed_join",  # behavior-changed
+    "supplier_similarity",  # behavior-changed
+    "supplier_nation_summary",  # oldest-green
+    "ann_cosine_topk",  # oldest-green
+    "ann_cosine_topk_blas",  # oldest-green
+    "ann_cosine_topk_lsh",  # oldest-green
+    "customers_without_orders",  # oldest-green
+    "dedup_exact",  # oldest-green
+    "dedup_simhash",  # oldest-green
+    "documents_budget_pack",  # oldest-green
+    "documents_hash_sample",  # oldest-green
+    "events_hourly",  # oldest-green
+    "events_hourly_pivot",  # oldest-green
+    "events_rollup",  # oldest-green
+    "events_user_distinct_approx",  # oldest-green
+    "events_user_running_total",  # oldest-green
+    "events_value_quantiles",  # oldest-green
+    "events_value_quantiles_approx",  # oldest-green
+    "ob_chunked_mutations_top2",  # oldest-green
+    "ob_conversion_top2",  # oldest-green
+    "ob_keyed_mutations_top2",  # oldest-green
+    "ob_modify_top2",  # oldest-green
+    "ob_mutations_top2",  # oldest-green
+    "ob_relational_keyed_mutations_top2",  # oldest-green
+    "ob_relational_modify_top2",  # oldest-green
+    "ob_relational_mutations_top2",  # oldest-green
+    "ob_relational_updates_top3",  # oldest-green
+    "ob_stream_keyed_mutations_top2",  # oldest-green
+    "ob_updates_top1",  # oldest-green
+    "ob_updates_top3",  # oldest-green
+    "orders_rolling_revenue",  # oldest-green
+    "part_categorize",  # oldest-green
 ]
 
 
@@ -7894,8 +7894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_categorize": hq.part_categorize,
     }
     # Rotation applied as an explicit reorder so the priority list is one
-    # auditable block (_R7_HEAD) instead of implicit dict-literal order.
-    out = {name: base[name] for name in _R7_HEAD}
+    # auditable block (_R8_HEAD) instead of implicit dict-literal order.
+    out = {name: base[name] for name in _R8_HEAD}
     out.update({name: fn for name, fn in base.items() if name not in out})
     return out
 

@@ -204,6 +204,10 @@ def main() -> None:
         "sink_compaction",
         "documents_unigram_vocab",
         "documents_unigram_tokens",
+        # r8 registrations
+        "ob_updates_top10",
+        "documents_unigram_em_vocab",
+        "documents_unigram_em_tokens",
     ]
     qs = E.queries()
 

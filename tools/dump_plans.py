@@ -183,6 +183,8 @@ HEADLINE = [
     "sink_compaction",
     "documents_unigram_vocab",
     "documents_unigram_tokens",
+    "documents_unigram_em_vocab",
+    "ob_updates_top10",
 ]
 
 
