@@ -77,8 +77,15 @@ def salted_pair_join(
     r = rows.join(F.broadcast(hot), on=keys, how="left")
     if pair_budget is not None:
         # Σ n² in double: an estimate-grade bound (exact until ~2^53 pairs,
-        # far past any budget a caller would set).
-        est = grp.agg(
+        # far past any budget a caller would set). NULL-key groups never
+        # match in the equi-join (SQL semantics; same exclusion as
+        # join_size_estimate below), so they must not count toward the
+        # budget — a corpus with many NULL-block rows would otherwise trip
+        # the fail-fast on a join whose real output is tiny (review
+        # finding).
+        est = grp.where(
+            F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
+        ).agg(
             F.sum(F.col(_N).cast("double") * F.col(_N).cast("double")).alias(
                 "__pair_est__"
             )

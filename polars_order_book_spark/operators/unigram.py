@@ -154,12 +154,7 @@ def unigram_tokenize(
 
     import pandas as pd
 
-    if vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
-        raise ValueError(
-            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; prune "
-            "pieces (top_multi) before tokenizing"
-        )
-    costs = {r["piece"]: int(r["cost"]) for r in vocab.select("piece", "cost").collect()}
+    costs = _collect_costs(vocab, max_vocab_rows)
     java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def run(batches):
@@ -207,13 +202,17 @@ def unigram_tokenize(
 
 def _collect_costs(vocab: DataFrame, max_vocab_rows: int) -> "dict[str, int]":
     """Vocab-bounded collect of the (piece, cost) model — the BPE-trainer
-    fail-fast contract (model state ships in closures, never data)."""
-    if vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+    fail-fast contract (model state ships in closures, never data). ONE
+    action: collect limit(cap + 1) and check the length — a separate
+    count() action would re-execute the vocab's whole lineage (for an EM
+    round that lineage is a full corpus E-step; review finding)."""
+    rows = vocab.select("piece", "cost").limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; prune "
             "pieces (top_multi) before training/tokenizing"
         )
-    return {r["piece"]: int(r["cost"]) for r in vocab.select("piece", "cost").collect()}
+    return {r["piece"]: int(r["cost"]) for r in rows}
 
 
 def _em_piece_counts(

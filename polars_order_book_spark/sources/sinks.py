@@ -31,15 +31,18 @@ def _warehouse_local_path(raw: str) -> "str | None":
     so the orphan cleanup silently no-oped while overwrite could still fail
     with LOCATION_ALREADY_EXISTS), and 'file://host/path' stripped to a
     scheme-relative '//host/path'. urlparse handles both: local paths and
-    file: URIs return a real path; anything else returns None so the caller
-    can warn loudly instead of doing nothing.
+    LOCAL file: URIs return a real path; anything else returns None so the
+    caller can warn loudly instead of doing nothing. A file:// URI with a
+    REMOTE host (non-empty netloc other than localhost) is NOT local —
+    treating its path as local would rmtree an unrelated driver-side
+    directory (second review finding), strictly worse than the old no-op.
     """
     from urllib.parse import urlparse
 
     parsed = urlparse(raw)
     if parsed.scheme == "":
         return raw
-    if parsed.scheme == "file":
+    if parsed.scheme == "file" and parsed.netloc in ("", "localhost"):
         return parsed.path or None
     return None
 

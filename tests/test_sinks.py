@@ -229,3 +229,13 @@ def test_warehouse_local_path_parses_uris():
     assert _warehouse_local_path("file:///abs/warehouse") == "/abs/warehouse"
     assert _warehouse_local_path("hdfs://nn:8020/wh") is None
     assert _warehouse_local_path("s3a://bucket/wh") is None
+
+
+def test_warehouse_local_path_rejects_remote_file_host():
+    """Second review finding: file://host/path is a REMOTE location —
+    treating its path as local would rmtree an unrelated driver-side
+    directory. Only empty/localhost netlocs are local."""
+    from polars_order_book_spark.sources.sinks import _warehouse_local_path
+
+    assert _warehouse_local_path("file://nas01/wh") is None
+    assert _warehouse_local_path("file://localhost/wh") == "/wh"

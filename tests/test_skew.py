@@ -236,3 +236,18 @@ def test_salted_pair_join_pair_budget_enforced(spark):
         rows, ["band", "band_hash"], "doc_id", "a", "b", 4, pair_budget=1000,
     )
     assert ok.distinct().count() == 45
+
+
+def test_salted_pair_join_budget_ignores_null_key_groups(spark):
+    """NULL join keys never match in the equi-join, so they must not count
+    toward pair_budget (review finding): 10 NULL-block rows (n²=100) plus a
+    small real group must pass a budget of 50."""
+    rows = spark.createDataFrame(
+        [(None, "h", i) for i in range(10)] + [(0, "h", i) for i in range(5)],
+        "band int, band_hash string, doc_id long",
+    )
+    out = salted_pair_join(
+        rows, ["band", "band_hash"], "doc_id", "a", "b", 4, pair_budget=50,
+    )
+    # real group contributes 5*4/2 = 10 ordered pairs; NULL group none
+    assert out.distinct().count() == 10

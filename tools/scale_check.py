@@ -115,7 +115,11 @@ def main() -> None:
         # the recorded error is truncated at 300 chars — match the budget
         # guard by either the parameter name or the budget_msg's lead-in
         guarded_err = "pair_budget" in err or "exact prefix-filter join" in err
-        if name in DISPOSITIONS and (over or guarded_err):
+        # disposition ONLY when the guard actually fired: if the guard ever
+        # stops firing and the query runs over-ratio again, that's a NEW
+        # scale regression and must flag — stale disposition text must not
+        # swallow it (review finding)
+        if name in DISPOSITIONS and guarded_err:
             report["dispositioned"][name] = DISPOSITIONS[name]
         elif over:
             report["flags"].append(
