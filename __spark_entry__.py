@@ -853,6 +853,20 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_jaccard_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARRAY-NATIVE exact-jaccard physical shape
+    (operators/dedup.py ngram_jaccard_pairs_arrays): hash-ordered per-doc
+    shingle arrays, prefix-only explode, array_intersect verification —
+    pytest pins it identical to the relational path; this row keeps the
+    alternative implementation under the driver oracle too (shares
+    JACCARD_SQL — same pairs by the prefix theorem under the same hash
+    total order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_arrays(
+        docs, threshold=0.4, block_col="lang"
+    )
+
+
 JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
@@ -7559,8 +7573,9 @@ FROM per_doc GROUP BY lang
 _R8_HEAD = [
     # GENERATED by tools/apply_rotation.py --round 8 --changed dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components,dedup_components_prop,dedup_components_star,dedup_incremental,dedup_embedding,documents_leakage_split,documents_deduped,supplier_similarity,documents_bpe_train_distributed,events_acf,events_ccf,sink_bucketed_join,embeddings_pq_trained_topk,orders_retraction_agg
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
-    # registry=246 driver-green-union=242 never-sampled=3
+    # registry=247 driver-green-union=242 never-sampled=4
     "embeddings_covariance",  # stale-red
+    "dedup_ngram_jaccard_arrays",  # never-sampled
     "documents_unigram_em_tokens",  # never-sampled
     "documents_unigram_em_vocab",  # never-sampled
     "ob_updates_top10",  # never-sampled
@@ -7609,7 +7624,6 @@ _R8_HEAD = [
     "ob_updates_top1",  # oldest-green
     "ob_updates_top3",  # oldest-green
     "orders_rolling_revenue",  # oldest-green
-    "part_categorize",  # oldest-green
 ]
 
 
@@ -7875,6 +7889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_ngram_jaccard": _dedup_jaccard,
+        "dedup_ngram_jaccard_arrays": _dedup_jaccard_arrays,
         "documents_budget_pack": _docs_budget_pack,
         "text_docfreq_score": _text_docfreq,
         "text_redact_pii": _text_redact,
@@ -8127,6 +8142,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,
         "dedup_ngram_jaccard": JACCARD_SQL,
+        "dedup_ngram_jaccard_arrays": JACCARD_SQL,
         "dedup_components": _components_sql(),
         "dedup_components_prop": _components_sql(),
         "dedup_components_star": _components_sql(),

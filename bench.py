@@ -204,7 +204,10 @@ def main() -> None:
         "sink_compaction",
         "documents_unigram_vocab",
         "documents_unigram_tokens",
-        # r8 registrations
+        # r8 registrations. dedup_ngram_jaccard_arrays is registry-only:
+        # the array-native ALTERNATIVE physical shape of the benched
+        # relational path (documented 2-3x slower end-to-end; kept under
+        # the oracle to pin implementation parity, not as a perf claim)
         "ob_updates_top10",
         "documents_unigram_em_vocab",
         "documents_unigram_em_tokens",

@@ -219,6 +219,7 @@ _BNLJ_WHITELIST = {
     # prefix relation feeding the pair join — the assert_true fail-fast
     # added in r8 (functions/skew.py salted_pair_join pair_budget)
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_arrays",
     # documents_unigram_vocab's whitelisted 1-row max-count cross join plus
     # the EM M-step's own 1-row max-usage aggregate broadcast-crossed onto
     # the vocab-sized piece relation (operators/unigram.py _em_recost)
