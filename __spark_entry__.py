@@ -66,6 +66,17 @@ def _ob_updates(n):
     return run
 
 
+def _ob_updates_deep(n):
+    """Deep-book fold: 40-price-per-side stream so n=20 (the reference's
+    monomorphization ceiling, ref: calculate_bbo.rs:115-125) truncates a
+    genuinely deeper book instead of emitting the full side."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.deep_updates_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_updates(stream, n=n)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_mutations(n):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = bs.mutations_stream(load_table(spark, sf_dir, "events"))
@@ -1118,6 +1129,23 @@ def _docs_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the record-linkage dedup flavor that catches typo-level mutations."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.fuzzy_duplicate_pairs(docs, block_cols=["lang"])
+
+
+def _docs_fuzzy_pairs_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output contract as documents_fuzzy_pairs, via the PassJoin-style
+    segment-pigeonhole candidate strategy (Li/Deng/Feng VLDB'11): join-key
+    selectivity comes from ~6-char exact segment CONTENT (grows with the
+    corpus) instead of the fixed (lang, length-bucket) grid (saturates —
+    measured 55.8x at 10x data). Shares the buckets oracle verbatim
+    because the admission rule and verify are identical. Keeps the default
+    candidate_budget: on an OPEN-vocabulary corpus segment content keeps
+    candidates near-linear, but the closed-vocabulary synthetic corpus
+    saturates 6-char segments too (measured: join work 2.8M at sf0.1 ->
+    272M at sf1), so the honest contract is the same enforced budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_duplicate_pairs(
+        docs, block_cols=["lang"], candidate_strategy="segments",
+    )
 
 
 DOCS_FUZZY_PAIRS_SQL = """
@@ -7571,59 +7599,59 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R8_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 8 --changed dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components,dedup_components_prop,dedup_components_star,dedup_incremental,dedup_embedding,documents_leakage_split,documents_deduped,supplier_similarity,documents_bpe_train_distributed,events_acf,events_ccf,sink_bucketed_join,embeddings_pq_trained_topk,orders_retraction_agg
+    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
-    # registry=247 driver-green-union=242 never-sampled=4
+    # registry=249 driver-green-union=242 never-sampled=6
     "embeddings_covariance",  # stale-red
     "dedup_ngram_jaccard_arrays",  # never-sampled
+    "documents_fuzzy_pairs_segments",  # never-sampled
     "documents_unigram_em_tokens",  # never-sampled
     "documents_unigram_em_vocab",  # never-sampled
     "ob_updates_top10",  # never-sampled
-    "dedup_components",  # behavior-changed
-    "dedup_components_prop",  # behavior-changed
-    "dedup_components_star",  # behavior-changed
+    "ob_updates_top20_deep",  # never-sampled
+    "ann_cosine_topk",  # behavior-changed
+    "ann_cosine_topk_blas",  # behavior-changed
+    "ann_cosine_topk_ivf",  # behavior-changed
+    "ann_cosine_topk_lsh",  # behavior-changed
+    "ann_eval_mrr",  # behavior-changed
+    "ann_hamming_rerank",  # behavior-changed
+    "ann_mmr_rerank",  # behavior-changed
+    "ann_recall_dims",  # behavior-changed
+    "ann_recall_lsh",  # behavior-changed
+    "ann_recall_pq",  # behavior-changed
+    "ann_recall_pq_residual",  # behavior-changed
+    "ann_recall_pq_trained",  # behavior-changed
     "dedup_embedding",  # behavior-changed
-    "dedup_incremental",  # behavior-changed
-    "dedup_minhash_lsh",  # behavior-changed
-    "dedup_ngram_jaccard",  # behavior-changed
-    "documents_bpe_train_distributed",  # behavior-changed
-    "documents_deduped",  # behavior-changed
-    "documents_leakage_split",  # behavior-changed
-    "embeddings_pq_trained_topk",  # behavior-changed
-    "events_acf",  # behavior-changed
-    "events_ccf",  # behavior-changed
-    "orders_retraction_agg",  # behavior-changed
-    "sink_bucketed_join",  # behavior-changed
-    "supplier_similarity",  # behavior-changed
+    "documents_classifier_reliability",  # behavior-changed
+    "documents_classifier_score",  # behavior-changed
+    "documents_classifier_step",  # behavior-changed
+    "documents_classifier_stream",  # behavior-changed
+    "documents_curation_pipeline",  # behavior-changed
+    "documents_fuzzy_pairs",  # behavior-changed
+    "documents_hash_embed_knn",  # behavior-changed
+    "documents_hybrid_search",  # behavior-changed
+    "documents_pareto_frontier",  # behavior-changed
+    "documents_quality_filter",  # behavior-changed
+    "embeddings_hard_negatives",  # behavior-changed
+    "embeddings_pq_ivf_residual_topk",  # behavior-changed
+    "embeddings_semdedup",  # behavior-changed
+    "embeddings_semdedup_incremental",  # behavior-changed
+    "events_asof_next_purchase",  # behavior-changed
+    "events_asof_purchase",  # behavior-changed
+    "events_countmin_rollup",  # behavior-changed
+    "multimodal_audio_features",  # behavior-changed
+    "multimodal_features",  # behavior-changed
+    "multimodal_frame_sample",  # behavior-changed
+    "multimodal_resize",  # behavior-changed
+    "ob_book_asof",  # behavior-changed
+    "orders_quality_report",  # behavior-changed
+    "part_snapshot_diff",  # behavior-changed
+    "text_winnow_fingerprints",  # behavior-changed
     "supplier_nation_summary",  # oldest-green
-    "ann_cosine_topk",  # oldest-green
-    "ann_cosine_topk_blas",  # oldest-green
-    "ann_cosine_topk_lsh",  # oldest-green
     "customers_without_orders",  # oldest-green
+    "dedup_components",  # oldest-green
+    "dedup_components_star",  # oldest-green
     "dedup_exact",  # oldest-green
-    "dedup_simhash",  # oldest-green
-    "documents_budget_pack",  # oldest-green
-    "documents_hash_sample",  # oldest-green
-    "events_hourly",  # oldest-green
-    "events_hourly_pivot",  # oldest-green
-    "events_rollup",  # oldest-green
-    "events_user_distinct_approx",  # oldest-green
-    "events_user_running_total",  # oldest-green
-    "events_value_quantiles",  # oldest-green
-    "events_value_quantiles_approx",  # oldest-green
-    "ob_chunked_mutations_top2",  # oldest-green
-    "ob_conversion_top2",  # oldest-green
-    "ob_keyed_mutations_top2",  # oldest-green
-    "ob_modify_top2",  # oldest-green
-    "ob_mutations_top2",  # oldest-green
-    "ob_relational_keyed_mutations_top2",  # oldest-green
-    "ob_relational_modify_top2",  # oldest-green
-    "ob_relational_mutations_top2",  # oldest-green
-    "ob_relational_updates_top3",  # oldest-green
-    "ob_stream_keyed_mutations_top2",  # oldest-green
-    "ob_updates_top1",  # oldest-green
-    "ob_updates_top3",  # oldest-green
-    "orders_rolling_revenue",  # oldest-green
 ]
 
 
@@ -7807,6 +7835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interpolate_daily": hq.events_interpolate_daily,
         "documents_weighted_sample": _docs_weighted_sample,
         "documents_fuzzy_pairs": _docs_fuzzy_pairs,
+        "documents_fuzzy_pairs_segments": _docs_fuzzy_pairs_segments,
         "part_triangle_counts": _part_triangles,
         "ob_depth_profile": _ob_depth_profile,
         "supplier_similarity": _supplier_similarity,
@@ -7881,6 +7910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # side — the wide-struct emit path the reference monomorphizes up to
         # 20 levels (ref: calculate_bbo.rs:115-125), under the oracle
         "ob_updates_top10": _ob_updates(10),
+        # n=20 = the reference's monomorphization ceiling, on a stream whose
+        # price ladder (40 per side, decoupled from is_bid) keeps more than
+        # 20 live levels — truncation AT the guardrail boundary, under the
+        # oracle (ref: calculate_bbo.rs:115-125)
+        "ob_updates_top20_deep": _ob_updates_deep(20),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "events_hourly_pivot": hq.events_hourly_pivot,
@@ -7919,6 +7953,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_updates_top1": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 1, "updates"),
         "ob_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_updates_top10": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 10, "updates"),
+        "ob_updates_top20_deep": bs.oracle_book_sql(bs.DEEP_UPDATES_STREAM_SQL, 20, "updates"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
         "ob_keyed_mutations_top2": bs.oracle_book_sql(
@@ -7980,6 +8015,10 @@ def oracle_sql() -> dict[str, str]:
         "events_interpolate_daily": hq.EVENTS_INTERPOLATE_SQL,
         "documents_weighted_sample": _docs_weighted_sample_sql(),
         "documents_fuzzy_pairs": DOCS_FUZZY_PAIRS_SQL,
+        # identical output contract via the segment-pigeonhole strategy —
+        # the oracle is an OUTPUT spec (block + bucket-adjacency admission
+        # + levenshtein), shared verbatim
+        "documents_fuzzy_pairs_segments": DOCS_FUZZY_PAIRS_SQL,
         "part_triangle_counts": PART_TRIANGLES_SQL,
         "ob_depth_profile": _ob_depth_profile_sql(),
         "supplier_similarity": SUPPLIER_SIMILARITY_SQL,

@@ -211,6 +211,11 @@ def main() -> None:
         "ob_updates_top10",
         "documents_unigram_em_vocab",
         "documents_unigram_em_tokens",
+        # r8 second batch: deep-book truncation at the reference's 20-level
+        # monomorphization ceiling; the PassJoin segment strategy for fuzzy
+        # dedup (content-keyed candidates, same oracle as the buckets path)
+        "ob_updates_top20_deep",
+        "documents_fuzzy_pairs_segments",
     ]
     qs = E.queries()
 

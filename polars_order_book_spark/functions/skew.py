@@ -173,6 +173,9 @@ def salted_bipartite_join(
     left_id_col: str,
     right_id_col: str,
     cap: int,
+    *,
+    pair_budget: int | None = None,
+    budget_msg: str | None = None,
 ) -> DataFrame:
     """Equi-join ``left`` ⋈ ``right`` on ``keys`` with BOTH sides salt-split:
     per join group, left rows hash into S_L = ceil(n_L/cap) cells and right
@@ -184,11 +187,44 @@ def salted_bipartite_join(
     neither side is). Replication cost: each row duplicates by the OTHER
     side's salt count — paid only inside groups that are actually hot.
     Returns the joined frame minus the salt plumbing.
+
+    ``pair_budget``/``budget_msg``: same contract as
+    :func:`salted_pair_join` — fail fast when the join's EXACT output
+    cardinality Σ n_L(k)·n_R(k) (computed from the two group-size
+    aggregates, NULL-key groups excluded because the equi-join excludes
+    them) exceeds the budget, with ``assert_true`` on the rows FEEDING the
+    join so tasks die before the quadratic stage, inside the lazy plan.
     """
     keys = list(keys)
-    hot_l = left.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
-    hot_r = right.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N)).where(F.col(_N) > cap)
+    grp_l = left.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
+    grp_r = right.groupBy(*keys).agg(F.count(F.lit(1)).alias(_N))
+    hot_l = grp_l.where(F.col(_N) > cap)
+    hot_r = grp_r.where(F.col(_N) > cap)
     sl_of = F.coalesce(_salt_count(cap), F.lit(1))
+    if pair_budget is not None:
+        nn = " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
+        est = (
+            grp_l.where(F.expr(nn))
+            .withColumnRenamed(_N, "__nl")
+            .join(grp_r.where(F.expr(nn)).withColumnRenamed(_N, "__nr"), on=keys)
+            .agg(
+                F.sum(
+                    F.col("__nl").cast("double") * F.col("__nr").cast("double")
+                ).alias("__pair_est__")
+            )
+        )
+        msg = F.concat(
+            F.lit(f"{budget_msg or 'salted_bipartite_join'}: estimated "
+                  f"candidate pairs "),
+            F.col("__pair_est__").cast("bigint").cast("string"),
+            F.lit(f" exceed pair_budget={pair_budget}"),
+        )
+        ok = F.assert_true(
+            F.coalesce(F.col("__pair_est__"), F.lit(0.0))
+            <= F.lit(float(pair_budget)),
+            msg,
+        )
+        left = left.crossJoin(F.broadcast(est)).where(ok.isNull()).drop("__pair_est__")
 
     l = (
         left.join(F.broadcast(hot_l), on=keys, how="left")

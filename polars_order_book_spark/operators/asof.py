@@ -56,6 +56,11 @@ def asof_join(
     Right payload column names must not collide with left columns — rename
     before joining (explicit beats implicit suffixing).
 
+    Scale note: ``by=()`` builds an UNPARTITIONED ordered window — the
+    union of both sides sorts in a single task. Pass the entity keys at
+    scale (the registered query joins per user); the empty-``by`` form is
+    for single-series frames only.
+
     Determinism contract: ``right`` should be unique per (``by``, ``on``) —
     with duplicates, which of the tied rows wins is partition-order dependent
     (pandas ``merge_asof`` has the same caveat, resolved by input order,
@@ -69,8 +74,21 @@ def asof_join(
     clash = [c for c in payload if c in left.columns]
     if clash:
         raise ValueError(f"right payload columns collide with left: {clash}")
-    if right_on_as is not None and right_on_as in left.columns:
-        raise ValueError(f"right_on_as {right_on_as!r} collides with a left column")
+    if right_on_as is not None:
+        # r8 self-review: validate against BOTH output column sources — a
+        # right_on_as equal to a right payload column would silently emit
+        # duplicate output columns, failing far from the call site.
+        if right_on_as in left.columns:
+            raise ValueError(
+                f"right_on_as {right_on_as!r} collides with a left column"
+            )
+        if right_on_as in payload:
+            raise ValueError(
+                f"right_on_as {right_on_as!r} collides with a right payload "
+                "column — the output would carry two columns of that name"
+            )
+        if not right_on_as:
+            raise ValueError("right_on_as must be a non-empty column name")
     # Right rows carry their payload (plus their own `on`) in ONE struct —
     # never null for a right row — so the window fill cannot skip past a
     # right row whose individual payload value is null.

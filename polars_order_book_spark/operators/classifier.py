@@ -114,6 +114,7 @@ def logreg_step(
     *,
     lr: float = 0.5,
     id_col: str = "doc_id",
+    n: "int | None" = None,
 ) -> DataFrame:
     """One exact full-batch gradient-descent step from integer-micros
     weights. ``labels`` is (id, y∈{0,1}). Returns one row per feature index:
@@ -128,7 +129,12 @@ def logreg_step(
     """
     spark = feats.sparkSession
     wdf = _weights_df(spark, weights_micro)
-    n = labels.count()
+    # n is loop-invariant across training iterations: logreg_train computes
+    # it once and passes it down, so the per-step eager count() (a full
+    # re-scan of the labels lineage per iteration, r8 self-review) only
+    # happens for direct single-step callers.
+    if n is None:
+        n = labels.count()
     if n == 0:
         raise ValueError("labels is empty; cannot take a gradient step")
     err = (
@@ -201,13 +207,19 @@ def logreg_train(
     feats = doc_features(
         df, text_col=text_col, id_col=id_col, dim=dim, feature=feature
     ).localCheckpoint(eager=False)
-    labels = df.select(F.col(id_col), F.col(label_col).cast("int").alias("y"))
+    # Checkpoint labels and count ONCE: every iteration joins labels twice
+    # and logreg_step needs N — without this, each step re-scanned the raw
+    # df lineage and re-counted a loop-invariant value (r8 self-review).
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("int").alias("y")
+    ).localCheckpoint(eager=False)
+    n = labels.count()
     w = [0] * (dim + 1)
-    step = logreg_step(feats, labels, w, lr=lr, id_col=id_col)
+    step = logreg_step(feats, labels, w, lr=lr, id_col=id_col, n=n)
     for _ in range(n_iter - 1):
         w_next = {r["j"]: r["w_next_micro"] for r in step.collect()}
         w = [w_next.get(j, w[j]) for j in range(dim + 1)]
-        step = logreg_step(feats, labels, w, lr=lr, id_col=id_col)
+        step = logreg_step(feats, labels, w, lr=lr, id_col=id_col, n=n)
     return step
 
 

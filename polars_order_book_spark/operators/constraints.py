@@ -85,8 +85,14 @@ def observe_quality(df: DataFrame, rules: "list[Rule]", name: str = "quality"):
     from pyspark.sql import Observation
 
     obs = Observation(name)
+    # coalesce: sum() observes NULL on an empty frame — a gate comparing
+    # to 0 would see neither pass nor fail (r8 self-review, same fix as
+    # check_constraints)
     exprs = [
-        F.sum(F.when(F.expr(r.expr), 0).otherwise(1)).alias(r.name) for r in preds
+        F.coalesce(F.sum(F.when(F.expr(r.expr), 0).otherwise(1)), F.lit(0)).alias(
+            r.name
+        )
+        for r in preds
     ] + [F.count(F.lit(1)).alias("__n")]
     return df.observe(obs, *exprs), obs
 
@@ -125,8 +131,15 @@ def check_constraints(
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for r in preds:
+        # coalesce: sum() over ZERO rows is NULL, so an empty table would
+        # report n_violations NULL for predicate rules (but 0 for unique
+        # rules) — a scheduler gating on max(n_violations) == 0 sees
+        # neither pass nor fail (r8 self-review). An empty table violates
+        # nothing: 0.
         aggs.append(
-            F.sum(F.when(F.expr(r.expr), 0).otherwise(1)).alias(f"__v_{r.name}")
+            F.coalesce(
+                F.sum(F.when(F.expr(r.expr), 0).otherwise(1)), F.lit(0)
+            ).alias(f"__v_{r.name}")
         )
     for r in uniqs:
         aggs.append(

@@ -917,6 +917,132 @@ def ngram_jaccard_pairs(
     )
 
 
+def _fuzzy_segment_candidates(
+    rows: DataFrame,
+    blocks: "list[str]",
+    id_col: str,
+    prefix_len: int,
+    max_dist: int,
+    bucket_cap: int,
+    candidate_budget: "int | None",
+    budget_msg: str,
+) -> DataFrame:
+    """PassJoin-style candidate generation for :func:`fuzzy_duplicate_pairs`
+    (pigeonhole over ``max_dist + 1`` segments — see the public docstring).
+
+    ``rows``: (id, *blocks, _pfx, _lb). Returns distinct (id_a < id_b)
+    candidate pairs satisfying the admission rule (same block, |Δ_lb| ≤ 1),
+    a SUPERSET of the true ed ≤ max_dist pairs, verified downstream.
+
+    Three legs, all salted + budget-guarded:
+
+    * full × full (both prefixes exactly ``prefix_len`` chars): index side
+      explodes each prefix's τ+1 segments as (slot, text); probe side
+      explodes every substring of its own prefix within ±τ of each slot's
+      home position (the untouched segment's maximal shift = net indels
+      before it ≤ τ); equi-join on (*blocks, slot, segment-text). Join-key
+      cardinality grows with corpus CONTENT, not with a fixed bucket grid.
+    * short × any same-bucket / adjacent-bucket: rows with prefixes shorter
+      than ``prefix_len`` (short docs) pair through the length-bucket
+      joins restricted to the short side — this population cannot saturate
+      the way full-length buckets do (every doc ≥ prefix_len chars lands
+      in the full class).
+    """
+    if prefix_len <= max_dist:
+        raise ValueError(
+            f"segments strategy needs prefix_len ({prefix_len}) > max_dist "
+            f"({max_dist}) — shorter prefixes leave zero-length segments"
+        )
+    from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+    nseg = max_dist + 1
+    base, rem = divmod(prefix_len, nseg)
+    seg_bounds = []  # (slot, start0, length)
+    pos = 0
+    for i in range(nseg):
+        ln = base + 1 if i < rem else base
+        seg_bounds.append((i, pos, ln))
+        pos += ln
+    # Shift window for the full × full leg: both prefixes are EXACTLY
+    # prefix_len chars, so an edit script with t insertions has exactly t
+    # deletions; the untouched segment's shift is the net indels before it,
+    # bounded by min(#ins, #del) = t <= floor(max_dist / 2). Half the probe
+    # windows of the naive +/-max_dist bound, same exhaustiveness.
+    max_shift = max_dist // 2
+    probe_bounds = []  # (slot, start0, length) — shifted windows, clamped
+    for i, start, ln in seg_bounds:
+        for shift in range(-max_shift, max_shift + 1):
+            ps = start + shift
+            if 0 <= ps <= prefix_len - ln:
+                probe_bounds.append((i, ps, ln))
+
+    plen = F.length(F.col("_pfx"))
+    full = rows.where(plen == prefix_len)
+    shorts = rows.where(plen < prefix_len)
+
+    def explode_windows(rel, bounds, ident):
+        wins = F.array(*[
+            F.struct(
+                F.lit(i).alias("__slot"),
+                F.substring(F.col("_pfx"), s + 1, ln).alias("__seg"),
+            )
+            for i, s, ln in bounds
+        ])
+        return rel.select(
+            *blocks,
+            F.col(id_col).alias(ident),
+            F.col("_lb").alias(f"_lb_{ident}"),
+            F.explode(wins).alias("__w"),
+        ).select(
+            *blocks, ident, f"_lb_{ident}", "__w.__slot", "__w.__seg"
+        ).distinct()  # a probe window can repeat text across shifts
+
+    idx = explode_windows(full, seg_bounds, "id_b")
+    probes = explode_windows(full, probe_bounds, "id_a")
+    full_pairs = (
+        salted_bipartite_join(
+            probes, idx, [*blocks, "__slot", "__seg"], "id_a", "id_b",
+            bucket_cap,
+            pair_budget=candidate_budget, budget_msg=budget_msg,
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.abs(F.col("_lb_id_a") - F.col("_lb_id_b")) <= 1)
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
+    )
+
+    # short-side legs: (short × any) within same/adjacent length buckets.
+    # Three bipartite joins so each unordered pair meets at least once
+    # regardless of which side is short or which bucket is lower.
+    s_side = shorts.select(
+        *blocks, F.col("_lb").alias("_blk"), F.col(id_col).alias("id_a")
+    )
+    s_up = shorts.select(
+        *blocks, (F.col("_lb") + 1).alias("_blk"), F.col(id_col).alias("id_a")
+    )
+    all_side = rows.select(
+        *blocks, F.col("_lb").alias("_blk"), F.col(id_col).alias("id_b")
+    )
+    all_up = rows.select(
+        *blocks, (F.col("_lb") + 1).alias("_blk"), F.col(id_col).alias("id_b")
+    )
+    short_legs = []
+    for left, right in ((s_side, all_side), (s_up, all_side), (s_side, all_up)):
+        short_legs.append(
+            salted_bipartite_join(
+                left, right, [*blocks, "_blk"], "id_a", "id_b", bucket_cap,
+                pair_budget=candidate_budget, budget_msg=budget_msg,
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
+        )
+    cand = full_pairs
+    for leg in short_legs:
+        cand = cand.unionByName(leg)
+    return cand.distinct()
+
+
 def fuzzy_duplicate_pairs(
     df: DataFrame,
     *,
@@ -927,6 +1053,8 @@ def fuzzy_duplicate_pairs(
     prefix_len: int = 64,
     max_dist: int = 10,
     bucket_cap: int = 2000,
+    candidate_budget: "int | None" = 10_000_000,
+    candidate_strategy: str = "buckets",
 ) -> DataFrame:
     """Near-duplicate pairs by EDIT DISTANCE on normalized text prefixes,
     with blocking — the record-linkage flavor of dedup (catches small
@@ -952,11 +1080,44 @@ def fuzzy_duplicate_pairs(
     document size. Emits (id_a < id_b, dist). Compose with
     ``neardup_components`` + ``apply_dedup`` for survivors, exactly like
     the LSH pipeline.
+
+    ``candidate_budget`` (r8 scale check): the (block, length-bucket) key
+    space does NOT grow with the corpus, so candidate pairs grow
+    quadratically once blocks saturate — measured 55.8× wall at 10× data
+    on the saturated synthetic corpus. Both candidate joins carry the
+    budget as an exact Σ-product fail-fast (same machinery as
+    ``ngram_jaccard_pairs``): past bounded blocks, use
+    ``lsh_candidate_pairs``/``minhash`` (``dedup_minhash_lsh``, measured
+    2.08× at 10×), add higher-selectivity ``block_cols``, or switch to
+    ``candidate_strategy="segments"`` (below); raise the budget only with
+    executor memory to match.
+
+    ``candidate_strategy="segments"`` — the EXACT scale path (PassJoin-
+    style pigeonhole, Li/Deng/Feng VLDB'11 §3): partition each full
+    prefix into ``max_dist + 1`` segments; ≤ max_dist edits can touch at
+    most max_dist of them, so some segment survives UNTOUCHED in the other
+    prefix, shifted by at most max_dist positions (the net indels before
+    it). Candidates = an equi-join of each row's (slot, segment) index
+    against each row's enumerated (slot, substring-at-shifted-window)
+    probes — selectivity comes from ~6-char exact segment content, which
+    GROWS with the corpus vocabulary instead of saturating like length
+    buckets. Rows with prefixes shorter than ``prefix_len`` (short docs)
+    still pair through length-sub-bucketed joins restricted to the short
+    side — a population that cannot saturate the way full-length blocks
+    do. Output is IDENTICAL to the buckets strategy (same admission rule:
+    same block, |length-bucket Δ| ≤ 1, levenshtein(prefix) ≤ max_dist) —
+    pinned by test; the same ``candidate_budget`` fail-fast rides on every
+    join.
     """
     if length_block < max_dist:
         raise ValueError(
             f"length_block ({length_block}) must be >= max_dist ({max_dist}) "
             "or adjacent-bucket blocking misses true pairs"
+        )
+    if candidate_strategy not in ("buckets", "segments"):
+        raise ValueError(
+            f"candidate_strategy must be 'buckets' or 'segments', got "
+            f"{candidate_strategy!r}"
         )
     blocks = list(block_cols or [])
     norm = F.lower(F.trim(F.col(text_col)))
@@ -967,39 +1128,56 @@ def fuzzy_duplicate_pairs(
         (F.length(norm) / F.lit(length_block)).cast("long").alias("_lb"),
     )
 
-    from polars_order_book_spark.functions.skew import salted_pair_join
+    from polars_order_book_spark.functions.skew import (
+        salted_bipartite_join,
+        salted_pair_join,
+    )
 
-    def pairs_on(key_expr):
-        keyed = rows.withColumn("_blk", key_expr)
-        p = salted_pair_join(
-            keyed, [*blocks, "_blk"], id_col, "id_a", "id_b", bucket_cap
+    budget_msg = (
+        "fuzzy_duplicate_pairs: exact edit-distance blocking saturated — "
+        "use dedup_minhash_lsh (lsh_candidate_pairs) past bounded blocks, "
+        "candidate_strategy='segments', higher-selectivity block_cols, or "
+        "raise candidate_budget"
+    )
+
+    if candidate_strategy == "segments":
+        cand = _fuzzy_segment_candidates(
+            rows, blocks, id_col, prefix_len, max_dist,
+            bucket_cap, candidate_budget, budget_msg,
         )
-        return p
+    else:
+        def pairs_on(key_expr):
+            keyed = rows.withColumn("_blk", key_expr)
+            p = salted_pair_join(
+                keyed, [*blocks, "_blk"], id_col, "id_a", "id_b", bucket_cap,
+                pair_budget=candidate_budget, budget_msg=budget_msg,
+            )
+            return p
 
-    same = pairs_on(F.col("_lb"))
-    # bucket b vs b+1: shift the LEFT copy's bucket up; the pair meets once.
-    # This A-vs-B join goes through salted_bipartite_join — BOTH sides are
-    # salt-split, so the hot bucket of a boundary-straddling pair (fixed-
-    # template boilerplate at lengths L and L+length_block) is bounded
-    # whether it sits below or above the boundary; build-side-only salting
-    # (salted_probe_join) would miss a hot upper bucket.
-    from polars_order_book_spark.functions.skew import salted_bipartite_join
-
-    below = rows.withColumn("_blk", F.col("_lb") + 1).select(
-        *blocks, "_blk", F.col(id_col).alias("id_a")
-    )
-    above = rows.withColumn("_blk", F.col("_lb")).select(
-        *blocks, "_blk", F.col(id_col).alias("id_b")
-    )
-    adjacent = (
-        salted_bipartite_join(
-            below, above, [*blocks, "_blk"], "id_a", "id_b", bucket_cap
+        same = pairs_on(F.col("_lb"))
+        # bucket b vs b+1: shift the LEFT copy's bucket up; the pair meets
+        # once. This A-vs-B join goes through salted_bipartite_join — BOTH
+        # sides are salt-split, so the hot bucket of a boundary-straddling
+        # pair (fixed-template boilerplate at lengths L and L+length_block)
+        # is bounded whether it sits below or above the boundary; build-
+        # side-only salting (salted_probe_join) would miss a hot upper
+        # bucket.
+        below = rows.withColumn("_blk", F.col("_lb") + 1).select(
+            *blocks, "_blk", F.col(id_col).alias("id_a")
         )
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"))
-    )
-    cand = same.select("id_a", "id_b").unionByName(adjacent).distinct()
+        above = rows.withColumn("_blk", F.col("_lb")).select(
+            *blocks, "_blk", F.col(id_col).alias("id_b")
+        )
+        adjacent = (
+            salted_bipartite_join(
+                below, above, [*blocks, "_blk"], "id_a", "id_b", bucket_cap,
+                pair_budget=candidate_budget, budget_msg=budget_msg,
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
+        )
+        cand = same.select("id_a", "id_b").unionByName(adjacent).distinct()
 
     pfx = rows.select(F.col(id_col), F.col("_pfx"))
     joined = (

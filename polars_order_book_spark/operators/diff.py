@@ -54,6 +54,14 @@ def diff_snapshots(
     ``new_fingerprint`` (null on the absent side). ``compare_cols`` defaults
     to every non-key column the two schemas SHARE — schema-evolution columns
     present on one side only are ignored unless named explicitly.
+
+    ``key_cols`` must uniquely identify rows on EACH side, ENFORCED per row
+    (r8 self-review): a duplicated key — including two NULL-keyed rows,
+    which eqNullSafe groups together — cross-pairs M×N in the full-outer
+    join and reports phantom 'changed' rows on identical snapshots. The
+    check is a count window over the join's own key partitioning, so the
+    exchange is reused; a violating snapshot fails loudly instead of
+    emitting churn a backfill gate would act on.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -64,14 +72,40 @@ def diff_snapshots(
             raise ValueError(
                 "no shared non-key columns to compare; pass compare_cols"
             )
-    o = old.select(
-        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
-        row_fingerprint(compare_cols).alias("old_fingerprint"),
-    )
-    n = new.select(
-        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
-        row_fingerprint(compare_cols).alias("new_fingerprint"),
-    )
+    from pyspark.sql import Window
+
+    def keyed_side(df: DataFrame, prefix: str, fp_name: str, side: str) -> DataFrame:
+        rel = df.select(
+            *[F.col(k).alias(f"{prefix}{k}") for k in key_cols],
+            row_fingerprint(compare_cols).alias(fp_name),
+        )
+        w = Window.partitionBy(*[f"{prefix}{k}" for k in key_cols])
+        dup_ok = F.assert_true(
+            F.count(F.lit(1)).over(w) == 1,
+            F.concat(
+                F.lit(f"diff_snapshots: duplicate key in the {side} snapshot ("),
+                F.concat_ws(
+                    ", ",
+                    *[
+                        F.coalesce(F.col(f"{prefix}{k}").cast("string"), F.lit("NULL"))
+                        for k in key_cols
+                    ],
+                ),
+                F.lit(") — key_cols must uniquely identify rows; a duplicate "
+                      "(incl. multiple NULL keys) would cross-pair in the "
+                      "full-outer join and report phantom changes"),
+            ),
+        )
+        # window expressions are not allowed directly in WHERE — project
+        # the guard first, then filter on the materialized column
+        return (
+            rel.withColumn("__dup_ok", dup_ok)
+            .where(F.col("__dup_ok").isNull())
+            .drop("__dup_ok")
+        )
+
+    o = keyed_side(old, "__ok_", "old_fingerprint", "old")
+    n = keyed_side(new, "__nk_", "new_fingerprint", "new")
     cond = None
     for k in key_cols:
         # eqNullSafe: a null key must match its counterpart — plain equality

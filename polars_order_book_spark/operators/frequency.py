@@ -339,6 +339,13 @@ def countmin_build(
     ``segment_cols``, one independent sketch per segment (per hour, per
     shard); :func:`countmin_merge` folds segments away by cell-wise addition
     and is EXACTLY the sketch built flat (pinned by test).
+
+    The sketch carries its build parameters as ``depth``/``width`` columns
+    (r8 self-review): a probe with mismatched parameters hashes to the
+    wrong cells and the left join's coalesce(n, 0) would SILENTLY estimate
+    0 for heavily-counted items — inverting the "sketch proves absence"
+    guarantee — so :func:`countmin_estimate` asserts the metadata per row
+    instead of trusting the caller.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
@@ -358,14 +365,22 @@ def countmin_build(
     )
     return rows.groupBy(*segs, "rc.row", "rc.cell").agg(
         F.count(F.lit(1)).alias("n")
+    ).select(
+        "*",
+        F.lit(depth).cast("int").alias("depth"),
+        F.lit(width).cast("int").alias("width"),
     )
 
 
 def countmin_merge(sketch: DataFrame) -> DataFrame:
     """Merge segmented sketches into one: cell-wise sum over every non-(row,
     cell) column. Linearity of the grid makes this exact — the merged sketch
-    equals the sketch of the unioned rows."""
-    return sketch.groupBy("row", "cell").agg(F.sum("n").alias("n"))
+    equals the sketch of the unioned rows. The (depth, width) metadata rides
+    through the groupBy: sketches built with DIFFERENT parameters keep
+    distinct (depth, width, row, cell) rows instead of summing incompatible
+    grids, and :func:`countmin_estimate`'s per-row assert turns that misuse
+    into a loud error at probe time."""
+    return sketch.groupBy("depth", "width", "row", "cell").agg(F.sum("n").alias("n"))
 
 
 def countmin_estimate(
@@ -373,14 +388,39 @@ def countmin_estimate(
     items: DataFrame,
     item_col: str,
     *,
-    depth: int = 4,
-    width: int = 512,
+    depth: "int | None" = None,
+    width: "int | None" = None,
 ) -> DataFrame:
     """Point-estimate each item in ``items`` (distinct, non-null) against an
     (un-segmented) sketch: min over the depth cells the item hashes to.
     Returns (item_col, est_n long). Items hashing to an empty cell estimate
     0 (the sketch proves absence). The sketch is ≤ depth·width rows —
-    broadcast, so the probe is a map-only join on the 100 TB side."""
+    broadcast, so the probe is a map-only join on the 100 TB side.
+
+    ``depth``/``width`` default to the sketch's own metadata columns (one
+    first() over the tiny sketch relation); passing them explicitly is
+    validated per sketch row with assert_true — a mismatch means the probe
+    hashes to the wrong cells and every estimate would silently read 0."""
+    if depth is None or width is None:
+        head = sketch.select("depth", "width").first()
+        if head is None:
+            raise ValueError(
+                "countmin_estimate: empty sketch and no explicit depth/width"
+            )
+        depth = depth if depth is not None else int(head["depth"])
+        width = width if width is not None else int(head["width"])
+    meta_ok = F.assert_true(
+        (F.col("depth") == F.lit(int(depth))) & (F.col("width") == F.lit(int(width))),
+        F.concat(
+            F.lit(
+                f"countmin_estimate: probe parameters (depth={depth}, "
+                f"width={width}) do not match the sketch's build parameters ("
+            ),
+            F.col("depth"), F.lit("x"), F.col("width"),
+            F.lit(") — estimates would silently read the wrong cells"),
+        ),
+    )
+    checked = sketch.where(meta_ok.isNull()).select("row", "cell", "n")
     probes = items.where(F.col(item_col).isNotNull()).select(
         item_col,
         F.explode(
@@ -393,7 +433,7 @@ def countmin_estimate(
             ])
         ).alias("rc"),
     ).select(item_col, "rc.row", "rc.cell")
-    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left")
+    joined = probes.join(F.broadcast(checked), ["row", "cell"], "left")
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n")
     )

@@ -71,8 +71,22 @@ def covariance_matrix(
         for i in range(dim)
         for j in range(i, dim)
     )
+    # Loud contract (r8 self-review): a NULL or shorter-than-dim vector
+    # explodes into rows with NULL products — count(lit(1)) would still
+    # count them while sum() skips them, so n inflates and EVERY cell
+    # skews by a different amount (and pca_fit eigensolves an internally
+    # inconsistent matrix) with no error. Assert instead of corrupting.
+    valid = F.assert_true(
+        F.col("__v").isNotNull() & (F.size("__v") >= dim),
+        F.lit(
+            f"covariance_matrix: NULL or shorter-than-dim ({dim}) vector — "
+            "n would count it while the sums skip its NULL products, "
+            "silently skewing every covariance cell; filter or pad first"
+        ),
+    )
     e = (
         vectors.select(F.expr(_v_expr(vec_col)).alias("__v"))
+        .where(valid.isNull())
         .select(F.expr(f"explode(array({pairs}))").alias("e"))
         .select("e.i", "e.j", "e.p", "e.xi", "e.xj")
     )

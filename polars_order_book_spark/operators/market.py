@@ -120,6 +120,10 @@ def order_flow_imbalance(
     Scale shape: one lag window per book (shuffle on ``by``, sort by seq)
     then one map-side-partial groupBy((by, bucket)) — identical to
     ``realized_variance``; the two share the window shuffle when composed.
+    The default ``by=()`` is the SINGLE-BOOK convenience form: an
+    unpartitioned ordered window serializes the whole stream into one task
+    — at scale always pass the book keys (the registered queries do), or
+    pre-chunk like the NBBO segmented scan.
     """
     if bucket_size <= 0:
         raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
@@ -253,6 +257,8 @@ def realized_variance(
     (one-sided books) break the chain explicitly (a move TO or FROM a no-
     quote state is not a price move). ``rv_ticks2`` = sum((Δmid2)²)/4 as the
     one final float division; ``n_moves`` counts the exact moves summed.
+    Like ``order_flow_imbalance``, the default ``by=()`` serializes the
+    stream into one ordered-window task — pass book keys at scale.
     """
     if bucket_size <= 0:
         raise ValueError(f"bucket_size must be > 0, got {bucket_size}")

@@ -264,9 +264,18 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     """mapInPandas feature extraction over binary payloads. Batch shape: each
     Arrow batch becomes one pandas DataFrame; output rows align 1:1."""
 
+    none_row = {k: None for k in
+                ("n_bytes", "first_byte", "fake_width", "fake_height",
+                 "fake_channels")}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(p) for p in pdf[payload_col]]
+            # NULL payloads (attach_payload emits them for NULL text) yield
+            # a NULL-feature row instead of crashing the executor on
+            # bytes(None) — the 1:1 row alignment the docstring promises
+            # (r8 self-review).
+            feats = [decode_image(p) if p is not None else dict(none_row)
+                     for p in pdf[payload_col]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield out
@@ -292,9 +301,16 @@ def extract_audio_features_stub(df: DataFrame, id_col: str = "doc_id",
     bytes. rms_proxy = mean byte value, the cheapest 'loudness' stand-in that
     is a pure function of the payload."""
 
+    none_row = {k: None for k in
+                ("n_bytes", "fake_sample_rate", "fake_duration_ms",
+                 "fake_channels", "rms_proxy")}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [decode_audio(p) for p in pdf[payload_col]]
+            # NULL payloads -> NULL-feature rows, same contract as
+            # extract_image_features (r8 self-review)
+            out = [decode_audio(p) if p is not None else dict(none_row)
+                   for p in pdf[payload_col]]
             res = pd.DataFrame(out)
             res.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield res
@@ -327,7 +343,9 @@ def resize_image_stub(
 
     budget = target_w * target_h * 3 // 8
 
-    def resize_one(p: bytes) -> bytes:
+    def resize_one(p: "bytes | None") -> "bytes | None":
+        if p is None:
+            return None  # NULL payload -> NULL resized bytes (r8 review)
         b = bytes(p)
         if _has_magic(b, _IMAGE_MAGIC):
             if _PIL_IMAGE is None:
@@ -346,8 +364,10 @@ def resize_image_stub(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
-                    "out_bytes": [len(r) for r in resized],
-                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                    "out_bytes": [len(r) if r is not None else None
+                                  for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() if r is not None
+                                    else None for r in resized],
                 }
             )
 
@@ -359,8 +379,16 @@ def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
     """'Frame sampling' plumbing: one output row per sampled offset per doc —
     the explode shape a video pipeline produces (doc → frames). Offsets are
     byte positions; a real implementation would seek keyframes."""
+    if every_n_bytes <= 0:
+        raise ValueError(f"every_n_bytes must be > 0, got {every_n_bytes}")
     n = F.length(F.col(payload_col))
-    offsets = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(every_n_bytes)).cast("long"))
+    # sequence(0, -1) generates a DESCENDING [0, -1] — an empty/NULL payload
+    # would emit two spurious frames (byte_offset 0 and -64) instead of
+    # none (r8 self-review). Empty docs sample zero frames.
+    offsets = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(every_n_bytes)).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
     return df.select(
         F.col(id_col),
         F.explode(offsets).alias("frame_no"),

@@ -245,10 +245,14 @@ def pareto_frontier(
                 f"{dtypes.get(c)} — quantize first (floor to units)"
             )
     x, y = F.col(x_col), F.col(y_col)
-    base = df.where(
-        x.isNotNull() & y.isNotNull()
-        & F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys))
-    )
+    # Build the null-key filter as a Column conjunction: ' AND '.join over
+    # keys=[] would be F.expr("") — a plan-time ParseException — while the
+    # global (un-keyed) skyline is perfectly well-defined and the window
+    # passes below handle partitionBy() fine.
+    not_null = x.isNotNull() & y.isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
+    base = df.where(not_null)
 
     def skyline(rel: DataFrame, part: "list[str]") -> DataFrame:
         # Both window frames share ONE partitioning and ordering (x desc),

@@ -200,6 +200,10 @@ def mmr_rerank(
                 key = (score, -cid)
                 if best is None or key > best[0]:
                     best = (key, cid, score)
+            if best is None:
+                # fewer than k candidates for this query (small corpus /
+                # self-excluded): emit what exists instead of crashing
+                break
             _, chosen, score = best
             out.append((qid, chosen, step, score))
             remaining.remove(chosen)
@@ -261,15 +265,16 @@ def hard_negatives(
     from polars_order_book_spark.operators.similarity import (  # noqa: PLC0415
         _as_double,
         _dot,
+        _guarded_norm,
         _topk,
     )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qn", _guarded_norm(F.col("qv"), "hard_negatives"))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "hard_negatives"))
     sim = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))

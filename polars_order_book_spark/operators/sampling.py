@@ -5,9 +5,12 @@ repartition (or on another engine) yields a different subset, which breaks
 reproducible dataset curation. These samplers decide membership from a
 PORTABLE hash of the row's own key (functions.hashing.hash64: md5-derived,
 bit-identical in DuckDB), so the sample is a pure function of the data:
-stable across runs, partitionings, engines, and appends (a row's membership
-never changes as the dataset grows — the property curation pipelines rely on
-for incremental reprocessing).
+stable across runs, partitionings, engines, and — for the per-row-membership
+rate samplers — appends (a row's membership never changes as the dataset
+grows, the property curation pipelines rely on for incremental reprocessing).
+Operators whose output depends on OTHER rows (the packers, stratified/
+weighted quotas) are deterministic but not append-stable; each docstring
+states its own contract.
 
 Scale shape: a map-only filter — no shuffle, no state; pushes through any
 downstream plan like an ordinary predicate.
@@ -74,9 +77,9 @@ def hash_split(
 def _hash_ordered_layout(df, by, text_col, id_col, shards):
     """Shared layout base for budget_pack / pack_sequences: per (group,
     hash shard), documents carry their token count and running token total
-    in portable-hash order. ONE definition — the append-stability contract
-    both packers document depends on this exact ordering and shard rule, so
-    it must not drift between them. Returns the frame with columns
+    in portable-hash order. ONE definition — both packers' determinism
+    contract depends on this exact ordering and shard rule, so it must not
+    drift between them. Returns the frame with columns
     (doc_id, <by>, n_tokens, __h, pack_shard, __cum)."""
     from pyspark.sql import Window as W
 
@@ -113,8 +116,12 @@ def budget_pack(
     document and may overshoot by less than one document's tokens.
 
     Hash order (portable hash64 of the id) makes the selection an unbiased,
-    engine-reproducible sample of each source — append-stable like
-    ``hash_sample``, but quota-bounded instead of rate-bounded.
+    engine-reproducible sample of each source. Unlike ``hash_sample`` it is
+    NOT append-stable (r8 self-review): an appended doc whose id hashes
+    earlier enters the stream before existing docs, shifting the running
+    total and possibly evicting a previously-kept doc at the budget
+    boundary. Re-draw the pack after appends; use ``hash_sample`` where
+    append-stable membership matters.
 
     Scale: the running sum needs one ordered window per group, and a single
     group's window is one task. ``shards > 1`` splits every group into hash
@@ -228,11 +235,14 @@ def pack_sequences(
 
     Documents are laid out per (group, shard) in portable hash order; each
     doc's start offset is the running token total before it, and its bin is
-    ``start div seq_len``. The layout is therefore a pure function of the
-    data — append-stable, partition-invariant, engine-reproducible — and a
-    doc's (bin, offset) never changes when later docs arrive. Docs longer
-    than ``seq_len_tokens`` simply span bins (start-offset contract; the
-    splitter downstream slices them).
+    ``start div seq_len``. The layout is a pure function of the DATASET —
+    partition-invariant and engine-reproducible — but NOT append-stable
+    (r8 self-review): an appended doc whose id hashes earlier than existing
+    docs shifts every later cumulative total, moving those docs' (bin,
+    offset). Re-pack after appends (cheap: one window pass); use
+    ``hash_sample`` when append-stable membership is the requirement. Docs
+    longer than ``seq_len_tokens`` simply span bins (start-offset contract;
+    the splitter downstream slices them).
 
     Scale: one ordered window per (group, shard) — identical shape and
     bounds to :func:`budget_pack`; ``shards`` caps per-task window work.

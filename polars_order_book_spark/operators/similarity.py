@@ -54,9 +54,24 @@ def _sql_as_double(col_name: str) -> str:
     return f"transform(`{col_name}`, x -> CAST(x AS DOUBLE))"
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    v = _as_double(F.col(vec_col))
-    return df.withColumn("__norm", F.sqrt(_dot(v, v)))
+def _guarded_norm(v, site: str):
+    """``sqrt(dot(v, v))`` with a LOUD zero-norm guard for cosine
+    denominators. A zero (or NULL) vector makes cosine 0/0 = NaN, and
+    Spark ranks NaN ABOVE every real value — the zero vector would
+    silently win rank 1 for every query and pass ``>= threshold``
+    near-dup filters. The repo convention is keep-it-loud: assert per
+    row instead of corrupting results. Drop or re-embed zero vectors
+    before calling."""
+    n = F.sqrt(_dot(v, v))
+    guard = F.assert_true(
+        n > 0,
+        F.lit(
+            f"{site}: zero-norm or NULL vector — cosine is undefined "
+            "(0/0 = NaN ranks above every real match); filter zero-norm "
+            "vectors out before calling"
+        ),
+    )
+    return F.when(guard.isNull(), n)
 
 
 def _topk(sim: DataFrame, k: int, extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
@@ -101,10 +116,10 @@ def cosine_topk_bruteforce(
     # expression either way, so cosines stay bit-identical to the oracle.
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qn", _guarded_norm(F.col("qv"), "cosine_topk_bruteforce"))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "cosine_topk_bruteforce"))
     sim = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -220,7 +235,7 @@ def neardup_embedding_pairs(
         )
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "neardup_embedding_pairs"))
     sim = (
         cands.join(
             v.select(F.col("vid").alias("doc_a"), F.col("vv").alias("va"), F.col("vn").alias("na")),
@@ -389,10 +404,10 @@ def cosine_topk_ivf(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("vv"),
         F.expr(cell1).alias("cell"),
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "cosine_topk_ivf"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(qa, on="query_id")
+    ).withColumn("qn", _guarded_norm(F.col("qv"), "cosine_topk_ivf")).join(qa, on="query_id")
     if cell_cap:
         from polars_order_book_spark.functions.skew import salted_probe_join
 
@@ -469,7 +484,13 @@ def cosine_topk_blas(
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
+    if not (qnorm > 0).all():
+        raise ValueError(
+            "cosine_topk_blas: zero-norm query vector — cosine is undefined "
+            "(same loud contract as _guarded_norm on the built-in paths)"
+        )
+    qm_unit = qm / qnorm
     kk = k
 
     def topk_batches(pdfs):
@@ -478,15 +499,31 @@ def cosine_topk_blas(
                 continue
             ids = pdf[id_col].to_numpy()
             vm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            vm_unit = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vnorm = np.linalg.norm(vm, axis=1, keepdims=True)
+            if not (vnorm > 0).all():
+                raise ValueError(
+                    "cosine_topk_blas: zero-norm corpus vector — cosine is "
+                    "undefined (same loud contract as _guarded_norm)"
+                )
+            vm_unit = vm / vnorm
             sims = qm_unit @ vm_unit.T  # |Q| x batch GEMM
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
                 keep = ids != qid
                 cand_idx = np.nonzero(keep)[0]
                 if len(cand_idx) > kk:
+                    # argpartition alone keeps an ARBITRARY k on tied
+                    # cosines; the global _topk ranks (cosine desc,
+                    # neighbor_id asc), so the batch-local cut must apply
+                    # the same total order or it can drop the tied
+                    # candidate the contract keeps. Partition to find the
+                    # kth value, widen to all ties, then lexsort the tie
+                    # set and cut exactly k.
                     part = np.argpartition(-row[cand_idx], kk)[:kk]
-                    cand_idx = cand_idx[part]
+                    thr = row[cand_idx[part]].min()
+                    tied = cand_idx[row[cand_idx] >= thr]
+                    order = np.lexsort((ids[tied], -row[tied]))
+                    cand_idx = tied[order[:kk]]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -520,12 +557,12 @@ def cosine_topk_lsh(
     qb = signed_projection_buckets(queries, vec_col=vec_col, id_col=query_id_col, n_planes=n_planes)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vv")
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv")))).join(
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "cosine_topk_lsh")).join(
         vb.withColumnRenamed("vec_id", "neighbor_id"), on="neighbor_id"
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))).join(
+    ).withColumn("qn", _guarded_norm(F.col("qv"), "cosine_topk_lsh")).join(
         qb.withColumnRenamed("vec_id", "query_id"), on="query_id"
     )
     sim = (
@@ -967,6 +1004,16 @@ def semdedup(
     assigned = _semdedup_assign(vectors, centroids, vec_col, id_col).localCheckpoint(
         eager=False
     )
+    return _semdedup_verdicts(assigned, threshold, cell_cap)
+
+
+def _semdedup_verdicts(
+    assigned: DataFrame, threshold: float, cell_cap: "int | None"
+) -> DataFrame:
+    """:func:`semdedup`'s verdict pass over a PRE-ASSIGNED (and already
+    checkpointed) relation — shared with :func:`semdedup_incremental` so the
+    within-batch check reuses the batch's assignment instead of re-paying
+    the n_cells x dim argmin folds (r8 self-review)."""
     from polars_order_book_spark.functions.skew import salted_pair_join
 
     ids = assigned.select("vec_id", "cell")
@@ -984,7 +1031,7 @@ def semdedup(
     vv = assigned.select(
         F.col("vec_id").alias("vid"),
         F.col("__v").alias("vv"),
-        F.sqrt(_dot(F.col("__v"), F.col("__v"))).alias("vn"),
+        _guarded_norm(F.col("__v"), "semdedup").alias("vn"),
     )
     dup_b = (
         cands.join(
@@ -1133,14 +1180,13 @@ def semdedup_incremental(
     a_cor = _semdedup_assign(corpus, centroids, vec_col, id_col).localCheckpoint(
         eager=False
     )
-    vdim = len(centroids[0])
 
     def with_norm_cols(assigned: DataFrame, ident: str) -> DataFrame:
         return assigned.select(
             F.col("vec_id").alias(ident),
             F.col("cell"),
             F.col("__v").alias(f"__v_{ident}"),
-            F.sqrt(_dot(F.col("__v"), F.col("__v"))).alias(f"__n_{ident}"),
+            _guarded_norm(F.col("__v"), "semdedup_incremental").alias(f"__n_{ident}"),
         )
 
     ln = with_norm_cols(a_new, "new_id")
@@ -1162,16 +1208,11 @@ def semdedup_incremental(
         )
         .select(F.col("new_id").alias("vec_id"))
     )
-    # within-batch min-id rule: reuse the batch operator verbatim
+    # within-batch min-id rule: the batch operator's verdict pass over the
+    # ALREADY-assigned (and checkpointed) new batch — same pair scoring,
+    # without re-paying the argmin assignment (r8 self-review)
     batch_dropped = (
-        semdedup(
-            new,
-            vec_col=vec_col,
-            id_col=id_col,
-            centroids=centroids,
-            threshold=threshold,
-            cell_cap=cell_cap,
-        )
+        _semdedup_verdicts(a_new, threshold, cell_cap)
         .where(F.col("keep") == 0)
         .select("vec_id")
     )
@@ -1659,19 +1700,13 @@ def pq_ivf_residual_topk(
     v = _sql_as_double(vec_col)
     spark = vectors.sparkSession
 
-    def _seq_dot(xs: "list[float]") -> float:
-        acc = 0.0
-        for x in xs:
-            acc += x * x
-        return acc
-
     scw_rows = []
     for cell in range(n_cells):
         book = shifted_pq_codebook(cell, m, ksub, subdim)
         for s in range(m):
             for c in range(ksub):
                 cw = book[s][c]
-                scw_rows.append((cell, s, c, cw, _seq_dot(cw)))
+                scw_rows.append((cell, s, c, cw, _seq_sq_norm(cw)))
     scw = spark.createDataFrame(
         scw_rows, "cell int, s int, c int, cw array<double>, cc double"
     )
@@ -1984,11 +2019,11 @@ def cosine_topk_hamming_rerank(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qn", _guarded_norm(F.col("qv"), "cosine_topk_hamming_rerank"))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("vv"),
-    ).withColumn("vn", F.sqrt(_dot(F.col("vv"), F.col("vv"))))
+    ).withColumn("vn", _guarded_norm(F.col("vv"), "cosine_topk_hamming_rerank"))
     sim = (
         short.join(v, "neighbor_id")
         .join(F.broadcast(q), "query_id")

@@ -101,22 +101,12 @@ def winnow_fingerprints(
     from polars_order_book_spark.functions.hashing import hash64
 
     base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")
-    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    gram = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ).alias("g"),
-        ),
-    )
-    grams = base.select("doc_id", F.explode(gram).alias("kg")).select(
-        "doc_id", F.col("kg.pos").cast("long").alias("pos"), hash64(F.col("kg.g")).alias("h")
-    )
+    # positional k-grams via the ONE shared n-gram rule (_token_ngrams) —
+    # the same (pos, gram) rows _dup_window_positions consumes, so the
+    # text rule cannot drift between fingerprinting and span-dedup
+    grams = base.select(
+        "doc_id", F.posexplode(_token_ngrams(F.col("__toks"), k)).alias("pos", "g")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), hash64(F.col("g")).alias("h"))
     from pyspark.sql import Window as W
 
     # True winnowing: each length-w window of consecutive k-grams selects its
@@ -569,7 +559,13 @@ def quality_filter(
     The cutoff is the discrete percentile (value at 1-based rank
     ``ceil(q·n)`` under (n_tokens, doc_id) order) — pure integer selection,
     no interpolation, so Spark and DuckDB agree bit-for-bit. q must be a
-    binary fraction (default 0.25) so ``q·n`` is FP-exact.
+    binary fraction with denominator ≤ 2^24 (default 0.25), ENFORCED (r8
+    self-review): a q like 0.07 is not FP-representable, float ceil(q·n)
+    lands one rank off for some n (0.07·100 = 7.000000000000001 → rank 8),
+    and docs between the two ranks would silently vanish. The rank itself
+    is computed with exact integer arithmetic ((num·n + den−1) DIV den,
+    the frequency.py heavy-hitters convention) so no float ever touches
+    the selection.
 
     Scale shape: ranking is one shuffle by group (groups = sources, small
     cardinality — skew-safe because rank windows stream within partitions);
@@ -578,7 +574,21 @@ def quality_filter(
     volumes swap the exact rank for approx_percentile and keep the same
     broadcast-filter shape.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window as W
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    frac = Fraction(q)  # exact rational value of the double
+    if frac.denominator > (1 << 24):
+        raise ValueError(
+            f"quality_filter: q={q!r} is not a binary fraction (exact value "
+            f"{frac.numerator}/{frac.denominator}) — float ceil(q*n) would "
+            "shift the cutoff rank for some group sizes. Use a dyadic q "
+            "(k/2^m, e.g. 0.25, 0.0625, 9/128) so the rank is integer-exact."
+        )
+    num, den = frac.numerator, frac.denominator
 
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -592,7 +602,8 @@ def quality_filter(
     cuts = ranked.groupBy("grp").agg(
         F.max(
             F.when(
-                F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("int"),
+                F.col("__rn")
+                == F.expr(f"(({num} * __n + {den - 1}) DIV {den})").cast("int"),
                 F.col("n_tokens"),
             )
         ).alias("cutoff")

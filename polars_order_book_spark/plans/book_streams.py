@@ -41,6 +41,34 @@ UPDATES_STREAM_SQL = f"""
     FROM events
 """
 
+# Deep-book variant: ``updates_stream`` ties price parity to ``is_bid``
+# (user_id drives both), so each side sees only N_PRICES/2 = 10 distinct
+# prices and n=10 already emits the full side. The reference monomorphizes
+# its snapshot structs up to 20 levels (ref: calculate_bbo.rs:115-125); to
+# pin truncation AT n=20 the stream below decouples side from price
+# (is_bid from event_id parity, price mixes user_id and event_id over a
+# 40-value ladder) so every side carries up to 40 live levels.
+N_DEEP_PRICES = 40
+
+
+def deep_updates_stream(events: DataFrame) -> DataFrame:
+    """Snapshot-set events over a 40-price ladder per side (deep book)."""
+    return events.select(
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % 2 == 0).alias("is_bid"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % N_DEEP_PRICES + 1).alias("price"),
+        (F.floor("value").cast("long") % 7).alias("qty"),
+    )
+
+
+DEEP_UPDATES_STREAM_SQL = f"""
+    SELECT event_id AS seq,
+           event_id % 2 = 0 AS is_bid,
+           (user_id * 7 + event_id) % {N_DEEP_PRICES} + 1 AS price,
+           CAST(floor(value) AS BIGINT) % 7 AS qty
+    FROM events
+"""
+
 
 def mutations_stream(events: DataFrame) -> DataFrame:
     """Signed-delta events, adds only (1..5)."""

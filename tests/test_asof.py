@@ -190,3 +190,15 @@ def test_book_asof_sampling_matches_fold_at_event_seqs(spark):
     assert got[(1, 15)] == (50, 1, None, None)
     assert got[(1, 34)] == (50, 1, None, None)
     assert got[(1, 99)] == (50, 5, None, None)    # qty 1+4 after second add
+
+
+def test_right_on_as_rejects_payload_collision(spark):
+    """r8 self-review: right_on_as equal to a right payload column emitted
+    two identically-named output columns; empty string was treated as
+    None. Both now refuse loudly."""
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 9, 5)], "k long, ts long, x long")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, on="ts", by=["k"], right_on_as="x")
+    with pytest.raises(ValueError, match="non-empty"):
+        asof_join(left, right, on="ts", by=["k"], right_on_as="")

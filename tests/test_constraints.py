@@ -108,3 +108,18 @@ def test_in_range_quotes_string_bounds(spark):
     # the raw interpolation bug parsed 2024-01-01 as integer arithmetic and
     # flagged every row; properly quoted bounds flag exactly the 2025 row
     assert report["d_in_2024"]["n_violations"] == 1
+
+
+def test_empty_table_reports_zero_violations_not_null(spark):
+    """r8 self-review: sum() over zero rows is NULL — predicate rules on an
+    empty table reported n_violations NULL (unique rules reported 0), so a
+    max(n_violations) == 0 gate saw neither pass nor fail."""
+    empty = spark.createDataFrame([], "a int, b int")
+    rules = [C.Rule("nn", "predicate", expr="a IS NOT NULL"),
+             C.Rule("uq", "unique", cols=("a",))]
+    got = {r["rule"]: r["n_violations"]
+           for r in C.check_constraints(empty, rules).collect()}
+    assert got == {"nn": 0, "uq": 0}
+    obs_df, obs = C.observe_quality(empty, [rules[0]])
+    obs_df.count()
+    assert obs.get["nn"] == 0

@@ -355,3 +355,81 @@ def test_ngram_jaccard_arrays_guards_identical(spark):
         ).collect()
     )
     assert guarded == plain and guarded
+
+
+def test_fuzzy_pairs_candidate_budget_fails_fast_and_is_inert_when_under(spark):
+    """r8 scale check measured 55.8x at 10x data (saturated length-bucket
+    blocks): fuzzy_duplicate_pairs now carries candidate_budget on BOTH
+    candidate joins. Under the budget the guard changes nothing; over it
+    the plan dies naming the LSH path before the quadratic stage."""
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 2
+    docs = spark.createDataFrame(
+        [(i, base.replace("quick", f"qu{i}ck") if i % 2 else base, "en")
+         for i in range(1, 13)],
+        "doc_id long, text string, lang string",
+    )
+    plain = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, block_cols=["lang"], candidate_budget=None).collect()))
+    guarded = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, block_cols=["lang"], candidate_budget=10_000_000).collect()))
+    tiny_cap = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, block_cols=["lang"], bucket_cap=3,
+        candidate_budget=10_000_000).collect()))
+    assert plain == guarded == tiny_cap and plain
+    import pytest as _pt
+    with _pt.raises(Exception) as ei:
+        fuzzy_duplicate_pairs(
+            docs, block_cols=["lang"], candidate_budget=5).collect()
+    msg = str(ei.value)
+    assert "pair_budget" in msg and "dedup_minhash_lsh" in msg
+
+
+def test_fuzzy_segments_strategy_matches_buckets_exactly(spark):
+    """r8 scale path: PassJoin-style segment candidates must reproduce the
+    buckets strategy's output EXACTLY (same admission rule, same verified
+    distances) — randomized corpus with planted near-dups, short docs,
+    cross-bucket lengths, and multi-block structure."""
+    import random
+
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    did = 0
+    for _ in range(60):
+        n_words = rng.randint(1, 40)
+        base = " ".join(rng.choice(vocab) for _ in range(n_words))
+        lang = rng.choice(["en", "de"])
+        rows.append((did, base, lang)); did += 1
+        if rng.random() < 0.5:  # planted near-dup: a few char edits
+            s = list(base)
+            for _ in range(rng.randint(1, 6)):
+                p = rng.randrange(len(s))
+                s[p] = rng.choice("abcxyz ")
+            rows.append((did, "".join(s), lang)); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(block_cols=["lang"], candidate_budget=None)
+    buckets = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, candidate_strategy="buckets", **kw).collect()))
+    segments = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, candidate_strategy="segments", **kw).collect()))
+    seg_salted = sorted(map(tuple, fuzzy_duplicate_pairs(
+        docs, candidate_strategy="segments", bucket_cap=3, **kw).collect()))
+    assert buckets == segments == seg_salted
+    assert buckets  # the planted dups guarantee a non-empty result
+
+
+def test_fuzzy_segments_rejects_degenerate_prefix(spark):
+    from polars_order_book_spark.operators.dedup import fuzzy_duplicate_pairs
+
+    docs = spark.createDataFrame([(1, "abc", "en")],
+                                 "doc_id long, text string, lang string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="zero-length segments"):
+        fuzzy_duplicate_pairs(
+            docs, block_cols=["lang"], prefix_len=8, max_dist=10,
+            length_block=10, candidate_strategy="segments",
+        ).collect()

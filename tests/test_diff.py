@@ -76,3 +76,24 @@ def test_diff_null_keys_match_null_safely(spark):
     # unchanged rows dropped (default) it must simply be absent
     assert None not in out
     assert out == {1: "changed"}
+
+
+def test_diff_rejects_duplicate_keys_including_null_pairs(spark):
+    """r8 self-review: two NULL-keyed rows per side cross-paired under
+    eqNullSafe (phantom 'changed' on identical snapshots); duplicate
+    non-null keys cross-paired silently too. Both are now loud."""
+    two_nulls = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k int, v string"
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        diff_snapshots(two_nulls, two_nulls, ["k"]).collect()
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    ok = spark.createDataFrame([(2, "c")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate key"):
+        diff_snapshots(dup, ok, ["k"]).collect()
+    # single NULL-keyed row per side still diffs fine (eqNullSafe pairing)
+    one_null_a = spark.createDataFrame([(None, "a"), (1, "x")], "k int, v string")
+    one_null_b = spark.createDataFrame([(None, "a"), (1, "y")], "k int, v string")
+    got = {r["k"]: r["change_type"]
+           for r in diff_snapshots(one_null_a, one_null_b, ["k"]).collect()}
+    assert got == {1: "changed"}

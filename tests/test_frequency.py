@@ -500,3 +500,25 @@ def test_weighted_quantiles_answer_where_the_weight_lives(spark):
     out = {round(r["prob"], 2): r["est"] for r in histogram_quantiles(
         hist, ["k"], [(1, 2)], lo=0.0, hi=100.0, n_bins=10).collect()}
     assert out[0.5] == 100.0  # upper edge of the heavy doc's bin (bin 9)
+
+
+def test_countmin_estimate_rejects_mismatched_parameters(spark):
+    """r8 self-review: a probe with the wrong width hashes to the wrong
+    cells and every estimate silently reads 0 — the sketch now carries its
+    build parameters and the probe asserts them per row."""
+    from polars_order_book_spark.operators.frequency import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], "item long")
+    sketch = countmin_build(df, "item", depth=4, width=1024)
+    items = df.distinct()
+    with pytest.raises(Exception, match="do not match"):
+        countmin_estimate(sketch, items, "item", depth=4, width=512).collect()
+    # inferred parameters (the new default) read the metadata and succeed
+    est = {
+        r["item"]: r["est_n"]
+        for r in countmin_estimate(sketch, items, "item").collect()
+    }
+    assert est == {i: 20 for i in range(5)}

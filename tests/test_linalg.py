@@ -124,3 +124,23 @@ def test_gate_is_zero_sign_sensitive():
     b = pd.DataFrame({"x": [-0.0, 1.5]})
     assert compare("t", a, b), "gate blind to -0.0 vs +0.0"
     assert not compare("t", a.copy(), a.copy())
+
+
+def test_covariance_rejects_null_or_short_vectors(spark):
+    """r8 self-review: a NULL (or shorter-than-dim) vector previously
+    inflated n while its NULL products were skipped by sum() — every cell
+    silently skewed by a different amount. Now loud."""
+    rows = [([1.0, 2.0],), ([3.0, 4.0],), (None,)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    with pytest.raises(Exception, match="shorter-than-dim|NULL"):
+        linalg.covariance_matrix(df, dim=2).collect()
+    short = spark.createDataFrame([([1.0, 2.0],), ([3.0],)],
+                                  "embedding array<double>")
+    with pytest.raises(Exception, match="shorter-than-dim|NULL"):
+        linalg.covariance_matrix(short, dim=2).collect()
+    # clean input: exact sample covariance of [[1,2],[3,4]] is 2.0 per cell
+    clean = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)],
+                                  "embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           linalg.covariance_matrix(clean, dim=2).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 2.0, (1, 1): 2.0}

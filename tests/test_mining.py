@@ -175,3 +175,18 @@ def test_pareto_refuses_fractional_measures(spark):
                                "k string, id long, x double, y double")
     with pytest.raises(ValueError, match="INTEGER measures"):
         pareto_frontier(df, ["k"], "x", "y", id_col="id")
+
+
+def test_pareto_frontier_global_no_keys(spark):
+    """r8 self-review: keys=[] (global skyline) must work — the null-key
+    filter was previously F.expr('') which failed at plan time."""
+    from polars_order_book_spark.operators.profiling import pareto_frontier
+
+    rows = [(1, 5, 1), (2, 4, 2), (3, 3, 3), (4, 5, 0), (5, 1, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    got = sorted(
+        r["doc_id"]
+        for r in pareto_frontier(df, [], "x", "y", id_col="doc_id").collect()
+    )
+    # frontier: (5,1) id1, (4,2) id2, (3,3) id3; id4 dominated by id1, id5 by id3
+    assert got == [1, 2, 3]

@@ -290,3 +290,36 @@ def test_resize_real_png_raises_without_codec(spark):
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="no codec"):
         mm.resize_image_stub(df).collect()
+
+
+def test_frame_sample_empty_payload_yields_no_frames(spark):
+    """r8 self-review: sequence(0, -1) descends, so an empty payload emitted
+    frames 0 and -1 (byte_offset -64). Empty docs now sample zero frames."""
+    df = spark.createDataFrame(
+        [(1, b"x" * 130), (2, b""), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: (r["frame_no"], r["byte_offset"])
+           for r in mm.frame_sample_stub(df).collect()}
+    rows = mm.frame_sample_stub(df).collect()
+    assert sorted((r["doc_id"], r["frame_no"]) for r in rows) == [
+        (1, 0), (1, 1), (1, 2)
+    ]
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        mm.frame_sample_stub(df, every_n_bytes=0)
+
+
+def test_feature_extract_null_payload_yields_null_row(spark):
+    """r8 self-review: attach_payload emits NULL payloads for NULL text;
+    the decode UDFs crashed the executor on bytes(None). Now a NULL-feature
+    row, 1:1 with input."""
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, None)], "doc_id long, payload binary"
+    )
+    img = {r["doc_id"]: r["n_bytes"] for r in mm.extract_image_features(df).collect()}
+    assert img[1] == 11 and img[2] is None
+    aud = {r["doc_id"]: r["n_bytes"]
+           for r in mm.extract_audio_features_stub(df).collect()}
+    assert aud[1] == 11 and aud[2] is None
+    rs = {r["doc_id"]: r["resized_md5"] for r in mm.resize_image_stub(df).collect()}
+    assert rs[1] is not None and rs[2] is None

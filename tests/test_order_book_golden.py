@@ -82,7 +82,7 @@ CYCLE_EXP_BID = [1, 2, 3, 3, 3, 3, 2, 2, None, None, None, None]
 CYCLE_EXP_ASK = [None, None, None, 6, 5, 4, 4, 4, 4, 4, 6, None]
 
 
-@pytest.mark.parametrize("n_levels", [1, 2, 4, 10])
+@pytest.mark.parametrize("n_levels", [1, 2, 4, 10, 20])
 @pytest.mark.parametrize("reps", [1, 10, 100])
 def test_cyclic_12_event_suite(spark, n_levels, reps):
     """FIXTURES 3.4 (ref: test_calculate_bbo.py:12-127): the 12-event cycle
@@ -245,6 +245,29 @@ def test_n1_and_n2_top_level_consistency(spark):
         one = snap(maker(df, n=1), cols)
         two = snap(maker(df, n=2), cols)
         assert one == two
+
+
+def test_top20_truncates_deeper_book(spark):
+    """n=20 (the reference's monomorphization ceiling, ref:
+    calculate_bbo.rs:115-125) over a book holding 30 bid / 25 ask levels:
+    the snapshot truncates to the best 20, and deleting a level inside the
+    window backfills level 20 from the 21st-best price."""
+    rows = [(p, True, p, p) for p in range(1, 31)]          # bids 1..30
+    rows += [(100 + p, False, 40 + p, p) for p in range(1, 26)]  # asks 41..65
+    rows.append((200, True, 25, 0))                          # delete bid 25
+    df = spark.createDataFrame(rows, SCHEMA3)
+    out = top_n_levels_from_price_updates(df, n=20)
+    last = max(r["seq"] for r in df.collect())
+    row = out.filter(f"seq = {last}").collect()[0].asDict()
+    # bids after delete: 30..26, 24..11 best-to-worst; level 20 = price 10
+    exp_bids = [30, 29, 28, 27, 26] + list(range(24, 9, -1))
+    assert [row[f"bid_price_{i}"] for i in range(1, 21)] == exp_bids
+    assert [row[f"bid_qty_{i}"] for i in range(1, 21)] == exp_bids
+    # asks: best 20 of 25 = 41..60
+    assert [row[f"ask_price_{i}"] for i in range(1, 21)] == list(range(41, 61))
+    # before the delete (seq 125), bid level 20 was price 11
+    mid = out.filter("seq = 125").collect()[0].asDict()
+    assert mid["bid_price_20"] == 11
 
 
 def test_output_struct_mode(spark):

@@ -220,6 +220,11 @@ _BNLJ_WHITELIST = {
     # added in r8 (functions/skew.py salted_pair_join pair_budget)
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_arrays",
+    # same 1-row candidate-budget broadcast-cross, on the fuzzy dedup's
+    # candidate joins (r8 scale check: 55.8x cliff -> enforced budget;
+    # salted_pair_join + salted_bipartite_join pair_budget)
+    "documents_fuzzy_pairs",
+    "documents_fuzzy_pairs_segments",
     # documents_unigram_vocab's whitelisted 1-row max-count cross join plus
     # the EM M-step's own 1-row max-usage aggregate broadcast-crossed onto
     # the vocab-sized piece relation (operators/unigram.py _em_recost)

@@ -113,3 +113,28 @@ def test_mmr_guardrails(spark):
         mmr_rerank(vectors, queries, k=5, m_candidates=3)
     with pytest.raises(ValueError, match="lam must be"):
         mmr_rerank(vectors, queries, k=1, m_candidates=1, lam=1.5)
+
+
+def test_mmr_fewer_candidates_than_k_emits_what_exists(spark):
+    """r8 self-review: a query with fewer than k candidates (tiny corpus,
+    self excluded) must emit the available ranks instead of crashing on an
+    empty greedy step."""
+    from polars_order_book_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, _vec(1.0, 0.0, 0.0, 0.0)),
+        (2, _vec(0.9, 0.1, 0.0, 0.0)),
+        (3, _vec(0.6, 0.0, 0.8, 0.0)),
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(1, _vec(1.0, 0.0, 0.1, 0.0))], "query_id long, embedding array<float>"
+    )
+    # query_id 1 collides with vec_id 1 -> self excluded -> 2 candidates
+    got = (
+        mmr_rerank(vectors, queries, k=5, m_candidates=5, lam=0.7)
+        .toPandas()
+        .sort_values("mmr_rank")
+    )
+    assert list(got["mmr_rank"]) == [1, 2]
+    assert set(got["neighbor_id"]) == {2, 3}

@@ -917,3 +917,44 @@ def test_binary_signature_null_vector_keeps_zero_signature(spark):
            similarity.binary_signature(df, dim=2, word_bits=2).collect()}
     assert out[0] == 1
     assert out[1] == 0
+
+
+def test_blas_tie_break_matches_bruteforce_on_identical_vectors(spark):
+    """r8 self-review: the batch-local argpartition pre-cut must apply the
+    (cosine desc, neighbor_id asc) total order — 12 identical vectors in one
+    batch, k=10: the 10 smallest neighbor ids must survive, exactly as
+    bruteforce keeps them."""
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA).coalesce(1)
+    queries = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], VEC_SCHEMA).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = [
+        (r["rank"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=10)
+        .orderBy("rank").collect()
+    ]
+    blas = [
+        (r["rank"], r["neighbor_id"])
+        for r in similarity.cosine_topk_blas(df, queries, k=10)
+        .orderBy("rank").collect()
+    ]
+    assert brute == [(i, i) for i in range(1, 11)]
+    assert blas == brute
+
+
+def test_zero_norm_vector_fails_loudly(spark):
+    """r8 self-review: a zero vector makes cosine 0/0 = NaN, which Spark
+    ranks above every real match — the guard turns that silent corruption
+    into a per-row assert."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    queries = df.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.cosine_topk_bruteforce(df, queries, k=2).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.cosine_topk_blas(df, queries, k=2).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.semdedup(df, threshold=0.9).collect()

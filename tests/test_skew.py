@@ -251,3 +251,53 @@ def test_salted_pair_join_budget_ignores_null_key_groups(spark):
     )
     # real group contributes 5*4/2 = 10 ordered pairs; NULL group none
     assert out.distinct().count() == 10
+
+
+def test_salted_bipartite_join_pair_budget_enforced(spark):
+    """r8: the bipartite join carries the same exact-cardinality fail-fast
+    as salted_pair_join — sum over shared keys of n_left*n_right."""
+    from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(8)], ["blk", "id_a"]
+    )
+    right = spark.createDataFrame(
+        [(0, 100 + i) for i in range(8)], ["blk", "id_b"]
+    )
+    # 8*8 = 64 > 50 -> loud failure naming the caller
+    q = salted_bipartite_join(
+        left, right, ["blk"], "id_a", "id_b", 4,
+        pair_budget=50, budget_msg="my_bip_caller (use the_lsh_path)",
+    )
+    import pytest as _pt
+    with _pt.raises(Exception) as ei:
+        q.collect()
+    assert "my_bip_caller" in str(ei.value) and "pair_budget=50" in str(ei.value)
+    # under budget: full bipartite product, salted, each pair exactly once
+    ok = salted_bipartite_join(
+        left, right, ["blk"], "id_a", "id_b", 4, pair_budget=100,
+    )
+    assert ok.count() == 64
+
+
+def test_salted_bipartite_join_budget_ignores_null_and_unmatched(spark):
+    """NULL-key groups and keys present on only ONE side contribute nothing
+    to the equi-join, so neither counts toward the budget."""
+    from polars_order_book_spark.functions.skew import salted_bipartite_join
+
+    left = spark.createDataFrame(
+        [(None, i) for i in range(10)] + [(7, i) for i in range(10)]
+        + [(0, i) for i in range(3)],
+        "blk int, id_a long",
+    )
+    right = spark.createDataFrame(
+        [(None, 100 + i) for i in range(10)] + [(9, 100 + i) for i in range(10)]
+        + [(0, 100 + i) for i in range(3)],
+        "blk int, id_b long",
+    )
+    # only blk=0 matches: 3*3 = 9 <= 20; NULL (10*10) and one-sided keys
+    # (blk=7/9) must not trip the budget
+    out = salted_bipartite_join(
+        left, right, ["blk"], "id_a", "id_b", 4, pair_budget=20,
+    )
+    assert out.count() == 9

@@ -237,6 +237,23 @@ def test_quality_filter_per_group_discrete_percentile(spark):
     assert out[100]["cutoff"] == 2  # rank ceil(0.25*1)=1 -> its own length
 
 
+def test_quality_filter_rejects_non_dyadic_q_and_is_rank_exact(spark):
+    """r8 self-review: 0.07*100 is 7.000000000000001 in IEEE double, so
+    float ceil() lands on rank 8 instead of 7 — non-dyadic q is now refused
+    loudly, and a dyadic q computes its rank with pure integer arithmetic
+    (7/128 of a 128-doc group selects exactly rank 7)."""
+    import pytest as _pytest
+
+    rows = [(i, " ".join(["t"] * i), "g") for i in range(1, 129)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with _pytest.raises(ValueError, match="binary fraction"):
+        text.quality_filter(df, q=0.07)
+    out = text.quality_filter(df, q=7 / 128).collect()
+    # rank (7*128 + 127) DIV 128 = 7 -> cutoff is the 7th-shortest (7 tokens)
+    assert all(r["cutoff"] == 7 for r in out)
+    assert sorted(r["doc_id"] for r in out) == list(range(7, 129))
+
+
 # --- RAG chunking ------------------------------------------------------------
 
 def test_chunk_text_overlap_and_coverage(spark):

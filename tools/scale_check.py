@@ -37,6 +37,13 @@ QUERIES = [
     "events_heavy_hitters_stream",  # streaming frequency-sketch maintenance
     "text_winnow_fingerprints",     # per-doc rolling-hash winnowing windows
     "dedup_components",             # iterative union-find over LSH edges
+    # r8 second sweep: the remaining top-cost bench families
+    "documents_hybrid_search",      # BM25 + dense fusion
+    "embeddings_pq_trained_topk",   # k-means-trained PQ codebooks
+    "embeddings_knn_graph",         # banded-LSH kNN graph
+    "documents_hash_embed_knn",     # hashed doc features -> kNN
+    "documents_fuzzy_pairs",        # edit-distance blocking (guarded r8)
+    "embeddings_kmeans_train",      # distributed Lloyd iterations
 ]
 
 # Measured flags that are INTENDED behavior, not scale defects: the flag is
@@ -51,6 +58,28 @@ DISPOSITIONS = {
         "path, 2.08x at 10x data) instead of OOMing an 8 GiB heap mid-join; "
         "the r7 22.6x flag row is thereby retired. Callers with bounded "
         "blocks raise candidate_budget explicitly."
+    ),
+    "documents_fuzzy_pairs": (
+        "guarded since r8 (this sweep's own finding, measured 55.8x at 10x "
+        "data): the (block, length-bucket) key space is fixed, so candidate "
+        "pairs grow quadratically once blocks saturate (394k pairs at sf0.1 "
+        "-> 39.6M at sf1). fuzzy_duplicate_pairs now carries "
+        "candidate_budget=10M enforced as an exact sum-product fail-fast "
+        "on BOTH candidate joins (salted_pair_join + the new "
+        "salted_bipartite_join pair_budget), naming dedup_minhash_lsh as "
+        "the unbounded-corpus path. Callers with selective block_cols "
+        "raise candidate_budget explicitly."
+    ),
+    "documents_fuzzy_pairs_segments": (
+        "guarded since r8: the PassJoin segment strategy replaces the fixed "
+        "(lang, length-bucket) grid with 6-char segment-CONTENT join keys — "
+        "near-linear candidates on open-vocabulary corpora — but the "
+        "synthetic corpus reuses one closed vocabulary, so segment df also "
+        "grows with the corpus (measured join work 2.8M at sf0.1 -> 272M "
+        "at sf1 with the naive +/-tau windows; true pairs grow only 10x, "
+        "79 -> 790). The same candidate_budget=10M fail-fast rides every "
+        "candidate join, so at sf1 the query dies in seconds naming the "
+        "LSH path instead of paying the quadratic stage."
     ),
 }
 
@@ -113,8 +142,13 @@ def main() -> None:
         over = entry.get("ratio", 0) > args.max_ratio
         err = entry.get("sf1", {}).get("error", "")
         # the recorded error is truncated at 300 chars — match the budget
-        # guard by either the parameter name or the budget_msg's lead-in
-        guarded_err = "pair_budget" in err or "exact prefix-filter join" in err
+        # guard by either the parameter name or a budget_msg lead-in (the
+        # Py4J wrapper prefix can push 'pair_budget' past the cut)
+        guarded_err = (
+            "pair_budget" in err
+            or "exact prefix-filter join" in err
+            or "exact edit-distance blocking saturated" in err
+        )
         # disposition ONLY when the guard actually fired: if the guard ever
         # stops firing and the query runs over-ratio again, that's a NEW
         # scale regression and must flag — stale disposition text must not
