@@ -35,11 +35,18 @@ from pyspark.sql import Column, DataFrame
 from polars_order_book_spark.operators.incremental import incremental_agg
 from polars_order_book_spark.streaming.merge_stream import (
     _CURRENT,
+    _write_marker,
     init_table,
     read_current,
 )
 
-__all__ = ["maintain_rollup_stream", "fold_batch", "init_table", "read_current"]
+__all__ = [
+    "maintain_rollup_stream",
+    "maintain_join_view_stream",
+    "fold_batch",
+    "init_table",
+    "read_current",
+]
 
 
 def fold_batch(
@@ -74,8 +81,7 @@ def fold_batch(
         max_exprs=max_exprs,
     )
     merged.write.mode("overwrite").parquet(os.path.join(base_path, vdir_this))
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(vdir_this)
+    _write_marker(base_path, vdir_this)
 
 
 def maintain_rollup_stream(
@@ -107,9 +113,16 @@ def maintain_rollup_stream(
             max_exprs=max_exprs,
         )
 
-    writer = facts.writeStream.foreachBatch(_apply).outputMode("update")
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
+    # checkpoint pinned to the table by default — batch ids key the
+    # version dirs and replay guard, and they are only monotonic within
+    # one checkpoint lineage (r8 self-review; same rule as merge_stream)
+    if checkpoint is None:
+        checkpoint = os.path.join(base_path, "_checkpoint")
+    writer = (
+        facts.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -148,23 +161,18 @@ def maintain_join_view_stream(
     key the view by the dimension VERSION (attribute_runs' SCD-2 history)
     so old facts keep their as-of attributes.
     """
-    keys = list(keys)
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(
-            batch_df.join(enrich_df, on, "inner"),
-            batch_id,
-            base_path,
-            keys,
-            count_col=count_col,
-            sum_exprs=sum_exprs,
-            min_exprs=min_exprs,
-            max_exprs=max_exprs,
-        )
-
-    writer = facts.writeStream.foreachBatch(_apply).outputMode("update")
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    # Stream-static inner joins are natively supported on streaming
+    # DataFrames, so the whole operator IS maintain_rollup_stream over the
+    # enriched stream — one writer/guard/checkpoint wiring instead of a
+    # duplicated copy that could drift (r8 self-review).
+    return maintain_rollup_stream(
+        facts.join(enrich_df, on, "inner"),
+        base_path,
+        keys,
+        count_col=count_col,
+        sum_exprs=sum_exprs,
+        min_exprs=min_exprs,
+        max_exprs=max_exprs,
+        checkpoint=checkpoint,
+        available_now=available_now,
+    )

@@ -50,7 +50,12 @@ def score_stream(
             threshold=threshold,
             feature=feature,
         )
-        out.write.mode("append").parquet(os.path.join(out_path))
+        # batch_id-keyed overwrite: a replayed batch rewrites the SAME
+        # directory instead of appending a duplicate copy (r8 self-review;
+        # same replay-safe layout as similarity_stream)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(_score)
@@ -62,5 +67,6 @@ def score_stream(
 
 
 def read_results(spark: SparkSession, out_path: str) -> DataFrame:
-    """Scores written so far: (doc_id, score_micro, pred)."""
-    return spark.read.parquet(out_path)
+    """Scores written so far: (doc_id, score_micro, pred). Drops the
+    batch_id partition column of the replay-safe layout."""
+    return spark.read.parquet(out_path).drop("batch_id")

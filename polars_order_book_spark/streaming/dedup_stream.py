@@ -116,7 +116,14 @@ def dedup_stream_with_survivor(
             }
         )
 
-    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    # Null rule (r8 self-review): md5(NULL text) is NULL — all null-text
+    # docs would collapse into ONE dedup group keyed (None,) and the output
+    # would smuggle a null into the non-nullable content_hash field. A doc
+    # with no content has no content identity; exclude up front (the batch
+    # dedup family's documented null convention).
+    hashed = df.where(F.col(text_col).isNotNull()).withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    )
     return hashed.groupBy("content_hash").applyInPandasWithState(
         tag,
         outputStructType=out_schema,

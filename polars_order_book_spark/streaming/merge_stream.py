@@ -35,6 +35,19 @@ from polars_order_book_spark.operators.merge import merge_upsert
 _CURRENT = "_CURRENT"
 
 
+def _write_marker(base_path: str, vdir: str) -> None:
+    """Atomically repoint the _CURRENT marker: write a temp file and
+    os.replace it over the marker. A plain open(marker, 'w') truncates
+    first, so a concurrent read_current could observe an empty or
+    half-written marker — violating the 'a reader never sees a
+    half-written table' guarantee (r8 self-review)."""
+    marker = os.path.join(base_path, _CURRENT)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(vdir)
+    os.replace(tmp, marker)
+
+
 def _current_version_path(base_path: str) -> str | None:
     marker = os.path.join(base_path, _CURRENT)
     if not os.path.exists(marker):
@@ -57,8 +70,7 @@ def init_table(base: DataFrame, base_path: str) -> None:
     os.makedirs(base_path, exist_ok=True)
     vdir = "_v_init"
     base.write.mode("overwrite").parquet(os.path.join(base_path, vdir))
-    with open(os.path.join(base_path, _CURRENT), "w", encoding="utf-8") as f:
-        f.write(vdir)
+    _write_marker(base_path, vdir)
 
 
 def apply_changes_stream(
@@ -103,12 +115,22 @@ def apply_changes_stream(
             tombstone_col=tombstone_col,
         )
         merged.write.mode("overwrite").parquet(os.path.join(base_path, vdir_this))
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write(vdir_this)
+        _write_marker(base_path, vdir_this)
 
-    writer = changes.writeStream.foreachBatch(_apply).outputMode("update")
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
+    # Default the checkpoint to a subdirectory of the TABLE (r8
+    # self-review): batch ids are monotonic only within one checkpoint
+    # lineage, and the _v{batch_id} version dirs + replay guard key on
+    # them — a fresh temp checkpoint against a persisted table would
+    # restart ids at 0, colliding with existing version dirs. Pinning the
+    # checkpoint to the table makes the two move (and get deleted)
+    # together.
+    if checkpoint is None:
+        checkpoint = os.path.join(base_path, "_checkpoint")
+    writer = (
+        changes.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -122,10 +122,20 @@ class _ProfileProcessor(StatefulProcessor):
 
 
 def _prepare(events: DataFrame, user_col: str, ts_col: str, value_col: str) -> DataFrame:
+    # Null rule (r8 self-review, same convention as heavy_hitters_stream):
+    # a NULL user id would group under key (None,) and crash the processor
+    # at int(key[0]); a NULL ts makes the batch max NaN; a NULL value would
+    # be skipped by the pandas sum but still counted in n_events, silently
+    # desynchronizing count and sum. Rows missing any field are excluded
+    # up front.
     return events.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.expr(f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)").alias("v_micros"),
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts_us").isNotNull()
+        & F.col("v_micros").isNotNull()
     )
 
 

@@ -8,8 +8,9 @@ each micro-batch of queries is a bounded DataFrame, so the full batch API —
 the banded-LSH candidate join and the window top-k — applies unchanged, and
 per-query results are FINAL the moment the query's batch commits (a query id
 appears in exactly one micro-batch, so no cross-batch merge is ever needed).
-Results append to parquet; the checkpoint makes delivery exactly-once per
-batch (replays overwrite the same batch deterministically).
+Each batch's results land in their own ``batch_id=N`` directory with
+overwrite semantics, so a replayed batch rewrites the same path — delivery
+is exactly-once per batch with plain parquet.
 
 At 100 TB corpus scale the candidate join inside each batch is the same
 bucketed equi-join as batch LSH — never an all-pairs scan — and the corpus
@@ -65,10 +66,15 @@ def topk_stream(
             vec_col=vec_col,
             id_col=id_col,
         )
-        # mode("append") is safe under batch replay because the parquet files
-        # a retried batch writes carry the same task/partition content; for a
-        # transactional ledger swap in Delta/Iceberg with (batch_id) dedup.
-        out.write.mode("append").parquet(os.path.join(out_path))
+        # Replay safety (r8 self-review): a bare append is NOT idempotent —
+        # a batch replayed after a post-write/pre-commit crash would append
+        # a second copy under fresh part-file names. Writing each batch to
+        # its own batch_id-keyed directory with overwrite makes the replay
+        # rewrite the SAME path: exactly-once per batch with plain parquet
+        # (the Delta/Iceberg txn-log equivalent for this layout).
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     return (
         query_stream.writeStream.foreachBatch(_answer)
@@ -80,5 +86,7 @@ def topk_stream(
 
 
 def read_results(spark: SparkSession, out_path: str) -> DataFrame:
-    """Results written so far: (query_id, neighbor_id, rank, cosine)."""
-    return spark.read.parquet(out_path)
+    """Results written so far: (query_id, neighbor_id, rank, cosine).
+    Drops the hive-style batch_id partition column the replay-safe layout
+    adds — it is sink bookkeeping, not a result column."""
+    return spark.read.parquet(out_path).drop("batch_id")

@@ -132,3 +132,41 @@ def test_drop_duplicates_within_watermark_dedups_and_evicts(spark):
     assert ks == [1, 1, 2, 3, 4], rows
     assert (1, m(5)) not in rows  # the within-horizon duplicate was dropped
     assert (1, m(195)) in rows  # re-emitted after state eviction
+
+
+def test_null_text_docs_are_excluded_not_grouped(spark):
+    """r8 self-review: md5(NULL) is NULL, so all null-text docs previously
+    collapsed into ONE dedup group keyed (None,) and wrote a null into the
+    non-nullable content_hash output field. A doc with no content has no
+    content identity: excluded up front."""
+    nullable = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+    ])
+    tmp = tempfile.mkdtemp(prefix="dedupnull_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        part = os.path.join(tmp, "part_0")
+        spark.createDataFrame(
+            [(1, "alpha"), (2, None), (3, None), (4, "alpha")], nullable
+        ).coalesce(1).write.parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(part, pq), os.path.join(in_dir, "000.parquet"))
+        stream_in = spark.readStream.schema(nullable).parquet(in_dir)
+        tagged = dedup_stream_with_survivor(stream_in)
+        q = (
+            tagged.writeStream.format("memory")
+            .queryName("dedup_null_tags")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["doc_id"]: r for r in spark.table("dedup_null_tags").collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert set(rows) == {1, 4}  # null-text docs excluded, not grouped
+    assert rows[1]["keep_id"] == 1 and rows[4]["keep_id"] == 1

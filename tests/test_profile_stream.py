@@ -97,3 +97,22 @@ def test_tws_matches_apply(spark):
             (r["user_id"], r["n_events"], r["value_sum_micros"]) for r in out.collect()
         )
         assert rows == [(1, 2, 3_500_000), (3, 1, 7_000_000)], impl
+
+
+def test_prepare_excludes_null_rows(spark):
+    """r8 self-review: a NULL user id crashed the processor at int(key[0]);
+    a NULL value was skipped by the sum but counted in n_events. Rows
+    missing any field are excluded up front (heavy_hitters convention)."""
+    from polars_order_book_spark.streaming.profile_stream import _prepare
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.5),
+            (None, "2024-01-01 00:00:01", 2.5),
+            (2, None, 3.5),
+            (3, "2024-01-01 00:00:03", None),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = _prepare(df, "user_id", "ts", "value").collect()
+    assert [r["user_id"] for r in got] == [1]

@@ -94,3 +94,45 @@ def test_topk_stream_empty_batches_append_nothing(spark):
         f.endswith(".parquet") for f in os.listdir(out_dir)
     ):
         assert read_results(spark, out_dir).count() == 0
+
+
+def test_topk_stream_replay_overwrites_instead_of_duplicating(spark):
+    """r8 self-review: the sink writes each batch to its own batch_id=N
+    directory with overwrite, so a REPLAYED batch (simulated here by
+    deleting the checkpoint and re-running the whole stream over the same
+    out_path) rewrites the same paths instead of appending a full duplicate
+    copy of every result."""
+    import shutil
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="ann_replay_")
+    try:
+        in_dir = _write_query_batches(tmp, spark, queries)
+        out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema(queries.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = topk_stream(stream, corpus, out, ckpt, k=5, n_planes=6)
+            assert q.awaitTermination(300)
+
+        run()
+        first = sorted(
+            map(tuple, read_results(spark, out).collect())
+        )
+        shutil.rmtree(ckpt)  # forget progress -> every batch replays
+        run()
+        second = sorted(
+            map(tuple, read_results(spark, out).collect())
+        )
+        assert second == first  # no duplicates, same results
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
