@@ -7599,7 +7599,7 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R8_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream
+    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
     # registry=249 driver-green-union=242 never-sampled=6
     "embeddings_covariance",  # stale-red
@@ -7621,6 +7621,7 @@ _R8_HEAD = [
     "ann_recall_pq",  # behavior-changed
     "ann_recall_pq_residual",  # behavior-changed
     "ann_recall_pq_trained",  # behavior-changed
+    "bookgen_source_agg",  # behavior-changed
     "dedup_embedding",  # behavior-changed
     "dedup_stream_survivors",  # behavior-changed
     "documents_classifier_reliability",  # behavior-changed
@@ -7647,11 +7648,10 @@ _R8_HEAD = [
     "multimodal_frame_sample",  # behavior-changed
     "multimodal_resize",  # behavior-changed
     "ob_book_asof",  # behavior-changed
+    "ob_nbbo_keyed",  # behavior-changed
+    "ob_nbbo_keyed_chunked",  # behavior-changed
+    "ob_relational_modify_top2",  # behavior-changed
     "orders_join_view_stream",  # behavior-changed
-    "orders_merge_stream",  # behavior-changed
-    "orders_quality_report",  # behavior-changed
-    "orders_rollup_stream",  # behavior-changed
-    "part_snapshot_diff",  # behavior-changed
 ]
 
 

@@ -83,7 +83,21 @@ def nbbo(
     if isinstance(chunk_size, int) and chunk_size <= 0:
         raise ValueError(f"chunk_size must be > 0, got {chunk_size}")
     sent = F.lit(empty_sentinel)
-    enc = snapshots.select(
+    # Misconfiguration guard (r8 self-review): pivot(__book, books) silently
+    # DISCARDS rows from any book present in the data but missing from the
+    # caller's list — a best bid sitting only on the unlisted venue would
+    # vanish and the NBBO would be quietly wrong. Assert membership per row
+    # so a stale venue config fails loudly instead.
+    known = F.assert_true(
+        F.col(book_col).isin([*books]),
+        F.concat(
+            F.lit("nbbo: snapshot row for book "),
+            F.col(book_col).cast("string"),
+            F.lit(f" not in the caller's books list {list(books)} — its "
+                  "quotes would be silently excluded from the NBBO"),
+        ),
+    )
+    enc = snapshots.where(known.isNull()).select(
         F.col(seq_col).alias("seq"),
         F.col(book_col).alias("__book"),
         F.coalesce(F.col("bid_price_1"), sent).alias("bp"),

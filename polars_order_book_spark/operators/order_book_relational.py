@@ -58,19 +58,30 @@ def modify_to_mutations(
         pp.isNotNull() & pq.isNotNull() & (q != 0), F.struct(p.alias("d_price"), q.alias("d_qty"))
     ).when(pp.isNull() & pq.isNull(), F.struct(p.alias("d_price"), q.alias("d_qty")))
     other = [c for c in df.columns if c not in (price, qty, prev_price, prev_qty)]
-    # A row matching NO branch of the decision table (e.g. prev_price set
-    # with prev_qty null, or a qty-shrink with q < 0) must FAIL like
-    # strategy A's fold (ref update.rs:158-159), not silently vanish —
-    # silent dropping also breaks the one-snapshot-row-per-event contract
-    # and hides the row from the post-explosion validator. assert_true
-    # fused into the explode input cannot be pruned away.
-    invalid = delta_del.isNull() & delta_add.isNull()
+    # A row the fold rejects must FAIL here too (ref update.rs:158-162),
+    # not silently vanish or half-emit. Both-deltas-null catches
+    # no-branch rows (e.g. prev_price set with prev_qty null), but alone
+    # it missed two cases the fold raises on (r8 self-review, confirmed
+    # by execution): a NEGATIVE new qty with non-null prevs (branch 1 of
+    # both deltas matches, emitting a negative add), and a NULL qty/price
+    # with non-null prevs (the delete leg emits while the add leg's
+    # null-valued when() silently drops — a valid-looking delta stream
+    # even mutation_stream_violations cannot flag). assert_true fused
+    # into the explode input cannot be pruned away.
+    invalid = (
+        q.isNull()
+        | p.isNull()
+        | (q < 0)
+        | (delta_del.isNull() & delta_add.isNull())
+    )
     guard = F.assert_true(
         ~invalid,
         F.concat(
             F.lit("invalid modify event at seq "),
             F.col(seq).cast("string"),
-            F.lit(": matches no branch of the modify decision table"),
+            F.lit(": null price/qty, negative qty, or no branch of the "
+                  "modify decision table (the fold rejects this row too, "
+                  "ref update.rs:158-162)"),
         ),
     )
     arr = F.when(guard.isNull(), F.array(delta_del, delta_add))

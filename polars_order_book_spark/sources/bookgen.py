@@ -23,7 +23,11 @@ DuckDB ``generate_series`` oracle reproduces the stream bit-for-bit.
 
 Usage::
 
-    spark.dataSource.register(BookGenDataSource)
+    from polars_order_book_spark.sources import bookgen
+    bookgen.register(spark)  # registers the source AND enables
+                             # spark.sql.python.filterPushdown.enabled —
+                             # without it Spark REFUSES a Python reader
+                             # that implements pushFilters()
     df = (spark.read.format("bookgen")
           .option("n_events", 20000).option("n_partitions", 8).load())
 """
@@ -85,13 +89,17 @@ class BookGenReader(DataSourceReader):
         # book equality skips rows inside it
         self._seq_lo = 0
         self._seq_hi = self.n_events  # exclusive
-        self._book_eq: "int | None" = None
+        # a SET, not a scalar: a conjunction of conflicting equalities
+        # (book = 1 AND book = 2) pushes BOTH filters — keeping only the
+        # last would return book-2 rows where the correct answer is empty
+        # (r8 self-review). Two or more members = no row can satisfy all.
+        self._book_eqs: "set[int]" = set()
 
     def pushFilters(self, filters: "list[Filter]"):
         for f in filters:
             col = f.attribute[0] if f.attribute else None
             if isinstance(f, EqualTo) and col == "book":
-                self._book_eq = int(f.value)
+                self._book_eqs.add(int(f.value))
             elif isinstance(f, GreaterThanOrEqual) and col == "seq":
                 self._seq_lo = max(self._seq_lo, int(f.value))
             elif isinstance(f, LessThanOrEqual) and col == "seq":
@@ -109,7 +117,10 @@ class BookGenReader(DataSourceReader):
         ]
 
     def read(self, partition: _Range) -> Iterator[Tuple]:
-        book = self._book_eq
+        books = self._book_eqs
+        if len(books) > 1:
+            return  # conflicting equalities: no row satisfies all
+        book = next(iter(books)) if books else None
         for seq in range(partition.start, partition.end):
             if book is not None and seq % N_BOOKS != book:
                 continue

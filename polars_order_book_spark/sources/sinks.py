@@ -113,12 +113,15 @@ def write_bucketed(
             )
         else:
             # Managed-table location layout: <warehouse>/<table> for the
-            # default database, <warehouse>/<db>.db/<table> for db-qualified
-            # names — deriving only the last name component would rmtree the
-            # WRONG path for 'db.table' and leave the real orphan in place.
+            # DEFAULT database (whether written bare, 'default.t', or
+            # 'spark_catalog.default.t' — the default db lives at the
+            # warehouse ROOT, not default.db/; r8 self-review),
+            # <warehouse>/<db>.db/<table> for any other database.
             parts = [p.lower() for p in table.split(".")]
-            if len(parts) == 1:
-                loc = os.path.join(warehouse, parts[0])
+            if parts and parts[0] == "spark_catalog":
+                parts = parts[1:]
+            if len(parts) == 1 or parts[-2] == "default":
+                loc = os.path.join(warehouse, parts[-1])
             else:
                 loc = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
             if os.path.isdir(loc):

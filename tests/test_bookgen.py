@@ -95,3 +95,14 @@ def test_offset_replay_is_deterministic():
     assert len(list(it)) == 10 and end == {"seq": 100}
     it, end = r.read({"seq": 100})
     assert list(it) == [] and end == {"seq": 100}
+
+
+def test_conflicting_book_equalities_return_empty(spark, gen):
+    """r8 self-review: book = 1 AND book = 2 pushes BOTH equalities; keeping
+    only the last returned book-2 rows where the correct answer is empty."""
+    assert gen.where((F.col("book") == 1) & (F.col("book") == 2)).count() == 0
+    r = BookGenReader({"n_events": "100", "n_partitions": "2"})
+    from pyspark.sql.datasource import EqualTo
+
+    list(r.pushFilters([EqualTo(("book",), 1), EqualTo(("book",), 2)]))
+    assert [row for p in r.partitions() for row in r.read(p)] == []

@@ -167,3 +167,26 @@ def test_nbbo_chunked_guardrail(spark):
 
     with _pytest.raises(ValueError):
         nbbo(snaps, [0], chunk_size=0)
+
+
+def test_unlisted_book_fails_loudly_instead_of_vanishing(spark):
+    """r8 self-review: pivot(__book, books) silently discarded rows from
+    books missing from the caller's list — a best bid on the unlisted venue
+    vanished from the NBBO. Now a per-row assert."""
+    import pytest as _pt
+
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    rows = [
+        (1, 0, 10, 5, 12, 5),
+        (1, 2, 11, 5, 13, 5),  # book 2 NOT in the caller's list
+    ]
+    snaps = spark.createDataFrame(
+        rows, "seq long, book long, bid_price_1 long, bid_qty_1 long,"
+              " ask_price_1 long, ask_qty_1 long"
+    )
+    with _pt.raises(Exception, match="not in the caller's books list"):
+        nbbo(snaps, books=[0, 1]).collect()
+    # complete list: the book-2 bid wins
+    got = nbbo(snaps, books=[0, 1, 2]).collect()[0]
+    assert got["nbb_price"] == 11

@@ -247,3 +247,26 @@ def test_relational_narrow_seq_bounds_clamp_exact(spark):
         df, variant="mutations", n=2, seq_buckets=4, seq_bounds=(1, 10)
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, narrow.collect()))
+
+
+def test_modify_to_mutations_rejects_what_the_fold_rejects(spark):
+    """r8 self-review (execution-confirmed): a negative new qty with
+    non-null prevs matched branch 1 of BOTH deltas and silently emitted a
+    negative add; a NULL qty with non-null prevs emitted only the delete
+    leg. The fold raises on both (ref update.rs:158-162) — the explode must
+    too."""
+    import pytest as _pt
+
+    base = [(1, True, 10, 1, None, None)]
+    for bad in [
+        (2, True, 12, -3, 10, 1),   # negative new qty, full modify
+        (2, True, 12, None, 10, 1), # null qty with non-null prevs
+        (2, True, None, 2, 10, 1),  # null price
+    ]:
+        df = spark.createDataFrame(base + [bad], SCHEMA5)
+        with _pt.raises(Exception, match="invalid modify event"):
+            modify_to_mutations(df).collect()
+    # the valid ladder-walk stream still explodes cleanly
+    ok = spark.createDataFrame(
+        base + [(2, True, 12, 1, 10, 1)], SCHEMA5)
+    assert modify_to_mutations(ok).count() == 3

@@ -239,3 +239,30 @@ def test_warehouse_local_path_rejects_remote_file_host():
 
     assert _warehouse_local_path("file://nas01/wh") is None
     assert _warehouse_local_path("file://localhost/wh") == "/wh"
+
+
+def test_bucketed_overwrite_handles_default_qualified_orphan(spark):
+    """r8 self-review: 'default.t' (and 'spark_catalog.default.t') managed
+    tables live at the warehouse ROOT, not <warehouse>/default.db/<t> — the
+    cleanup previously checked the nonexistent default.db path, left the
+    real orphan in place, and overwrite failed with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    from polars_order_book_spark.sources.sinks import write_bucketed
+
+    df = spark.range(0, 6).selectExpr("id AS k", "id AS v")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "bkt_defq")
+    try:
+        write_bucketed(df, "default.bkt_defq", ["k"], 2, sort_by=["k"])
+        spark.sql("DROP TABLE default.bkt_defq")
+        os.makedirs(os.path.join(loc, "stale"), exist_ok=True)
+        write_bucketed(df, "spark_catalog.default.bkt_defq", ["k"], 2,
+                       sort_by=["k"])
+        assert spark.table("default.bkt_defq").count() == 6
+        assert not os.path.isdir(os.path.join(loc, "stale"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.bkt_defq")
+        shutil.rmtree(loc, ignore_errors=True)
