@@ -7116,8 +7116,11 @@ def _events_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_USER_TYPE_HISTORY_SQL = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
-           CASE WHEN lag(event_type) OVER w IS NULL
-                  OR event_type <> lag(event_type) OVER w
+           -- null-safe change flag, mirroring attribute_runs' eqNullSafe
+           -- derivation (r8): IS DISTINCT FROM treats NULL attrs as a
+           -- value; row_number()=1 starts the first run explicitly
+           CASE WHEN row_number() OVER w = 1
+                  OR event_type IS DISTINCT FROM lag(event_type) OVER w
                 THEN 1 ELSE 0 END AS chg
     FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -7599,7 +7602,7 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R8_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction
+    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction,events_user_type_history,events_interpolate_daily,events_k_anonymity,documents_bpe_train_distributed
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
     # registry=249 driver-green-union=242 never-sampled=6
     "embeddings_covariance",  # stale-red
@@ -7624,6 +7627,7 @@ _R8_HEAD = [
     "bookgen_source_agg",  # behavior-changed
     "dedup_embedding",  # behavior-changed
     "dedup_stream_survivors",  # behavior-changed
+    "documents_bpe_train_distributed",  # behavior-changed
     "documents_classifier_reliability",  # behavior-changed
     "documents_classifier_score",  # behavior-changed
     "documents_classifier_step",  # behavior-changed
@@ -7642,16 +7646,15 @@ _R8_HEAD = [
     "events_asof_next_purchase",  # behavior-changed
     "events_asof_purchase",  # behavior-changed
     "events_countmin_rollup",  # behavior-changed
+    "events_interpolate_daily",  # behavior-changed
+    "events_k_anonymity",  # behavior-changed
     "events_user_profile_stream",  # behavior-changed
+    "events_user_type_history",  # behavior-changed
     "multimodal_audio_features",  # behavior-changed
     "multimodal_features",  # behavior-changed
     "multimodal_frame_sample",  # behavior-changed
     "multimodal_resize",  # behavior-changed
     "ob_book_asof",  # behavior-changed
-    "ob_nbbo_keyed",  # behavior-changed
-    "ob_nbbo_keyed_chunked",  # behavior-changed
-    "ob_relational_modify_top2",  # behavior-changed
-    "orders_join_view_stream",  # behavior-changed
 ]
 
 

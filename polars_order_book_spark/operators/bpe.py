@@ -113,14 +113,18 @@ def learn_bpe_merges(
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be > 0, got {n_merges}")
-    if word_freqs.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+    # ONE action: limit(cap+1).collect() both enforces the cap and
+    # materializes the rows — a separate count() re-executed the whole
+    # word-frequency lineage (the corpus aggregation) just to count
+    # (r8 self-review; the unigram._collect_costs pattern).
+    rows = word_freqs.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
             f"word-frequency table exceeds max_vocab_rows={max_vocab_rows}; "
             "BPE training needs the distinct-word table driver-side — raise "
             "the cap with the driver heap, or pre-prune rare words "
             "(freq filter) first."
         )
-    rows = word_freqs.collect()
     vocab: dict[tuple, int] = {}
     for r in rows:
         w, f = r[0], int(r[1])
@@ -234,8 +238,13 @@ def learn_bpe_merges_distributed(
     # encoding and break byte-identity with learn_bpe_merges (which handles
     # such symbols fine as tuple elements). Keep the divergence LOUD: every
     # row asserts the contract before entering the loop.
+    # Null-safe: the assert must PASS for NULL words — Catalyst's
+    # CombineFilters merges this with the `word != ''` filter into one
+    # AND, and NULL-AND-x still evaluates x, so a bare ~rlike(NULL)
+    # (= NULL) would raise on a row the filter is about to drop — where
+    # the driver trainer skips falsy words (r8 self-review).
     clean = F.assert_true(
-        ~F.col("word").rlike("[\x1e\x1f]"),
+        F.col("word").isNull() | ~F.col("word").rlike("[\x1e\x1f]"),
         F.concat(
             F.lit("learn_bpe_merges_distributed: word contains reserved "
                   "control byte \\x1e/\\x1f: "),

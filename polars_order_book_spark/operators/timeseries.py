@@ -261,9 +261,16 @@ def attribute_runs(
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
+    # Null-safe change flag (r8 self-review): `attr != lag(attr)` is NULL
+    # when either side is NULL, and sum() SKIPS it — a NULL attr after a
+    # non-null one silently merged into the previous run (extending the
+    # SCD-2 validity interval across the NULL period) while consecutive
+    # NULLs each started a new run. eqNullSafe is the diff_snapshots
+    # convention; row_number()==1 starts the first run explicitly because
+    # NULL <=> lag-of-first-row(NULL) would otherwise read as "unchanged".
     changed = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.col(attr_col) != F.lag(attr_col).over(w))
+        (F.row_number().over(w) == 1)
+        | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
     ).cast("long")
     runs = df.where(
         F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()

@@ -440,8 +440,14 @@ def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A bare `a.lo < b.hi AND b.lo < a.hi` join is a CartesianProduct at
     corpus scale — the bucket id turns it into a shuffled hash join whose
-    skew AQE can split; the 1-hour width covers the longest session (~57 min
-    at this gap), so the explode factor is <= 2. user_a < user_b orients
+    skew AQE can split. The 30-min gap rule bounds inter-event SPACING,
+    not session length, so a steady-traffic key can form an arbitrarily
+    long session spanning many 1-hour buckets; correctness is unaffected
+    (interval_overlap_join's canonical-bucket rule dedups multi-bucket
+    pairs) and the explode factor is (session length / bucket width) + 1 —
+    ~2 on THIS corpus, whose sessions measure <= ~57 min. Size
+    bucket_width to the corpus's typical session length when that changes.
+    user_a < user_b orients
     pairs (same-user sessions can never overlap — the gap rule separates
     them by construction). Output: the pair keys + the exact overlap length
     in microseconds (half-open semantics: touching endpoints don't overlap).
@@ -2365,7 +2371,10 @@ def events_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
-        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        # floor(), not cast(long): the cast truncates TOWARD ZERO while
+        # the oracle's // floors — a pre-1970 timestamp would shift the
+        # day-grid key by one (r8; the lag_autocorrelation hazard)
+        F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
         .cast("long")
         .alias("day"),
     ).agg(
@@ -2572,7 +2581,9 @@ EVENTS_K_ANONYMITY_SQL = """
 WITH qi AS (
     SELECT DISTINCT event_type,
            strftime(ts, '%Y-%m-%d') AS day,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS item_bucket,
+           -- pmod twin of the Spark side (r8): % keeps the dividend's
+           -- sign, which would split QI groups differently for negative k
+           ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS item_bucket,
            user_id
     FROM events WHERE user_id IS NOT NULL
 )

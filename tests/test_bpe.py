@@ -235,3 +235,19 @@ def test_distributed_trainer_rejects_reserved_control_bytes(spark):
     with pytest.raises(Exception) as ei:
         learn_bpe_merges_distributed(wf, 1)
     assert "reserved control byte" in str(ei.value)
+
+
+def test_distributed_trainer_skips_null_words_like_driver(spark):
+    """r8 self-review: the control-byte assert was not null-safe — Catalyst
+    merges it with the empty-word filter and NULL-AND-x still evaluates x,
+    so a NULL word raised where the driver trainer skips falsy words."""
+    from polars_order_book_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_distributed,
+    )
+
+    rows = [("low", 5), (None, 3), ("lower", 2), ("", 1)]
+    wf = spark.createDataFrame(rows, "word string, freq long")
+    dist = learn_bpe_merges_distributed(wf, n_merges=3)
+    drv = learn_bpe_merges(wf, n_merges=3)
+    assert dist == drv

@@ -431,3 +431,25 @@ def test_acf_duplicate_lags_named_error(spark):
         lag_autocorrelation(
             _acf_df(spark, [1, 2, 3, 4]), ["k"], ["seq"], "value", [1, 1]
         )
+
+
+def test_attribute_runs_null_attrs_are_their_own_runs(spark):
+    """r8 self-review: `attr != lag(attr)` is NULL when either side is NULL
+    and sum() skips it — a NULL attr silently merged into the previous run
+    while consecutive NULLs each started one. eqNullSafe + row_number()==1
+    makes NULL a first-class state value."""
+    from polars_order_book_spark.operators.timeseries import attribute_runs
+
+    rows = [
+        (1, "A", 1, 1), (1, None, 2, 2), (1, "A", 3, 3),
+        (2, None, 1, 4), (2, None, 2, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long, event_id long")
+    got = sorted(
+        (r["user_id"], r["run_id"], r["event_type"], r["n_rows"])
+        for r in attribute_runs(df).collect()
+    )
+    assert got == [
+        (1, 1, "A", 1), (1, 2, None, 1), (1, 3, "A", 1),
+        (2, 1, None, 2),
+    ]
