@@ -1039,7 +1039,9 @@ reach(node, r) AS (
 ),
 comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
 base AS (
-    SELECT d.doc_id, d.lang, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id
+    -- VARCHAR group key, mirroring leakage_safe_split (r8): a long cast
+    -- would NULL out non-numeric doc ids and silently NULL the whole split
+    SELECT d.doc_id, d.lang, CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS group_id
     FROM documents d LEFT JOIN comp c USING (doc_id)
 )
 SELECT doc_id, lang, group_id,
@@ -7602,7 +7604,7 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R8_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction,events_user_type_history,events_interpolate_daily,events_k_anonymity,documents_bpe_train_distributed
+    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction,events_user_type_history,events_interpolate_daily,events_k_anonymity,documents_bpe_train_distributed,documents_leakage_split,dedup_components_prop
     # policy: stale-red > never-sampled > behavior-changed > oldest-green
     # registry=249 driver-green-union=242 never-sampled=6
     "embeddings_covariance",  # stale-red
@@ -7625,6 +7627,7 @@ _R8_HEAD = [
     "ann_recall_pq_residual",  # behavior-changed
     "ann_recall_pq_trained",  # behavior-changed
     "bookgen_source_agg",  # behavior-changed
+    "dedup_components_prop",  # behavior-changed
     "dedup_embedding",  # behavior-changed
     "dedup_stream_survivors",  # behavior-changed
     "documents_bpe_train_distributed",  # behavior-changed
@@ -7636,6 +7639,7 @@ _R8_HEAD = [
     "documents_fuzzy_pairs",  # behavior-changed
     "documents_hash_embed_knn",  # behavior-changed
     "documents_hybrid_search",  # behavior-changed
+    "documents_leakage_split",  # behavior-changed
     "documents_pareto_frontier",  # behavior-changed
     "documents_quality_filter",  # behavior-changed
     "embeddings_ann_stream",  # behavior-changed
@@ -7653,8 +7657,6 @@ _R8_HEAD = [
     "multimodal_audio_features",  # behavior-changed
     "multimodal_features",  # behavior-changed
     "multimodal_frame_sample",  # behavior-changed
-    "multimodal_resize",  # behavior-changed
-    "ob_book_asof",  # behavior-changed
 ]
 
 

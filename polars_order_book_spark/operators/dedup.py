@@ -22,7 +22,7 @@ stable so they are avoided).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_order_book_spark.functions.hashing import hash64
@@ -102,8 +102,20 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> D
 
 
 def lsh_band_buckets(sig: DataFrame, band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
-    """(doc_id, band, band_hash): md5 over each band's minhashes (wide input)."""
+    """(doc_id, band, band_hash): md5 over each band's minhashes (wide input).
+
+    The signature width must divide into whole bands: silently dropping the
+    remainder columns would run fewer hashes than the caller sized their
+    (b, r) S-curve for, quietly lowering recall (r8 review) — refuse
+    instead."""
     n_sig = len([c for c in sig.columns if c.startswith("mh_")])
+    if n_sig % band_rows != 0:
+        raise ValueError(
+            f"signature width {n_sig} is not divisible by band_rows "
+            f"{band_rows}: {n_sig % band_rows} minhash column(s) would be "
+            "silently dropped from every bucket, lowering recall below the "
+            "(b, r) S-curve — pick num_hashes divisible by band_rows"
+        )
     n_bands = n_sig // band_rows
     bands = [
         F.struct(
@@ -288,6 +300,11 @@ def neardup_components_prop(
     fixpoints. Raises if the fixpoint is not reached within ``max_iter``
     (pathological diameter — raise the cap or pre-cluster).
     """
+    # null endpoints are excluded up front (r8 review): the star/auto
+    # variants filter them, and the three algorithms are pinned equal —
+    # a NULL dst never equi-joins labels and would otherwise emit a
+    # spurious all-NULL output row
+    pairs = pairs.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -535,6 +552,13 @@ def minhash_lsh_incremental_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    # NOTE: this bipartite verify mirrors jaccard_verify's arithmetic
+    # (n_inter / (na + nb - n_inter), >= threshold) but CANNOT call it: a
+    # doc id present on BOTH sides with different text would merge its
+    # shingle sets in jaccard_verify's single relation. The identical-
+    # scoring contract is pinned by
+    # tests/test_dedup.py::test_incremental_pair_scores_match_batch_verify
+    # — edit BOTH blocks together (r8 review).
     dn = sh_new.distinct()
     dc = sh_corpus.distinct()
     sizes_n = dn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
@@ -1230,7 +1254,6 @@ def banding_recall_eval(
         sample_filter = F.col(id_col) < 50
     sh = shingles(df, text_col, id_col, k)
     dsh = sh.distinct()
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     ssh = dsh.join(
         df.where(sample_filter).select(F.col(id_col).alias("doc_id")), "doc_id"
     )
@@ -1304,5 +1327,12 @@ def leakage_safe_split(
         ),
         id_col,
         "left",
-    ).withColumn("group_id", F.coalesce(F.col("_comp"), F.col(id_col)).cast("long"))
+    ).withColumn(
+        # STRING group key, not cast('long') (r8 review): a corpus with
+        # non-numeric ids would cast to NULL for every row, hash NULL, and
+        # emit a corpus-wide NULL split. split_assign hashes the key's
+        # string form anyway, so the string coalesce is the portable one.
+        "group_id",
+        F.coalesce(F.col("_comp").cast("string"), F.col(id_col).cast("string")),
+    )
     return split_assign(base, "group_id", weights, names, salt=salt).drop("_comp")

@@ -276,11 +276,13 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     for comp, grp in comp_rows.groupby("component"):
         splits = {by_id.loc[d, "split"] for d in grp["doc_id"]}
         gids = {by_id.loc[d, "group_id"] for d in grp["doc_id"]}
-        assert len(splits) == 1 and gids == {comp}
+        # group_id is the component's STRING form since r8 (a long
+        # cast would NULL out non-numeric doc ids corpus-wide)
+        assert len(splits) == 1 and gids == {str(comp)}
     # singletons fall back to their own id
     for d in (100, 101, 102, 103):
         if d not in set(comp_rows["doc_id"]):
-            assert by_id.loc[d, "group_id"] == d
+            assert by_id.loc[d, "group_id"] == str(d)
 
 
 def test_banding_recall_eval_counts_truth_and_caught(spark):
@@ -433,3 +435,39 @@ def test_fuzzy_segments_rejects_degenerate_prefix(spark):
             docs, block_cols=["lang"], prefix_len=8, max_dist=10,
             length_block=10, candidate_strategy="segments",
         ).collect()
+
+
+def test_incremental_pair_scores_match_batch_verify(spark):
+    """r8 review: minhash_lsh_incremental_pairs' bipartite verify mirrors
+    jaccard_verify's arithmetic in a parallel code block (it cannot call it
+    — same-id docs on both sides would merge shingle sets). Pin the
+    docstring's 'a pair scores identically whichever entry point meets it'
+    so the copies cannot drift."""
+    from polars_order_book_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_incremental_pairs,
+        shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a completely different document body here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " extra"), (11, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    inc = {
+        (r["new_id"], r["corpus_id"]): (r["n_inter"], r["jaccard"])
+        for r in minhash_lsh_incremental_pairs(new, corpus, threshold=0.3).collect()
+    }
+    # batch route: union both tables (ids disjoint here) and verify the pair
+    sh = shingles(corpus.unionByName(new))
+    pairs = spark.createDataFrame([(1, 10)], "doc_a long, doc_b long")
+    batch = {
+        (r["doc_b"], r["doc_a"]): (r["n_inter"], r["jaccard"])
+        for r in jaccard_verify(pairs, sh, threshold=0.3).collect()
+    }
+    assert (10, 1) in inc
+    assert inc[(10, 1)] == batch[(10, 1)]

@@ -105,6 +105,14 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(
+                f"--only names not in the registry: {sorted(unknown)} — a "
+                "typo here would print '0 pass, 0 fail' and exit 0 without "
+                "verifying anything (r8 review)"
+            )
 
     n_pass = n_fail = 0
     results: dict = {}

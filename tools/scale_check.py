@@ -43,6 +43,7 @@ QUERIES = [
     "embeddings_knn_graph",         # banded-LSH kNN graph
     "documents_hash_embed_knn",     # hashed doc features -> kNN
     "documents_fuzzy_pairs",        # edit-distance blocking (guarded r8)
+    "documents_fuzzy_pairs_segments",  # PassJoin segments (guarded r8)
     "embeddings_kmeans_train",      # distributed Lloyd iterations
 ]
 
@@ -155,6 +156,14 @@ def main() -> None:
         # swallow it (review finding)
         if name in DISPOSITIONS and guarded_err:
             report["dispositioned"][name] = DISPOSITIONS[name]
+        elif err or entry.get("sf0.1", {}).get("error"):
+            # an UN-dispositioned error at either scale is a defect, not a
+            # skip: previously it fell through both branches and the gate
+            # exited 0 on a query that cannot run at 10x data (r8 review)
+            which = "sf1" if err else "sf0.1"
+            report["flags"].append(
+                f"{name}: error at {which}: "
+                f"{(err or entry['sf0.1']['error'])[:120]}")
         elif over:
             report["flags"].append(
                 f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
