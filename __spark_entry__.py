@@ -85,6 +85,33 @@ def _ob_mutations(n):
     return run
 
 
+def _ob_mutations_deep(n):
+    """Deep-book add/delete fold: paired add/delete stream over 40 prices
+    per side, so the signed-delta emit + nth-best backfill paths
+    (ref: update.rs:113-123, calculate_bbo.rs:190-214) run against a book
+    that genuinely truncates at n — the shallow mutations stream never
+    exceeds 10 live prices per side."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.deep_mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations(stream, n=n)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
+def _ob_modify_deep(n):
+    """Deep-book modify fold: one resting qty-1 order per user walking a
+    40-price ladder, so the modify threshold check and two-legged
+    delete+add emit (ref: calculate_bbo.rs:243-267, update.rs:132-162)
+    run at the reference's monomorphization ceiling with real truncation."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.deep_modify_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations_with_modify(
+            stream, prev_price="prev_price", prev_qty="prev_qty", n=n
+        )
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_modify(n):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = bs.modify_stream(load_table(spark, sf_dir, "events"))
@@ -7920,6 +7947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 20 live levels — truncation AT the guardrail boundary, under the
         # oracle (ref: calculate_bbo.rs:115-125)
         "ob_updates_top20_deep": _ob_updates_deep(20),
+        # deep mutations/modify (r9): the add/delete backfill and modify
+        # threshold paths differ from the set-level fold (update.rs:113-162
+        # vs :101-105) and were driver-pinned only at n <= 3 before this
+        "ob_mutations_top10_deep": _ob_mutations_deep(10),
+        "ob_modify_top20_deep": _ob_modify_deep(20),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "events_hourly_pivot": hq.events_hourly_pivot,
@@ -7959,6 +7991,8 @@ def oracle_sql() -> dict[str, str]:
         "ob_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),
         "ob_updates_top10": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 10, "updates"),
         "ob_updates_top20_deep": bs.oracle_book_sql(bs.DEEP_UPDATES_STREAM_SQL, 20, "updates"),
+        "ob_mutations_top10_deep": bs.oracle_book_sql(bs.DEEP_MUTATIONS_STREAM_SQL, 10, "mutations"),
+        "ob_modify_top20_deep": bs.oracle_book_sql(bs.DEEP_MODIFY_DELTAS_SQL, 20, "mutations"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
         "ob_keyed_mutations_top2": bs.oracle_book_sql(

@@ -1110,7 +1110,13 @@ def fuzzy_duplicate_pairs(
     quadratically once blocks saturate — measured 55.8× wall at 10× data
     on the saturated synthetic corpus. Both candidate joins carry the
     budget as an exact Σ-product fail-fast (same machinery as
-    ``ngram_jaccard_pairs``): past bounded blocks, use
+    ``ngram_jaccard_pairs``). The budget is enforced PER JOIN, not on the
+    union: the buckets strategy runs 2 candidate joins (same-bucket,
+    adjacent-bucket) and the segments strategy 4 (full×full plus the three
+    short-side bucket legs), so total admitted candidate work can reach
+    ~2× / ~4× the nominal budget before any guard fires — size the budget
+    as a per-join executor-memory ceiling, not a total-work cap. Past
+    bounded blocks, use
     ``lsh_candidate_pairs``/``minhash`` (``dedup_minhash_lsh``, measured
     2.08× at 10×), add higher-selectivity ``block_cols``, or switch to
     ``candidate_strategy="segments"`` (below); raise the budget only with

@@ -68,10 +68,16 @@ def modify_to_mutations(
     # null-valued when() silently drops — a valid-looking delta stream
     # even mutation_stream_violations cannot flag). assert_true fused
     # into the explode input cannot be pruned away.
+    # Negative qty is only the reference's panic arm when a prev field is
+    # set (ref update.rs:158 `(Less, Some(_), _) | (Less, _, Some(_))`);
+    # with BOTH prevs null it is a plain delete, `(Less, None, None) =>
+    # delete_qty(abs)`, which strategy A's fold also accepts
+    # (order_book.py:352-353) and which the add-leg branch below already
+    # renders as the correct negative delta.
     invalid = (
         q.isNull()
         | p.isNull()
-        | (q < 0)
+        | ((q < 0) & (pq.isNotNull() | pp.isNotNull()))
         | (delta_del.isNull() & delta_add.isNull())
     )
     guard = F.assert_true(

@@ -70,6 +70,43 @@ DEEP_UPDATES_STREAM_SQL = f"""
 """
 
 
+def deep_mutations_stream(events: DataFrame) -> DataFrame:
+    """Signed-delta events over a 40-price ladder per side (deep book),
+    valid by construction: each user's events alternate add(+q)/delete(−q)
+    in pairs at the SAME (side, price, |q|) — the conversion_raw pairing —
+    so every delete removes exactly the qty its paired add created. Unlike
+    ``mutations_stream`` (adds-only, 10 prices/side) this exercises the
+    add/delete emit + nth-best backfill paths (ref: update.rs:113-123,
+    calculate_bbo.rs:190-214) on a book deeper than n=10: with hundreds of
+    concurrent resting adds spread over 40 prices per side, most of the
+    ladder is live at any seq and top-10 genuinely truncates."""
+    w = Window.partitionBy("user_id").orderBy("seq")
+    base = events.select(F.col("event_id").alias("seq"), F.col("user_id"))
+    base = base.withColumn("occ", F.row_number().over(w) - 1)
+    base = base.withColumn("pair", F.floor(F.col("occ") / 2).cast("long"))
+    mag = (F.col("user_id") + F.col("pair")) % 5 + 1
+    return base.select(
+        "seq",
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        ((F.col("user_id") * 7 + F.col("pair")) % N_DEEP_PRICES + 1).alias("price"),
+        F.when(F.col("occ") % 2 == 1, -mag).otherwise(mag).cast("long").alias("qty"),
+    )
+
+
+DEEP_MUTATIONS_STREAM_SQL = f"""
+    SELECT seq,
+           user_id % 2 = 0 AS is_bid,
+           (user_id * 7 + (occ // 2)) % {N_DEEP_PRICES} + 1 AS price,
+           CAST(CASE WHEN occ % 2 = 1 THEN -((user_id + (occ // 2)) % 5 + 1)
+                     ELSE (user_id + (occ // 2)) % 5 + 1 END AS BIGINT) AS qty
+    FROM (
+        SELECT event_id AS seq, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS occ
+        FROM events
+    )
+"""
+
+
 def mutations_stream(events: DataFrame) -> DataFrame:
     """Signed-delta events, adds only (1..5)."""
     return events.select(
@@ -119,6 +156,50 @@ MODIFY_STREAM_SQL = f"""
                user_id,
                user_id % 2 = 0 AS is_bid,
                (user_id + event_id) % {N_PRICES} + 1 AS price,
+               CAST(1 AS BIGINT) AS qty
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+"""
+
+
+def deep_modify_stream(events: DataFrame) -> DataFrame:
+    """Order-move events over a 40-price ladder per side (deep book): like
+    ``modify_stream`` each user maintains exactly one resting qty-1 order
+    and every event moves it (prev = lag over the user's history), but the
+    ladder spans ``N_DEEP_PRICES`` so hundreds of concurrent resting orders
+    keep most of the 40 prices per side live — the modify threshold check
+    (both touched prices vs the nth best, ref: calculate_bbo.rs:243-267)
+    and the two-legged delete+add emit run against a book that genuinely
+    truncates at n=20, where ``modify_stream``'s 20-price ladder never
+    exceeds 10 live prices per side."""
+    w = Window.partitionBy("user_id").orderBy("seq")
+    base = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id"),
+        (F.col("user_id") % 2 == 0).alias("is_bid"),
+        ((F.col("user_id") * 3 + F.col("event_id")) % N_DEEP_PRICES + 1).alias("price"),
+        F.lit(1).cast("long").alias("qty"),
+    )
+    return base.select(
+        "seq",
+        "is_bid",
+        "price",
+        "qty",
+        F.lag("price").over(w).alias("prev_price"),
+        F.when(F.lag("price").over(w).isNotNull(), F.lit(1).cast("long")).alias("prev_qty"),
+    )
+
+
+DEEP_MODIFY_STREAM_SQL = f"""
+    SELECT seq, is_bid, price, qty,
+           lag(price) OVER w AS prev_price,
+           CASE WHEN lag(price) OVER w IS NOT NULL THEN CAST(1 AS BIGINT) END AS prev_qty
+    FROM (
+        SELECT event_id AS seq,
+               user_id,
+               user_id % 2 = 0 AS is_bid,
+               (user_id * 3 + event_id) % {N_DEEP_PRICES} + 1 AS price,
                CAST(1 AS BIGINT) AS qty
         FROM events
     )
@@ -282,5 +363,15 @@ MODIFY_DELTAS_SQL = f"""
         UNION ALL
         SELECT seq, is_bid, prev_price AS d_price, -prev_qty AS d_qty
         FROM ({MODIFY_STREAM_SQL}) WHERE prev_price IS NOT NULL
+    )
+"""
+
+DEEP_MODIFY_DELTAS_SQL = f"""
+    SELECT seq, is_bid, d_price AS price, d_qty AS qty
+    FROM (
+        SELECT seq, is_bid, price AS d_price, qty AS d_qty FROM ({DEEP_MODIFY_STREAM_SQL})
+        UNION ALL
+        SELECT seq, is_bid, prev_price AS d_price, -prev_qty AS d_qty
+        FROM ({DEEP_MODIFY_STREAM_SQL}) WHERE prev_price IS NOT NULL
     )
 """

@@ -109,7 +109,7 @@ def test_cyclic_12_event_suite(spark, n_levels, reps):
         assert [g[3] for g in got] == exp_ask
 
 
-@pytest.mark.parametrize("n_levels", [1, 2, 4])
+@pytest.mark.parametrize("n_levels", [1, 2, 4, 10, 20])
 @pytest.mark.parametrize("reps", [1, 10])
 def test_cyclic_modify_suite(spark, n_levels, reps):
     """FIXTURES 3.5 (ref: test_calculate_bbo.py:130-191)."""
@@ -268,6 +268,46 @@ def test_top20_truncates_deeper_book(spark):
     # before the delete (seq 125), bid level 20 was price 11
     mid = out.filter("seq = 125").collect()[0].asDict()
     assert mid["bid_price_20"] == 11
+
+
+def test_top20_mutations_truncate_and_backfill(spark):
+    """r9: the add/delete fold at n=20 (ref: update.rs:113-123 vs the
+    set-level :101-105) over a 30-level bid book — a DELETE delta inside
+    the window must backfill level 20 from the 21st-best price, driving
+    the nth_best_level path (order_book.py:271-301) at the reference's
+    monomorphization ceiling."""
+    rows = [(p, True, p, p) for p in range(1, 31)]           # add bids 1..30
+    rows += [(100 + p, False, 40 + p, p) for p in range(1, 26)]  # asks
+    rows.append((200, True, 25, -25))                        # delete bid 25
+    df = spark.createDataFrame(rows, SCHEMA3)
+    out = top_n_levels_from_price_mutations(df, n=20)
+    row = out.filter("seq = 200").collect()[0].asDict()
+    exp_bids = [30, 29, 28, 27, 26] + list(range(24, 9, -1))
+    assert [row[f"bid_price_{i}"] for i in range(1, 21)] == exp_bids
+    assert [row[f"ask_price_{i}"] for i in range(1, 21)] == list(range(41, 61))
+    mid = out.filter("seq = 125").collect()[0].asDict()
+    assert mid["bid_price_20"] == 11
+
+
+def test_top20_modify_truncate_and_backfill(spark):
+    """r9: the modify fold at n=20 over a 30-order bid book — a full
+    modify moving an order from INSIDE the window to below it must both
+    backfill level 20 (delete leg) and keep the moved qty out of the
+    snapshot (add leg below threshold, ref: calculate_bbo.rs:243-267)."""
+    rows = [(p, True, p, p, None, None) for p in range(1, 31)]  # 30 resting bids
+    # move the order at price 25 (inside top-20, threshold=11) down to 5
+    rows.append((100, True, 5, 25, 25, 25))
+    df = spark.createDataFrame(rows, SCHEMA5)
+    out = top_n_levels_from_price_mutations_with_modify(
+        df, prev_price="prev_price", prev_qty="prev_qty", n=20)
+    row = out.filter("seq = 100").collect()[0].asDict()
+    exp_bids = [30, 29, 28, 27, 26] + list(range(24, 9, -1))
+    assert [row[f"bid_price_{i}"] for i in range(1, 21)] == exp_bids
+    # price 5 now holds its original qty 5 plus the moved 25 — but sits
+    # below level 20 (price 10), so the snapshot must not show it
+    assert 5 not in [row[f"bid_price_{i}"] for i in range(1, 21)]
+    before = out.filter("seq = 30").collect()[0].asDict()
+    assert before["bid_price_20"] == 11
 
 
 def test_output_struct_mode(spark):

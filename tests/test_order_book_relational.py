@@ -270,3 +270,32 @@ def test_modify_to_mutations_rejects_what_the_fold_rejects(spark):
     ok = spark.createDataFrame(
         base + [(2, True, 12, 1, 10, 1)], SCHEMA5)
     assert modify_to_mutations(ok).count() == 3
+
+
+def test_modify_negative_qty_null_prevs_is_plain_delete(spark):
+    """r9 ADVICE fix: (qty<0, prev_price=None, prev_qty=None) is the
+    reference's `(Less, None, None) => delete_qty(abs)` arm (ref
+    update.rs:141-147), NOT the negative-qty panic (which requires a
+    non-null prev, ref update.rs:158). The explode must emit a single
+    negative delta, and strategy A and B must agree on the resulting book
+    (qty 5 -> 2 after deleting 3)."""
+    from polars_order_book_spark import top_n_levels_from_price_mutations_with_modify
+
+    rows = [
+        (1, True, 10, 5, None, None),   # add 5 @ 10
+        (2, True, 10, -3, None, None),  # plain delete of 3 @ 10
+    ]
+    df = spark.createDataFrame(rows, SCHEMA5)
+    deltas = modify_to_mutations(df).collect()
+    assert len(deltas) == 2
+    d2 = [r for r in deltas if r["seq"] == 2]
+    assert len(d2) == 1 and (d2[0]["price"], d2[0]["qty"]) == (10, -3)
+    cols = snapshot_columns(1)
+    a = by_seq(
+        top_n_levels_from_price_mutations_with_modify(
+            df, prev_price="prev_price", prev_qty="prev_qty", n=1), cols)
+    b = by_seq(
+        top_n_levels_relational(
+            modify_to_mutations(df), n=1, variant="mutations"), cols)
+    assert a == b
+    assert a[2] == (10, 2, None, None)
