@@ -1167,10 +1167,13 @@ def _docs_fuzzy_pairs_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) instead of the fixed (lang, length-bucket) grid (saturates —
     measured 55.8x at 10x data). Shares the buckets oracle verbatim
     because the admission rule and verify are identical. Keeps the default
-    candidate_budget: on an OPEN-vocabulary corpus segment content keeps
-    candidates near-linear, but the closed-vocabulary synthetic corpus
-    saturates 6-char segments too (measured: join work 2.8M at sf0.1 ->
-    272M at sf1), so the honest contract is the same enforced budget."""
+    candidate_budget: the content-keyed advantage is PROVEN on an
+    open-vocabulary Heaps-law corpus at max_dist=3 (16-char segments,
+    1.51x at 10x data while buckets at the same tau dies at 474M
+    candidates — BENCH_LOCAL_openvocab.json, r9) but at THIS query's
+    default max_dist=10 the ~6-char segments saturate on any corpus's
+    fixed common-word core, so the honest contract is the same enforced
+    budget."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.fuzzy_duplicate_pairs(
         docs, block_cols=["lang"], candidate_strategy="segments",

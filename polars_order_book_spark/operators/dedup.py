@@ -1129,9 +1129,18 @@ def fuzzy_duplicate_pairs(
     prefix, shifted by at most max_dist positions (the net indels before
     it). Candidates = an equi-join of each row's (slot, segment) index
     against each row's enumerated (slot, substring-at-shifted-window)
-    probes — selectivity comes from ~6-char exact segment content, which
-    GROWS with the corpus vocabulary instead of saturating like length
-    buckets. Rows with prefixes shorter than ``prefix_len`` (short docs)
+    probes — selectivity comes from exact segment CONTENT. Measured on a
+    deterministic open-vocabulary (Heaps-law) corpus
+    (tools/openvocab_check.py, BENCH_LOCAL_openvocab.json, r9): the
+    content-keyed advantage is REAL but conditional on segment length
+    ``prefix_len/(max_dist+1)``. At max_dist=3 (16-char segments) the
+    strategy scales 1.51× on 10× data finding exactly the planted pairs,
+    while length-bucket blocking at the SAME tau fails its budget at 474M
+    candidates. At the default max_dist=10 the ~6-char segments are
+    dominated by any natural corpus's FIXED common-word core, so
+    candidates still grow quadratically (57M at 10×, ~8× fewer than
+    buckets but past the budget) — the fail-fast stays the binding guard.
+    Rows with prefixes shorter than ``prefix_len`` (short docs)
     still pair through length-sub-bucketed joins restricted to the short
     side — a population that cannot saturate the way full-length blocks
     do. Output is IDENTICAL to the buckets strategy (same admission rule:

@@ -73,14 +73,17 @@ DISPOSITIONS = {
     ),
     "documents_fuzzy_pairs_segments": (
         "guarded since r8: the PassJoin segment strategy replaces the fixed "
-        "(lang, length-bucket) grid with 6-char segment-CONTENT join keys — "
-        "near-linear candidates on open-vocabulary corpora — but the "
-        "synthetic corpus reuses one closed vocabulary, so segment df also "
-        "grows with the corpus (measured join work 2.8M at sf0.1 -> 272M "
-        "at sf1 with the naive +/-tau windows; true pairs grow only 10x, "
-        "79 -> 790). The same candidate_budget=10M fail-fast rides every "
-        "candidate join, so at sf1 the query dies in seconds naming the "
-        "LSH path instead of paying the quadratic stage."
+        "(lang, length-bucket) grid with segment-CONTENT join keys. The "
+        "content-keyed advantage is proven (r9, tools/openvocab_check.py, "
+        "BENCH_LOCAL_openvocab.json): on a deterministic open-vocabulary "
+        "Heaps-law corpus at max_dist=3 (16-char segments) it scales 1.51x "
+        "on 10x data while buckets at the same tau fails its budget at "
+        "474M candidates. But at this query's default max_dist=10 the "
+        "~6-char segments are dominated by the corpus's fixed common core "
+        "(57M candidates at 10x here; 272M on the closed-vocab copy "
+        "corpus), so the candidate_budget=10M fail-fast stays binding and "
+        "the query dies in seconds naming the LSH path instead of paying "
+        "the quadratic stage."
     ),
 }
 
