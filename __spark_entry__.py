@@ -209,6 +209,65 @@ def _ob_stream_keyed(n):
     return run
 
 
+def _ob_stream_deep_rocksdb(n):
+    """Keyed streaming deep book at the monomorphization ceiling under the
+    PRODUCTION state backend: the widest per-key state row (40 live prices
+    + the 4·n change-tracked snapshot) meets RocksDBStateStoreProvider —
+    state on local disk + changelog checkpoints, not executor heap (the
+    100 TB contract; previously rocksdb × deep-state met only in a parity
+    test). The provider class is read per query from the session conf, so
+    the flip is scoped try/finally and never leaks into other queries.
+    Memory sink = the oracle-parity rig (bounded result for the hash
+    check), same caveat as ob_stream_keyed_mutations_top2 — a production
+    deployment writes a parquet/kafka sink in update mode instead."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from polars_order_book_spark.sources.tables import load_table_stream
+        from polars_order_book_spark.streaming import top_n_levels_stream
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        try:
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            ev = load_table_stream(spark, sf_dir, "events")
+            stream = bs.keyed_deep_updates_stream(ev)
+            snaps = top_n_levels_stream(stream, "updates", by=["book"], n=n)
+            name = f"ob_stream_deep_{uuid.uuid4().hex[:8]}"
+            ckpt = tempfile.mkdtemp(prefix="ob_stream_deep_ckpt_")
+            q = (
+                snaps.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "streaming query did not finish within 600s - refusing "
+                    "to read partial results"
+                )
+            # materialize BEFORE restoring the conf: the memory sink table
+            # is already bounded, but keep the read inside the scope for
+            # clarity about what ran under rocksdb
+            out = spark.table(name).select("book", "seq", *snapshot_columns(n))
+            out = out.localCheckpoint(eager=True)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return out
+    return run
+
+
 def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming gap sessionization (session_window), driven to
     completion with availableNow -> complete-mode memory sink. Boundary
@@ -7956,6 +8015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_mutations_top10_deep": _ob_mutations_deep(10),
         "ob_modify_top20_deep": _ob_modify_deep(20),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
+        # r9: widest streaming state row x production state backend
+        "ob_stream_deep_top20_rocksdb": _ob_stream_deep_rocksdb(20),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
         "events_hourly_pivot": hq.events_hourly_pivot,
         "orders_rolling_revenue": hq.orders_rolling_revenue,
@@ -8005,6 +8066,9 @@ def oracle_sql() -> dict[str, str]:
         "ob_conversion_top2": _conversion_oracle_sql(2),
         "ob_stream_keyed_mutations_top2": bs.oracle_book_sql(
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
+        ),
+        "ob_stream_deep_top20_rocksdb": bs.oracle_book_sql(
+            bs.KEYED_DEEP_UPDATES_STREAM_SQL, 20, "updates", key="book"
         ),
         "ob_relational_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_relational_updates_top3": bs.oracle_book_sql(bs.UPDATES_STREAM_SQL, 3, "updates"),

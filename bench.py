@@ -216,8 +216,25 @@ def main() -> None:
         # dedup (content-keyed candidates, same oracle as the buckets path)
         "ob_updates_top20_deep",
         "documents_fuzzy_pairs_segments",
+        # r9 registrations: the deep add/delete and modify folds.
+        # ob_stream_deep_top20_rocksdb is registry-only: stream startup +
+        # the memory-sink oracle rig dominate its wall at this SF (the
+        # embeddings_ann_stream rule); its batch twin ob_updates_top20_deep
+        # carries the wide-emit perf signal.
+        "ob_mutations_top10_deep",
+        "ob_modify_top20_deep",
     ]
     qs = E.queries()
+
+    # List-drift guard (r9 tools review): a typo'd headline name would only
+    # surface as a generic KeyError in the errors dict three runs deep. Name
+    # it upfront — but do NOT abort: the driver's whole perf evidence for
+    # the round rides on this process (the r3 lesson).
+    unknown_headline = [n for n in headline if n not in qs]
+    if unknown_headline:
+        print(f"WARNING headline names not in registry: {unknown_headline}",
+              file=sys.stderr)
+        headline = [n for n in headline if n in qs]
 
     def checksum(df):
         """Force full computation of every output column — a bare count() lets
@@ -278,6 +295,12 @@ def main() -> None:
         "loadavg_1min_start": round(load_start, 2),
         "loadavg_1min_end": round(load_end, 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # coverage honesty: how much of the registry this headline measures
+        # (registry-only entries are documented case-by-case in the list
+        # comments above — this is the aggregate drift signal)
+        "headline_count": len(headline),
+        "registry_count": len(qs),
+        "unknown_headline": unknown_headline,
     }
     # The driver keeps only the last 2000 chars of stdout and parses them as
     # JSON — the full per-query detail (~6 KB at 105 queries) decapitated

@@ -229,6 +229,30 @@ KEYED_MUTATIONS_STREAM_SQL = f"""
 """
 
 
+def keyed_deep_updates_stream(events: DataFrame) -> DataFrame:
+    """Deep updates stream with a 5-way book key: each book sees both sides
+    (is_bid from event parity) and the full 40-price ladder (price mixes
+    user_id and event_id), so a keyed streaming top-20 genuinely truncates
+    per book — the widest per-key state row the streaming fold carries."""
+    return events.select(
+        (F.col("user_id") % 5).alias("book"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % 2 == 0).alias("is_bid"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % N_DEEP_PRICES + 1).alias("price"),
+        (F.floor("value").cast("long") % 7).alias("qty"),
+    )
+
+
+KEYED_DEEP_UPDATES_STREAM_SQL = f"""
+    SELECT user_id % 5 AS book,
+           event_id AS seq,
+           event_id % 2 = 0 AS is_bid,
+           (user_id * 7 + event_id) % {N_DEEP_PRICES} + 1 AS price,
+           CAST(floor(value) AS BIGINT) % 7 AS qty
+    FROM events
+"""
+
+
 def conversion_raw_stream(events: DataFrame) -> DataFrame:
     """Raw exchange-style messages (ref: README.md:131-162): string ``side``,
     float ``price_f``, ``message_type`` with delete-as-'Trade'. Each user's

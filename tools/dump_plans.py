@@ -185,6 +185,13 @@ HEADLINE = [
     "documents_unigram_tokens",
     "documents_unigram_em_vocab",
     "ob_updates_top10",
+    # r8 session 2 / r9: deep-book folds at the monomorphization ceiling,
+    # PassJoin segments, array-native jaccard shape
+    "ob_updates_top20_deep",
+    "ob_mutations_top10_deep",
+    "ob_modify_top20_deep",
+    "documents_fuzzy_pairs_segments",
+    "dedup_ngram_jaccard_arrays",
 ]
 
 
@@ -201,20 +208,37 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
 
+    # Fail fast on list drift (r9 tools review): a typo'd HEADLINE entry
+    # used to KeyError mid-loop, leaving a HALF-written PLANS.md that reads
+    # as complete — the worst failure mode for an evidence artifact.
+    unknown = [n for n in HEADLINE if n not in qs]
+    if unknown:
+        raise SystemExit(f"HEADLINE names not in the registry: {unknown}")
+
+    n_err = 0
     with open(args.out, "w") as f:
         f.write("# Physical plans (formatted) — headline queries\n\n")
         f.write(f"Generated from `{args.sf}`. Pandas-UDF fold queries are "
                 "omitted: their plan is a single FlatMapGroupsInPandas over "
                 "one exchange by the book keys.\n")
         for name in HEADLINE:
-            df = qs[name](spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
-    print(f"wrote {args.out}")
+            # Per-name isolation: one query failing at plan-build must not
+            # silently truncate every later section (same artifact-integrity
+            # class as above) — the failure becomes part of the evidence.
+            try:
+                df = qs[name](spark, args.sf)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+                f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+            except Exception as exc:  # noqa: BLE001 — record in the artifact
+                n_err += 1
+                f.write(f"\n## {name}\n\nPLAN-BUILD ERROR: "
+                        f"{type(exc).__name__}: {str(exc)[:500]}\n")
+                print(f"ERROR {name}: {type(exc).__name__}: {str(exc)[:200]}")
+    print(f"wrote {args.out} ({len(HEADLINE)} sections, {n_err} errors)")
     spark.stop()
-    return 0
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":

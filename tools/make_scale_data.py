@@ -197,7 +197,36 @@ def main() -> None:
                  (SELECT unnest(range(0, {k})) AS copy) c
         ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    for t in ("events", "documents", "embeddings"):
+    # TPC-H facts (r9, so the sf1 sweep can cover the relational plans):
+    # orders/lineitem grow 10x with INTERLEAVED orderkeys (same arrival mix);
+    # the orders<->lineitem FK is preserved copy-by-copy. Dimension keys
+    # (cust/part/supp) are left unchanged — dims stay original-size while
+    # facts grow, which is exactly the big-fact/broadcast-dim shape the
+    # 100 TB plans assume.
+    con.execute(f"""
+        COPY (
+            SELECT o.o_orderkey * {k} + c.copy AS o_orderkey,
+                   o.* EXCLUDE (o_orderkey)
+            FROM read_parquet('{SRC}/orders.parquet') o,
+                 (SELECT unnest(range(0, {k})) AS copy) c
+            ORDER BY o_orderkey
+        ) TO '{args.out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT l.l_orderkey * {k} + c.copy AS l_orderkey,
+                   l.* EXCLUDE (l_orderkey)
+            FROM read_parquet('{SRC}/lineitem.parquet') l,
+                 (SELECT unnest(range(0, {k})) AS copy) c
+            ORDER BY l_orderkey
+        ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(f"""
+            COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
+            TO '{args.out}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    for t in ("events", "documents", "embeddings", "orders", "lineitem"):
         n = con.sql(f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 

@@ -7,9 +7,11 @@ root plus the current ``queries()`` registry and buckets each entry:
 
   1. stale-red      — latest driver row is red (highest priority)
   2. never-sampled  — registered but no driver row in any round
-  3. behavior-changed — caller-supplied list (code paths edited this round;
+  3. deferred       — truncation-deferred from a PRIOR round's changed
+                      bucket (edits still driver-unvalidated, pass --deferred)
+  4. behavior-changed — caller-supplied list (code paths edited this round;
                         the history cannot know this, pass --changed)
-  4. oldest-green   — driver-green, ordered by the round of their LATEST
+  5. oldest-green   — driver-green, ordered by the round of their LATEST
                       green row ascending (most stale first), name asc
 
 Output: the recommended head ordering (default 50) plus coverage stats.
@@ -55,36 +57,50 @@ def load_history() -> "dict[str, list[tuple[int, bool]]]":
 
 
 def plan_rotation(
-    registry: "list[str]", changed: "list[str]", head_n: int
+    registry: "list[str]", changed: "list[str]", head_n: int,
+    deferred: "list[str] | None" = None,
 ) -> dict:
+    """``deferred``: names truncation-deferred from a PREVIOUS round's
+    changed bucket (their edits still have no driver row). They rank as
+    their own tier ABOVE this round's behavior-changed entries — without
+    it, a second over-subscribed round re-sorts them alphabetically among
+    the new names and can defer the same entry indefinitely (r8 deferred
+    13 entries; r9 must drain them first)."""
     hist = load_history()
     changed_set = set(changed)
-    stale_red, never, behavior, green = [], [], [], []
+    deferred_list = [d for d in (deferred or []) if d]
+    deferred_set = set(deferred_list)
+    stale_red, never, defer, behavior, green = [], [], [], [], []
     for name in sorted(registry):
         runs = hist.get(name)
         if runs and not runs[-1][1]:
             stale_red.append(name)
         elif not runs:
             never.append(name)
+        elif name in deferred_set:
+            defer.append(name)
         elif name in changed_set:
             behavior.append(name)
         else:
             last_green = max(r for r, g in runs if g)
             green.append((last_green, name))
     green.sort()  # oldest green round first, then name asc
-    ordered = stale_red + never + behavior + [n for _, n in green]
+    ordered = stale_red + never + defer + behavior + [n for _, n in green]
     # priority entries (everything above oldest-green) that the head cap
     # cuts off — callers MUST surface these: a truncated behavior-changed
     # entry is an operator whose semantics changed getting no driver
     # re-validation for ~registry/50 rounds
-    truncated_priority = (stale_red + never + behavior)[head_n:]
-    unknown_changed = sorted(changed_set - set(registry))
+    truncated_priority = (stale_red + never + defer + behavior)[head_n:]
+    unknown_changed = sorted(
+        (changed_set | deferred_set) - set(registry)
+    )
     return {
         "truncated_priority": truncated_priority,
         "registry_size": len(registry),
         "driver_green_union": len(registry) - len(never) - len(stale_red),
         "stale_red": stale_red,
         "never_sampled": never,
+        "deferred": defer,
         "behavior_changed": behavior,
         "unknown_changed_names": unknown_changed,
         "head": ordered[:head_n],
@@ -96,6 +112,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--head", type=int, default=50)
     ap.add_argument("--changed", default="", help="comma-separated names")
+    ap.add_argument("--deferred", default="",
+                    help="comma-separated names truncation-deferred from a "
+                         "prior round (rank above this round's --changed)")
     ap.add_argument("--json", default=None, help="write full plan here")
     args = ap.parse_args()
 
@@ -103,7 +122,8 @@ def main() -> None:
 
     registry = list(E.queries().keys())
     changed = [c for c in args.changed.split(",") if c]
-    plan = plan_rotation(registry, changed, args.head)
+    deferred = [c for c in args.deferred.split(",") if c]
+    plan = plan_rotation(registry, changed, args.head, deferred)
 
     print(
         f"registry={plan['registry_size']} "
@@ -125,6 +145,7 @@ def main() -> None:
         bucket = (
             "STALE-RED" if name in plan["stale_red"]
             else "never-sampled" if name in plan["never_sampled"]
+            else "deferred" if name in plan["deferred"]
             else "changed" if name in plan["behavior_changed"]
             else "oldest-green"
         )

@@ -45,6 +45,19 @@ QUERIES = [
     "documents_fuzzy_pairs",        # edit-distance blocking (guarded r8)
     "documents_fuzzy_pairs_segments",  # PassJoin segments (guarded r8)
     "embeddings_kmeans_train",      # distributed Lloyd iterations
+    # r9 third sweep: streaming joins, multimodal, TPC-H plans, sketches,
+    # grid explodes, and the new deep-book folds
+    "ob_mutations_top10_deep",      # add/delete fold, 40-price ladder
+    "ob_modify_top20_deep",         # modify fold at the 20-level ceiling
+    "events_attribution_stream",    # stream-stream interval join
+    "events_enriched_stream",       # stream-static broadcast join
+    "events_drift_stream",          # windowed distribution drift
+    "multimodal_features",          # Arrow-batched mapInPandas decode
+    "multimodal_frame_sample",      # explode-heavy frame sampling
+    "q1_pricing_summary",           # TPC-H scan + wide agg (lineitem 10x)
+    "q5_nation_revenue",            # TPC-H join tree (facts 10x, dims 1x)
+    "events_countmin_rollup",       # mergeable sketch rollup
+    "events_interpolate_daily",     # per-user daily grid completion
 ]
 
 # Measured flags that are INTENDED behavior, not scale defects: the flag is
