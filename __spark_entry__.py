@@ -784,6 +784,20 @@ def _ob_relational(n, variant):
     return run
 
 
+def _ob_relational_deep(n):
+    """Strategy B at the reference's monomorphization ceiling (r9): the
+    relational grid/rank/pivot path over the 40-price deep stream. The
+    pivot emits 4·20 columns from a rank bounded by the LIVE side depth
+    (>20 here), so the n-th-level truncation happens in the rank filter —
+    a different code path from the fold's snapshot emit, pinned under the
+    same oracle."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.deep_updates_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_relational(stream, n=n, variant="updates")
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_relational_keyed(n):
     """Strategy B on the multi-book stream: every window/grid key includes the
     book column, so relational parallelism scales with books × levels."""
@@ -7692,60 +7706,60 @@ FROM per_doc GROUP BY lang
 # entries wait in the tail. tests/test_registry.py pins the split; every
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
-_R8_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 8 --changed ann_cosine_topk,ann_cosine_topk_blas,ann_cosine_topk_ivf,ann_cosine_topk_lsh,ann_hamming_rerank,ann_mmr_rerank,ann_recall_dims,ann_recall_lsh,ann_eval_mrr,ann_recall_pq,ann_recall_pq_trained,ann_recall_pq_residual,dedup_embedding,documents_curation_pipeline,documents_fuzzy_pairs,documents_hash_embed_knn,documents_hybrid_search,documents_pareto_frontier,documents_quality_filter,embeddings_hard_negatives,embeddings_pq_ivf_residual_topk,embeddings_semdedup,embeddings_semdedup_incremental,events_countmin_rollup,text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,events_asof_purchase,events_asof_next_purchase,multimodal_features,multimodal_audio_features,multimodal_resize,multimodal_frame_sample,documents_classifier_step,documents_classifier_score,documents_classifier_reliability,documents_classifier_stream,embeddings_ann_stream,dedup_stream_survivors,events_user_profile_stream,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,bookgen_source_agg,sink_bucketed_join,sink_compaction,events_user_type_history,events_interpolate_daily,events_k_anonymity,documents_bpe_train_distributed,documents_leakage_split,dedup_components_prop
-    # policy: stale-red > never-sampled > behavior-changed > oldest-green
-    # registry=249 driver-green-union=242 never-sampled=6
-    "embeddings_covariance",  # stale-red
-    "dedup_ngram_jaccard_arrays",  # never-sampled
-    "documents_fuzzy_pairs_segments",  # never-sampled
-    "documents_unigram_em_tokens",  # never-sampled
-    "documents_unigram_em_vocab",  # never-sampled
-    "ob_updates_top10",  # never-sampled
-    "ob_updates_top20_deep",  # never-sampled
-    "ann_cosine_topk",  # behavior-changed
-    "ann_cosine_topk_blas",  # behavior-changed
-    "ann_cosine_topk_ivf",  # behavior-changed
-    "ann_cosine_topk_lsh",  # behavior-changed
-    "ann_eval_mrr",  # behavior-changed
-    "ann_hamming_rerank",  # behavior-changed
-    "ann_mmr_rerank",  # behavior-changed
-    "ann_recall_dims",  # behavior-changed
-    "ann_recall_lsh",  # behavior-changed
-    "ann_recall_pq",  # behavior-changed
-    "ann_recall_pq_residual",  # behavior-changed
-    "ann_recall_pq_trained",  # behavior-changed
-    "bookgen_source_agg",  # behavior-changed
-    "dedup_components_prop",  # behavior-changed
-    "dedup_embedding",  # behavior-changed
-    "dedup_stream_survivors",  # behavior-changed
-    "documents_bpe_train_distributed",  # behavior-changed
-    "documents_classifier_reliability",  # behavior-changed
-    "documents_classifier_score",  # behavior-changed
-    "documents_classifier_step",  # behavior-changed
-    "documents_classifier_stream",  # behavior-changed
-    "documents_curation_pipeline",  # behavior-changed
-    "documents_fuzzy_pairs",  # behavior-changed
-    "documents_hash_embed_knn",  # behavior-changed
-    "documents_hybrid_search",  # behavior-changed
-    "documents_leakage_split",  # behavior-changed
-    "documents_pareto_frontier",  # behavior-changed
-    "documents_quality_filter",  # behavior-changed
-    "embeddings_ann_stream",  # behavior-changed
-    "embeddings_hard_negatives",  # behavior-changed
-    "embeddings_pq_ivf_residual_topk",  # behavior-changed
-    "embeddings_semdedup",  # behavior-changed
-    "embeddings_semdedup_incremental",  # behavior-changed
-    "events_asof_next_purchase",  # behavior-changed
-    "events_asof_purchase",  # behavior-changed
-    "events_countmin_rollup",  # behavior-changed
-    "events_interpolate_daily",  # behavior-changed
-    "events_k_anonymity",  # behavior-changed
-    "events_user_profile_stream",  # behavior-changed
-    "events_user_type_history",  # behavior-changed
-    "multimodal_audio_features",  # behavior-changed
-    "multimodal_features",  # behavior-changed
-    "multimodal_frame_sample",  # behavior-changed
+_R9_HEAD = [
+    # GENERATED by tools/apply_rotation.py --round 9 --deferred text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,multimodal_resize,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,sink_bucketed_join,sink_compaction
+    # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
+    # registry=253 driver-green-union=249 never-sampled=4
+    "ob_modify_top20_deep",  # never-sampled
+    "ob_mutations_top10_deep",  # never-sampled
+    "ob_relational_updates_top20_deep",  # never-sampled
+    "ob_stream_deep_top20_rocksdb",  # never-sampled
+    "multimodal_resize",  # deferred
+    "ob_book_asof",  # deferred
+    "ob_nbbo_keyed",  # deferred
+    "ob_nbbo_keyed_chunked",  # deferred
+    "ob_relational_modify_top2",  # deferred
+    "orders_join_view_stream",  # deferred
+    "orders_merge_stream",  # deferred
+    "orders_quality_report",  # deferred
+    "orders_rollup_stream",  # deferred
+    "part_snapshot_diff",  # deferred
+    "sink_bucketed_join",  # deferred
+    "sink_compaction",  # deferred
+    "text_winnow_fingerprints",  # deferred
+    "supplier_nation_summary",  # oldest-green
+    "customers_without_orders",  # oldest-green
+    "dedup_components",  # oldest-green
+    "dedup_components_star",  # oldest-green
+    "dedup_exact",  # oldest-green
+    "dedup_minhash_lsh",  # oldest-green
+    "dedup_ngram_jaccard",  # oldest-green
+    "dedup_simhash",  # oldest-green
+    "documents_budget_pack",  # oldest-green
+    "documents_deduped",  # oldest-green
+    "documents_hash_sample",  # oldest-green
+    "events_hourly",  # oldest-green
+    "events_hourly_pivot",  # oldest-green
+    "events_rollup",  # oldest-green
+    "events_user_distinct_approx",  # oldest-green
+    "events_user_running_total",  # oldest-green
+    "events_value_quantiles",  # oldest-green
+    "events_value_quantiles_approx",  # oldest-green
+    "ob_chunked_mutations_top2",  # oldest-green
+    "ob_conversion_top2",  # oldest-green
+    "ob_keyed_mutations_top2",  # oldest-green
+    "ob_modify_top2",  # oldest-green
+    "ob_mutations_top2",  # oldest-green
+    "ob_relational_keyed_mutations_top2",  # oldest-green
+    "ob_relational_mutations_top2",  # oldest-green
+    "ob_relational_updates_top3",  # oldest-green
+    "ob_stream_keyed_mutations_top2",  # oldest-green
+    "ob_updates_top1",  # oldest-green
+    "ob_updates_top3",  # oldest-green
+    "orders_rolling_revenue",  # oldest-green
+    "part_categorize",  # oldest-green
+    "q1_pricing_summary",  # oldest-green
+    "q3_top_revenue_orders",  # oldest-green
 ]
 
 
@@ -8014,6 +8028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs :101-105) and were driver-pinned only at n <= 3 before this
         "ob_mutations_top10_deep": _ob_mutations_deep(10),
         "ob_modify_top20_deep": _ob_modify_deep(20),
+        "ob_relational_updates_top20_deep": _ob_relational_deep(20),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         # r9: widest streaming state row x production state backend
         "ob_stream_deep_top20_rocksdb": _ob_stream_deep_rocksdb(20),
@@ -8044,8 +8059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_categorize": hq.part_categorize,
     }
     # Rotation applied as an explicit reorder so the priority list is one
-    # auditable block (_R8_HEAD) instead of implicit dict-literal order.
-    out = {name: base[name] for name in _R8_HEAD}
+    # auditable block (_R9_HEAD) instead of implicit dict-literal order.
+    out = {name: base[name] for name in _R9_HEAD}
     out.update({name: fn for name, fn in base.items() if name not in out})
     return out
 
@@ -8057,6 +8072,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_updates_top20_deep": bs.oracle_book_sql(bs.DEEP_UPDATES_STREAM_SQL, 20, "updates"),
         "ob_mutations_top10_deep": bs.oracle_book_sql(bs.DEEP_MUTATIONS_STREAM_SQL, 10, "mutations"),
         "ob_modify_top20_deep": bs.oracle_book_sql(bs.DEEP_MODIFY_DELTAS_SQL, 20, "mutations"),
+        "ob_relational_updates_top20_deep": bs.oracle_book_sql(bs.DEEP_UPDATES_STREAM_SQL, 20, "updates"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
         "ob_keyed_mutations_top2": bs.oracle_book_sql(

@@ -26,15 +26,32 @@ import json
 import sys
 
 
-def best_of(paths: "list[str]") -> "dict[str, float]":
+def best_of(paths: "list[str]") -> "tuple[dict[str, float], dict[str, str]]":
+    """Per-query best-of across run files, plus the union of recorded errors.
+
+    Refuses a TRUNCATED compact bench line (bench.py trims `queries`
+    slowest-first for the driver's stdout tail and marks it with
+    `queries_omitted`): comparing a silently partial query set would hide
+    exactly the fast-query regressions the gate exists to catch — only the
+    full $BENCH_FULL_OUT artifact is valid input (r9 tools review).
+    """
     best: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for path in paths:
         with open(path) as fh:
             data = json.load(fh)
+        if data.get("queries_omitted"):
+            raise SystemExit(
+                f"{path} is a truncated compact bench line "
+                f"(queries_omitted={data['queries_omitted']}) — pass the "
+                "full BENCH_FULL_OUT artifact instead"
+            )
         for name, sec in data.get("queries", {}).items():
             if name not in best or sec < best[name]:
                 best[name] = sec
-    return best
+        for name, msg in (data.get("errors") or {}).items():
+            errors.setdefault(name, msg)
+    return best, errors
 
 
 def main() -> None:
@@ -47,9 +64,16 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    prev = best_of(args.prev.split(","))
-    curr = best_of(args.curr.split(","))
+    prev, _prev_errs = best_of(args.prev.split(","))
+    curr, curr_errs = best_of(args.curr.split(","))
     shared = sorted(set(prev) & set(curr))
+    # A query that timed in prev but only ERRORED in every curr run used to
+    # vanish from `shared` — a regression-to-broken is strictly worse than
+    # a slowdown and must flag, not disappear (r9 tools review).
+    error_transitions = [
+        {"query": n, "prev": prev[n], "error": curr_errs[n][:200]}
+        for n in sorted(set(prev) & set(curr_errs) - set(curr))
+    ]
     regressions, improvements = [], []
     for name in shared:
         p, c = prev[name], curr[name]
@@ -73,6 +97,7 @@ def main() -> None:
         "total_ratio": round(tot_curr / tot_prev, 3) if tot_prev else None,
         "threshold": args.threshold,
         "regressions": regressions,
+        "error_transitions": error_transitions,
         "improvements": improvements,
         "new_queries": sorted(set(curr) - set(prev)),
         "dropped_queries": sorted(set(prev) - set(curr)),
@@ -82,6 +107,9 @@ def main() -> None:
     for r in regressions:
         print(f"  REGRESSION {r['query']}: {r['prev']:.2f}s -> "
               f"{r['curr']:.2f}s ({r['ratio']}x)")
+    for r in error_transitions:
+        print(f"  REGRESSION-TO-ERROR {r['query']}: {r['prev']:.2f}s -> "
+              f"{r['error'][:100]}")
     for r in improvements[:10]:
         print(f"  improved   {r['query']}: {r['prev']:.2f}s -> "
               f"{r['curr']:.2f}s ({r['ratio']}x)")
@@ -89,9 +117,11 @@ def main() -> None:
         with open(args.json, "w") as fh:
             json.dump(report, fh, indent=1)
         print(f"wrote {args.json}")
-    if regressions:
-        print(f"\n{len(regressions)} regression(s) above {args.threshold}x — "
-              f"each needs a fix or a written disposition in STATUS.md")
+    if regressions or error_transitions:
+        print(f"\n{len(regressions)} regression(s) + "
+              f"{len(error_transitions)} error transition(s) above "
+              f"{args.threshold}x — each needs a fix or a written "
+              f"disposition in STATUS.md")
         sys.exit(1)
 
 

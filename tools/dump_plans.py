@@ -190,6 +190,7 @@ HEADLINE = [
     "ob_updates_top20_deep",
     "ob_mutations_top10_deep",
     "ob_modify_top20_deep",
+    "ob_relational_updates_top20_deep",
     "documents_fuzzy_pairs_segments",
     "dedup_ngram_jaccard_arrays",
 ]
