@@ -1253,7 +1253,10 @@ def _docs_fuzzy_pairs_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_FUZZY_PAIRS_SQL = """
+def _docs_fuzzy_pairs_sql(max_dist: int = 10) -> str:
+    """Output-spec oracle for the fuzzy family (any candidate strategy):
+    block + bucket-adjacency admission + levenshtein ≤ max_dist."""
+    return f"""
 WITH rows AS (
     SELECT doc_id, lang,
            substr(lower(trim(text)), 1, 64) AS pfx,
@@ -1265,8 +1268,25 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM rows a JOIN rows b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
  AND abs(a.lb - b.lb) <= 1
-WHERE levenshtein(a.pfx, b.pfx) <= 10
+WHERE levenshtein(a.pfx, b.pfx) <= {max_dist}
 """
+
+
+DOCS_FUZZY_PAIRS_SQL = _docs_fuzzy_pairs_sql()
+
+
+def _docs_fuzzy_pairs_segments_tau3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROVEN scale configuration of the segments strategy (r9,
+    BENCH_LOCAL_openvocab.json): max_dist=3 gives 16-char segment keys,
+    which stay content-selective on open-vocabulary corpora (1.51× at 10×
+    data with exact planted-pair recall, while length-bucket blocking at
+    the same tau fails its budget at 474M candidates). This is the
+    configuration a typo-level dedup pass should actually run at 100 TB;
+    the tau=10 twin documents the budget-guarded wide-net variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_duplicate_pairs(
+        docs, block_cols=["lang"], candidate_strategy="segments", max_dist=3,
+    )
 
 
 def _docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7709,7 +7729,8 @@ FROM per_doc GROUP BY lang
 _R9_HEAD = [
     # GENERATED by tools/apply_rotation.py --round 9 --deferred text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,multimodal_resize,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,sink_bucketed_join,sink_compaction
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=253 driver-green-union=249 never-sampled=4
+    # registry=254 driver-green-union=249 never-sampled=5
+    "documents_fuzzy_pairs_segments_tau3",  # never-sampled
     "ob_modify_top20_deep",  # never-sampled
     "ob_mutations_top10_deep",  # never-sampled
     "ob_relational_updates_top20_deep",  # never-sampled
@@ -7759,7 +7780,6 @@ _R9_HEAD = [
     "orders_rolling_revenue",  # oldest-green
     "part_categorize",  # oldest-green
     "q1_pricing_summary",  # oldest-green
-    "q3_top_revenue_orders",  # oldest-green
 ]
 
 
@@ -7944,6 +7964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_weighted_sample": _docs_weighted_sample,
         "documents_fuzzy_pairs": _docs_fuzzy_pairs,
         "documents_fuzzy_pairs_segments": _docs_fuzzy_pairs_segments,
+        "documents_fuzzy_pairs_segments_tau3": _docs_fuzzy_pairs_segments_tau3,
         "part_triangle_counts": _part_triangles,
         "ob_depth_profile": _ob_depth_profile,
         "supplier_similarity": _supplier_similarity,
@@ -8141,6 +8162,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle is an OUTPUT spec (block + bucket-adjacency admission
         # + levenshtein), shared verbatim
         "documents_fuzzy_pairs_segments": DOCS_FUZZY_PAIRS_SQL,
+        "documents_fuzzy_pairs_segments_tau3": _docs_fuzzy_pairs_sql(3),
         "part_triangle_counts": PART_TRIANGLES_SQL,
         "ob_depth_profile": _ob_depth_profile_sql(),
         "supplier_similarity": SUPPLIER_SIMILARITY_SQL,

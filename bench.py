@@ -223,6 +223,13 @@ def main() -> None:
         # carries the wide-emit perf signal.
         "ob_mutations_top10_deep",
         "ob_modify_top20_deep",
+        # the PROVEN scale configuration of the segments strategy (16-char
+        # keys); its tau=10 twin stays benched above as the wide-net shape.
+        # ob_relational_updates_top20_deep is registry-only: the ALTERNATIVE
+        # physical shape of the benched deep fold (grid x 80 levels at n=20
+        # is documented 2-3x the fold's wall; kept under the oracle to pin
+        # strategy parity at the ceiling, not as a perf claim).
+        "documents_fuzzy_pairs_segments_tau3",
     ]
     qs = E.queries()
 

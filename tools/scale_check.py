@@ -58,6 +58,21 @@ QUERIES = [
     "q5_nation_revenue",            # TPC-H join tree (facts 10x, dims 1x)
     "events_countmin_rollup",       # mergeable sketch rollup
     "events_interpolate_daily",     # per-user daily grid completion
+    "documents_fuzzy_pairs_segments_tau3",  # 16-char segment keys (proven cfg)
+    # r9 fourth sweep: iterative graph over 10x facts, incremental
+    # maintenance, bucketed-table write+SMJ, HLL sketch union, BM25,
+    # batch sessionization, asof book sampling, streaming profiles,
+    # keyed Misra-Gries, the full curation composite
+    "supplier_pagerank",
+    "orders_incremental_agg",
+    "sink_bucketed_join",
+    "events_hll_rollup",
+    "text_bm25",
+    "events_sessionize",
+    "ob_book_asof",
+    "events_user_profile_stream",
+    "events_heavy_hitters_by_type",
+    "documents_curation_pipeline",
 ]
 
 # Measured flags that are INTENDED behavior, not scale defects: the flag is
