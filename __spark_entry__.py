@@ -85,6 +85,18 @@ def _ob_mutations(n):
     return run
 
 
+def _ob_chunked_mutations_deep(n, seq_chunks):
+    """Bounded-memory chunked fold × deep book (r9): the state carried
+    across Arrow batches is the FULL 40-price-per-side book plus the 4·n
+    change-tracked snapshot — the widest carry the chunked path ships
+    between batches; shares the deep mutations oracle."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stream = bs.deep_mutations_stream(load_table(spark, sf_dir, "events"))
+        out = top_n_levels_from_price_mutations(stream, n=n, seq_chunks=seq_chunks)
+        return out.select("seq", *snapshot_columns(n))
+    return run
+
+
 def _ob_mutations_deep(n):
     """Deep-book add/delete fold: paired add/delete stream over 40 prices
     per side, so the signed-delta emit + nth-best backfill paths
@@ -7729,8 +7741,9 @@ FROM per_doc GROUP BY lang
 _R9_HEAD = [
     # GENERATED by tools/apply_rotation.py --round 9 --deferred text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,multimodal_resize,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,sink_bucketed_join,sink_compaction
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=254 driver-green-union=249 never-sampled=5
+    # registry=255 driver-green-union=249 never-sampled=6
     "documents_fuzzy_pairs_segments_tau3",  # never-sampled
+    "ob_chunked_mutations_top10_deep",  # never-sampled
     "ob_modify_top20_deep",  # never-sampled
     "ob_mutations_top10_deep",  # never-sampled
     "ob_relational_updates_top20_deep",  # never-sampled
@@ -7779,7 +7792,6 @@ _R9_HEAD = [
     "ob_updates_top3",  # oldest-green
     "orders_rolling_revenue",  # oldest-green
     "part_categorize",  # oldest-green
-    "q1_pricing_summary",  # oldest-green
 ]
 
 
@@ -8050,6 +8062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_mutations_top10_deep": _ob_mutations_deep(10),
         "ob_modify_top20_deep": _ob_modify_deep(20),
         "ob_relational_updates_top20_deep": _ob_relational_deep(20),
+        "ob_chunked_mutations_top10_deep": _ob_chunked_mutations_deep(10, seq_chunks=4),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
         # r9: widest streaming state row x production state backend
         "ob_stream_deep_top20_rocksdb": _ob_stream_deep_rocksdb(20),
@@ -8094,6 +8107,7 @@ def oracle_sql() -> dict[str, str]:
         "ob_mutations_top10_deep": bs.oracle_book_sql(bs.DEEP_MUTATIONS_STREAM_SQL, 10, "mutations"),
         "ob_modify_top20_deep": bs.oracle_book_sql(bs.DEEP_MODIFY_DELTAS_SQL, 20, "mutations"),
         "ob_relational_updates_top20_deep": bs.oracle_book_sql(bs.DEEP_UPDATES_STREAM_SQL, 20, "updates"),
+        "ob_chunked_mutations_top10_deep": bs.oracle_book_sql(bs.DEEP_MUTATIONS_STREAM_SQL, 10, "mutations"),
         "ob_mutations_top2": bs.oracle_book_sql(bs.MUTATIONS_STREAM_SQL, 2, "mutations"),
         "ob_modify_top2": bs.oracle_book_sql(bs.MODIFY_DELTAS_SQL, 2, "mutations"),
         "ob_keyed_mutations_top2": bs.oracle_book_sql(

@@ -230,6 +230,10 @@ def main() -> None:
         # is documented 2-3x the fold's wall; kept under the oracle to pin
         # strategy parity at the ceiling, not as a perf claim).
         "documents_fuzzy_pairs_segments_tau3",
+        # bounded-memory chunked fold carrying the widest (40-price) book
+        # state across Arrow batches — the memory-bound production path
+        # at depth; its unchunked twin above isolates the chunking cost
+        "ob_chunked_mutations_top10_deep",
     ]
     qs = E.queries()
 

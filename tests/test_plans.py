@@ -122,6 +122,10 @@ _BNLJ_WHITELIST = {
     "ob_relational_mutations_top2",
     "ob_relational_updates_top3",
     "ob_relational_modify_top2",
+    # same relational grid shape at the 20-level ceiling (r9): build side
+    # is STILL the distinct touched levels (<= 80 rows on the deep stream)
+    # plus the 1-row seq-bounds scalar
+    "ob_relational_updates_top20_deep",
     "ann_cosine_topk",
     "ann_cosine_topk_blas",
     "text_tfidf",
@@ -225,6 +229,9 @@ _BNLJ_WHITELIST = {
     # salted_pair_join + salted_bipartite_join pair_budget)
     "documents_fuzzy_pairs",
     "documents_fuzzy_pairs_segments",
+    # identical plan shape at tau=3 (r9): only the segment length and the
+    # levenshtein threshold change — the 1-row budget broadcast-cross stays
+    "documents_fuzzy_pairs_segments_tau3",
     # documents_unigram_vocab's whitelisted 1-row max-count cross join plus
     # the EM M-step's own 1-row max-usage aggregate broadcast-crossed onto
     # the vocab-sized piece relation (operators/unigram.py _em_recost)

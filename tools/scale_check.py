@@ -59,6 +59,7 @@ QUERIES = [
     "events_countmin_rollup",       # mergeable sketch rollup
     "events_interpolate_daily",     # per-user daily grid completion
     "documents_fuzzy_pairs_segments_tau3",  # 16-char segment keys (proven cfg)
+    "ob_chunked_mutations_top10_deep",  # bounded-memory fold x widest carry
     # r9 fourth sweep: iterative graph over 10x facts, incremental
     # maintenance, bucketed-table write+SMJ, HLL sketch union, BM25,
     # batch sessionization, asof book sampling, streaming profiles,
