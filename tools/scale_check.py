@@ -60,6 +60,19 @@ QUERIES = [
     "events_interpolate_daily",     # per-user daily grid completion
     "documents_fuzzy_pairs_segments_tau3",  # 16-char segment keys (proven cfg)
     "ob_chunked_mutations_top10_deep",  # bounded-memory fold x widest carry
+    # r9 fifth sweep: multimodal resize, compaction, recsys co-occurrence,
+    # exact decimal time-decay, drift monitors, BPE tokenize, postings,
+    # Bloom semijoin over 10x lineitem, interval-overlap sessions
+    "multimodal_resize",
+    "sink_compaction",
+    "events_item_cooccurrence",
+    "events_time_decay",
+    "embeddings_centroid_drift",
+    "events_value_drift",
+    "documents_bpe_tokens",
+    "text_postings",
+    "orders_bloom_semijoin",
+    "events_session_overlap",
     # r9 fourth sweep: iterative graph over 10x facts, incremental
     # maintenance, bucketed-table write+SMJ, HLL sketch union, BM25,
     # batch sessionization, asof book sampling, streaming profiles,
