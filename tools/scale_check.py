@@ -73,6 +73,18 @@ QUERIES = [
     "text_postings",
     "orders_bloom_semijoin",
     "events_session_overlap",
+    # r9 sixth sweep: remaining distinct mechanics — SimHash wide votes,
+    # Arrow-GEMM batches, DSIR importance weights, grouping sets, IO
+    # roundtrips (ORC/CSV write+read at 10x), schema-evolution merge,
+    # z-order interleave
+    "dedup_simhash",
+    "ann_cosine_topk_blas",
+    "documents_dsir_weights",
+    "events_grouping_sets",
+    "orders_orc_roundtrip",
+    "events_csv_roundtrip",
+    "sink_schema_evolution",
+    "events_zorder_key",
     # r9 fourth sweep: iterative graph over 10x facts, incremental
     # maintenance, bucketed-table write+SMJ, HLL sketch union, BM25,
     # batch sessionization, asof book sampling, streaming profiles,
