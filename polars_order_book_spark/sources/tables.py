@@ -42,7 +42,12 @@ def normalize_ts(df: DataFrame, cols: "tuple[str, ...]") -> DataFrame:
         if t == "bigint":
             # Integer division: nanos (~1.7e18) exceed float64's 2^53 exact
             # range, so `/ 1000` could be off by up to 1 µs vs DuckDB's exact
-            # truncation.
+            # truncation. Caveat (r9 review): `div` truncates toward ZERO,
+            # so a PRE-1970 nanos value would round up (−999 ns -> 0 µs)
+            # where floor division rounds down — irrelevant for the
+            # testdata (every ts ≥ 1990, pinned by
+            # tests/test_timestamp_encodings.py) but part of the contract
+            # if this loader ever meets pre-epoch nanos files.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif t == "timestamp_ntz":
             # Session tz is UTC, so NTZ -> TIMESTAMP is a pure reinterpretation
