@@ -233,6 +233,7 @@ def _ob_stream_deep_rocksdb(n):
     check), same caveat as ob_stream_keyed_mutations_top2 — a production
     deployment writes a parquet/kafka sink in update mode instead."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
         import tempfile
         import uuid
 
@@ -241,6 +242,8 @@ def _ob_stream_deep_rocksdb(n):
 
         key = "spark.sql.streaming.stateStore.providerClass"
         prev = spark.conf.get(key, None)
+        ckpt = None
+        name = None
         try:
             spark.conf.set(
                 key,
@@ -276,6 +279,13 @@ def _ob_stream_deep_rocksdb(n):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+            # the localCheckpoint above detaches `out` from both the memory
+            # sink and the checkpoint dir, so drop them — repeated bench
+            # runs must not accumulate disk/session state (r9 ADVICE)
+            if name is not None:
+                spark.catalog.dropTempView(name)
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
         return out
     return run
 

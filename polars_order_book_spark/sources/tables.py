@@ -42,12 +42,13 @@ def normalize_ts(df: DataFrame, cols: "tuple[str, ...]") -> DataFrame:
         if t == "bigint":
             # Integer division: nanos (~1.7e18) exceed float64's 2^53 exact
             # range, so `/ 1000` could be off by up to 1 µs vs DuckDB's exact
-            # truncation. Caveat (r9 review): `div` truncates toward ZERO,
-            # so a PRE-1970 nanos value would round up (−999 ns -> 0 µs)
-            # where floor division rounds down — irrelevant for the
-            # testdata (every ts ≥ 1990, pinned by
-            # tests/test_timestamp_encodings.py) but part of the contract
-            # if this loader ever meets pre-epoch nanos files.
+            # truncation. CONTRACT (decided r10): nanos -> micros truncates
+            # TOWARD ZERO (−999 ns -> 0 µs, −1500 ns -> −1 µs), which is
+            # exactly what DuckDB's parquet nanos read does (empirically
+            # verified, NOT floor) — so `div` matches the oracle for
+            # pre-epoch values too. Pinned by
+            # tests/test_timestamp_encodings.py::
+            # test_pre_epoch_nanos_truncate_toward_zero_matches_duckdb.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif t == "timestamp_ntz":
             # Session tz is UTC, so NTZ -> TIMESTAMP is a pure reinterpretation

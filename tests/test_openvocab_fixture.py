@@ -36,12 +36,14 @@ def test_heaps_growth_and_head_frequency(tmp_path):
     small = _gen(tmp_path, 200, "s")
     big = _gen(tmp_path, 2000, "l")
 
-    def vocab_and_tokens(df):
-        toks = [w for t in df[df.doc_id < 10**7].text for w in t.split()]
+    def vocab_and_tokens(df, n):
+        # siblings get doc_id = 10*n + i; measure Heaps growth on the base
+        # docs only so the planted duplicated text doesn't skew the counts
+        toks = [w for t in df[df.doc_id < 10 * n].text for w in t.split()]
         return set(toks), toks
 
-    v_s, t_s = vocab_and_tokens(small)
-    v_l, t_l = vocab_and_tokens(big)
+    v_s, t_s = vocab_and_tokens(small, 200)
+    v_l, t_l = vocab_and_tokens(big, 2000)
     # open vocabulary: 10x tokens must grow the vocab substantially
     # (Heaps beta ~0.5 -> ~3x) but stay far from closed (~1x) or fully
     # unique (~10x)

@@ -105,3 +105,41 @@ def test_normalize_ts_noop_on_plain_timestamp(spark):
     out = normalize_ts(df, ("ts",))
     assert dict(out.dtypes)["ts"] == "timestamp"
     assert out.first()["ts"] == dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_pre_epoch_nanos_truncate_toward_zero_matches_duckdb(spark, tmp_path):
+    """Pre-epoch contract (decided r10, closing the r9 caveat): nanos -> micros
+    conversion TRUNCATES TOWARD ZERO, matching DuckDB's parquet nanos read
+    exactly (verified empirically: DuckDB maps -999 ns -> 0 us, -1500 ns ->
+    -1 us, i.e. toward-zero, NOT floor). Spark's `div` has the same
+    semantics, so the oracle hash gate holds for pre-1970 data too."""
+    import duckdb
+
+    nanos = [-999, -1000, -1500, -315_619_199_999_999_999, 999, 1500]
+    d = tmp_path / "pre_epoch"
+    d.mkdir()
+    ts = pa.array(nanos, type=pa.int64()).cast(pa.timestamp("ns"))
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(nanos)), pa.int64()), "ts": ts}),
+        str(d / "events.parquet"),
+    )
+    df = load_table(spark, str(d), "events")
+    got = [
+        r[0] for r in df.orderBy("event_id").selectExpr("unix_micros(ts)").collect()
+    ]
+    # toward-zero: trunc(n/1000), not floor — exact integer math (float
+    # division would lose precision past 2^53)
+    expected_toward_zero = [
+        (abs(n) // 1000) * (1 if n >= 0 else -1) for n in nanos
+    ]
+    assert got == expected_toward_zero
+    # and DuckDB agrees on the same file — the oracle side of the contract
+    duck = duckdb.connect()
+    oracle = [
+        r[1]
+        for r in duck.execute(
+            f"select event_id, epoch_us(ts) from '{d / 'events.parquet'}' "
+            "order by event_id"
+        ).fetchall()
+    ]
+    assert oracle == expected_toward_zero

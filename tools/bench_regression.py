@@ -72,7 +72,7 @@ def main() -> None:
     # a slowdown and must flag, not disappear (r9 tools review).
     error_transitions = [
         {"query": n, "prev": prev[n], "error": curr_errs[n][:200]}
-        for n in sorted(set(prev) & set(curr_errs) - set(curr))
+        for n in sorted((set(prev) & set(curr_errs)) - set(curr))
     ]
     regressions, improvements = [], []
     for name in shared:
