@@ -47,3 +47,49 @@ def test_error_transition_set_algebra():
     flagged = set(prev) & set(curr_errs) - set(curr)
     assert flagged == {"a"}     # not b (has a timing), not zz (not in prev)
     assert flagged == (set(prev) & set(curr_errs)) - set(curr)
+
+
+def test_isolation_clears_only_in_band_flags(tmp_path):
+    """r10 isolation protocol: a flagged regression auto-clears iff the
+    committed isolation artifact times it INSIDE the prior band
+    (iso/prev < threshold); out-of-band or missing-from-artifact flags
+    keep failing."""
+    from tools.bench_regression import split_cleared_by_isolation
+
+    regressions = [
+        {"query": "q_noise", "prev": 1.0, "curr": 1.5, "ratio": 1.5},
+        {"query": "q_real", "prev": 1.0, "curr": 1.6, "ratio": 1.6},
+        {"query": "q_unmeasured", "prev": 1.0, "curr": 1.4, "ratio": 1.4},
+    ]
+    iso = {"q_noise": 1.05, "q_real": 1.55}  # q_unmeasured absent
+    flagged, cleared = split_cleared_by_isolation(regressions, iso, 1.3)
+    assert [r["query"] for r in cleared] == ["q_noise"]
+    assert cleared[0]["isolation"] == 1.05
+    assert cleared[0]["isolation_ratio"] == 1.05
+    assert [r["query"] for r in flagged] == ["q_real", "q_unmeasured"]
+
+
+def test_isolation_cli_end_to_end(tmp_path, capsys, monkeypatch):
+    """Full CLI path: --isolation moves an in-band flag to
+    cleared_by_isolation in the JSON report and exit code goes 1 -> 0."""
+    import pytest as _pytest
+
+    from tools.bench_regression import main
+
+    prev = _write(tmp_path, "prev.json", {"queries": {"q1": 1.0, "q2": 1.0}})
+    curr = _write(tmp_path, "curr.json", {"queries": {"q1": 1.5, "q2": 1.0}})
+    out = tmp_path / "report.json"
+
+    argv = ["prog", "--prev", prev, "--curr", curr, "--json", str(out)]
+    monkeypatch.setattr(sys, "argv", argv)
+    with _pytest.raises(SystemExit):
+        main()
+    assert json.loads(out.read_text())["regressions"][0]["query"] == "q1"
+
+    iso = _write(tmp_path, "iso.json", {"queries": {"q1": 0.98}})
+    monkeypatch.setattr(sys, "argv", argv + ["--isolation", iso])
+    main()  # no SystemExit: the only flag cleared
+    rep = json.loads(out.read_text())
+    assert rep["regressions"] == []
+    assert rep["cleared_by_isolation"][0]["query"] == "q1"
+    assert rep["isolation_files"] == [iso]

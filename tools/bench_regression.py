@@ -14,9 +14,21 @@ min over 6 samples (2 runs x best-of-3 each) is the steady-state cost.
 Usage:
   python tools/bench_regression.py --prev BENCH_LOCAL_r6_run1.json,BENCH_LOCAL_r6_run2.json \
       --curr BENCH_LOCAL_r7_run1.json,BENCH_LOCAL_r7_run2.json \
-      [--threshold 1.3] [--json out.json]
+      [--threshold 1.3] [--isolation BENCH_ISOLATION_rN.json] [--json out.json]
 
 Exit code 1 if any regression is flagged (so the close script can stop).
+
+Isolation protocol (r10, formalizing what r8/r9 did in STATUS prose): a
+flagged query whose slowdown is sampling noise — not a plan change — will
+not reproduce when re-measured alone on an idle box. Re-run just the
+flagged queries (best-of-5 via bench.py with a narrowed headline or a
+one-off timing script), commit the result as BENCH_ISOLATION_rN.json
+(same {"queries": {name: sec}} shape as a full bench artifact), and pass
+it via --isolation. A flag whose isolation best-of sits INSIDE the
+prior-round band (iso/prev < threshold) is auto-cleared into
+`cleared_by_isolation` in the report — artifact-backed, not prose — and
+no longer fails the gate. Flags absent from the artifact, or whose
+isolation time still exceeds the band, keep failing.
 """
 
 from __future__ import annotations
@@ -54,6 +66,29 @@ def best_of(paths: "list[str]") -> "tuple[dict[str, float], dict[str, str]]":
     return best, errors
 
 
+def split_cleared_by_isolation(
+    regressions: "list[dict]",
+    iso: "dict[str, float]",
+    threshold: float,
+) -> "tuple[list[dict], list[dict]]":
+    """Partition flagged regressions into (still-flagged, cleared).
+
+    A flag clears iff the isolation artifact has a timing for it AND that
+    best-of sits inside the prior-round band: iso/prev < threshold. The
+    isolation value is recorded on the cleared entry so the report is
+    self-evidencing.
+    """
+    flagged, cleared = [], []
+    for r in regressions:
+        iso_sec = iso.get(r["query"])
+        if iso_sec is not None and r["prev"] > 0 and iso_sec / r["prev"] < threshold:
+            cleared.append({**r, "isolation": iso_sec,
+                            "isolation_ratio": round(iso_sec / r["prev"], 3)})
+        else:
+            flagged.append(r)
+    return flagged, cleared
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prev", required=True, help="comma-separated run files")
@@ -61,6 +96,10 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--min-sec", type=float, default=0.15,
                     help="ignore queries under this absolute time (timer noise)")
+    ap.add_argument("--isolation", default=None,
+                    help="comma-separated isolation-run artifacts "
+                         "(BENCH_ISOLATION_rN.json); flags whose isolation "
+                         "best-of sits inside the prior band auto-clear")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -88,6 +127,12 @@ def main() -> None:
                                  "ratio": round(ratio, 3)})
     regressions.sort(key=lambda r: -r["ratio"])
     improvements.sort(key=lambda r: r["ratio"])
+    cleared = []
+    if args.isolation:
+        iso, _iso_errs = best_of(args.isolation.split(","))
+        regressions, cleared = split_cleared_by_isolation(
+            regressions, iso, args.threshold
+        )
     tot_prev = sum(prev[n] for n in shared)
     tot_curr = sum(curr[n] for n in shared)
     report = {
@@ -97,6 +142,8 @@ def main() -> None:
         "total_ratio": round(tot_curr / tot_prev, 3) if tot_prev else None,
         "threshold": args.threshold,
         "regressions": regressions,
+        "cleared_by_isolation": cleared,
+        "isolation_files": args.isolation.split(",") if args.isolation else [],
         "error_transitions": error_transitions,
         "improvements": improvements,
         "new_queries": sorted(set(curr) - set(prev)),
@@ -107,6 +154,10 @@ def main() -> None:
     for r in regressions:
         print(f"  REGRESSION {r['query']}: {r['prev']:.2f}s -> "
               f"{r['curr']:.2f}s ({r['ratio']}x)")
+    for r in cleared:
+        print(f"  cleared-by-isolation {r['query']}: {r['prev']:.2f}s -> "
+              f"{r['curr']:.2f}s, isolation {r['isolation']:.2f}s "
+              f"({r['isolation_ratio']}x prev)")
     for r in error_transitions:
         print(f"  REGRESSION-TO-ERROR {r['query']}: {r['prev']:.2f}s -> "
               f"{r['error'][:100]}")
