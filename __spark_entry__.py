@@ -3823,6 +3823,35 @@ HAVING count(*) >= CEIL(0.008 * t.total)
 """
 
 
+def _events_heavy_hitters_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment frequent items under an ABSOLUTE count threshold
+    (operators/frequency.py heavy_hitters_by_count) — the scale-aware
+    sibling of events_heavy_hitters_by_type: relative support dilutes as
+    data grows (the by_type query emits 0 rows at sf1, SCALE.md §r9-7);
+    "users with >= 20 events of a type" keeps the same contract at every
+    scale. Exact, no sketch: an absolute threshold bounds the qualifying
+    set at N/min_count a priori, so one map-side-combined groupBy is the
+    whole plan."""
+    from polars_order_book_spark.operators.frequency import heavy_hitters_by_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_by_count(ev, "event_type", "user_id", min_count=20)
+
+
+EVENTS_HEAVY_HITTERS_ABS_SQL = """
+WITH nn AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+t AS (SELECT event_type, count(*) AS total FROM nn GROUP BY event_type)
+SELECT nn.event_type, user_id, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS support
+FROM nn JOIN t USING (event_type)
+GROUP BY nn.event_type, user_id, t.total
+HAVING count(*) >= 20
+"""
+
+
 def _events_heavy_hitters_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed multi-key segments — top users per (day, event_type) —
     the windowed shape real curation dashboards use, exercising
@@ -7871,6 +7900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6: keyed heavy hitters, end-to-end BPE tokenize, and
         # the streaming Misra-Gries sketch ---
         "events_heavy_hitters_by_type": _events_heavy_hitters_by_type,
+        "events_heavy_hitters_abs": _events_heavy_hitters_abs,
         "events_heavy_hitters_windowed": _events_heavy_hitters_windowed,
         "documents_bpe_tokens": _docs_bpe_tokens,
         "documents_bpe_train_distributed": _docs_bpe_train_distributed,
@@ -8201,6 +8231,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
+        "events_heavy_hitters_abs": EVENTS_HEAVY_HITTERS_ABS_SQL,
         "events_heavy_hitters_windowed": EVENTS_HEAVY_HITTERS_WINDOWED_SQL,
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
         "text_bm25": TEXT_BM25_SQL,

@@ -297,6 +297,56 @@ def heavy_hitters_by(
     )
 
 
+def heavy_hitters_by_count(
+    df: DataFrame,
+    keys: "list[str] | str",
+    item_col: str,
+    *,
+    min_count: int,
+) -> DataFrame:
+    """Per-segment heavy hitters with an ABSOLUTE count threshold: for every
+    key group, every non-null item occurring at least ``min_count`` times.
+    Returns (*keys, item_col, n long, support double) — the same schema as
+    :func:`heavy_hitters_by`, with ``support`` reported informationally.
+
+    This is the scale-aware sibling of :func:`heavy_hitters_by` for growing
+    corpora: a RELATIVE support threshold dilutes as data grows — at 10× the
+    events, ceil(support·N_key) grows 10× while per-item counts may not, and
+    the sf1 sweep measured exactly that (0 qualifying rows at sf1,
+    SCALE.md §r9-7). An absolute threshold keeps reporting the same "items
+    with ≥ min_count observations" contract at every scale.
+
+    Shape: NO sketch pass. The Misra-Gries prune exists because a relative
+    threshold admits candidate sets that can't be bounded before N is known;
+    with an absolute threshold the qualifying set is bounded a priori at
+    N/min_count items, and one exact groupBy(keys, item) with map-side
+    partial aggregation is both simpler and cheaper than sketch + verify —
+    two shuffles total (the exact count and the per-key totals join), both
+    on shrinking relations. Null keys and null items are excluded up front,
+    the same documented rule as :func:`heavy_hitters_by`.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    rows = df.select(
+        *[F.col(c) for c in keys], F.col(item_col).alias("__item")
+    ).where(F.col("__item").isNotNull())
+    for c in keys:
+        rows = rows.where(F.col(c).isNotNull())
+    totals = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__N"))
+    exact = (
+        rows.groupBy(*keys, "__item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= int(min_count))
+    )
+    return exact.join(totals, on=keys).select(
+        *keys,
+        F.col("__item").alias(item_col),
+        F.col("n"),
+        (F.col("n").cast("double") / F.col("__N").cast("double")).alias("support"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
 # ---------------------------------------------------------------------------

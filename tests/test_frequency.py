@@ -522,3 +522,43 @@ def test_countmin_estimate_rejects_mismatched_parameters(spark):
         for r in countmin_estimate(sketch, items, "item").collect()
     }
     assert est == {i: 20 for i in range(5)}
+
+
+def test_by_count_matches_bruteforce_and_excludes_nulls(spark):
+    """heavy_hitters_by_count (r10): absolute threshold, exact groupBy path
+    — matches brute force, reports the per-key support fraction, and keeps
+    the family's null-exclusion rule."""
+    from polars_order_book_spark.operators.frequency import heavy_hitters_by_count
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", None]),
+         rng.choice([1, 1, 1, 2, None, rng.randint(3, 50)]))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k string, item long").repartition(16)
+    got = {
+        (r["k"], r["item"]): (r["n"], r["support"])
+        for r in heavy_hitters_by_count(df, "k", "item", min_count=30).collect()
+    }
+    # brute force over non-null keys AND items
+    nn = [(k, v) for k, v in rows if k is not None and v is not None]
+    totals = Counter(k for k, _ in nn)
+    exact = Counter(nn)
+    want = {
+        (k, v): (c, c / totals[k]) for (k, v), c in exact.items() if c >= 30
+    }
+    assert set(got) == set(want)
+    for key, (n, sup) in got.items():
+        assert n == want[key][0]
+        assert sup == pytest.approx(want[key][1])
+
+
+def test_by_count_rejects_bad_min_count(spark):
+    from polars_order_book_spark.operators.frequency import heavy_hitters_by_count
+
+    df = spark.createDataFrame([("a", 1)], "k string, item long")
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters_by_count(df, "k", "item", min_count=0)

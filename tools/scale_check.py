@@ -97,7 +97,11 @@ QUERIES = [
     "events_sessionize",
     "ob_book_asof",
     "events_user_profile_stream",
-    "events_heavy_hitters_by_type",
+    # r10: absolute-threshold sibling replaces the diluting relative-support
+    # row as the family's scale evidence — by_type emits 0 rows at sf1
+    # (support dilution, SCALE.md §r9-7), _abs keeps a nonzero output whose
+    # wall time still probes the same groupBy shape.
+    "events_heavy_hitters_abs",
     "documents_curation_pipeline",
 ]
 
