@@ -221,6 +221,61 @@ def _ob_stream_keyed(n):
     return run
 
 
+def _ob_stream_parquet_sink(n):
+    """The PRODUCTION-sink streaming book: keyed continuous fold ->
+    update-mode foreachBatch -> parquet batch-id directories via the
+    replay-safe sink (sources/sinks.py append_stream_batch), read back from
+    disk, then the SAME full batch-fold hash oracle. Closes the memory-sink
+    caveat the other streaming rigs carry (they hash-check through a
+    bounded memory table documented as an oracle-parity rig, not the
+    durable path): here the bytes that get hash-checked made a round trip
+    through the files a real deployment would leave behind. Replay safety
+    is the sink's own idempotence contract — a retried batch overwrites its
+    own batch_id dir, never double-appends."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from polars_order_book_spark.sources.sinks import (
+            append_stream_batch,
+            read_stream_batches,
+        )
+        from polars_order_book_spark.sources.tables import load_table_stream
+        from polars_order_book_spark.streaming import top_n_levels_stream
+
+        ev = load_table_stream(spark, sf_dir, "events")
+        stream = bs.keyed_mutations_stream(ev)
+        snaps = top_n_levels_stream(stream, "mutations", by=["book"], n=n)
+        root = tempfile.mkdtemp(prefix="ob_stream_sink_data_")
+        ckpt = tempfile.mkdtemp(prefix="ob_stream_sink_ckpt_")
+        try:
+            q = (
+                snaps.writeStream.foreachBatch(
+                    lambda bdf, bid: append_stream_batch(bdf, bid, root)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "streaming query did not finish within 600s - refusing "
+                    "to read partial results"
+                )
+            out = read_stream_batches(spark, root).select(
+                "book", "seq", *snapshot_columns(n)
+            )
+            # detach from the temp dirs before they are removed
+            out = out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return out
+    return run
+
+
 def _ob_stream_deep_rocksdb(n):
     """Keyed streaming deep book at the monomorphization ceiling under the
     PRODUCTION state backend: the widest per-key state row (40 live prices
@@ -8104,6 +8159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ob_relational_updates_top20_deep": _ob_relational_deep(20),
         "ob_chunked_mutations_top10_deep": _ob_chunked_mutations_deep(10, seq_chunks=4),
         "ob_stream_keyed_mutations_top2": _ob_stream_keyed(2),
+        "ob_stream_parquet_sink_top3": _ob_stream_parquet_sink(3),
         # r9: widest streaming state row x production state backend
         "ob_stream_deep_top20_rocksdb": _ob_stream_deep_rocksdb(20),
         "ob_relational_mutations_top2": _ob_relational(2, "mutations"),
@@ -8157,6 +8213,9 @@ def oracle_sql() -> dict[str, str]:
         "ob_conversion_top2": _conversion_oracle_sql(2),
         "ob_stream_keyed_mutations_top2": bs.oracle_book_sql(
             bs.KEYED_MUTATIONS_STREAM_SQL, 2, "mutations", key="book"
+        ),
+        "ob_stream_parquet_sink_top3": bs.oracle_book_sql(
+            bs.KEYED_MUTATIONS_STREAM_SQL, 3, "mutations", key="book"
         ),
         "ob_stream_deep_top20_rocksdb": bs.oracle_book_sql(
             bs.KEYED_DEEP_UPDATES_STREAM_SQL, 20, "updates", key="book"

@@ -137,6 +137,31 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def append_stream_batch(batch_df: DataFrame, batch_id: int, root: str) -> None:
+    """Replay-safe streaming append: the ``foreachBatch`` body for landing a
+    micro-batch stream in parquet. Each batch writes its own hive partition
+    directory ``batch_id=<id>`` with an overwrite scoped to that directory,
+    so a REPLAYED batch (Spark retries a batch after task/driver failure,
+    re-invoking foreachBatch with the same batch_id) rewrites its own
+    directory idempotently instead of double-appending — the file-sink
+    equivalent of the _CURRENT-marker discipline in
+    streaming/agg_stream.py, for append-shaped output instead of a
+    maintained rollup. Batch ids are only monotonic within one checkpoint
+    lineage: pair one ``root`` with one checkpointLocation, like every
+    foreachBatch sink here."""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(root, f"batch_id={batch_id}")
+    )
+
+
+def read_stream_batches(spark: SparkSession, root: str) -> DataFrame:
+    """Read back everything :func:`append_stream_batch` landed under ``root``.
+    Partition discovery exposes ``batch_id`` as a column (dropped here — it
+    is sink bookkeeping, not data); keep checkpoints OUTSIDE ``root`` or
+    discovery trips on the non-hive directory."""
+    return spark.read.parquet(root).drop("batch_id")
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -266,3 +266,28 @@ def test_bucketed_overwrite_handles_default_qualified_orphan(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS default.bkt_defq")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_append_stream_batch_replay_idempotent(spark, tmp_path):
+    """r10 production-sink contract: a REPLAYED micro-batch (same batch_id,
+    possibly different task-level file layout) overwrites its own batch_id
+    directory — the read-back sees each batch exactly once, never a
+    double-append."""
+    from polars_order_book_spark.sources.sinks import (
+        append_stream_batch,
+        read_stream_batches,
+    )
+
+    root = str(tmp_path / "stream_out")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(3, 30)], "k long, v long")
+    append_stream_batch(b0, 0, root)
+    append_stream_batch(b1, 1, root)
+    # replay batch 1 (Spark retries foreachBatch with the same batch_id)
+    append_stream_batch(b1, 1, root)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_stream_batches(spark, root).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    df = read_stream_batches(spark, root)
+    assert "batch_id" not in df.columns
