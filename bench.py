@@ -234,6 +234,46 @@ def main() -> None:
         # state across Arrow batches — the memory-bound production path
         # at depth; its unchunked twin above isolates the chunking cost
         "ob_chunked_mutations_top10_deep",
+        # r10 headline rotation (VERDICT r9 task 4): 131 registered queries
+        # had correctness but no sf0.1 perf row. Additions by family:
+        # the relational ALTERNATIVE at the ceiling (documented 2-3x the
+        # fold; benched now so that claim has a standing measurement)
+        "ob_relational_updates_top20_deep",
+        # profiling / constraints / diff families
+        "documents_profile",
+        "ob_depth_profile",
+        "orders_quality_report",
+        "ob_consistency_n1_n2",
+        # streaming maintenance rows (foreachBatch rollup/merge/join-view)
+        "orders_rollup_stream",
+        "orders_merge_stream",
+        "orders_join_view_stream",
+        # r10 registrations: production parquet-sink book stream and the
+        # absolute-threshold heavy hitters (the scale-aware sweep row)
+        "ob_stream_parquet_sink_top3",
+        "events_heavy_hitters_abs",
+        # TPC-H rows previously registry-only: the pure pushdown probe (q6),
+        # dual-role nation joins (q7), outer-join histogram (q13), agg-HAVING
+        # semi-join (q18), correlated min (q2), returned-items top-k (q10)
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q13_customer_distribution",
+        "q18_large_orders",
+        "q2_min_cost_supplier",
+        "q10_returned_items",
+        # text rows with wide sf1 bands or no perf row: winnowing (6.55x at
+        # 10x — the widest text band, now tracked round-over-round), TF-IDF,
+        # PII redaction
+        "text_winnow_fingerprints",
+        "text_tfidf",
+        "text_redact_pii",
+        # sampling: DSIR importance weights (5.29x sf1 band), stratified
+        "documents_dsir_weights",
+        "documents_stratified_sample",
+        # graph + asof + multimodal coverage
+        "supplier_pagerank",
+        "events_asof_purchase",
+        "multimodal_resize",
     ]
     qs = E.queries()
 

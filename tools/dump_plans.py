@@ -193,6 +193,8 @@ HEADLINE = [
     "ob_relational_updates_top20_deep",
     "documents_fuzzy_pairs_segments",
     "dedup_ngram_jaccard_arrays",
+    # r10: absolute-threshold heavy hitters (exact groupBy shape, no sketch)
+    "events_heavy_hitters_abs",
 ]
 
 

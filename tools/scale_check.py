@@ -145,6 +145,34 @@ DISPOSITIONS = {
     ),
 }
 
+# Ratio-based dispositions (r10): over-ratio rows whose superlinearity is a
+# DOCUMENTED design bound, not a defect — each carries an explicit cap so a
+# future regression past the documented bound still flags (the same
+# stale-disposition concern as the guarded_err rule below, applied to
+# ratios). Second-decade context (sf1 -> sf10, BENCH_LOCAL_sf10.json): the
+# two UNKEYED deep folds are single-book reference-parity shapes — the whole
+# stream is ONE applyInPandas group, so the fold is one task whose pandas
+# working set (10M-event input + the 81-column n=20 snapshot output in one
+# Arrow exchange) grows with N; past ~10M events memory management, not
+# compute, drives the wall superlinear (measured 11.3x/12.9x at the second
+# 10x). The bounded-memory production paths at depth are the CHUNKED fold
+# (ob_chunked_mutations_top10_deep: 6.83x at the same decade, state carried
+# across seq chunks) and the KEYED folds (parallel, per-book-sized batches).
+RATIO_DISPOSITIONS = {
+    "ob_updates_top20_deep": (
+        16.0,
+        "unkeyed single-group fold: one task, whole-stream Arrow batch + "
+        "81-col emit; memory-bound past ~10M events (documented design "
+        "bound). Bounded-memory path proven at the same decade: "
+        "ob_chunked_mutations_top10_deep 6.83x; keyed folds shard by book.",
+    ),
+    "ob_modify_top20_deep": (
+        16.0,
+        "same single-group bound as ob_updates_top20_deep (modify variant); "
+        "chunked/keyed folds are the production shapes at this depth.",
+    ),
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -226,8 +254,15 @@ def main() -> None:
                 f"{name}: error at {which}: "
                 f"{(err or entry['sf0.1']['error'])[:120]}")
         elif over:
-            report["flags"].append(
-                f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
+            cap_text = RATIO_DISPOSITIONS.get(name)
+            if cap_text is not None and entry["ratio"] <= cap_text[0]:
+                report["dispositioned"][name] = (
+                    f"ratio {entry['ratio']}x (cap {cap_text[0]}x): "
+                    f"{cap_text[1]}"
+                )
+            else:
+                report["flags"].append(
+                    f"{name}: {entry['ratio']}x > {args.max_ratio}x at 10x data")
     report["loadavg_1min_end"] = round(os.getloadavg()[0], 2)
     with open(args.json, "w") as fh:
         json.dump(report, fh, indent=1)
