@@ -7832,60 +7832,60 @@ FROM per_doc GROUP BY lang
 # entries wait in the tail. tests/test_registry.py pins the split; every
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
-_R9_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 9 --deferred text_winnow_fingerprints,part_snapshot_diff,orders_quality_report,ob_book_asof,multimodal_resize,orders_merge_stream,orders_join_view_stream,orders_rollup_stream,ob_relational_modify_top2,ob_nbbo_keyed,ob_nbbo_keyed_chunked,sink_bucketed_join,sink_compaction
+_R10_HEAD = [
+    # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=255 driver-green-union=249 never-sampled=6
-    "documents_fuzzy_pairs_segments_tau3",  # never-sampled
-    "ob_chunked_mutations_top10_deep",  # never-sampled
-    "ob_modify_top20_deep",  # never-sampled
-    "ob_mutations_top10_deep",  # never-sampled
-    "ob_relational_updates_top20_deep",  # never-sampled
-    "ob_stream_deep_top20_rocksdb",  # never-sampled
-    "multimodal_resize",  # deferred
-    "ob_book_asof",  # deferred
-    "ob_nbbo_keyed",  # deferred
-    "ob_nbbo_keyed_chunked",  # deferred
-    "ob_relational_modify_top2",  # deferred
-    "orders_join_view_stream",  # deferred
-    "orders_merge_stream",  # deferred
-    "orders_quality_report",  # deferred
-    "orders_rollup_stream",  # deferred
-    "part_snapshot_diff",  # deferred
-    "sink_bucketed_join",  # deferred
-    "sink_compaction",  # deferred
-    "text_winnow_fingerprints",  # deferred
-    "supplier_nation_summary",  # oldest-green
-    "customers_without_orders",  # oldest-green
-    "dedup_components",  # oldest-green
-    "dedup_components_star",  # oldest-green
-    "dedup_exact",  # oldest-green
-    "dedup_minhash_lsh",  # oldest-green
-    "dedup_ngram_jaccard",  # oldest-green
-    "dedup_simhash",  # oldest-green
-    "documents_budget_pack",  # oldest-green
-    "documents_deduped",  # oldest-green
-    "documents_hash_sample",  # oldest-green
-    "events_hourly",  # oldest-green
-    "events_hourly_pivot",  # oldest-green
-    "events_rollup",  # oldest-green
-    "events_user_distinct_approx",  # oldest-green
-    "events_user_running_total",  # oldest-green
-    "events_value_quantiles",  # oldest-green
-    "events_value_quantiles_approx",  # oldest-green
-    "ob_chunked_mutations_top2",  # oldest-green
-    "ob_conversion_top2",  # oldest-green
-    "ob_keyed_mutations_top2",  # oldest-green
-    "ob_modify_top2",  # oldest-green
-    "ob_mutations_top2",  # oldest-green
-    "ob_relational_keyed_mutations_top2",  # oldest-green
-    "ob_relational_mutations_top2",  # oldest-green
-    "ob_relational_updates_top3",  # oldest-green
-    "ob_stream_keyed_mutations_top2",  # oldest-green
-    "ob_updates_top1",  # oldest-green
-    "ob_updates_top3",  # oldest-green
-    "orders_rolling_revenue",  # oldest-green
-    "part_categorize",  # oldest-green
+    # registry=257 driver-green-union=255 never-sampled=2
+    "events_heavy_hitters_abs",  # never-sampled
+    "ob_stream_parquet_sink_top3",  # never-sampled
+    "ob_stream_deep_top20_rocksdb",  # behavior-changed
+    "q1_pricing_summary",  # oldest-green
+    "q3_top_revenue_orders",  # oldest-green
+    "q5_nation_revenue",  # oldest-green
+    "text_docfreq_score",  # oldest-green
+    "text_fingerprint",  # oldest-green
+    "text_lang_id",  # oldest-green
+    "text_quality",  # oldest-green
+    "text_redact_pii",  # oldest-green
+    "topk_orders_per_customer",  # oldest-green
+    "documents_chunks",  # oldest-green
+    "documents_stratified_sample",  # oldest-green
+    "documents_weighted_sample",  # oldest-green
+    "embeddings_kmeans_step",  # oldest-green
+    "embeddings_outliers",  # oldest-green
+    "events_anomaly_zscore",  # oldest-green
+    "events_attribution_stream",  # oldest-green
+    "events_attribution_stream_outer",  # oldest-green
+    "events_enriched_stream",  # oldest-green
+    "events_funnel",  # oldest-green
+    "events_hourly_stream_append",  # oldest-green
+    "events_markov_transitions",  # oldest-green
+    "events_ols_trend",  # oldest-green
+    "events_pattern_3grams",  # oldest-green
+    "events_retention_cohorts",  # oldest-green
+    "events_user_distinct_sketch_rollup",  # oldest-green
+    "events_user_type_profile",  # oldest-green
+    "events_value_deciles",  # oldest-green
+    "events_winsorize",  # oldest-green
+    "ob_depth_profile",  # oldest-green
+    "ob_ofi",  # oldest-green
+    "ob_ohlc_bars",  # oldest-green
+    "ob_realized_variance",  # oldest-green
+    "orders_merge_apply",  # oldest-green
+    "orders_orc_roundtrip",  # oldest-green
+    "part_triangle_counts",  # oldest-green
+    "part_unpivot_metrics",  # oldest-green
+    "q11_important_parts",  # oldest-green
+    "q13_customer_distribution",  # oldest-green
+    "q16_supplier_variety",  # oldest-green
+    "q21_waiting_suppliers",  # oldest-green
+    "q2_min_cost_supplier",  # oldest-green
+    "q8_market_share",  # oldest-green
+    "q9_product_profit",  # oldest-green
+    "supplier_pagerank",  # oldest-green
+    "supplier_similarity",  # oldest-green
+    "text_dup_spans",  # oldest-green
+    "dedup_incremental",  # oldest-green
 ]
 
 
@@ -8189,8 +8189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_categorize": hq.part_categorize,
     }
     # Rotation applied as an explicit reorder so the priority list is one
-    # auditable block (_R9_HEAD) instead of implicit dict-literal order.
-    out = {name: base[name] for name in _R9_HEAD}
+    # auditable block (_R10_HEAD) instead of implicit dict-literal order.
+    out = {name: base[name] for name in _R10_HEAD}
     out.update({name: fn for name, fn in base.items() if name not in out})
     return out
 
