@@ -93,3 +93,22 @@ def test_isolation_cli_end_to_end(tmp_path, capsys, monkeypatch):
     assert rep["regressions"] == []
     assert rep["cleared_by_isolation"][0]["query"] == "q1"
     assert rep["isolation_files"] == [iso]
+
+
+def test_isolation_band_rule(tmp_path):
+    """An isolation best-of at or below the prior round's WORST committed
+    reading clears (the round's own noise produced that value); above the
+    band AND above threshold keeps failing."""
+    from tools.bench_regression import split_cleared_by_isolation
+
+    regressions = [
+        {"query": "q_band", "prev": 1.0, "curr": 1.6, "ratio": 1.6},
+        {"query": "q_out", "prev": 1.0, "curr": 1.6, "ratio": 1.6},
+    ]
+    iso = {"q_band": 1.55, "q_out": 1.55}
+    prev_max = {"q_band": 1.7, "q_out": 1.2}  # band edges from prior runs
+    flagged, cleared = split_cleared_by_isolation(regressions, iso, 1.3, prev_max)
+    assert [r["query"] for r in cleared] == ["q_band"]
+    assert cleared[0]["cleared_by"] == "band"
+    assert cleared[0]["prev_band_max"] == 1.7
+    assert [r["query"] for r in flagged] == ["q_out"]

@@ -25,9 +25,11 @@ flagged queries (best-of-5 via bench.py with a narrowed headline or a
 one-off timing script), commit the result as BENCH_ISOLATION_rN.json
 (same {"queries": {name: sec}} shape as a full bench artifact), and pass
 it via --isolation. A flag whose isolation best-of sits INSIDE the
-prior-round band (iso/prev < threshold) is auto-cleared into
-`cleared_by_isolation` in the report — artifact-backed, not prose — and
-no longer fails the gate. Flags absent from the artifact, or whose
+prior-round band is auto-cleared into `cleared_by_isolation` in the
+report — artifact-backed, not prose — and no longer fails the gate.
+"Inside the band" = iso <= the prior round's worst committed reading for
+that query, OR iso/prev_best < threshold (see
+split_cleared_by_isolation). Flags absent from the artifact, or whose
 isolation time still exceeds the band, keep failing.
 """
 
@@ -47,7 +49,20 @@ def best_of(paths: "list[str]") -> "tuple[dict[str, float], dict[str, str]]":
     exactly the fast-query regressions the gate exists to catch — only the
     full $BENCH_FULL_OUT artifact is valid input (r9 tools review).
     """
+    best, _mx, errors = best_and_max_of(paths)
+    return best, errors
+
+
+def best_and_max_of(
+    paths: "list[str]",
+) -> "tuple[dict[str, float], dict[str, float], dict[str, str]]":
+    """Per-query best-of AND worst-of across run files, plus recorded errors.
+    The max defines the round's observed BAND [min, max] per query — the
+    isolation-clearing rule compares against it (an isolation best-of inside
+    the prior round's band is indistinguishable from that round's own
+    run-to-run noise)."""
     best: dict[str, float] = {}
+    mx: dict[str, float] = {}
     errors: dict[str, str] = {}
     for path in paths:
         with open(path) as fh:
@@ -61,29 +76,45 @@ def best_of(paths: "list[str]") -> "tuple[dict[str, float], dict[str, str]]":
         for name, sec in data.get("queries", {}).items():
             if name not in best or sec < best[name]:
                 best[name] = sec
+            if name not in mx or sec > mx[name]:
+                mx[name] = sec
         for name, msg in (data.get("errors") or {}).items():
             errors.setdefault(name, msg)
-    return best, errors
+    return best, mx, errors
 
 
 def split_cleared_by_isolation(
     regressions: "list[dict]",
     iso: "dict[str, float]",
     threshold: float,
+    prev_max: "dict[str, float] | None" = None,
 ) -> "tuple[list[dict], list[dict]]":
     """Partition flagged regressions into (still-flagged, cleared).
 
     A flag clears iff the isolation artifact has a timing for it AND that
-    best-of sits inside the prior-round band: iso/prev < threshold. The
+    best-of sits inside the prior round's observed band: either
+    iso <= the prior round's WORST committed reading for the query (the
+    band's upper edge — an isolation time the prior round itself produced
+    is noise, not regression; the r9 q21/part_snapshot_diff precedent), or
+    iso/prev_best < threshold (for queries whose prior runs were so tight
+    the band is narrower than the gate's own noise allowance). The
     isolation value is recorded on the cleared entry so the report is
     self-evidencing.
     """
+    prev_max = prev_max or {}
     flagged, cleared = [], []
     for r in regressions:
         iso_sec = iso.get(r["query"])
-        if iso_sec is not None and r["prev"] > 0 and iso_sec / r["prev"] < threshold:
+        if iso_sec is None or r["prev"] <= 0:
+            flagged.append(r)
+            continue
+        in_band = iso_sec <= prev_max.get(r["query"], 0.0)
+        in_tol = iso_sec / r["prev"] < threshold
+        if in_band or in_tol:
             cleared.append({**r, "isolation": iso_sec,
-                            "isolation_ratio": round(iso_sec / r["prev"], 3)})
+                            "isolation_ratio": round(iso_sec / r["prev"], 3),
+                            "prev_band_max": prev_max.get(r["query"]),
+                            "cleared_by": "band" if in_band else "threshold"})
         else:
             flagged.append(r)
     return flagged, cleared
@@ -103,7 +134,7 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
-    prev, _prev_errs = best_of(args.prev.split(","))
+    prev, prev_max, _prev_errs = best_and_max_of(args.prev.split(","))
     curr, curr_errs = best_of(args.curr.split(","))
     shared = sorted(set(prev) & set(curr))
     # A query that timed in prev but only ERRORED in every curr run used to
@@ -131,7 +162,7 @@ def main() -> None:
     if args.isolation:
         iso, _iso_errs = best_of(args.isolation.split(","))
         regressions, cleared = split_cleared_by_isolation(
-            regressions, iso, args.threshold
+            regressions, iso, args.threshold, prev_max
         )
     tot_prev = sum(prev[n] for n in shared)
     tot_curr = sum(curr[n] for n in shared)
