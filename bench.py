@@ -287,6 +287,17 @@ def main() -> None:
               file=sys.stderr)
         headline = [n for n in headline if n in qs]
 
+    # Full-registry mode (SPARK_GRAFT_BENCH_ALL=1): measure EVERY registered
+    # query, not just the curated headline — used locally to produce the
+    # full-coverage perf artifact (BENCH_LOCAL_allreg_*.json) so no registry
+    # entry is correctness-only. Two timed runs instead of three bounds the
+    # wall cost; best-of-2 is noisier than best-of-3, so round-over-round
+    # comparisons should stay on the curated headline (same run depth).
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL", "") == "1"
+    runs_per_query = 2 if bench_all else 3
+    if bench_all:
+        headline = sorted(qs)
+
     def checksum(df):
         """Force full computation of every output column — a bare count() lets
         Catalyst prune aggregate value expressions, under-measuring real work."""
@@ -321,14 +332,14 @@ def main() -> None:
         # aborted the run and BENCH_r03 had no numbers).
         try:
             runs = []
-            for _ in range(3):
+            for _ in range(runs_per_query):
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
                 n = checksum(df)
                 runs.append(time.time() - t0)
                 assert n >= 0
             timings[name] = round(min(runs), 3)
-            medians[name] = round(sorted(runs)[1], 3)
+            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     load_end = os.getloadavg()[0]
@@ -352,6 +363,8 @@ def main() -> None:
         "headline_count": len(headline),
         "registry_count": len(qs),
         "unknown_headline": unknown_headline,
+        "mode": "full_registry" if bench_all else "headline",
+        "runs_per_query": runs_per_query,
     }
     # The driver keeps only the last 2000 chars of stdout and parses them as
     # JSON — the full per-query detail (~6 KB at 105 queries) decapitated
