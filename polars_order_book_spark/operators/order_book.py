@@ -454,7 +454,7 @@ def _apply_fold_chunked(
     prev_qty: str | None,
     snap_cols: list[str],
     out_fields: list[StructField],
-    seq_chunks: int,
+    seq_chunks: int | None,
 ) -> DataFrame:
     """Bounded-memory fold: removes the applyInPandas group-size ceiling.
 
@@ -478,9 +478,12 @@ def _apply_fold_chunked(
     compare null-safely in the run detector (matching groupBy's null-group
     semantics).
 
-    ``seq_chunks`` is retained as the public opt-in switch (any value > 1
-    selects this path, pinned byte-identical to the unchunked fold by
-    ``tests/test_order_book_chunked.py``); the chunk COUNT no longer shapes
+    ``seq_chunks`` is retained as the public switch (any value > 1 selects
+    this path, ``seq_chunks=1`` forces the plain group fold; UNKEYED folds
+    come here BY DEFAULT since the single-group applyInPandas measured
+    superlinear at 10M events — BENCH_LOCAL_sf10.json. Pinned byte-identical
+    to the unchunked fold by ``tests/test_order_book_chunked.py``); the
+    chunk COUNT no longer shapes
     the plan — the r3–r5 design paid one cogrouped applyInPandas + lazy
     localCheckpoint round per chunk (~2 s of driver-side planning alone at
     seq_chunks=8) and re-scanned the input every round, where this plan scans
@@ -617,7 +620,22 @@ def _apply_fold(
     drop_cols = [_BOOK_COL, *temps]
     out_fields = [f for f in df.schema.fields if f.name not in drop_cols]
 
-    if seq_chunks is not None and seq_chunks > 1:
+    # Physical-path selection. The UNKEYED fold defaults to the bounded-
+    # memory mapInPandas plan: a single-book groupBy().applyInPandas()
+    # materializes the WHOLE stream as one pandas group, which measured
+    # superlinear past ~10M events (11.3-12.9x wall at 10x data, +17 GB
+    # peak RSS at 10M rows — BENCH_LOCAL_sf10.json), while the chained-state
+    # plan holds one Arrow batch + the live book and is byte-identical
+    # (tests/test_order_book_chunked.py). At bench scale (100k events) the
+    # two are within noise of each other, so the scale-safe plan is the
+    # right default. KEYED folds keep groupBy: books parallelize across
+    # groups and per-group state is one book's history (callers with
+    # pathological per-book depth opt in via seq_chunks>1). seq_chunks=1
+    # explicitly forces the single-pass group fold — the differential twin
+    # the chunked-equality tests compare against.
+    if (seq_chunks is not None and seq_chunks > 1) or (
+        seq_chunks is None and drop_book
+    ):
         result = _apply_fold_chunked(
             df, variant, price, qty, is_bid, seq, by, n, prev_price, prev_qty,
             snap_cols, out_fields, seq_chunks,
@@ -678,9 +696,15 @@ def top_n_levels_from_price_updates(
 
     ``seq`` orders events within a book; ``by`` names the book key columns
     (e.g. ``["product_id", "reset_count"]``, ref: README.md:184-216).
-    ``seq_chunks`` > 1 folds each book in that many seq-range chunks with state
-    chained across chunks — same results, bounded per-task memory (see
-    ``_apply_fold_chunked``).
+
+    Physical paths (identical results, pinned by
+    ``tests/test_order_book_chunked.py``): the UNKEYED fold defaults to the
+    bounded-memory chained-state plan (``_apply_fold_chunked`` — one Arrow
+    batch + live book state per task, the scale-safe shape); KEYED folds
+    default to ``groupBy().applyInPandas()`` (books parallelize across
+    groups). ``seq_chunks`` > 1 opts a keyed fold into the bounded plan;
+    ``seq_chunks=1`` forces the single-pass group fold (the differential
+    twin).
     """
     return _apply_fold(df, "updates", price, qty, is_bid, seq, by, n,
                        output_struct=output_struct, seq_chunks=seq_chunks)

@@ -118,13 +118,32 @@ def test_chunked_error_contract_crosses_chunks(spark):
 
 
 def test_chunked_seq_chunks_one_is_plain_fold(spark):
-    """seq_chunks=1 (or None) takes the single-pass path — no chained rounds."""
+    """Path-selection contract: seq_chunks=1 forces the single-pass group
+    fold (FlatMapGroupsInPandas — the differential twin), while the UNKEYED
+    default (seq_chunks=None) takes the bounded-memory MapInPandas plan
+    (the groupBy single-group fold measured superlinear at 10M events,
+    BENCH_LOCAL_sf10.json); results are byte-identical either way."""
     rows = [(s, True, 1 + s % 3, 1) for s in range(10)]
     df = spark.createDataFrame(rows, SCHEMA3)
     cols = snapshot_columns(1)
-    assert by_seq(
-        top_n_levels_from_price_mutations(df, n=1, seq_chunks=1), cols
-    ) == by_seq(top_n_levels_from_price_mutations(df, n=1), cols)
+    forced = top_n_levels_from_price_mutations(df, n=1, seq_chunks=1)
+    default = top_n_levels_from_price_mutations(df, n=1)
+    assert by_seq(forced, cols) == by_seq(default, cols)
+    forced_plan = forced._jdf.queryExecution().executedPlan().toString()
+    default_plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in forced_plan
+    assert "MapInPandas" in default_plan
+    assert "FlatMapGroupsInPandas" not in default_plan
+
+
+def test_keyed_default_stays_group_fold(spark):
+    """KEYED folds keep groupBy().applyInPandas() by default — books
+    parallelize across groups; the bounded path stays opt-in there."""
+    rows = [(s, s % 2, True, 1 + s % 3, 1) for s in range(10)]
+    df = spark.createDataFrame(rows, "seq long, book long, is_bid boolean, price long, qty long")
+    out = top_n_levels_from_price_mutations(df, by=["book"], n=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_chunked_accepts_column_expressions(spark):
