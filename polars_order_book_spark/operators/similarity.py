@@ -796,7 +796,13 @@ def topk_recall(
     BIGINT counts, one final division.
     """
     a = approx.select(F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n"))
-    e = exact.select(F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n"))
+    # The exact side feeds BOTH the hits join and the totals aggregate; its
+    # subtree is the expensive half (a full brute-force scan when called from
+    # the recall queries) and would re-execute per consumer — truncate
+    # lineage so it runs once (the hash_embed_knn multi-consumer pattern).
+    e = exact.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).localCheckpoint(eager=False)
     hits = a.join(e, ["_q", "_n"]).groupBy("_q").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

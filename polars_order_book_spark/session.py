@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # JVM<->Python-worker channel over a Unix domain socket instead of
+        # loopback TCP (Spark 4.1 feature). Motivation (r10, observed live):
+        # an output-heavy full-duplex pandas op (the unkeyed book fold emits
+        # ~10x its input width) hard-deadlocked at the 10M-row scale point —
+        # worker blocked in tcp_sendmsg/sk_stream_wait_memory with ~4.2 MB
+        # queued, JVM side Recv-Q EMPTY yet never receiving: a loopback TCP
+        # zero-window stall below the application layer (Spark's selector
+        # was correctly polling; the kernel never delivered). UDS has no
+        # window/ACK machinery, so the failure mode is structurally absent —
+        # and local transfers skip the TCP stack entirely. Opt out with
+        # SPARK_GRAFT_UDS=0 (e.g. if a worker platform lacks AF_UNIX).
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_UDS", "1") == "0" else "true",
+        )
     )
     if state_store == "rocksdb":
         builder = builder.config(

@@ -158,20 +158,13 @@ DISPOSITIONS = {
 # 10x). The bounded-memory production paths at depth are the CHUNKED fold
 # (ob_chunked_mutations_top10_deep: 6.83x at the same decade, state carried
 # across seq chunks) and the KEYED folds (parallel, per-book-sized batches).
-RATIO_DISPOSITIONS = {
-    "ob_updates_top20_deep": (
-        16.0,
-        "unkeyed single-group fold: one task, whole-stream Arrow batch + "
-        "81-col emit; memory-bound past ~10M events (documented design "
-        "bound). Bounded-memory path proven at the same decade: "
-        "ob_chunked_mutations_top10_deep 6.83x; keyed folds shard by book.",
-    ),
-    "ob_modify_top20_deep": (
-        16.0,
-        "same single-group bound as ob_updates_top20_deep (modify variant); "
-        "chunked/keyed folds are the production shapes at this depth.",
-    ),
-}
+# r10 continuation: the two capped dispositions this dict carried
+# (ob_updates_top20_deep / ob_modify_top20_deep at 11.3x/12.9x, single-group
+# applyInPandas working-set bound) were RETIRED by an engineering fix, not a
+# re-rationalization: unkeyed folds now default to the bounded-memory
+# chained-state plan (operators/order_book.py _apply_fold), so the default
+# 10x-per-10x-data cap binds for them again and a regression past it flags.
+RATIO_DISPOSITIONS: dict[str, tuple[float, str]] = {}
 
 
 def main() -> None:
