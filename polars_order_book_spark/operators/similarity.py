@@ -177,6 +177,7 @@ def neardup_embedding_pairs(
     band_size: int = 4,
     dim: int = 64,
     bucket_cap: int | None = 4096,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -222,8 +223,27 @@ def neardup_embedding_pairs(
     if bucket_cap:
         from polars_order_book_spark.functions.skew import salted_pair_join
 
+        # pair_budget (opt-in): exact Σ(n choose 2) candidate estimate
+        # asserted IN-PLAN before the self-join executes. A banded key
+        # space is FIXED (band_size bits → 2^band_size keys per band), so
+        # occupancy grows linearly with N and candidate pairs
+        # quadratically once the corpus outgrows it — measured: knn_graph's
+        # 8-bit bands at 200k vectors estimate ~312M pairs and OOM a 24 GB
+        # local heap (r10 continuation sweep). Fail fast with the remedy
+        # named instead.
         cands = salted_pair_join(
-            bands, ["band", "key"], "vec_id", "doc_a", "doc_b", bucket_cap
+            bands, ["band", "key"], "vec_id", "doc_a", "doc_b", bucket_cap,
+            pair_budget=pair_budget,
+            budget_msg=(
+                "neardup_embedding_pairs: banded key space saturated — "
+                "band-key cardinality must scale with log2(N): raise "
+                "n_planes/band_size (48/12 gives 4096 keys per band; "
+                "measured at 200k vectors it cuts the estimate 745M -> "
+                "67.9M and the graph completes in 95 s with "
+                "pair_budget=100M), raise pair_budget once the estimate is "
+                "affordable, or bucket by k-means cells first (semdedup) "
+                "for the unbounded-corpus path"
+            ),
         ).distinct()
     else:
         cands = (
@@ -1076,6 +1096,7 @@ def knn_graph(
     band_size: int = 8,
     dim: int = 64,
     bucket_cap: int | None = 4096,
+    pair_budget: int | None = 50_000_000,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
     EVERY vector at once → (src, dst, rank, cosine). The all-points
@@ -1125,6 +1146,12 @@ def knn_graph(
         band_size=band_size,
         dim=dim,
         bucket_cap=bucket_cap,
+        # Default 50M budget: the all-points graph verifies EVERY colliding
+        # pair, so a saturated fixed band-key space (2^band_size keys) is a
+        # memory bomb, not just slow — 200k vectors at the 8-bit default
+        # estimate ~312M pairs and OOMed a 24 GB heap before this guard.
+        # The error names the fix (scale n_planes/band_size with log2 N).
+        pair_budget=pair_budget,
     ).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "cosine"

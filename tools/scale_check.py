@@ -109,6 +109,16 @@ QUERIES = [
 # still recorded (under "dispositioned") but doesn't fail the tool. Keep the
 # text honest — it must describe a guard or a documented design bound.
 DISPOSITIONS = {
+    "embeddings_knn_graph": (
+        "guarded since r10 continuation: the all-points graph's 8-bit band "
+        "keys are a FIXED 256-key space, so candidate pairs grow "
+        "quadratically once the corpus outgrows it — at 200k vectors the "
+        "exact in-plan estimate is 745M pairs (OOMed a 24 GB heap before "
+        "the guard). knn_graph now carries pair_budget=50M and FAILS FAST "
+        "naming the remedy, which is MEASURED: n_planes=48/band_size=12 "
+        "(4096 keys) + pair_budget=100M completes the full 200k-vector "
+        "graph in 95 s (1M edges)."
+    ),
     "dedup_ngram_jaccard": (
         "guarded since r8: the exact path carries candidate_budget=10M — at "
         "sf1 the saturated synthetic shingle space puts the exact candidate "
@@ -187,6 +197,16 @@ RATIO_DISPOSITIONS: dict[str, tuple[float, str]] = {
         "open-vocab twin (pairs + components) measures 5.72x at 10x data "
         "(BENCH_LOCAL_openvocab_minhash.json)",
     ),
+    # OUTPUT-bound, not plan-bound: the query's contract is every
+    # overlapping session pair, a pair space quadratic in concurrent
+    # sessions — at sf10 the result itself grows 100x (15.3M -> 1.54B
+    # rows) while wall grows 15.4x, i.e. per-output-row cost FELL 6.5x.
+    "events_session_overlap": (
+        20.0,
+        "output-bound: result rows grew 100.1x (15.3M -> 1.54B pairs) "
+        "against 15.4x wall — per-row cost fell 6.5x; quadratic pair "
+        "space is the query's own contract",
+    ),
 }
 
 
@@ -254,6 +274,7 @@ def main() -> None:
             "pair_budget" in err
             or "exact prefix-filter join" in err
             or "exact edit-distance blocking saturated" in err
+            or "banded key space saturated" in err
         )
         # disposition ONLY when the guard actually fired: if the guard ever
         # stops firing and the query runs over-ratio again, that's a NEW
