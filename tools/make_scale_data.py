@@ -140,15 +140,26 @@ def main() -> None:
                     help="generate the Heaps-law documents corpus instead")
     ap.add_argument("--docs", type=int, default=4000,
                     help="base doc count for --open-vocab")
+    ap.add_argument("--tables", default="",
+                    help="comma-separated subset of tables to generate "
+                         "(default: all). Third-decade (mult=1000) sweeps "
+                         "only need the fact table under test — lineitem "
+                         "at 600M rows alone is ~20 GB and minutes of gen.")
     args = ap.parse_args()
     if args.open_vocab:
         make_open_vocab(args.out, args.docs)
         return
+    only = {t for t in args.tables.split(",") if t} or None
+
+    def wanted(t: str) -> bool:
+        return only is None or t in only
+
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     k = args.mult
 
-    con.execute(f"""
+    if wanted("events"):
+        con.execute(f"""
         COPY (
             SELECT e.event_id * {k} + c.copy AS event_id,
                    e.ts,
@@ -158,8 +169,9 @@ def main() -> None:
                  (SELECT unnest(range(0, {k})) AS copy) c
             ORDER BY event_id
         ) TO '{args.out}/events.parquet' (FORMAT PARQUET)
-    """)
-    con.execute(f"""
+        """)
+    if wanted("documents"):
+        con.execute(f"""
         COPY (
             WITH base AS (
                 SELECT d.doc_id + c.copy * 10000000 AS doc_id,
@@ -186,8 +198,9 @@ def main() -> None:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM rot
         ) TO '{args.out}/documents.parquet' (FORMAT PARQUET)
-    """)
-    con.execute(f"""
+        """)
+    if wanted("embeddings"):
+        con.execute(f"""
         COPY (
             SELECT v.vec_id + c.copy * 10000000 AS vec_id,
                    CAST(list_concat(v.embedding[CAST(c.copy AS INT) + 1:],
@@ -196,14 +209,15 @@ def main() -> None:
             FROM read_parquet('{SRC}/embeddings.parquet') v,
                  (SELECT unnest(range(0, {k})) AS copy) c
         ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
-    """)
+        """)
     # TPC-H facts (r9, so the sf1 sweep can cover the relational plans):
     # orders/lineitem grow 10x with INTERLEAVED orderkeys (same arrival mix);
     # the orders<->lineitem FK is preserved copy-by-copy. Dimension keys
     # (cust/part/supp) are left unchanged — dims stay original-size while
     # facts grow, which is exactly the big-fact/broadcast-dim shape the
     # 100 TB plans assume.
-    con.execute(f"""
+    if wanted("orders"):
+        con.execute(f"""
         COPY (
             SELECT o.o_orderkey * {k} + c.copy AS o_orderkey,
                    o.* EXCLUDE (o_orderkey)
@@ -211,8 +225,9 @@ def main() -> None:
                  (SELECT unnest(range(0, {k})) AS copy) c
             ORDER BY o_orderkey
         ) TO '{args.out}/orders.parquet' (FORMAT PARQUET)
-    """)
-    con.execute(f"""
+        """)
+    if wanted("lineitem"):
+        con.execute(f"""
         COPY (
             SELECT l.l_orderkey * {k} + c.copy AS l_orderkey,
                    l.* EXCLUDE (l_orderkey)
@@ -220,13 +235,16 @@ def main() -> None:
                  (SELECT unnest(range(0, {k})) AS copy) c
             ORDER BY l_orderkey
         ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET)
-    """)
-    for t in ("region", "nation", "customer", "supplier", "part"):
-        con.execute(f"""
-            COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
-            TO '{args.out}/{t}.parquet' (FORMAT PARQUET)
         """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        if wanted(t):
+            con.execute(f"""
+                COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
+                TO '{args.out}/{t}.parquet' (FORMAT PARQUET)
+            """)
     for t in ("events", "documents", "embeddings", "orders", "lineitem"):
+        if not wanted(t):
+            continue
         n = con.sql(f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 
