@@ -34,6 +34,13 @@ QUERIES = [
     "ob_mutations_top2",            # production fold path
     "documents_classifier_reliability",  # GD training + calibration
     "events_sessionize_stream",     # stateful streaming session windows
+    # r10 continuation: the PRODUCTION-shaped sessionizer (watermark + append
+    # mode + durable parquet sink). The complete-mode memory-sink rig above is
+    # the oracle harness and OOMs an 8 GB local heap at sf10 (it materializes
+    # every session in driver memory each trigger); this row is the shape that
+    # scales — measure it with --state-store rocksdb, where the 9.5M-session
+    # state lives off-heap and the run completes under the DEFAULT heap.
+    "events_sessionize_stream_append",
     "events_heavy_hitters_stream",  # streaming frequency-sketch maintenance
     "text_winnow_fingerprints",     # per-doc rolling-hash winnowing windows
     "dedup_components",             # iterative union-find over LSH edges
@@ -220,12 +227,15 @@ def main() -> None:
     ap.add_argument("--only", default="", help="comma-separated query subset")
     ap.add_argument("--merge", action="store_true",
                     help="merge into an existing --json instead of replacing")
+    ap.add_argument("--state-store", default=None,
+                    help="pass through to get_spark (e.g. 'rocksdb') — the "
+                         "production provider for large streaming state rows")
     args = ap.parse_args()
 
     import __spark_entry__ as E
     from polars_order_book_spark.session import get_spark
 
-    spark = get_spark("scale-check")
+    spark = get_spark("scale-check", state_store=args.state_store)
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     # warm JVM/codegen + the Python UDF worker pool
