@@ -146,6 +146,19 @@ DISPOSITIONS = {
         "the unbounded-corpus path. Callers with selective block_cols "
         "raise candidate_budget explicitly."
     ),
+    "documents_fuzzy_pairs_segments_tau3": (
+        "second-decade closed-vocab saturation (r10 continuation): at 500k "
+        "docs the derived corpus's ~31-word vocabulary makes most documents "
+        "share identical 16-char runs, so even tau=3 segment CONTENT keys "
+        "collide en masse and the candidate_budget fail-fast fires naming "
+        "the LSH path. This is the same corpus artifact as the "
+        "dedup_minhash_lsh disposition, with the same counter-evidence "
+        "methodology: on an open-vocabulary Heaps-law corpus at a 10x "
+        "decade the IDENTICAL configuration scales 1.51x with exact "
+        "planted-pair recall (r9, tools/openvocab_check.py, "
+        "BENCH_LOCAL_openvocab.json). First decade on THIS corpus stays "
+        "green (see the sf0.1 side of this row and BENCH_LOCAL_sf1.json)."
+    ),
     "documents_fuzzy_pairs_segments": (
         "guarded since r8: the PassJoin segment strategy replaces the fixed "
         "(lang, length-bucket) grid with segment-CONTENT join keys. The "
