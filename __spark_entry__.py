@@ -6697,7 +6697,13 @@ def _docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text IS NOT NULL explicitly: Spark's size(NULL array) is -1 (legacy
     # sizeOfNull), which would smuggle NULL-text docs in with a junk
     # measure instead of excluding them; the oracle filters identically.
-    base = docs.where(F.col("text").isNotNull()).select(
+    # lang/n_chars non-null too: the oracle excludes them, and a null lang
+    # would otherwise form its own frontier group here (r10 mirror audit).
+    base = docs.where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    ).select(
         "lang", "doc_id", "n_chars",
         F.size(F.array_distinct(F.filter(tokens("text"), lambda w: w != ""))
                ).cast("long").alias("n_distinct_words"),
