@@ -5500,6 +5500,56 @@ WHERE rank <= 5
 """
 
 
+def _embeddings_knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED scale remedy that knn_graph's pair_budget fail-fast
+    names (r10 continuation, SCALE.md): 48 planes / 4 bands of 12 — a
+    4096-key band space whose ~0.1% random-collision rate completes the
+    full 200k-vector graph in 95 s where the 32/8 default saturates its
+    256-key space at an estimated 745M candidate pairs. Registered so the
+    remedy configuration is value-hash-proven end to end, not just named
+    in an error message; same exact-cosine rerank and (cosine desc, dst)
+    top-k as the default row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(
+        emb, k=5, n_planes=48, band_size=12, pair_budget=100_000_000
+    )
+
+
+EMBEDDINGS_KNN_GRAPH_WIDE_SQL = f"""
+WITH {_bucket_sql(48)},
+bands AS (
+    SELECT vec_id, b AS band, substr(bucket, CAST(b * 12 + 1 AS INT), 12) AS key
+    FROM buckets, range(0, 4) r(b)
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.vec_id < b.vec_id
+),
+sim AS (
+    SELECT c.doc_a, c.doc_b,
+           list_dot_product(va.vv, vb.vv)
+             / (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))) AS cosine
+    FROM cands c
+    JOIN allv va ON va.vec_id = c.doc_a
+    JOIN allv vb ON vb.vec_id = c.doc_b
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst, cosine FROM sim
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst, cosine FROM sim
+)
+SELECT src, dst, rank, cosine
+FROM (
+    SELECT src, dst,
+           CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rank,
+           cosine
+    FROM edges
+)
+WHERE rank <= 5
+"""
+
+
 def _embeddings_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming retrieval: query vectors (vec_id < 8) arrive across two
     micro-batches and are answered per batch against the cached corpus with
@@ -7839,11 +7889,13 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R10_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb
+    # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb,documents_pareto_frontier
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=257 driver-green-union=255 never-sampled=2
+    # registry=258 driver-green-union=255 never-sampled=3
+    "embeddings_knn_graph_wide",  # never-sampled
     "events_heavy_hitters_abs",  # never-sampled
     "ob_stream_parquet_sink_top3",  # never-sampled
+    "documents_pareto_frontier",  # behavior-changed
     "ob_stream_deep_top20_rocksdb",  # behavior-changed
     "q1_pricing_summary",  # oldest-green
     "q3_top_revenue_orders",  # oldest-green
@@ -7890,8 +7942,6 @@ _R10_HEAD = [
     "q9_product_profit",  # oldest-green
     "supplier_pagerank",  # oldest-green
     "supplier_similarity",  # oldest-green
-    "text_dup_spans",  # oldest-green
-    "dedup_incremental",  # oldest-green
 ]
 
 
@@ -7979,6 +8029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_split_assign": _docs_split_assign,
         "documents_lm_score": _docs_lm_score,
         "embeddings_knn_graph": _embeddings_knn_graph,
+        "embeddings_knn_graph_wide": _embeddings_knn_graph_wide,
         "embeddings_ann_stream": _embeddings_ann_stream,
         "text_dup_span_cuts": _text_dup_span_cuts,
         "documents_dsir_weights": _docs_dsir_weights,
@@ -8307,6 +8358,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_split_assign": _docs_split_assign_sql(),
         "documents_lm_score": DOCS_LM_SCORE_SQL,
         "embeddings_knn_graph": EMBEDDINGS_KNN_GRAPH_SQL,
+        "embeddings_knn_graph_wide": EMBEDDINGS_KNN_GRAPH_WIDE_SQL,
         "embeddings_ann_stream": EMBEDDINGS_ANN_STREAM_SQL,
         "text_dup_span_cuts": TEXT_DUP_SPAN_CUTS_SQL,
         "documents_dsir_weights": DOCS_DSIR_WEIGHTS_SQL,

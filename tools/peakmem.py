@@ -4,7 +4,9 @@ session while a 2 s sampler sums VmRSS across the java + python process tree
 Arrow/pandas frames — both matter for the fold operators). Prints one JSON
 line; used for the SCALE.md peak-memory notes (r10 verdict task 2).
 
-Usage: python tools/peakmem.py <query_name> <sf_dir>
+Usage: python tools/peakmem.py <query_name> <sf_dir> [state_store]
+(optional 3rd arg, e.g. 'rocksdb', passes through to get_spark — the
+production provider for the large streaming-state rows)
 """
 import json
 import os
@@ -38,7 +40,8 @@ def main() -> None:
     from polars_order_book_spark.session import get_spark
 
     name, sf = sys.argv[1], sys.argv[2]
-    spark = get_spark("peakmem")
+    state_store = sys.argv[3] if len(sys.argv) > 3 else None
+    spark = get_spark("peakmem", state_store=state_store)
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.1").count()  # warm
