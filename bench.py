@@ -274,6 +274,12 @@ def main() -> None:
         "supplier_pagerank",
         "events_asof_purchase",
         "multimodal_resize",
+        # r10 continuation: the production streaming paths proven at scale
+        # this round (append-mode sessionizer: 2.46x at sf10 under the
+        # default heap with RocksDB; measured at sf100) and the registered
+        # knn-graph pair-budget remedy configuration
+        "events_sessionize_stream_append",
+        "embeddings_knn_graph_wide",
     ]
     qs = E.queries()
 

@@ -48,6 +48,10 @@ QUERIES = [
     "documents_hybrid_search",      # BM25 + dense fusion
     "embeddings_pq_trained_topk",   # k-means-trained PQ codebooks
     "embeddings_knn_graph",         # banded-LSH kNN graph
+    # r10 continuation: the registered pair-budget remedy (48 planes /
+    # 12-bit bands) — the configuration that completes where the 8-bit
+    # default's guard fires; its sweep row proves the remedy's own scaling
+    "embeddings_knn_graph_wide",
     "documents_hash_embed_knn",     # hashed doc features -> kNN
     "documents_fuzzy_pairs",        # edit-distance blocking (guarded r8)
     "documents_fuzzy_pairs_segments",  # PassJoin segments (guarded r8)
@@ -226,6 +230,23 @@ RATIO_DISPOSITIONS: dict[str, tuple[float, str]] = {
         "output-bound: result rows grew 100.1x (15.3M -> 1.54B pairs) "
         "against 15.4x wall — per-row cost fell 6.5x; quadratic pair "
         "space is the query's own contract",
+    ),
+    # Marginal by construction: ANY fixed band-key space makes within-bucket
+    # candidate pairs grow ~quadratically once the corpus saturates it. The
+    # wide config's whole point is moving the saturation boundary 16x (4096
+    # keys vs the default's 256) — it completes this decade at near-linear
+    # wall (10.2x, output edges exactly 10x at k*N) where the DEFAULT cannot
+    # run at all (745M-pair estimate, budget fail-fast). pair_budget still
+    # guards the next decade, and the lever is explicit: raise
+    # n_planes/band_size again. Cap 12x: drift past that is a real
+    # regression, not saturation arithmetic.
+    "embeddings_knn_graph_wide": (
+        12.0,
+        "fixed 4096-key band space begins saturating at 200k vectors — "
+        "10.2x wall with output edges exactly 10x (k*N); the default "
+        "config cannot run this decade at all (745M-pair budget "
+        "fail-fast); next-decade growth is guarded by pair_budget and "
+        "the registered remedy lever (raise n_planes/band_size)",
     ),
 }
 
