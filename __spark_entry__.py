@@ -3878,6 +3878,67 @@ HAVING count(*) >= CEIL(0.008 * t.total)
 """
 
 
+def _events_heavy_hitters_stream_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABSOLUTE-threshold streaming heavy hitters — the scale-aware twin
+    of events_heavy_hitters_stream, mirroring the batch pair
+    (events_heavy_hitters_by_type → events_heavy_hitters_abs): relative
+    support dilutes as the stream grows (the sf10 sweep's relative row runs
+    but emits 0 rows at 10M events), while "users with ≥ 20 events of a
+    type" emits a set bounded a priori at n_seen/min_count at every scale.
+    Same Misra-Gries managed state, same exact regime (k exceeds distinct
+    users per type at every test SF, so counters are true counts and the
+    final emission equals the batch GROUP BY/HAVING with the absolute
+    threshold)."""
+    import tempfile
+    import uuid
+
+    from polars_order_book_spark.streaming import heavy_hitters_stream
+    from polars_order_book_spark.sources.tables import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events")
+    hh = heavy_hitters_stream(
+        ev, "event_type", "user_id", min_count=20, k=100_000
+    )
+    name = f"hh_stream_abs_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="hh_stream_abs_ckpt_")
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s - refusing to read partial results"
+        )
+    from pyspark.sql import Window
+
+    out = spark.table(name)
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("__mx", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("__mx"))
+        .select("event_type", "user_id", "n", "n_seen", "support")
+    )
+
+
+EVENTS_HEAVY_HITTERS_STREAM_ABS_SQL = """
+WITH nn AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+t AS (SELECT event_type, count(*) AS total FROM nn GROUP BY event_type)
+SELECT nn.event_type, user_id, count(*) AS n, t.total AS n_seen,
+       CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS support
+FROM nn JOIN t USING (event_type)
+GROUP BY nn.event_type, user_id, t.total
+HAVING count(*) >= 20
+"""
+
+
 def _events_heavy_hitters_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment frequent items under an ABSOLUTE count threshold
     (operators/frequency.py heavy_hitters_by_count) — the scale-aware
@@ -7889,13 +7950,17 @@ FROM per_doc GROUP BY lang
 # entry is additionally pinned by the full local oracle gate
 # (CORRECTNESS_LOCAL_r6.json) + pytest regardless of driver sampling.
 _R10_HEAD = [
-    # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb,documents_pareto_frontier
+    # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb,documents_pareto_frontier,ob_nbbo_keyed,ob_nbbo_keyed_chunked,events_heavy_hitters_stream
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=258 driver-green-union=255 never-sampled=3
+    # registry=259 driver-green-union=255 never-sampled=4
     "embeddings_knn_graph_wide",  # never-sampled
     "events_heavy_hitters_abs",  # never-sampled
+    "events_heavy_hitters_stream_abs",  # never-sampled
     "ob_stream_parquet_sink_top3",  # never-sampled
     "documents_pareto_frontier",  # behavior-changed
+    "events_heavy_hitters_stream",  # behavior-changed
+    "ob_nbbo_keyed",  # behavior-changed
+    "ob_nbbo_keyed_chunked",  # behavior-changed
     "ob_stream_deep_top20_rocksdb",  # behavior-changed
     "q1_pricing_summary",  # oldest-green
     "q3_top_revenue_orders",  # oldest-green
@@ -7938,10 +8003,6 @@ _R10_HEAD = [
     "q16_supplier_variety",  # oldest-green
     "q21_waiting_suppliers",  # oldest-green
     "q2_min_cost_supplier",  # oldest-green
-    "q8_market_share",  # oldest-green
-    "q9_product_profit",  # oldest-green
-    "supplier_pagerank",  # oldest-green
-    "supplier_similarity",  # oldest-green
 ]
 
 
@@ -8020,6 +8081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_unigram_em_vocab": _docs_unigram_em_vocab,
         "documents_unigram_em_tokens": _docs_unigram_em_tokens,
         "events_heavy_hitters_stream": _events_heavy_hitters_stream,
+        "events_heavy_hitters_stream_abs": _events_heavy_hitters_stream_abs,
         "text_bm25": _text_bm25,
         "documents_hybrid_search": _docs_hybrid_search,
         "documents_wordfreq_stream": _docs_wordfreq_stream,
@@ -8350,6 +8412,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters_abs": EVENTS_HEAVY_HITTERS_ABS_SQL,
         "events_heavy_hitters_windowed": EVENTS_HEAVY_HITTERS_WINDOWED_SQL,
         "events_heavy_hitters_stream": EVENTS_HEAVY_HITTERS_STREAM_SQL,
+        "events_heavy_hitters_stream_abs": EVENTS_HEAVY_HITTERS_STREAM_ABS_SQL,
         "text_bm25": TEXT_BM25_SQL,
         "documents_hybrid_search": _docs_hybrid_search_sql(),
         "documents_wordfreq_stream": DOCS_WORDFREQ_STREAM_SQL,

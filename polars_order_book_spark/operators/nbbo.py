@@ -35,6 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Auto-chunk bound for the segmented forward-fill: one chunk never covers
+# more than this many seq units, however few shuffle partitions the session
+# has. For unique-seq streams (the book contract) span ≈ rows, so this also
+# bounds the rows a single chunk — and therefore a single cached pivot
+# block and a single window task — can hold.
+_AUTO_CHUNK_MAX_SPAN = 2_000_000
+
 
 def nbbo(
     snapshots: DataFrame,
@@ -150,9 +157,23 @@ def nbbo(
             # double path loses only low-bit precision, and the least() cap +
             # coalesce keep ids in [0, n_chunks).
             frac = (F.col("seq") - F.col("__smin")).cast("double") / span.cast("double")
+            # Chunk COUNT is itself span-derived (still fully in-plan): at
+            # least the shuffle width, but enough chunks that one chunk
+            # never spans more than _AUTO_CHUNK_MAX_SPAN seq units. A fixed
+            # count equal to the local shuffle width (32) made ~3M-row
+            # chunks at 100M events, and the checkpointed pivot's ~920 MB
+            # per-partition blocks blew the JVM's direct-memory allowance
+            # (r10 third-decade probe). For unique-seq streams span ≈ rows,
+            # so this bounds chunk rows; on a real cluster shuffle width is
+            # thousands and the floor rarely binds. Plans below
+            # 32 × _AUTO_CHUNK_MAX_SPAN seq units are unchanged.
+            nck = F.greatest(
+                F.lit(n_chunks).cast("long"),
+                F.ceil(span.cast("double") / F.lit(float(_AUTO_CHUNK_MAX_SPAN))),
+            )
             ck = F.least(
-                F.lit(n_chunks - 1),
-                F.floor(frac * F.lit(float(n_chunks))),
+                nck - F.lit(1),
+                F.floor(frac * nck.cast("double")),
             )
             with_ck = (
                 piv.join(F.broadcast(bounds))

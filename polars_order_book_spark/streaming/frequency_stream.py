@@ -77,14 +77,27 @@ def _fold_mg(pdfs, prior, k: int):
     )
 
 
-def _emit_rows(key, state, support, key_name: str, item_name: str) -> pd.DataFrame:
-    """Rows for every item whose optimistic count clears the exact-decimal
-    threshold: counter + cut_sum ≥ ceil(support · n_seen)."""
+def _emit_rows(
+    key,
+    state,
+    support,
+    key_name: str,
+    item_name: str,
+    min_count: "int | None" = None,
+) -> pd.DataFrame:
+    """Rows for every item whose optimistic count clears the threshold —
+    ``ceil(support · n_seen)`` (exact-decimal) by default, or the ABSOLUTE
+    ``min_count`` when given (the scale-aware contract: relative support
+    dilutes as the stream grows, an absolute count does not). The optimistic
+    ``counter + cut_sum`` test preserves no-false-negatives in both modes."""
     from fractions import Fraction
 
     items, counts, cut_sum, n_seen = state
-    fr = Fraction(str(support)) * n_seen
-    thr = -(-fr.numerator // fr.denominator)  # exact ceil
+    if min_count is not None:
+        thr = int(min_count)
+    else:
+        fr = Fraction(str(support)) * n_seen
+        thr = -(-fr.numerator // fr.denominator)  # exact ceil
     keep = [
         (i, c) for i, c in zip(items, counts) if c + cut_sum >= thr
     ]
@@ -108,6 +121,7 @@ def heavy_hitters_stream(
     *,
     support: float = 0.01,
     k: int | None = None,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Continuous per-key frequent items over a stream →
     (key_col, item_col long, n long, n_seen long, support double), update
@@ -121,9 +135,19 @@ def heavy_hitters_stream(
     operator's guarantee minimum). ``n`` is the Misra-Gries counter — exact
     while the key's distinct items fit in ``k``, a lower bound past that
     (module docstring). Null keys/items are excluded up front, matching the
-    batch operator's documented rule."""
+    batch operator's documented rule.
+
+    ``min_count`` switches the emission threshold to an ABSOLUTE count
+    (``counter + cut_sum ≥ min_count``), the streaming twin of
+    ``operators.frequency.heavy_hitters_by_count``: relative support
+    dilutes as the stream grows (the sf10 sweep's 0-row finding), an
+    absolute contract emits a set bounded a priori at n_seen/min_count at
+    every scale. ``support`` then only sizes the default ``k``; pass ``k``
+    explicitly to control summary width directly."""
     if not (0 < support <= 1):
         raise ValueError(f"support must be in (0, 1], got {support}")
+    if min_count is not None and min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     import math
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -152,7 +176,7 @@ def heavy_hitters_stream(
         if acc is None:
             return
         state.update(acc)
-        yield _emit_rows(key, acc, support, key_col, item_col)
+        yield _emit_rows(key, acc, support, key_col, item_col, min_count)
 
     return prepared.groupBy("__key").applyInPandasWithState(
         update,

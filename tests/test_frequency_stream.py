@@ -79,6 +79,52 @@ def test_exact_regime_matches_batch_operator(spark):
     assert got == exp
 
 
+def test_min_count_exact_regime_matches_batch_operator(spark):
+    """The absolute-threshold mode (min_count) in the exact regime equals the
+    batch heavy_hitters_by_count filter — the scale-aware contract that does
+    not dilute as n_seen grows (cf. the relative mode's 0-row sf10 finding)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b"]), rng.choice([1, 1, 2, rng.randint(3, 40)]))
+        for _ in range(2000)
+    ]
+    base = tempfile.mkdtemp(prefix="hh_abs_")
+    src = _write_batches(spark, base, [rows[:1000], rows[1000:]])
+    out = _final_state(
+        _run(spark, heavy_hitters_stream(src, "k", "item", min_count=25, k=10_000))
+    )
+    got = {(r["k"], r["item"]): r["n"] for r in out.collect()}
+    exp = {
+        (k, item): c
+        for (k, item), c in Counter(rows).items()
+        if c >= 25
+    }
+    assert got == exp
+    # every emitted count is the TRUE count in the exact regime
+    assert all(n >= 25 for n in got.values())
+
+
+def test_min_count_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, item long")
+    with pytest.raises(ValueError, match="min_count"):
+        heavy_hitters_stream(df, "k", "item", min_count=0)
+
+
+def test_emit_rows_min_count_threshold():
+    """_emit_rows with min_count uses the absolute threshold (optimistic
+    counter + cut_sum >= min_count), independent of n_seen."""
+    state = ([1, 2, 3], [30, 24, 5], 0, 1000)
+    out = _emit_rows(("a",), state, 0.01, "k", "item", min_count=25)
+    assert set(out["item"]) == {1}  # 30 >= 25; 24 and 5 miss
+    # same state under the relative default: ceil(0.01 * 1000) = 10
+    rel = _emit_rows(("a",), state, 0.01, "k", "item")
+    assert set(rel["item"]) == {1, 2}
+
+
 def test_state_accumulates_across_micro_batches(spark):
     """Item 7 is below threshold in every individual batch but above it in
     total — only carried state can find it."""
