@@ -184,8 +184,18 @@ def nbbo(
             with_ck = piv.withColumn("__ck", F.expr(f"seq div {int(chunk_size)}"))
         # localCheckpoint: the chunked pivot feeds BOTH the within-chunk
         # fill and the summary aggregate — without lineage truncation the
-        # events-sized pivot shuffle runs twice per action.
-        chunked = with_ck.localCheckpoint(eager=False)
+        # events-sized pivot shuffle runs twice per action. SERIALIZED
+        # memory+disk, not the default deserialized level: this relation is
+        # events-sized × ~4·|books| columns, and deserialized row objects
+        # for 100M events are ~3× the heap that serialized blocks need —
+        # the r10 third-decade probe OOMed even a 24 GB heap on the default
+        # level while the fold itself ran fine in 53 s. Serialized blocks
+        # also evict to disk wholesale instead of re-unrolling.
+        from pyspark.storagelevel import StorageLevel
+
+        chunked = with_ck.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         w_in = (
             Window.partitionBy("__ck")
             .orderBy("seq")
