@@ -1733,6 +1733,23 @@ def _ob_nbbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nbbo(snaps, books=list(range(7)))
 
 
+def _ob_nbbo_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NBBO over the BOUNDED-memory keyed fold (seq_chunks=8 selects the
+    chained-state mapInPandas plan for the per-book folds) + the span-derived
+    auto-chunk forward fill — the composition production runs at depth: the
+    r10 third-decade probe showed the plain per-book groups complete 100M
+    events in 64 s but the bounded plan does it in 53 s with one Arrow batch
+    + live book of state per task. Same oracle as ob_nbbo_keyed — the
+    composition must be byte-identical to the plain-fold NBBO."""
+    from polars_order_book_spark.operators.nbbo import nbbo
+
+    stream = bs.keyed_mutations_stream(load_table(spark, sf_dir, "events"))
+    snaps = top_n_levels_from_price_mutations(
+        stream, by=["book"], n=1, seq_chunks=8
+    )
+    return nbbo(snaps, books=list(range(7)))
+
+
 def _ob_nbbo_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NBBO with the segmented-scan forward fill (chunk_size=2000 seq
     units): the scale path — per-chunk fills run in parallel, one tiny
@@ -7952,10 +7969,11 @@ FROM per_doc GROUP BY lang
 _R10_HEAD = [
     # GENERATED by tools/apply_rotation.py --round 10 --changed ob_stream_deep_top20_rocksdb,documents_pareto_frontier,ob_nbbo_keyed,ob_nbbo_keyed_chunked,events_heavy_hitters_stream
     # policy: stale-red > never-sampled > deferred > behavior-changed > oldest-green
-    # registry=259 driver-green-union=255 never-sampled=4
+    # registry=260 driver-green-union=255 never-sampled=5
     "embeddings_knn_graph_wide",  # never-sampled
     "events_heavy_hitters_abs",  # never-sampled
     "events_heavy_hitters_stream_abs",  # never-sampled
+    "ob_nbbo_keyed_bounded",  # never-sampled
     "ob_stream_parquet_sink_top3",  # never-sampled
     "documents_pareto_frontier",  # behavior-changed
     "events_heavy_hitters_stream",  # behavior-changed
@@ -8002,7 +8020,6 @@ _R10_HEAD = [
     "q13_customer_distribution",  # oldest-green
     "q16_supplier_variety",  # oldest-green
     "q21_waiting_suppliers",  # oldest-green
-    "q2_min_cost_supplier",  # oldest-green
 ]
 
 
@@ -8202,6 +8219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hash_embed_knn": _docs_hash_embed_knn,
         "embeddings_kmeans_step": _embeddings_kmeans_step,
         "ob_nbbo_keyed_chunked": _ob_nbbo_chunked,
+        "ob_nbbo_keyed_bounded": _ob_nbbo_bounded,
         "q2_min_cost_supplier": hq.q2_min_cost_supplier,
         "q8_market_share": hq.q8_market_share,
         "q9_product_profit": hq.q9_product_profit,
@@ -8406,6 +8424,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_hash_embed_knn": _docs_hash_embed_knn_sql(),
         "embeddings_kmeans_step": _embeddings_kmeans_step_sql(),
         "ob_nbbo_keyed_chunked": _ob_nbbo_sql(),
+        "ob_nbbo_keyed_bounded": _ob_nbbo_sql(),
         "events_user_distinct_sketch_rollup": hq.EVENTS_SKETCH_ROLLUP_SQL,
         "events_heavy_hitters": EVENTS_HEAVY_HITTERS_SQL,
         "events_heavy_hitters_by_type": EVENTS_HEAVY_HITTERS_BY_TYPE_SQL,
