@@ -42,6 +42,26 @@ from polars_order_book_spark.plans import queries as hq
 from polars_order_book_spark.sources.tables import load_table
 
 
+def _drain_memory_sink(spark, df, name, ckpt):
+    """Materialize a memory-sink rig's result and release the rig's session
+    state. A memory-sink table lives on the driver heap for the SESSION's
+    lifetime, so a 260-query oracle gate (or full-registry bench) quietly
+    accumulates every streaming rig's full output ×3 runs in the one JVM
+    that is also executing every later query — heap pressure with no owner
+    (r9 ADVICE item; the rocksdb deep rig has carried this exact template
+    since r9 and is oracle-green with it). The eager localCheckpoint
+    detaches the returned rows from both the temp view and the checkpoint
+    dir; its blocks are freed by the ContextCleaner when the returned
+    DataFrame is garbage-collected — unlike the temp view, which would
+    persist until session stop."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query (driver smoke check at sf0.001)
 # ---------------------------------------------------------------------------
@@ -217,7 +237,12 @@ def _ob_stream_keyed(n):
         if not q.awaitTermination(600):
             q.stop()
             raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
-        return spark.table(name).select("book", "seq", *snapshot_columns(n))
+        return _drain_memory_sink(
+            spark,
+            spark.table(name).select("book", "seq", *snapshot_columns(n)),
+            name,
+            ckpt,
+        )
     return run
 
 
@@ -387,7 +412,12 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
-    return spark.table(name).select("user_id", "n_events", "start_us", "end_us")
+    return _drain_memory_sink(
+        spark,
+        spark.table(name).select("user_id", "n_events", "start_us", "end_us"),
+        name,
+        ckpt,
+    )
 
 
 def _events_sessionize_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,7 +506,12 @@ def _events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming query did not finish within 600s - refusing to read partial results"
         )
-    return spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us")
+    return _drain_memory_sink(
+        spark,
+        spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us"),
+        name,
+        ckpt,
+    )
 
 
 EVENTS_ATTRIBUTION_STREAM_SQL = """
@@ -543,7 +578,12 @@ def _events_attribution_stream_outer(spark: SparkSession, sf_dir: str) -> DataFr
         raise TimeoutError(
             "streaming query did not finish within 600s - refusing to read partial results"
         )
-    return spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us")
+    return _drain_memory_sink(
+        spark,
+        spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us"),
+        name,
+        ckpt,
+    )
 
 
 EVENTS_ATTRIBUTION_OUTER_SQL = """
@@ -662,10 +702,13 @@ def _events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming query did not finish within 600s - refusing to read partial results"
         )
-    return (
+    return _drain_memory_sink(
+        spark,
         spark.table(name)
         .groupBy("c_mktsegment")
-        .agg(F.max("n_events").alias("n_events"))
+        .agg(F.max("n_events").alias("n_events")),
+        name,
+        ckpt,
     )
 
 
@@ -2178,11 +2221,14 @@ def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming query did not finish within 600s - refusing to read partial results"
         )
     final = F.max(F.struct("n_events", "value_sum_micros", "last_us")).alias("p")
-    return (
+    return _drain_memory_sink(
+        spark,
         spark.table(name)
         .groupBy("user_id")
         .agg(final)
-        .select("user_id", "p.n_events", "p.value_sum_micros", "p.last_us")
+        .select("user_id", "p.n_events", "p.value_sum_micros", "p.last_us"),
+        name,
+        ckpt,
     )
 
 
@@ -2339,7 +2385,12 @@ def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
-    return spark.table(name).select("content_hash", "doc_id", "keep_id", "is_first")
+    return _drain_memory_sink(
+        spark,
+        spark.table(name).select("content_hash", "doc_id", "keep_id", "is_first"),
+        name,
+        ckpt,
+    )
 
 
 DEDUP_STREAM_SQL = """
@@ -2385,7 +2436,7 @@ def _events_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming query did not finish within 600s - refusing to read partial results"
         )
-    return spark.table(name)
+    return _drain_memory_sink(spark, spark.table(name), name, ckpt)
 
 
 EVENTS_STREAM_DROPDUP_SQL = """
@@ -3721,7 +3772,7 @@ def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming query did not finish within 600s - refusing to read partial results"
         )
-    return spark.table(name)
+    return _drain_memory_sink(spark, spark.table(name), name, ckpt)
 
 
 DOCS_WORDFREQ_STREAM_SQL = r"""
@@ -3769,10 +3820,13 @@ def _events_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = spark.table(name)
     w = Window.partitionBy("event_type")
-    return (
+    return _drain_memory_sink(
+        spark,
         out.withColumn("__mx", F.max("n_seen").over(w))
         .where(F.col("n_seen") == F.col("__mx"))
-        .select("event_type", "user_id", "n", "n_seen", "support")
+        .select("event_type", "user_id", "n", "n_seen", "support"),
+        name,
+        ckpt,
     )
 
 
@@ -3935,10 +3989,13 @@ def _events_heavy_hitters_stream_abs(spark: SparkSession, sf_dir: str) -> DataFr
 
     out = spark.table(name)
     w = Window.partitionBy("event_type")
-    return (
+    return _drain_memory_sink(
+        spark,
         out.withColumn("__mx", F.max("n_seen").over(w))
         .where(F.col("n_seen") == F.col("__mx"))
-        .select("event_type", "user_id", "n", "n_seen", "support")
+        .select("event_type", "user_id", "n", "n_seen", "support"),
+        name,
+        ckpt,
     )
 
 

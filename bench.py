@@ -328,7 +328,23 @@ def main() -> None:
     # contention) AND MEDIAN (load-robust central tendency), plus the 1-min
     # loadavg before/after, so load-sensitive entries are attributable. Every
     # run executes the complete plan — no caching between runs.
+    def cpu_times():
+        """Aggregate /proc/stat jiffies — used to report hypervisor steal%
+        over the timed region. On this sandbox's shared KVM host, steal is
+        the dominant noise source (measured 6%+ while idle, r10 final
+        session): per-query wall times vary 2-6x run to run with zero code
+        change, so the full-detail artifact carries the steal fraction to
+        make load-sensitive readings attributable (guide §1: measure the
+        environment, not just the code)."""
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:9]]
+            return vals  # user nice system idle iowait irq softirq steal
+        except Exception:  # noqa: BLE001 — non-Linux or restricted /proc
+            return None
+
     load_start = os.getloadavg()[0]
+    cpu_start = cpu_times()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -349,6 +365,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     load_end = os.getloadavg()[0]
+    cpu_end = cpu_times()
+    steal_pct = user_pct = None
+    if cpu_start and cpu_end:
+        delta = [b - a for a, b in zip(cpu_start, cpu_end)]
+        tot_jiffies = sum(delta)
+        if tot_jiffies > 0:
+            steal_pct = round(100.0 * delta[7] / tot_jiffies, 2)
+            user_pct = round(100.0 * delta[0] / tot_jiffies, 2)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -362,6 +386,10 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 3),
         "loadavg_1min_start": round(load_start, 2),
         "loadavg_1min_end": round(load_end, 2),
+        # hypervisor steal over the whole timed region (None off-Linux);
+        # high steal marks a run whose absolute numbers are not comparable
+        "cpu_steal_pct": steal_pct,
+        "cpu_user_pct": user_pct,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # coverage honesty: how much of the registry this headline measures
         # (registry-only entries are documented case-by-case in the list
