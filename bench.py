@@ -367,7 +367,10 @@ def main() -> None:
     load_end = os.getloadavg()[0]
     cpu_end = cpu_times()
     steal_pct = user_pct = None
-    if cpu_start and cpu_end:
+    # len guard (r10 ADVICE): a /proc/stat cpu line with <8 fields (old
+    # kernels, restricted containers) must not IndexError after every query
+    # already ran — that would lose the whole run's numbers.
+    if cpu_start and cpu_end and len(cpu_start) >= 8 and len(cpu_end) >= 8:
         delta = [b - a for a, b in zip(cpu_start, cpu_end)]
         tot_jiffies = sum(delta)
         if tot_jiffies > 0:
@@ -430,6 +433,9 @@ def main() -> None:
             "total_median": full["total_median"],
             "loadavg_1min_start": full["loadavg_1min_start"],
             "loadavg_1min_end": full["loadavg_1min_end"],
+            # steal in the DRIVER-VISIBLE line (r10 verdict item 1): every
+            # artifact self-attributes its environment, ~25 chars
+            "cpu_steal_pct": steal_pct,
             "sf": full["sf"],
             "full_in": full_out,
         }

@@ -211,6 +211,18 @@ class _SideBest:
             self.levels[price] = qty
 
 
+# Fold block budget (bytes of scratch snapshot array per block): the fold
+# runs in blocks of `_FOLD_BLOCK_BYTES // (32 * n)` output columns so the
+# (4n, block+1) int64 emit/forward-fill working set stays ~2.5 MB
+# (L2/L3-resident) at ANY depth — one 65536-row Arrow batch at the n=20
+# ceiling made it 42 MB and the deep fold measured best-of 103k rows/s
+# purely on cache misses vs 232k blocked (r11, tools/fold_profile.py).
+# Sized in bytes, not columns: a fixed column count would add per-block
+# overhead at shallow n where the array was already cache-resident
+# (measured 23% off the n=1 fast path at 4096 columns).
+_FOLD_BLOCK_BYTES = 2_621_440
+
+
 def _fold_arrays(
     variant: str,
     n: int,
@@ -236,10 +248,6 @@ def _fold_arrays(
     analog of the reference's incremental top-N maintenance,
     ref: top_n_levels.rs:59-63, which equally skips below-worst updates)."""
     m = len(price)
-    # Column 0 holds the baseline (resumed state for streaming, else nulls);
-    # data rows live at columns 1..m, forward-filled from the left.
-    out = np.zeros((4 * n, m + 1), dtype=np.int64)
-    mask = np.ones((4 * n, m + 1), dtype=bool)  # True = null (missing level)
     fast = fast_n1 and n == 1
     if fast:
         bids = _SideBest.from_side(bids, hi=True)
@@ -247,147 +255,232 @@ def _fold_arrays(
     else:
         bids = bids if bids is not None else _Side()
         asks = asks if asks is not None else _Side()
-    bid_written = np.zeros(m + 1, dtype=bool)
-    ask_written = np.zeros(m + 1, dtype=bool)
-    bid_written[0] = ask_written[0] = True
 
-    def emit_fast(side_is_bid: bool, c: int) -> None:
-        side = bids if side_is_bid else asks
-        base = 0 if side_is_bid else 2
-        best = side.best
-        if best is not None:
-            out[base, c] = best
-            out[base + 1, c] = side.levels[best]
-            mask[base, c] = False
-            mask[base + 1, c] = False
+    # Null-scan hoisted out of the event loop: `None in list` is a C-level
+    # membership test, so the common all-valid stream pays O(m) in C once
+    # instead of three `is None` checks per row. Rows before the first null
+    # fold normally (identical to the old per-row check — the raise aborts
+    # the task either way, with the same first-null seq in the message).
+    stop = m
+    for _lst in (is_bid, price, qty):
+        if None in _lst:
+            _i = _lst.index(None)
+            if _i < stop:
+                stop = _i
+
+    out_final = np.empty((4 * n, m), dtype=np.int64)
+    mask_final = np.empty((4 * n, m), dtype=bool)
+    bid_rows = [4 * i + j for i in range(n) for j in (0, 1)]
+    ask_rows = [4 * i + j for i in range(n) for j in (2, 3)]
+    lev = np.arange(n)[:, None]
+
+    # The fold runs in depth-scaled blocks (see _FOLD_BLOCK_BYTES) so the
+    # scratch snapshot array stays cache-resident at any n. Block
+    # boundaries are EXACT by the emit invariant: the live book's top-N
+    # always equals the last emitted column, so each block resumes from
+    # (bids, asks) state like any chunked/streaming hand-off, and its
+    # column 0 re-baselines the forward fill.
+    block = _FOLD_BLOCK_BYTES // (32 * n)
+    # Scratch buffers are allocated ONCE per call and re-zeroed per block
+    # (a ~2.5 MB memset): this sandbox's host shows multi-second page-fault
+    # stalls on fresh large mmaps (tools/fold_profile.py measured a 3.1 s
+    # outlier on a bare 42 MB alloc+touch), so fewer fresh allocations
+    # both bounds that exposure and skips the per-block mmap/munmap churn.
+    width = (block if block < stop else stop) + 1
+    scratch = np.zeros((4 * n, width), dtype=np.int64, order="F") if stop else None
+    nbuf_b = np.empty(width, dtype=np.int64) if stop else None
+    nbuf_a = np.empty(width, dtype=np.int64) if stop else None
+    r0 = 0
+    while r0 < stop:
+        r1 = r0 + block
+        if r1 > stop:
+            r1 = stop
+        mb = r1 - r0
+        # Column 0 holds the block baseline (resumed/carried state, else
+        # nulls); data rows live at columns 1..mb, forward-filled left.
+        # order='F': one emitted snapshot column is contiguous, so a deep
+        # emit touches 1-2 cache lines instead of 4n array-rows.
+        out = scratch[:, :mb + 1]
+        if r0:
+            out[:] = 0
+        # Per-column emitted level count per side; -1 = column not written.
+        # The null mask is DERIVED from these after the fold (level index
+        # >= nlev), replacing 4n per-emit mask writes with four broadcasts.
+        bid_nlev = nbuf_b[:mb + 1]
+        ask_nlev = nbuf_a[:mb + 1]
+        bid_nlev.fill(-1)
+        ask_nlev.fill(-1)
+        bid_nlev[0] = ask_nlev[0] = 0
+
+        if fast:
+            def emit_bid(c: int) -> None:
+                best = bids.best
+                if best is None:
+                    bid_nlev[c] = 0
+                else:
+                    out[0, c] = best
+                    out[1, c] = bids.levels[best]
+                    bid_nlev[c] = 1
+
+            def emit_ask(c: int) -> None:
+                best = asks.best
+                if best is None:
+                    ask_nlev[c] = 0
+                else:
+                    out[2, c] = best
+                    out[3, c] = asks.levels[best]
+                    ask_nlev[c] = 1
+        elif n <= 4:
+            # Shallow books: 4k scalar stores beat the slice path's
+            # list->array conversions (measured 16% on the n=2 folds).
+            def emit_bid(c: int) -> None:
+                bp, bl = bids.prices, bids.levels
+                nb = len(bp)
+                k = nb if nb < n else n
+                base = 0
+                for px in bp[nb - k:][::-1]:
+                    out[base, c] = px
+                    out[base + 1, c] = bl[px]
+                    base += 4
+                bid_nlev[c] = k
+
+            def emit_ask(c: int) -> None:
+                ap, al = asks.prices, asks.levels
+                na = len(ap)
+                k = na if na < n else n
+                base = 2
+                for px in ap[:k]:  # best ask = least price
+                    out[base, c] = px
+                    out[base + 1, c] = al[px]
+                    base += 4
+                ask_nlev[c] = k
         else:
-            mask[base, c] = True
-            mask[base + 1, c] = True
-        if side_is_bid:
-            bid_written[c] = True
-        else:
-            ask_written[c] = True
+            # Strided-slice writes into the contiguous column: the k best
+            # prices/qtys land with TWO numpy assignments instead of a
+            # Python loop of 4k scalar stores (best bid = greatest price,
+            # so the bid top-k is the tail of the ascending list reversed).
+            def emit_bid(c: int) -> None:
+                bp, bl = bids.prices, bids.levels
+                nb = len(bp)
+                k = nb if nb < n else n
+                if k:
+                    top = bp[nb - k:][::-1]
+                    col = out[:, c]
+                    col[0:4 * k:4] = top
+                    col[1:4 * k:4] = [bl[px] for px in top]
+                bid_nlev[c] = k
 
-    def emit_general(side_is_bid: bool, c: int) -> None:
-        if side_is_bid:
-            bp, bl = bids.prices, bids.levels
-            nb = len(bp)
-            for i in range(min(n, nb)):
-                base = 4 * i
-                px = bp[nb - 1 - i]  # best bid = greatest price
-                out[base, c] = px
-                out[base + 1, c] = bl[px]
-                mask[base, c] = False
-                mask[base + 1, c] = False
-            for i in range(nb, n):
-                base = 4 * i
-                mask[base, c] = True
-                mask[base + 1, c] = True
-            bid_written[c] = True
-        else:
-            ap, al = asks.prices, asks.levels
-            na = len(ap)
-            for i in range(min(n, na)):
-                base = 4 * i + 2
-                px = ap[i]  # best ask = least price
-                out[base, c] = px
-                out[base + 1, c] = al[px]
-                mask[base, c] = False
-                mask[base + 1, c] = False
-            for i in range(na, n):
-                base = 4 * i + 2
-                mask[base, c] = True
-                mask[base + 1, c] = True
-            ask_written[c] = True
+            def emit_ask(c: int) -> None:
+                ap, al = asks.prices, asks.levels
+                na = len(ap)
+                k = na if na < n else n
+                if k:
+                    top = ap[:k]  # best ask = least price
+                    col = out[:, c]
+                    col[2:4 * k + 2:4] = top
+                    col[3:4 * k + 2:4] = [al[px] for px in top]
+                ask_nlev[c] = k
 
-    emit = emit_fast if fast else emit_general
-    if bids.levels:
-        emit(True, 0)
-    if asks.levels:
-        emit(False, 0)
+        if bids.levels:
+            emit_bid(0)
+        if asks.levels:
+            emit_ask(0)
 
-    for r in range(m):
-        b = is_bid[r]
-        p = price[r]
-        q = qty[r]
-        if b is None or p is None or q is None:
-            raise OrderBookError(
-                f"null is_bid/price/qty at seq={seq[r]} (ref: update.rs:8-16)"
-            )
-        side = bids if b else asks
+        for i in range(mb):
+            r = r0 + i
+            b = is_bid[r]
+            p = price[r]
+            q = qty[r]
+            side = bids if b else asks
         # Pre-event threshold: the nth-best price (side-aware). Any op whose
         # touched prices are all strictly worse cannot alter the top-N.
-        if fast:
-            thr = side.best
-            if thr is None:
-                unchanged = False  # book may grow/shrink through the boundary
+            if fast:
+                thr = side.best
+                if thr is None:
+                    unchanged = False  # book may grow/shrink through the boundary
+                else:
+                    unchanged = p < thr if b else p > thr
             else:
-                unchanged = p < thr if b else p > thr
-        else:
-            sp = side.prices
-            ln = len(sp)
-            if ln < n:
-                unchanged = False  # book may grow/shrink through the boundary
-            elif b:
-                thr = sp[ln - n]
-                unchanged = p < thr
-            else:
-                thr = sp[n - 1]
-                unchanged = p > thr
+                sp = side.prices
+                ln = len(sp)
+                if ln < n:
+                    unchanged = False  # book may grow/shrink through the boundary
+                elif b:
+                    thr = sp[ln - n]
+                    unchanged = p < thr
+                else:
+                    thr = sp[n - 1]
+                    unchanged = p > thr
 
-        if variant == "updates":
-            side.set_level(p, q)
-        elif variant == "mutations":
-            if q > 0:
-                side.add(p, q)
-            elif q < 0:
-                side.delete(p, -q)
-            # q == 0: no-op (ref: update.rs:120) — still emits a row (ffill)
-        else:  # modify — 9-way decision table, ref: update.rs:132-162
-            pp = prev_price[r]  # type: ignore[index]
-            pq = prev_qty[r]  # type: ignore[index]
-            if pp is None and pq is None:
+            if variant == "updates":
+                side.set_level(p, q)
+            elif variant == "mutations":
                 if q > 0:
                     side.add(p, q)
                 elif q < 0:
                     side.delete(p, -q)
-            elif pp is not None and pq is None:
-                raise OrderBookError(
-                    f"prev_price without prev_qty at seq={seq[r]} (ref: update.rs:159)"
-                )
-            elif q < 0:
-                raise OrderBookError(
-                    f"negative qty with non-null prev at seq={seq[r]} (ref: update.rs:158)"
-                )
-            elif pp is not None:  # full modify: move prev_qty@prev_price -> qty@price
-                if unchanged:  # both touched prices must be below threshold
-                    unchanged = (pp < thr) if b else (pp > thr)
-                if q == 0:
-                    side.delete(pp, pq)  # ref: update.rs:155-157
-                else:
-                    side.delete(pp, pq)  # ref: order_book.rs:44-55
-                    side.add(p, q)
-            else:  # prev_qty only
-                if q == 0:
-                    side.delete(p, pq)  # ref: update.rs:152-154
-                else:
-                    side.delete(p, pq - q)  # qty-only modify, ref: update.rs:148-150
+                # q == 0: no-op (ref: update.rs:120) — still emits a row (ffill)
+            else:  # modify — 9-way decision table, ref: update.rs:132-162
+                pp = prev_price[r]  # type: ignore[index]
+                pq = prev_qty[r]  # type: ignore[index]
+                if pp is None and pq is None:
+                    if q > 0:
+                        side.add(p, q)
+                    elif q < 0:
+                        side.delete(p, -q)
+                elif pp is not None and pq is None:
+                    raise OrderBookError(
+                        f"prev_price without prev_qty at seq={seq[r]} (ref: update.rs:159)"
+                    )
+                elif q < 0:
+                    raise OrderBookError(
+                        f"negative qty with non-null prev at seq={seq[r]} (ref: update.rs:158)"
+                    )
+                elif pp is not None:  # full modify: move prev_qty@prev_price -> qty@price
+                    if unchanged:  # both touched prices must be below threshold
+                        unchanged = (pp < thr) if b else (pp > thr)
+                    if q == 0:
+                        side.delete(pp, pq)  # ref: update.rs:155-157
+                    else:
+                        side.delete(pp, pq)  # ref: order_book.rs:44-55
+                        side.add(p, q)
+                else:  # prev_qty only
+                    if q == 0:
+                        side.delete(p, pq)  # ref: update.rs:152-154
+                    else:
+                        side.delete(p, pq - q)  # qty-only modify, ref: update.rs:148-150
 
-        if not unchanged:
-            emit(b, r + 1)
+            if not unchanged:
+                if b:
+                    emit_bid(i + 1)
+                else:
+                    emit_ask(i + 1)
+        # Vectorized forward-fill per side from the last written column
+        # (ref: output.rs:62-120 writes every row; equivalent post-fill
+        # here), then the block lands in the C-order result (row-contiguous
+        # for the per-snapshot-column consumers).
+        cols = np.arange(mb + 1)
+        bid_idx = np.maximum.accumulate(np.where(bid_nlev >= 0, cols, 0))
+        ask_idx = np.maximum.accumulate(np.where(ask_nlev >= 0, cols, 0))
+        out[bid_rows] = out[np.ix_(bid_rows, bid_idx)]
+        out[ask_rows] = out[np.ix_(ask_rows, ask_idx)]
+        out_final[:, r0:r1] = out[:, 1:]
+        # Mask built in four broadcasts from the forward-filled level counts
+        # (True = null): level index i is null wherever i >= that column's
+        # emitted nlev.
+        bm = lev >= bid_nlev[bid_idx][None, 1:]
+        am = lev >= ask_nlev[ask_idx][None, 1:]
+        mask_final[0::4, r0:r1] = bm
+        mask_final[1::4, r0:r1] = bm
+        mask_final[2::4, r0:r1] = am
+        mask_final[3::4, r0:r1] = am
+        r0 = r1
 
-    # Vectorized forward-fill per side from the last written column
-    # (ref: output.rs:62-120 writes every row; equivalent post-fill here).
-    cols = np.arange(m + 1)
-    bid_idx = np.maximum.accumulate(np.where(bid_written, cols, 0))
-    ask_idx = np.maximum.accumulate(np.where(ask_written, cols, 0))
-    bid_rows = [4 * i + j for i in range(n) for j in (0, 1)]
-    ask_rows = [4 * i + j for i in range(n) for j in (2, 3)]
-    out[bid_rows] = out[np.ix_(bid_rows, bid_idx)]
-    mask[bid_rows] = mask[np.ix_(bid_rows, bid_idx)]
-    out[ask_rows] = out[np.ix_(ask_rows, ask_idx)]
-    mask[ask_rows] = mask[np.ix_(ask_rows, ask_idx)]
-    return out[:, 1:], mask[:, 1:], bids, asks
+    if stop < m:
+        raise OrderBookError(
+            f"null is_bid/price/qty at seq={seq[stop]} (ref: update.rs:8-16)"
+        )
+    return out_final, mask_final, bids, asks
 
 
 def _side_from_lists(prices: "Sequence[int] | None", qtys: "Sequence[int] | None") -> _Side:
