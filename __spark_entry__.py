@@ -53,13 +53,18 @@ def _drain_memory_sink(spark, df, name, ckpt):
     detaches the returned rows from both the temp view and the checkpoint
     dir; its blocks are freed by the ContextCleaner when the returned
     DataFrame is garbage-collected — unlike the temp view, which would
-    persist until session stop."""
+    persist until session stop. try/finally (r10 ADVICE): if the eager
+    checkpoint itself fails (executor OOM, task failure), the temp view and
+    checkpoint dir must STILL be released — leaking them on error is the
+    exact accumulation this helper exists to prevent (the rocksdb rig's
+    inline version has always cleaned up in a finally)."""
     import shutil
 
-    out = df.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -5025,10 +5030,14 @@ def _docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, the kmeans_train bounded-collect contract) then score every
     document: (doc_id, score_micro, pred). The oracle replays BOTH
     iterations and the scoring pass, so the hash check covers train+apply
-    end-to-end."""
+    end-to-end. Featurization is derived ONCE and shared between train and
+    score (r11: the scoring pass previously re-ran the tokenize/hash/groupBy
+    chain for identical values — one full corpus pass removed; results
+    unchanged, oracle-verified)."""
     docs = _docs_with_weak_label(spark, sf_dir)
-    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5)
-    return clf.logreg_score(docs, clf.collect_weights(step, 16))
+    feats = clf.doc_features(docs, dim=16).localCheckpoint(eager=False)
+    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5, feats=feats)
+    return clf.logreg_score(docs, clf.collect_weights(step, 16), feats=feats)
 
 
 def _docs_classifier_score_sql() -> str:
@@ -5050,8 +5059,9 @@ def _docs_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score sums are exact integers, the two ratios one double division
     each."""
     docs = _docs_with_weak_label(spark, sf_dir)
-    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5)
-    scored = clf.logreg_score(docs, clf.collect_weights(step, 16))
+    feats = clf.doc_features(docs, dim=16).localCheckpoint(eager=False)
+    step = clf.logreg_train(docs, n_iter=2, dim=16, lr=0.5, feats=feats)
+    scored = clf.logreg_score(docs, clf.collect_weights(step, 16), feats=feats)
     # n_buckets=100: the synthetic corpus' near-collinear docs score in a
     # ~37k-micro band (all one decile) — centi-bins exercise several rows
     return clf.reliability_table(scored, docs, n_buckets=100)

@@ -184,12 +184,19 @@ def logreg_train(
     lr: float = 0.5,
     feature: str = "presence",
     max_collect_weights: int = 65536,
+    feats: "DataFrame | None" = None,
 ) -> DataFrame:
     """``n_iter`` exact gradient steps from zero weights. Between iterations
     the dim+1 integer weights collect driver-side (bounded, fails fast past
     ``max_collect_weights``) and fold into the next step as literals — the
     kmeans_train contract, so the whole chain is oracle-re-derivable.
-    Returns the FINAL step's (j, grad_micro, w_next_micro), still lazy."""
+    Returns the FINAL step's (j, grad_micro, w_next_micro), still lazy.
+
+    ``feats`` optionally supplies a precomputed :func:`doc_features`
+    relation for ``df`` (same dim/feature) so a train+score composite
+    derives the featurization ONCE instead of per consumer — results are
+    identical (featurization is deterministic), only the pass count drops.
+    """
     if n_iter <= 0:
         raise ValueError(f"n_iter must be > 0, got {n_iter}")
     if dim + 1 > max_collect_weights:
@@ -204,9 +211,10 @@ def logreg_train(
     # same features. The materialized relation is training-set-sized
     # (docs x <= dim+1 feature rows), the set a classifier trains on being
     # a SAMPLE of the corpus, not the 100 TB corpus itself.
-    feats = doc_features(
-        df, text_col=text_col, id_col=id_col, dim=dim, feature=feature
-    ).localCheckpoint(eager=False)
+    if feats is None:
+        feats = doc_features(
+            df, text_col=text_col, id_col=id_col, dim=dim, feature=feature
+        ).localCheckpoint(eager=False)
     # Checkpoint labels and count ONCE: every iteration joins labels twice
     # and logreg_step needs N — without this, each step re-scanned the raw
     # df lineage and re-counted a loop-invariant value (r8 self-review).
@@ -238,14 +246,23 @@ def logreg_score(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     feature: str = "presence",
+    feats: "DataFrame | None" = None,
 ) -> DataFrame:
     """Score every document with integer-micros weights: (id, score_micro,
     pred). score_micro = floor(sigmoid(margin)·1e6 + 0.5); pred = 1 iff
     score_micro ≥ floor(threshold·1e6 + 0.5) — an integer compare, so the
     decision boundary is engine-independent. Docs are never dropped (the
-    bias feature guarantees every doc has a margin row)."""
+    bias feature guarantees every doc has a margin row).
+
+    ``feats`` optionally reuses a precomputed :func:`doc_features` relation
+    (see :func:`logreg_train`) — a train+score chain otherwise re-derives
+    the tokenize/hash/groupBy featurization from scratch for the scoring
+    pass, a second full corpus pass for identical values."""
     dim = len(weights_micro) - 1
-    feats = doc_features(df, text_col=text_col, id_col=id_col, dim=dim, feature=feature)
+    if feats is None:
+        feats = doc_features(
+            df, text_col=text_col, id_col=id_col, dim=dim, feature=feature
+        )
     wdf = _weights_df(df.sparkSession, weights_micro)
     thr = int(threshold * MICRO + 0.5)
     scored = _margins(feats, wdf, id_col).select(

@@ -34,6 +34,7 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping_pct: int = 85,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED graph (edges are
     symmetrized; every node therefore has outdegree >= 1, so there is no
@@ -70,17 +71,33 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
+    # Broadcast the node-sized relations (rank vector, degree table, contrib
+    # sums) into each iteration's joins when the node count allows: the big
+    # side — the edge relation — is then NEVER shuffled (guide §3.1: the
+    # per-iteration SortMergeJoin exchanges of `sym` become
+    # BroadcastHashJoins; the only remaining edge-sized exchange is the
+    # groupBy(dst) partial-aggregated shuffle). The decision is
+    # scale-adaptive from the measured n, not the local core count: at
+    # 4M nodes the built hash relation is ~64-128 MB — inside the guide's
+    # "few hundred MB is fine" band and under Spark's 8 GB broadcast cap —
+    # and bigger graphs fall back to the shuffle plan automatically.
+    # BIGINT sums are order-independent, so the join strategy cannot change
+    # the ranks (the oracle hashes bit-for-bit either way).
+    bcast = n <= broadcast_max_nodes
     base = ((100 - damping_pct) * SCALE) // (100 * n)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_scaled"))
+    dg = F.broadcast(deg) if bcast else deg
     for _ in range(iters):
+        rk = F.broadcast(ranks) if bcast else ranks
         contribs = (
-            sym.join(ranks, sym["src"] == ranks["node"])
-            .join(deg, sym["src"] == deg["dnode"])
+            sym.join(rk, sym["src"] == rk["node"])
+            .join(dg, sym["src"] == dg["dnode"])
             .select("dst", F.expr("rank_scaled div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+        cb = F.broadcast(contribs) if bcast else contribs
+        ranks = nodes.join(cb, nodes["node"] == cb["dst"], "left").select(
             "node",
             (
                 F.lit(base)

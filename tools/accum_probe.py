@@ -76,10 +76,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def checksum(df):
-        return df.select(
+        """Force full computation of every output column; returns (cs, n)
+        so callers CAN compare values, not just row counts (r10 ADVICE:
+        the old row-count-only return overstated what was checked)."""
+        row = df.select(
             F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("cs"),
             F.count(F.lit(1)).alias("n"),
-        ).collect()[0]["n"]
+        ).collect()[0]
+        return row["cs"], row["n"]
 
     # same warmups as bench.py
     for warm in ("q1_pricing_summary", "ob_updates_top1"):
