@@ -27,6 +27,7 @@ from polars_order_book_spark import (
     snapshot_columns,
 )
 from polars_order_book_spark.functions import conversion as conv
+from polars_order_book_spark.functions.runtime import scoped_stream_shuffle
 from polars_order_book_spark.operators import (
     classifier as clf,
     dedup,
@@ -231,17 +232,18 @@ def _ob_stream_keyed(n):
         snaps = top_n_levels_stream(stream, "mutations", by=["book"], n=n)
         name = f"ob_stream_snaps_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ob_stream_ckpt_")
-        q = (
-            snaps.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
+        with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+            q = (
+                snaps.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
         return _drain_memory_sink(
             spark,
             spark.table(name).select("book", "seq", *snapshot_columns(n)),
@@ -279,21 +281,22 @@ def _ob_stream_parquet_sink(n):
         root = tempfile.mkdtemp(prefix="ob_stream_sink_data_")
         ckpt = tempfile.mkdtemp(prefix="ob_stream_sink_ckpt_")
         try:
-            q = (
-                snaps.writeStream.foreachBatch(
-                    lambda bdf, bid: append_stream_batch(bdf, bid, root)
+            with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+                q = (
+                    snaps.writeStream.foreachBatch(
+                        lambda bdf, bid: append_stream_batch(bdf, bid, root)
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise TimeoutError(
-                    "streaming query did not finish within 600s - refusing "
-                    "to read partial results"
-                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise TimeoutError(
+                        "streaming query did not finish within 600s - refusing "
+                        "to read partial results"
+                    )
             out = read_stream_batches(spark, root).select(
                 "book", "seq", *snapshot_columns(n)
             )
@@ -340,20 +343,21 @@ def _ob_stream_deep_rocksdb(n):
             snaps = top_n_levels_stream(stream, "updates", by=["book"], n=n)
             name = f"ob_stream_deep_{uuid.uuid4().hex[:8]}"
             ckpt = tempfile.mkdtemp(prefix="ob_stream_deep_ckpt_")
-            q = (
-                snaps.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise TimeoutError(
-                    "streaming query did not finish within 600s - refusing "
-                    "to read partial results"
+            with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+                q = (
+                    snaps.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
                 )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise TimeoutError(
+                        "streaming query did not finish within 600s - refusing "
+                        "to read partial results"
+                    )
             # materialize BEFORE restoring the conf: the memory sink table
             # is already bounded, but keep the read inside the scope for
             # clarity about what ran under rocksdb
@@ -406,17 +410,18 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_stream(ev, gap="30 minutes")
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sess_stream_ckpt_")
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return _drain_memory_sink(
         spark,
         spark.table(name).select("user_id", "n_events", "start_us", "end_us"),
@@ -444,17 +449,18 @@ def _events_sessionize_stream_append(spark: SparkSession, sf_dir: str) -> DataFr
     sess = sessionize_stream(ev, gap="30 minutes", watermark="1 hour")
     out_dir = tempfile.mkdtemp(prefix="sess_append_") + "/sessions"
     ckpt = tempfile.mkdtemp(prefix="sess_append_ckpt_")
-    q = (
-        sess.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return spark.read.parquet(out_dir).select("user_id", "n_events", "start_us", "end_us")
 
 
@@ -498,19 +504,20 @@ def _events_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"attr_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="attr_stream_ckpt_")
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return _drain_memory_sink(
         spark,
         spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us"),
@@ -570,19 +577,20 @@ def _events_attribution_stream_outer(spark: SparkSession, sf_dir: str) -> DataFr
     )
     name = f"attro_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="attro_stream_ckpt_")
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return _drain_memory_sink(
         spark,
         spark.table(name).select("user_id", "click_id", "purchase_id", "gap_us"),
@@ -643,19 +651,20 @@ def _events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="hourly_append_") + "/hours"
     ckpt = tempfile.mkdtemp(prefix="hourly_append_ckpt_")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return spark.read.parquet(out_dir).select("hour_start_us", "n_events", "sum_value")
 
 
@@ -694,19 +703,20 @@ def _events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
     name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="enrich_stream_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return _drain_memory_sink(
         spark,
         spark.table(name)
@@ -2212,19 +2222,20 @@ def _events_user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = user_profile_stream(load_table_stream(spark, sf_dir, "events"))
     name = f"profile_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="profile_stream_ckpt_")
-    q = (
-        prof.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            prof.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     final = F.max(F.struct("n_events", "value_sum_micros", "last_us")).alias("p")
     return _drain_memory_sink(
         spark,
@@ -2379,17 +2390,18 @@ def _dedup_stream_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = dedup_stream_with_survivor(docs)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
-    q = (
-        tagged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
+    with scoped_stream_shuffle(spark, f"{sf_dir}/documents.parquet"):
+        q = (
+            tagged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 600s - refusing to read partial results")
     return _drain_memory_sink(
         spark,
         spark.table(name).select("content_hash", "doc_id", "keep_id", "is_first"),
@@ -2428,19 +2440,20 @@ def _events_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type")
     name = f"dropdup_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dropdup_stream_ckpt_")
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return _drain_memory_sink(spark, spark.table(name), name, ckpt)
 
 
@@ -3764,19 +3777,20 @@ def _docs_wordfreq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"wordfreq_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="wordfreq_stream_ckpt_")
-    q = (
-        wf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/documents.parquet"):
+        q = (
+            wf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return _drain_memory_sink(spark, spark.table(name), name, ckpt)
 
 
@@ -3805,19 +3819,20 @@ def _events_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = heavy_hitters_stream(ev, "event_type", "user_id", support=0.008, k=100_000)
     name = f"hh_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="hh_stream_ckpt_")
-    q = (
-        hh.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            hh.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     # Current state per key = its rows at max(n_seen): each emission lists
     # every qualifying item of the key, so older emissions are superseded.
     # A window (keys-sized sink relation) avoids the memory-view self-join.
@@ -3977,19 +3992,20 @@ def _events_heavy_hitters_stream_abs(spark: SparkSession, sf_dir: str) -> DataFr
     )
     name = f"hh_stream_abs_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="hh_stream_abs_ckpt_")
-    q = (
-        hh.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            hh.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     from pyspark.sql import Window
 
     out = spark.table(name)
@@ -7488,19 +7504,20 @@ def _events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="sliding_stream_") + "/windows"
     ckpt = tempfile.mkdtemp(prefix="sliding_stream_ckpt_")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not finish within 600s - refusing to read partial results"
+    with scoped_stream_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s - refusing to read partial results"
+            )
     return spark.read.parquet(out_dir).select("window_start_us", "n_events", "sum_value")
 
 

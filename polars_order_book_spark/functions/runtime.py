@@ -66,3 +66,63 @@ def fan_out_for_compute(df: DataFrame, *, min_partitions: "int | None" = None) -
     if current >= target:
         return df
     return df.repartition(target)
+
+
+def stream_shuffle_width(
+    spark: SparkSession,
+    *input_paths: str,
+    floor: int = 8,
+    bytes_per_partition: int = 32 * 1024 * 1024,
+) -> int:
+    """Input-sized width for a STATEFUL streaming query's shuffle.
+
+    A micro-batch stateful operator materializes one state-store instance
+    (plus one sink file and one task per stage) PER shuffle partition, every
+    batch — a per-batch fixed cost that the session-level
+    ``spark.sql.shuffle.partitions`` (sized for the session's batch work)
+    over-provisions whenever the stream's input is small relative to the
+    session's width. Sizing from the INPUT (ceil(bytes / 32 MB), floor 8,
+    ceiling = the session conf) is the streaming analog of AQE partition
+    coalescing, which micro-batch stateful plans do not get: the conf stays
+    the ceiling at scale (big inputs reach it), and a real cluster's large
+    conf is only used when the data warrants it. Partitioning is by key
+    hash either way — results are identical at any width (the rigs'
+    oracles pin this at both SFs).
+    """
+    import os
+
+    total = 0
+    for p in input_paths:
+        try:
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    total += os.path.getsize(os.path.join(p, f))
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            pass
+    ceiling = shuffle_partitions(spark)
+    want = max(floor, -(-total // bytes_per_partition))
+    return min(ceiling, want)
+
+
+class scoped_stream_shuffle:
+    """Context manager: set the session shuffle width to
+    :func:`stream_shuffle_width` of the inputs for the duration of a
+    streaming rig's start+await, then restore. The stream itself keeps the
+    scoped width for its whole life (StreamExecution clones the session at
+    ``start()``), so the scope only needs to cover query construction."""
+
+    def __init__(self, spark: SparkSession, *input_paths: str, floor: int = 8):
+        self.spark = spark
+        self.paths = input_paths
+        self.floor = floor
+
+    def __enter__(self) -> int:
+        self._saved = self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        width = stream_shuffle_width(self.spark, *self.paths, floor=self.floor)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        return width
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
